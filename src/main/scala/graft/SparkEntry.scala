@@ -1,13 +1,687 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blueprint.{BlueprintParser, Config}
+import graft.operators.{Dispatch, Engine, Generators, Replay, Transforms}
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.sources.Sinks
+
+/**
+ * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
+ * operator from SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for
+ * every operator whose semantics are SQL-expressible. Queries whose
+ * results depend on the engine's hash-based RNG (xxhash64 streams) have
+ * no cross-engine oracle and get the driver's rows-only check; their
+ * exact semantics are pinned by seeded goldens in the ScalaTest suite.
+ *
+ * Determinism rules for oracle-checked queries (hash compare is exact):
+ *  - integer/string outputs preferred; doubles only as exact passthrough
+ *    or single-rounding results of exact decimal arithmetic;
+ *  - money math in DECIMAL(18,2)-based exact arithmetic, cast to double
+ *    once at the end (both engines correctly round, unscaled < 2^53);
+ *  - timestamps exported as epoch integers (`unix_micros`/`epoch_us`),
+ *    never raw timestamp columns;
+ *  - every query is fully ordered by a unique key in BOTH engines.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  val Seed = 42L
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads via
+    * the nanosAsLong legacy conf — `ts` comes back as LongType epoch
+    * nanos; downstream math uses integer `div` (exact, no doubles). */
+  private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  // ---------------------------------------------------------------------
+  // Flagship: a full blueprint (5 generator shapes, noise, anomalies)
+  // materialized end-to-end and pivoted to slot records.
+  // ---------------------------------------------------------------------
+
+  /** Sample-blueprint-style flagship (shapes: sinusoidal, constant,
+    * random, square, custom — SampleBlueprint.json:17-77 minus the `real`
+    * S3 fetch, which needs a file and is exercised by g_replay). */
+  val FlagshipBlueprintJson: String =
+    """{
+      |  "commons": {"num_points": 2000, "signal_min": 1, "signal_max": 10,
+      |              "noise_min": 1, "noise_max": 5,
+      |              "anomalies": {"start": 10, "end": 20, "counts": 2}},
+      |  "generators": [
+      |    {"id": "ts1", "shape": "sinusoidal", "config": {"frequency": 0.25}},
+      |    {"id": "ts2", "shape": "constant",   "config": {"num_points": 50, "constant": 20}},
+      |    {"id": "ts3", "shape": "random",     "config": {"type": "uniform"}},
+      |    {"id": "ts4", "shape": "square",     "config": {"high_value": 40, "low_value": 10, "high_width": 5, "low_width": 10}},
+      |    {"id": "ts5", "shape": "custom",     "config": {"formula": "(t % 50) + 3 * (t % 7)"}}
+      |  ],
+      |  "targets": [{"type": "cloudwatch", "generators": ["ts1","ts2","ts3","ts4","ts5"]}]
+      |}""".stripMargin
+
+  def entry(spark: SparkSession): DataFrame = {
+    val bp = BlueprintParser.parse(FlagshipBlueprintJson)
+    val series = Engine.materialize(spark, bp, Seed)
+    Dispatch.slotRecords(Engine.slotView(spark, bp, series))
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared scale-range SQL fragment (reference scale_range semantics:
+  // ceil(round((v-mn)/(mx-mn)*(hi-lo)+lo, 9)), SURVEY §2.2 T1).
+  // ---------------------------------------------------------------------
+  private def scaleSql(lo: Double, hi: Double): String =
+    s"CAST(ceil(round((v - mn) / (mx - mn) * ${hi - lo} + $lo, 9)) AS BIGINT)"
+
+  // === Engine suite: generators / transforms / dispatch =================
+
+  private val engineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_sinusoidal" -> ((s, _) =>
+      Transforms.intCast(Generators.sinusoidal(s, "ts1",
+        Config.of("""{"num_points":600,"frequency":0.25,"signal_min":1,"signal_max":20}""")))
+        .orderBy("t")),
+
+    "g_constant" -> ((s, _) =>
+      Transforms.intCast(Generators.constant(s, "ts2",
+        Config.of("""{"num_points":500,"constant":20}""")))
+        .orderBy("t")),
+
+    "g_square" -> ((s, _) =>
+      Transforms.intCast(Generators.square(s, "ts4",
+        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}""")))
+        .orderBy("t")),
+
+    "g_custom" -> ((s, _) =>
+      Transforms.intCast(Generators.custom(s, "ts5",
+        Config.of("""{"num_points":400,"formula":"(t % 50) + 3 * (t % 7)","signal_min":1,"signal_max":20}""")))
+        .orderBy("t")),
+
+    // Replay (S3 "real" shape) driven from the events table: line N ≡
+    // event_id N. Zero-pad/truncate to 2000 slots, scale to [1,100].
+    "g_replay" -> ((s, dir) => {
+      val src = eventsTbl(s, dir).select(col("event_id").as("t"), col("value"))
+      Transforms.intCast(Replay.fromFrame(s, "replay1", src,
+        Config.of("""{"num_points":2000,"signal_min":1,"signal_max":100}""")))
+        .orderBy("t")
+    }),
+
+    // Zero-fill alignment of a 300-pt and a 500-pt series (T5).
+    "g_zerofill" -> ((s, _) => {
+      val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":7}"""))
+      val b = Generators.square(s, "tsb",
+        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
+      Transforms.zeroFillAlign(Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
+        .select("generator_id", "t", "value").orderBy("generator_id", "t")
+    }),
+
+    // D1 slot transpose, wide form (pivot) for oracle comparability.
+    "d_slots" -> ((s, _) => {
+      val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":5}"""))
+      val b = Generators.square(s, "tsb",
+        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
+      Transforms.zeroFillAlign(Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
+        .groupBy("t").pivot("generator_id", Seq("tsa", "tsb")).agg(first("value"))
+        .orderBy("t")
+    }),
+
+    // D5 slicing: square wave of 0s and 7s, slice_size 3 → 0→[0], 7→[3,3,1].
+    "d_slice" -> ((s, _) => {
+      val sq = Transforms.intCast(Generators.square(s, "tsq",
+        Config.of("""{"num_points":200,"low_value":0,"low_width":3,"high_value":7,"high_width":2}""")))
+      Dispatch.sliceDatapoints(sq, 3L).orderBy("t", "value")
+    }),
+
+    // K2 CloudWatch metric frame over two deterministic series.
+    "k_metrics" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[
+          |  {"id":"tsa","shape":"constant","config":{"num_points":300,"constant":5}},
+          |  {"id":"tsb","shape":"square","config":{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}}],
+          | "targets":[{"type":"cloudwatch","generators":["tsa","tsb"]}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      val routed = Dispatch.routeToTarget(series, bp.targets.head)
+      Sinks.metricData(routed, bp, lit(1767225600L))
+        .orderBy("id", "value")
+    }),
+
+    // ---- RNG-dependent (rows-only check; semantics pinned by goldens) ----
+    "g_random_uniform" -> ((s, _) =>
+      Transforms.intCast(Generators.random(s, "tsr",
+        Config.of("""{"num_points":1000,"type":"uniform","signal_min":1,"signal_max":20}"""), Seed))
+        .orderBy("t")),
+
+    "g_random_gauss" -> ((s, _) =>
+      Transforms.intCast(Generators.random(s, "tsg",
+        Config.of("""{"num_points":1000,"type":"gauss","mu":10,"sigma":3,"signal_min":1,"signal_max":20}"""), Seed))
+        .orderBy("t")),
+
+    "g_noise" -> ((s, _) => {
+      val cfg = Config.of("""{"num_points":500,"constant":10,"noise_min":1,"noise_max":5}""")
+      Transforms.intCast(Transforms.applyNoise(
+        Generators.constant(s, "tsn", cfg), cfg, Seed)).orderBy("t")
+    }),
+
+    "g_anomalies" -> ((s, _) => {
+      val cfg = Config.of(
+        """{"num_points":200,"low_value":1,"low_width":3,"high_value":7,"high_width":2,
+          | "anomalies":{"start":10,"end":50,"counts":5}}""".stripMargin)
+      Transforms.intCast(Transforms.applyAnomalies(
+        Generators.square(s, "tsq", cfg), cfg.anomalies, cfg.numPoints, Seed, "tsq"))
+        .orderBy("t")
+    }),
+
+    // D6/D7 grouped envelopes as JSON-ready frames.
+    "d_envelopes" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[
+          |  {"id":"tsa","shape":"constant","config":{"num_points":100,"constant":5}},
+          |  {"id":"tsb","shape":"square","config":{"num_points":100,"low_value":2,"low_width":1,"high_value":9,"high_width":1}}],
+          | "targets":[{"type":"lambda","function_name":"fn1","group_datapoints":true,"generators":["tsa","tsb"]}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      val routed = Dispatch.routeToTarget(series, bp.targets.head)
+      Dispatch.envelopes(routed, to_timestamp(lit("2026-01-01 00:00:00")),
+        """{"type":"lambda","function_name":"fn1"}""", grouped = true)
+        .withColumn("datapoints", to_json(col("datapoints")))
+        .orderBy("t")
+    }),
+
+    // K1a fake S3 object corpus (seeded content; rows-only).
+    "k_fake_objects" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":3}}],
+          | "targets":[{"type":"s3","action":"put","generators":["tsa"],
+          |             "fake_types":["sentence","email","itin"],"fake_counts":2}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
+        bp.targets.head, Seed).orderBy("t", "key")
+    }),
+
+    // K1/get read-amplification request frame (rows-only).
+    "k_get_requests" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":4}}],
+          | "targets":[{"type":"s3","action":"get","generators":["tsa"],"prefix":"data/"}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      Sinks.getRequests(Dispatch.routeToTarget(series, bp.targets.head),
+        bp.targets.head, Seed).orderBy("t", "key")
+    })
+  )
+
+  private val engineOracles: Map[String, String] = Map(
+    "g_sinusoidal" ->
+      s"""WITH base AS (SELECT t, sin((2*pi()*0.25) * (t * (600.0/599.0))) AS v
+         |              FROM generate_series(0, 599) AS g(t)),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'ts1' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    "g_constant" ->
+      """SELECT 'ts2' AS generator_id, t, CAST(20 AS BIGINT) AS value
+        |FROM generate_series(0, 499) AS g(t) ORDER BY t""".stripMargin,
+
+    "g_square" ->
+      """SELECT 'ts4' AS generator_id, t,
+        |       CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS BIGINT) AS value
+        |FROM generate_series(0, 499) AS g(t) ORDER BY t""".stripMargin,
+
+    "g_custom" ->
+      s"""WITH base AS (SELECT t, CAST(t % 50 + 3 * (t % 7) AS DOUBLE) AS v
+         |              FROM generate_series(0, 399) AS g(t)),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'ts5' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    "g_replay" ->
+      s"""WITH src AS (SELECT event_id AS t, value AS v FROM events WHERE event_id < 2000),
+         |grid AS (SELECT t FROM generate_series(0, 1999) AS g(t)),
+         |al AS (SELECT grid.t AS t, coalesce(src.v, 0.0) AS v
+         |       FROM grid LEFT JOIN src ON grid.t = src.t),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM al)
+         |SELECT 'replay1' AS generator_id, t, ${scaleSql(1.0, 100.0)} AS value
+         |FROM al, stats ORDER BY t""".stripMargin,
+
+    "g_zerofill" ->
+      """SELECT * FROM (
+        |  SELECT 'tsa' AS generator_id, t,
+        |         CAST(CASE WHEN t < 300 THEN 7 ELSE 0 END AS BIGINT) AS value
+        |  FROM generate_series(0, 499) AS g(t)
+        |  UNION ALL
+        |  SELECT 'tsb' AS generator_id, t,
+        |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS BIGINT) AS value
+        |  FROM generate_series(0, 499) AS g(t)
+        |) ORDER BY generator_id, t""".stripMargin,
+
+    "d_slots" ->
+      """SELECT t,
+        |       CAST(CASE WHEN t < 300 THEN 5 ELSE 0 END AS BIGINT) AS tsa,
+        |       CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS BIGINT) AS tsb
+        |FROM generate_series(0, 499) AS g(t) ORDER BY t""".stripMargin,
+
+    "d_slice" ->
+      """SELECT * FROM (
+        |  WITH base AS (SELECT t, CAST(CASE WHEN t % 5 < 3 THEN 0 ELSE 7 END AS BIGINT) AS v
+        |                FROM generate_series(0, 199) AS g(t))
+        |  SELECT 'tsq' AS generator_id, t,
+        |         unnest(CASE WHEN v = 0 THEN [CAST(0 AS BIGINT)]
+        |                ELSE [CAST(least(3, v - (i-1)*3) AS BIGINT)
+        |                      for i in generate_series(1, CAST(ceil(v / 3.0) AS INT))]
+        |                END) AS value
+        |  FROM base
+        |) ORDER BY t, value""".stripMargin,
+
+    "k_metrics" ->
+      """SELECT * FROM (
+        |  SELECT 1767225600 AS ts, 'Timeseries' AS metric_name, 'constant' AS shape,
+        |         'tsa' AS id, CAST(5 AS DOUBLE) AS value, 'Count' AS unit
+        |  FROM generate_series(0, 299)
+        |  UNION ALL
+        |  SELECT 1767225600, 'Timeseries', 'square', 'tsb',
+        |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS DOUBLE), 'Count'
+        |  FROM generate_series(0, 499) AS g(t)
+        |) ORDER BY id, value""".stripMargin
+  )
+
+  // === Relational suite over the TPC-H-ish tables =======================
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary; exact decimal sums → one final
+    // double rounding, deterministic across engines.
+    "q1_pricing_summary" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      val discPrice = dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount"))
+      val charge = discPrice.cast("decimal(18,4)") * dec2(lit(1.0) + col("l_tax"))
+      l.groupBy("l_returnflag", "l_linestatus").agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style: 3-way join (broadcast dim), top-10 by revenue.
+    "q3_top_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_e"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Left-semi join: customers with at least one big order, per segment.
+    "q_semi_join" -> ((s, dir) => {
+      val bigOrders = tbl(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      tbl(s, dir, "customer")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti join: orders with no high-quantity lineitem, by status.
+    "q_anti_join" -> ((s, dir) => {
+      val hi = tbl(s, dir, "lineitem").where(col("l_quantity") >= 48.0)
+      tbl(s, dir, "orders")
+        .join(hi, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ROLLUP grouping sets (nulls exported as 'ALL' for cross-engine order).
+    "q_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")),
+
+    // Window: top-3 orders per customer by totalprice.
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // Sessionization: 30-min inactivity gap, pure integer (µs) math.
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+      val e = eventsTbl(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tse"))
+      val flagged = e.withColumn("ns",
+        when(lag("tse", 1).over(w).isNull ||
+          col("tse") - lag("tse", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      flagged
+        .withColumn("sid", sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"), min("tse").as("s_start"), max("tse").as("s_end"))
+        .orderBy("user_id", "sid")
+    }),
+
+    // Tumbling 1h event-time aggregation (batch form of the stream op).
+    "q_events_hourly" -> ((s, dir) =>
+      eventsTbl(s, dir)
+        .groupBy(expr("(ts div 3600000000000) * 3600000000").as("hour_e"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("hour_e", "event_type")),
+
+    // Set operations: EXCEPT / INTERSECT with distinct semantics.
+    "q_setop" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("key")).distinct()
+      val b = tbl(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      a.except(b).select(lit("except").as("op"), col("key"))
+        .unionByName(a.intersect(b).select(lit("intersect").as("op"), col("key")))
+        .orderBy("op", "key")
+    }),
+
+    // Global sort + limit with a full tie-break.
+    "q_sort_limit" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20))
+  )
+
+  private val relationalOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))
+        |           * CAST(1.0 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_e,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48.0)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tse FROM events),
+        |l AS (SELECT user_id, event_id, tse,
+        |             CASE WHEN lag(tse) OVER w IS NULL
+        |                    OR tse - lag(tse) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)),
+        |s AS (SELECT user_id, tse,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM l)
+        |SELECT user_id, sid, count(*) AS n_events,
+        |       min(tse) AS s_start, max(tse) AS s_end
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_e, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_setop" ->
+      """SELECT * FROM (
+        |  SELECT 'except' AS op, key FROM (
+        |    SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, key FROM (
+        |    SELECT DISTINCT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |) ORDER BY op, key""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin
+  )
+
+  // === Extension suite: dedup / similarity / text / multimodal ==========
+
+  /** DuckDB fragment: lowercased whitespace tokens of `text`. */
+  private val toksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** DuckDB fragment: occurrences of `word` via the length-difference
+    * trick (mirrors TextStats.wordOccurrences exactly). */
+  private def occSql(word: String): String = {
+    val needle = s" $word "
+    s"(len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', '$needle', ' '))) / ${needle.length - 1}"
+  }
+  private def langScoreSql(lang: String): String =
+    TextStats.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
+
+  private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
+
+    "x_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
+        .orderBy("a", "b")),
+
+    "x_text_quality" -> ((s, dir) =>
+      TextStats.qualityFacets(tbl(s, dir, "documents"))
+        .select("doc_id", "n_chars_m", "n_tokens", "n_bpeish", "n_punct",
+          "n_stop", "quality_bucket")
+        .orderBy("doc_id")),
+
+    "x_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "x_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "x_sim_bruteforce" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- hash-based (rows-only) ----
+    "x_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
+
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
+
+    // Threshold tuned to the synthetic corpus (random vectors: max
+    // pairwise cosine ≈ 0.51) so the candidate-verify path yields rows.
+    "x_neardup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), threshold = 0.35,
+        planes = 4).orderBy("a", "b")),
+
+    "x_sim_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.lshTopK(emb, queries, k = 5).orderBy("query_id", "rank")
+    }),
+
+    "x_media_meta" -> ((s, dir) =>
+      Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
+        .select(col("media_id"), col("kind"), col("meta.width"),
+          col("meta.height"), col("meta.duration_s"), col("meta.n_bytes"))
+        .orderBy("media_id")),
+
+    "x_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents"))), 60)
+        .orderBy("media_id", "frame_ts")),
+
+    "x_media_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
+        .select("media_id", "feature").orderBy("media_id"))
+  )
+
+  private val extOracles: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_jaccard_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |                 ELSE [array_to_string(tk[i:i+2], ' ')
+         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
+         |ORDER BY a, b""".stripMargin,
+
+    "x_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars_m,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
+         |  CAST(${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} AS BIGINT) AS n_stop,
+         |  CASE WHEN len($toksSql) >= 20
+         |        AND len(text) <= len($toksSql) * 12
+         |        AND len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) * 5 <= len($toksSql)
+         |        AND ${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} > 0
+         |       THEN 'good'
+         |       WHEN len($toksSql) >= 5 THEN 'fair'
+         |       ELSE 'poor' END AS quality_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_langid" ->
+      s"""WITH scored AS (SELECT doc_id,
+         |  CAST(${langScoreSql("en")} AS BIGINT) AS s_en,
+         |  CAST(${langScoreSql("de")} AS BIGINT) AS s_de,
+         |  CAST(${langScoreSql("fr")} AS BIGINT) AS s_fr,
+         |  CAST(${langScoreSql("es")} AS BIGINT) AS s_es,
+         |  CAST(${langScoreSql("zh")} AS BIGINT) AS s_zh
+         |FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+         |       WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "x_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(unicode(c) AS BIGINT)
+         |     for c in split(array_to_string($toksSql, ' '), '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_sim_bruteforce" ->
+      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+        |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                    [c.v[i] * q.qv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
+        |                  / (c.nrm * q.qn) AS score
+        |           FROM n c CROSS JOIN q),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |                  row_number() OVER (PARTITION BY query_id
+        |                                     ORDER BY score DESC, neighbor_id) AS rank,
+        |                  round(score, 6) AS score_r
+        |           FROM scored)
+        |SELECT query_id, neighbor_id, rank, score_r
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  )
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    engineQueries ++ relationalQueries ++ extQueries
+
+  def oracleSql: Map[String, String] =
+    engineOracles ++ relationalOracles ++ extOracles
 }

@@ -1,0 +1,168 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale text corpora — the north-star
+ * extension surface (SURVEY §2.7). All variants follow the same scale
+ * posture: candidate generation is a *bucketed equi-join* (shuffle on a
+ * short key, never an O(n²) cross join), verification runs only on
+ * candidates, and every hash is deterministic (`xxhash64`), so results
+ * are stable across partitioning/retries.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: hash-groupBy on content. Returns one row per distinct
+   * text with the surviving (minimum) doc_id and the duplicate count.
+   * At 100 TB: group on `sha2(text, 256)` instead of raw text to keep
+   * shuffle rows narrow — both forms provided.
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
+
+  /** Narrow-shuffle exact dedup: rows carry only (digest, id). */
+  def exactByDigest(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("digest"), col(idCol))
+      .groupBy("digest")
+      .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as strings; documents shorter than n shingle to
+    * their whole token sequence. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
+  /**
+   * MinHash signatures: k independent hash functions via seeded xxhash64,
+   * signature_j = min over shingles of xxhash64(j, shingle). Computed as
+   * k map-side min-aggregations over the exploded shingle frame — one
+   * shuffle of (doc_id, k longs) regardless of document size.
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("__sh"))).as(s"h$j"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH banding: b bands of r rows (b*r = numHashes); documents
+   * agreeing on all r hashes of any band land in the same bucket.
+   * Candidate pairs come from a groupBy on (band, bucket) — the canonical
+   * shuffle-on-short-key near-dup join. Pairs are emitted once (a < b).
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until r).map(j => col(s"h${b * r + j}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val rgt = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(rgt, Seq("band", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /**
+   * SimHash: 64-bit signature whose bit i is the sign of the sum of
+   * (+1/-1) votes from each token's hash bit i. Near-dups differ in few
+   * bits; with 4 16-bit chunks, any pair within Hamming distance 3 shares
+   * at least one exact chunk (pigeonhole) — candidates come from a chunk
+   * equi-join, verified by exact Hamming distance.
+   */
+  def simhash(textCol: Column): Column = {
+    val toks = array_distinct(tokens(textCol))
+    val hashes = transform(toks, t => xxhash64(t))
+    // fold over bits: for each bit position, count votes
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val chunks = sig.select(col(idCol), col("sig"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+      .select(col(idCol), col("sig"), col("ck.chunk"), col("ck.key"))
+    val l = chunks.select(col("chunk"), col("key"), col(idCol).as("a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("key"), col(idCol).as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .where(col("dist") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for pairs sharing at least one
+   * shingle: |A∩B| / |A∪B| via the exploded-shingle self-join. This is
+   * the exact (verification-grade) path; at scale it runs on LSH
+   * candidates, not the full corpus — pass `minJaccard` high enough or
+   * pre-filter with [[minhashLshPairs]].
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+    val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
+    val l = grams.select(col("g"), col(idCol).as("a"))
+    val r = grams.select(col("g"), col(idCol).as("b"))
+    val inter = l.join(r, "g").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count("*").as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("n_b"))), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+  }
+
+  /**
+   * Embedding-cosine near-dup: pairs with cosine >= threshold, candidates
+   * from hyperplane-LSH buckets (see [[Similarity.hyperplaneBuckets]]),
+   * verified with exact cosine.
+   */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.95,
+      planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val bucketed = Similarity.hyperplaneBuckets(embeddings, vecCol, planes, seed)
+      .select(col(idCol), col("bucket"), col(vecCol))
+    val l = bucketed.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, "bucket").where(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select("a", "b", "cosine").distinct()
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal column plumbing (SURVEY §2.7): image/audio/video as opaque
+ * `binary` payloads with a typed metadata struct, plus decode /
+ * feature-extract / resize / frame-sample operators.
+ *
+ * The actual media codecs are NOT available in this environment, so the
+ * decode kernels are deterministic STUBS (clearly marked below): they
+ * derive plausible metadata/features from a hash of the payload bytes.
+ * Everything around them — schema, partition behavior, explode shapes,
+ * batch-friendly column signatures — is real and is what matters at
+ * scale: a payload column is never shuffled unless the operator needs
+ * it, and per-frame fan-out is an `explode` (rows scale with
+ * frames, not with driver memory).
+ */
+object Multimodal {
+
+  /** media row schema: (media_id, kind, payload BINARY, meta STRUCT). */
+  val kinds = Seq("image", "audio", "video")
+
+  /**
+   * Wrap any (id, text) frame as a synthetic media frame — the test
+   * harness's stand-in for real blobs. Payload = utf8 bytes; kind chosen
+   * deterministically per id.
+   */
+  def asMediaFrame(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      element_at(array(kinds.map(lit): _*),
+        (pmod(col(idCol), lit(kinds.size)) + 1).cast("int")).as("kind"),
+      col(textCol).cast("binary").as("payload"))
+
+  /**
+   * STUB decode — `???` in spirit: real implementation would parse the
+   * container header (JPEG SOF / WAV fmt / MP4 moov). Deterministic fake:
+   * dimensions & duration derived from xxhash64(payload). The column
+   * *signature* (binary -> struct) is the real contract.
+   */
+  def decodeMeta(payload: Column, kind: Column): Column = {
+    val h = xxhash64(payload)
+    struct(
+      (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
+      (pmod(shiftrightunsigned(h, 16), lit(1080L)) + 1L).cast("int").as("height"),
+      (pmod(shiftrightunsigned(h, 32), lit(600L)) + 1L).cast("int").as("duration_s"),
+      length(payload).cast("long").as("n_bytes"),
+      kind.as("format"))
+  }
+
+  def withMeta(media: DataFrame): DataFrame =
+    media.withColumn("meta", decodeMeta(col("payload"), col("kind")))
+
+  /**
+   * STUB resize — real kernel would transcode pixels; the fake keeps the
+   * payload and rewrites metadata, preserving aspect ratio. Shape of the
+   * operation (narrow map, no shuffle) is the scale-relevant part.
+   */
+  def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    val m = col("meta")
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(m.getField("width"), m.getField("height")).cast("double"))
+    media.withColumn("meta", struct(
+      ceil(m.getField("width") * scale).cast("int").as("width"),
+      ceil(m.getField("height") * scale).cast("int").as("height"),
+      m.getField("duration_s").as("duration_s"),
+      m.getField("n_bytes").as("n_bytes"),
+      m.getField("format").as("format")))
+  }
+
+  /**
+   * Frame sampling for video rows: one output row per sampled frame at
+   * `everyNSeconds`. Row fan-out via explode — frames-per-row bounded by
+   * duration, memory bounded by batch, no driver loops. Frame payload is
+   * a STUB slice of the source payload.
+   */
+  def sampleFrames(media: DataFrame, everyNSeconds: Int): DataFrame = {
+    val dur = col("meta").getField("duration_s")
+    media
+      .where(col("kind") === "video")
+      .withColumn("frame_ts",
+        explode(sequence(lit(0), dur - 1, lit(everyNSeconds))))
+      .withColumn("frame_payload",
+        substring(col("payload"), (pmod(col("frame_ts"), lit(16)) + 1).cast("int"), lit(16)))
+      .select(col("media_id"), col("frame_ts"), col("frame_payload"))
+  }
+
+  /**
+   * STUB feature extraction — real kernel would run an encoder; the fake
+   * emits a deterministic 8-dim pseudo-embedding from payload hashes so
+   * downstream similarity plumbing ([[Similarity]]) is exercised end to
+   * end with the true column shape (`array<double>`).
+   */
+  def features(media: DataFrame, dims: Int = 8): DataFrame = {
+    val cols = (0 until dims).map { d =>
+      (pmod(xxhash64(col("payload"), lit(d)), lit(2000L)).cast("double") / 1000.0 - 1.0)
+    }
+    media.withColumn("feature", array(cols: _*))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines (SURVEY §2.7):
+ * language ID (marker-n-gram heuristic), quality scoring, token counting,
+ * and document fingerprinting. Pure Column math — every operator is a
+ * single projection over the scan (no shuffle, full codegen), which is
+ * exactly the shape that survives a 100 TB corpus.
+ */
+object TextStats {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword proxy count: word-characters runs + standalone
+   * punctuation, the classic `\w+|[^\w\s]` pre-tokenizer (ASCII classes
+   * for cross-engine determinism).
+   */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Occurrences of a marker word, computed by the length-difference
+    * trick — deterministic and portable to any SQL engine. */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    // counts non-overlapping occurrences; immediately-adjacent repeats
+    // ("the the") count once — acceptable for heuristic scoring and
+    // reproducible in any engine doing the same length-difference math
+    (length(padded) - length(replace(padded, lit(needle), lit(" ")))) /
+      lit(needle.length - 1)
+  }
+
+  /** Language marker lexicons (tiny on purpose — a heuristic, not a model). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "que", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Integer score per language: total marker-word occurrences. */
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(w => wordOccurrences(text, w))
+      .reduce(_ + _).cast("long")
+
+  /**
+   * Language-ID: argmax of marker scores; all-zero scores fall back to
+   * "und" (undetermined). Deterministic tie-break: higher score wins,
+   * then the lexicographically larger language code (struct `greatest`
+   * compares fields left-to-right).
+   */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.map { case (lang, _) =>
+      struct(langScore(text, lang).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is",
+    "it", "that", "for")
+
+  def stopwordCount(text: Column): Column =
+    Stopwords.map(w => wordOccurrences(text, w)).reduce(_ + _).cast("long")
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+
+  /**
+   * Quality facets as exact integers (cross-engine-safe), plus a coarse
+   * quality bucket from integer comparisons: a document is "good" when it
+   * has enough tokens, a sane mean word length, and is not punctuation
+   * soup. Mirrors the usual pretraining-filter heuristics (length /
+   * punctuation / stopword ratios).
+   */
+  def qualityFacets(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_bpeish", bpeishTokenCount(t).cast("long"))
+      .withColumn("n_punct", punctCount(t).cast("long"))
+      .withColumn("n_stop", stopwordCount(t))
+      .withColumn("quality_bucket",
+        when(col("n_tokens") >= 20 &&
+             col("n_chars_m") <= col("n_tokens") * 12 &&
+             col("n_punct") * 5 <= col("n_tokens") &&
+             col("n_stop") > 0, lit("good"))
+        .when(col("n_tokens") >= 5, lit("fair"))
+        .otherwise(lit("poor")))
+  }
+
+  /**
+   * Document fingerprint: polynomial rolling hash of the lowercased,
+   * whitespace-normalized text — `acc = (acc * 31 + code) mod 1e9+7`,
+   * folded with `aggregate` over the character array. Stable across
+   * engines (all intermediates < 2^63) and usable as a cheap
+   * near-identity key after normalization.
+   */
+  def fingerprint(text: Column): Column = {
+    val normalized = array_join(tokens(text), " ")
+    val codes = transform(split(normalized, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.blueprint.{Config, ResolvedGenerator}
+import graft.dsl.Formula
+import graft.functions.{Rng, Samplers}
+
+/**
+ * Timeseries generator sources (SURVEY §2.1, S1-S6) — each produces the
+ * canonical long IR frame `(generator_id STRING, t LONG, value DOUBLE)`
+ * from `spark.range(numPoints)`, fully codegen-friendly Column math.
+ *
+ * The reference dispatches by reflection (`'get_%s_timeseries' % shape`,
+ * src/main.py:654-657); we dispatch with a sealed match in [[forSpec]].
+ */
+object Generators {
+
+  import Transforms.Gid
+
+  /** Dispatch on shape — mirror of the reference's reflective registry. */
+  def forSpec(spark: SparkSession, gen: ResolvedGenerator, seed: Long): DataFrame =
+    gen.shape match {
+      case "sinusoidal" => sinusoidal(spark, gen.id, gen.config)
+      case "constant"   => constant(spark, gen.id, gen.config)
+      case "square"     => square(spark, gen.id, gen.config)
+      case "random"     => random(spark, gen.id, gen.config, seed)
+      case "custom"     => custom(spark, gen.id, gen.config)
+      case "real"       => Replay.fromTextFile(spark, gen.id,
+        gen.config.string("key", ""), gen.config)
+      case other => throw new IllegalArgumentException(s"unknown shape '$other'")
+    }
+
+  private def base(spark: SparkSession, id: String, n: Long): DataFrame =
+    spark.range(0, n).toDF("t").withColumn(Gid, lit(id))
+
+  /**
+   * S1 — sinusoidal (src/main.py:479-498): TimeSynth samples `num_points`
+   * regular points over [0, num_points] (linspace ⇒ step n/(n-1)), signal
+   * `amplitude * sin(2π * frequency * time)`, then min-max scale+ceil.
+   * Amplitude cancels in the scaling; preserved anyway for fidelity.
+   */
+  def sinusoidal(spark: SparkSession, id: String, cfg: Config): DataFrame = {
+    val n = cfg.numPoints
+    val freq = cfg.double("frequency", 1.0)
+    val amp = cfg.double("amplitude", 1.0)
+    val step = if (n > 1) n.toDouble / (n - 1).toDouble else 0.0
+    val raw = base(spark, id, n).withColumn("value",
+      lit(amp) * sin(lit(2.0 * math.Pi * freq) * (col("t").cast("double") * lit(step))))
+    Transforms.scaleRange(raw, cfg.signalMin, cfg.signalMax)
+  }
+
+  /** S2 — constant (src/main.py:500-508). NOT scaled. */
+  def constant(spark: SparkSession, id: String, cfg: Config): DataFrame =
+    base(spark, id, cfg.numPoints)
+      .withColumn("value", lit(cfg.double("constant", 1.0)))
+
+  /**
+   * S5 — square wave (src/main.py:447-462): repeat low_width lows then
+   * high_width highs, truncate at num_points. NOT scaled.
+   */
+  def square(spark: SparkSession, id: String, cfg: Config): DataFrame = {
+    val lw = cfg.long("low_width", 1L)
+    val hw = cfg.long("high_width", 1L)
+    val lo = cfg.double("low_value", 0.0)
+    val hi = cfg.double("high_value", 0.0)
+    val period = lw + hw
+    require(period > 0, s"square generator '$id': low_width+high_width must be > 0")
+    base(spark, id, cfg.numPoints).withColumn("value",
+      when(pmod(col("t"), lit(period)) < lit(lw), lit(lo)).otherwise(lit(hi)))
+  }
+
+  /**
+   * S6 — custom formula (src/main.py:464-477): per-slot `eval(formula)`
+   * with `t` in scope, then scale+ceil. Compiled through the closed DSL
+   * ([[graft.dsl.Formula]]) instead of eval. The reference also exposes the
+   * *accumulating* datapoints list to custom-shape formulas; practical
+   * blueprints only use `t` — series self-references are unsupported here
+   * (documented deviation, SURVEY §7.4).
+   */
+  def custom(spark: SparkSession, id: String, cfg: Config): DataFrame = {
+    val formula = cfg.stringOpt("formula")
+      .getOrElse(throw new IllegalArgumentException(s"custom generator '$id' needs a formula"))
+    val raw = base(spark, id, cfg.numPoints)
+      .withColumn("value", Formula.compile(formula).cast("double"))
+    Transforms.scaleRange(raw, cfg.signalMin, cfg.signalMax)
+  }
+
+  /**
+   * S4 — random draws (src/main.py:531-573, semantics as documented at
+   * README.md:133 with the `call_obj_method` NameError fixed — SURVEY §2.8
+   * fix 6). All draws come from the deterministic counter RNG ([[Rng]]);
+   * closed-form distributions are pure Column math (inverse CDF /
+   * transforms), gamma/beta/von-Mises use a seeded scalar sampler UDF.
+   * Everything except `triangular` is then min-max scaled (reference
+   * asymmetry preserved: src/main.py:540-544 returns triangular unscaled).
+   */
+  def random(spark: SparkSession, id: String, cfg: Config, seed: Long): DataFrame = {
+    val tpe = cfg.string("type", "uniform")
+    val alpha = cfg.double("alpha", 1.0)
+    val beta = cfg.double("beta", 1.0)
+    val mu = cfg.double("mu", 0.0)
+    val sigma = cfg.double("sigma", 1.0)
+    val lambda = cfg.double("lambda", 1.0)
+    val kappa = cfg.double("kappa", 1.0)
+
+    val df0 = base(spark, id, cfg.numPoints)
+    val u = Rng.uniform(seed, s"random/$tpe", col(Gid), col("t"))
+    val uPos = Rng.uniformPos(seed, s"random/$tpe", col(Gid), col("t"))
+    val gauss = Rng.gaussian(seed, s"random/$tpe", col(Gid), col("t"))
+
+    def sampled(valueCol: org.apache.spark.sql.Column, scale: Boolean): DataFrame = {
+      val df = df0.withColumn("value", valueCol.cast("double"))
+      if (scale) Transforms.scaleRange(df, cfg.signalMin, cfg.signalMax) else df
+    }
+
+    tpe match {
+      case "uniform" => sampled(u, scale = true)
+      case "triangular" =>
+        // Python random.triangular(low, high), mode defaults to midpoint
+        // (c = 0.5): inverse CDF split at u < c.
+        val loB = cfg.signalMin; val hiB = cfg.signalMax
+        val c = 0.5
+        val v = when(u < lit(c),
+            lit(loB) + lit(hiB - loB) * sqrt(u * lit(c)))
+          .otherwise(lit(hiB) - lit(hiB - loB) * sqrt((lit(1.0) - u) * lit(1.0 - c)))
+        sampled(v, scale = false)
+      case "expovariate" => sampled(-log(uPos) / lit(lambda), scale = true)
+      case "paretovariate" => sampled(pow(uPos, lit(-1.0 / alpha)), scale = true)
+      case "gauss" | "normalvariate" =>
+        sampled(lit(mu) + lit(sigma) * gauss, scale = true)
+      case "lognormvariate" =>
+        sampled(exp(lit(mu) + lit(sigma) * gauss), scale = true)
+      case "weibullvariate" =>
+        // CPython: alpha * (-ln U)^(1/beta)
+        sampled(lit(alpha) * pow(-log(uPos), lit(1.0 / beta)), scale = true)
+      case "betavariate" | "gammavariate" | "vonmisesvariate" =>
+        val h = Rng.hash64(seed, s"random/$tpe", col(Gid), col("t"))
+        val sampler = udf((hv: Long) => {
+          val r = new java.util.Random(hv)
+          tpe match {
+            case "gammavariate" => Samplers.gamma(r, alpha, beta)
+            case "betavariate"  => Samplers.beta(r, alpha, beta)
+            case _              => Samplers.vonMises(r, mu, kappa)
+          }
+        })
+        sampled(sampler(h), scale = true)
+      case other =>
+        // Reference falls through with datapoint = 0 for unknown types.
+        sampled(lit(0.0), scale = true)
+    }
+  }
+}

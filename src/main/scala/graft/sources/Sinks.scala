@@ -1,0 +1,125 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.blueprint.{Blueprint, TargetSpec}
+import graft.functions.{FakeData, Rng}
+import graft.operators.Transforms.Gid
+
+/**
+ * Target executors (SURVEY §2.4) re-expressed as frame producers/writers.
+ * The reference performs AWS side effects (S3 put/get, CloudWatch
+ * PutMetricData, Lambda invoke); our engine materializes the equivalent
+ * *activity frames* — what would be written/read — and writes them via
+ * ordinary Spark sinks (parquet locally; S3A on a cluster). This keeps
+ * every sink distributed, testable, and oracle-checkable.
+ */
+object Sinks {
+
+  /**
+   * K1a — fake S3 object corpus for an s3/put target
+   * (`create_bucket_object`, src/main.py:977-1020): each datapoint value v
+   * yields v objects; each object picks a random provider from
+   * `fake_types`, lands under `{prefix}{provider}/{uuid}.fake` (p=0.5) or
+   * `{prefix}mixed/{uuid}.fake`, body = disclaimer + `fake_counts`
+   * provider lines, random content_type/acl.
+   *
+   * Built as a frame, never a loop (SURVEY §7.4 hard part 6): rows =
+   * sum(value) via `explode(sequence(...))`, content via a seeded UDF
+   * keyed on (generator_id, t, object index) — deterministic at any
+   * parallelism. Zero values produce zero rows, matching the reference's
+   * zero-skip for S3 (src/main.py:1032-1034).
+   */
+  def fakeObjects(routed: DataFrame, target: TargetSpec, seed: Long): DataFrame = {
+    val prefix = target.raw.string("prefix", "")
+    val fakeTypes = target.raw.strings("fake_types", Seq("sentence"))
+    val fakeCounts = target.raw.long("fake_counts", 1L)
+    val contentTypes = target.raw.strings("content_types",
+      Seq(target.raw.string("content_type", "text/plain")))
+    val acls = target.raw.strings("acls", Seq(target.raw.string("acl", "private")))
+
+    val disclaimer = "Sample Report - No identification of actual persons or " +
+      "places is intended or should be inferred\r\n\r\n"
+
+    val mkObject = udf((h: Long) => {
+      val r = new java.util.Random(h)
+      val provider = fakeTypes(r.nextInt(fakeTypes.size))
+      val fn = FakeData.registry(provider)
+      val key =
+        if (r.nextDouble() < 0.5) s"$prefix$provider/${FakeData.uuid(r)}.fake"
+        else s"${prefix}mixed/${FakeData.uuid(r)}.fake"
+      val body = new StringBuilder(disclaimer)
+      var i = 0L
+      while (i < fakeCounts) { body.append(fn(r)).append("\r\n"); i += 1 }
+      (key, body.toString,
+        contentTypes(r.nextInt(contentTypes.size)),
+        acls(r.nextInt(acls.size)))
+    })
+
+    routed
+      .where(col("value") > 0)
+      .withColumn("__obj", explode(sequence(lit(1L), col("value"))))
+      .withColumn("__o",
+        mkObject(Rng.hash64(seed, "fake_object", col(Gid), col("t"), col("__obj"))))
+      .select(
+        col(Gid), col("t"),
+        col("__o._1").as("key"), col("__o._2").as("body"),
+        col("__o._3").as("content_type"), col("__o._4").as("acl"))
+  }
+
+  /**
+   * K1/get — read-amplification simulator for an s3/get target
+   * (src/main.py:931-975): datapoint value v ⇒ v GetObject attempts
+   * against up to min(v, 1000) listed keys padded with fake keys
+   * `{prefix}fake-object-{rand8}`. We emit the access-request frame
+   * (one row per attempted get) rather than performing the reads.
+   */
+  def getRequests(routed: DataFrame, target: TargetSpec, seed: Long): DataFrame = {
+    val prefix = target.raw.string("prefix", "")
+    val listCeiling = 1000L // S3_LIST_OBJECTS_MAX, src/main.py:57
+    val fakeKey = udf((h: Long) => {
+      val r = new java.util.Random(h)
+      val letters = ('A' to 'Z') ++ ('a' to 'z')
+      val s = (0 until 8).map(_ => letters(r.nextInt(letters.size))).mkString
+      s"${prefix}fake-object-$s"
+    })
+    routed
+      .where(col("value") > 0)
+      .withColumn("__get", explode(sequence(lit(1L), col("value"))))
+      .withColumn("key_pool_size", least(col("value"), lit(listCeiling)))
+      .withColumn("key",
+        fakeKey(Rng.hash64(seed, "get_key", col(Gid), col("t"), col("__get"))))
+      .select(col(Gid), col("t"), col("key"), col("key_pool_size"))
+  }
+
+  /**
+   * K2 — CloudWatch metric data stand-in (src/main.py:884-913): one row
+   * per datapoint, `(ts, shape, id, value)` with MetricName="Timeseries",
+   * Unit="Count". Shape is looked up from the blueprint
+   * (`get_generator_shape`, src/main.py:1059-1069) via a broadcast join.
+   */
+  def metricData(routed: DataFrame, bp: Blueprint, timestamp: Column): DataFrame = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val shapes = bp.generators.map(g => (g.id, g.shape)).toDF(Gid, "shape")
+    routed.join(broadcast(shapes), Gid)
+      .select(
+        timestamp.as("ts"),
+        lit("Timeseries").as("metric_name"),
+        col("shape"), col(Gid).as("id"),
+        col("value").cast("double").as("value"),
+        lit("Count").as("unit"))
+  }
+
+  /**
+   * K3 — Lambda-callback stand-in (src/main.py:915-929): the delivery log
+   * is simply the envelope frame persisted; callers may also register a
+   * local callback executed via foreachPartition.
+   */
+  def deliveryLog(envelopes: DataFrame): DataFrame = envelopes
+
+  /** Side-effecting delivery for K3 when a real callback is registered —
+    * the only imperative escape hatch, executed per partition. */
+  def deliver(envelopes: DataFrame, callback: String => Unit): Unit =
+    envelopes.toJSON.foreachPartition { it: Iterator[String] => it.foreach(callback) }
+}

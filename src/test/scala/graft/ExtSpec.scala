@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Extension operators (SURVEY §2.7): dedup, similarity, text stats,
+  * multimodal plumbing — small constructed corpora with known answers. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy cat"),    // near dup
+    (3L, "completely different words entirely here now"),
+    (4L, "der hund ist nicht der beste und nicht schnell")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).sortBy(_._1)
+    out.length shouldBe 4
+    out.head shouldBe (0L, 2L) // docs 0 and 1 collapse
+    val byDigest = Dedup.exactByDigest(docs)
+    byDigest.count() shouldBe 4
+    byDigest.where($"n_copies" === 2).select("keep_id").head().getLong(0) shouldBe 0L
+  }
+
+  test("minhash: identical docs share signatures; near-dups pair up") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
+    val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    rows(0L) shouldBe rows(1L)   // identical text ⇒ identical signature
+    val pairs = Dedup.minhashLshPairs(docs, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+  }
+
+  test("simhash: identical docs at distance 0; unrelated docs far apart") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs.map(p => (p._1, p._2)) should contain((0L, 1L))
+    pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 shouldBe 0L
+    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) should be > 3
+  }
+
+  test("n-gram jaccard: identical = 1.0; near-dup in (0,1); ordered pairs") {
+    val out = Dedup.ngramJaccardPairs(docs, minJaccard = 0.1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    out((0L, 1L)) shouldBe 1.0
+    out((0L, 2L)) should (be > 0.1 and be < 1.0)
+    out.keys.foreach { case (a, b) => a should be < b }
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.05f, 0.0f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.95, planes = 2, seed = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs should have size 1
+  }
+
+  test("brute-force cosine top-k: exact ranking on known vectors") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.8f, 0.6f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f))).toDF("query_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.head.getAs[Double]("score") shouldBe 1.0 +- 1e-12
+  }
+
+  test("LSH top-k recalls the exact top match (self-similarity)") {
+    val vecs = (0L until 50L).map { i =>
+      val r = new java.util.Random(i)
+      (i, Array.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.lshTopK(vecs, queries, k = 1, planes = 4, tables = 8,
+      dims = 8)
+    // every query's top-1 must be itself (cosine 1.0) — LSH always
+    // collides a vector with itself in every table
+    val top = out.where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    top.foreach { case (q, n) => n shouldBe q }
+  }
+
+  test("text stats: token/punct/stopword counts and quality buckets") {
+    val df = Seq(
+      (0L, "The quick brown fox, it jumps over the lazy dog. And that is for sure a good long sentence with many small words in it."),
+      (1L, "short text here"),
+      (2L, "!!! ??? ,,, ...")
+    ).toDF("doc_id", "text")
+    val out = TextStats.qualityFacets(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_punct"),
+          r.getAs[Long]("n_stop"), r.getAs[String]("quality_bucket"))).toMap
+    out(0L)._1 shouldBe 25       // whitespace tokens
+    out(0L)._3 should be >= 5L   // the/a/and/of/... occurrences
+    out(0L)._4 shouldBe "good"
+    out(1L)._4 shouldBe "poor"
+    out(2L)._4 shouldBe "poor"
+    out(2L)._2 shouldBe 12       // every char of "!!! ??? ,,, ..." is punct
+  }
+
+  test("language id picks the dominant marker language") {
+    val df = Seq(
+      (0L, "the cat and the dog of the house is big"),
+      (1L, "der hund und die katze ist nicht hier"),
+      (2L, "le chat et les chiens est la"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(0L) shouldBe "en"
+    out(1L) shouldBe "de"
+    out(2L) shouldBe "fr"
+    out(3L) shouldBe "und"
+  }
+
+  test("fingerprint: matches the rolling-hash definition; whitespace-insensitive") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world"), (2L, "hello world!"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    "hello world".foreach(c => acc = (acc * 31 + c.toLong) % 1000000007L)
+    out(0L) shouldBe acc          // case/extra-space normalized
+    out(1L) shouldBe acc
+    out(2L) should not be acc
+  }
+
+  test("multimodal: meta/resize/frames plumbing has the right shapes") {
+    val media = Multimodal.withMeta(Multimodal.asMediaFrame(docs))
+    media.count() shouldBe 5
+    val m = media.head()
+    m.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") should be >= 1
+    val resized = Multimodal.resize(media, 64)
+    val rm = resized.collect().map(_.getAs[org.apache.spark.sql.Row]("meta"))
+    all(rm.map(_.getAs[Int]("width")).toSeq) should be <= 64
+    all(rm.map(_.getAs[Int]("height")).toSeq) should be <= 64
+    val frames = Multimodal.sampleFrames(media, 60)
+    frames.columns.toSeq shouldBe Seq("media_id", "frame_ts", "frame_payload")
+    val feats = Multimodal.features(Multimodal.asMediaFrame(docs))
+    feats.head().getAs[Seq[Double]]("feature").length shouldBe 8
+  }
+}
