@@ -50,8 +50,10 @@ object Dedup {
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
+    // Shingling runs in the native one-pass expression (distinct hashed
+    // n-grams); the k hash families then operate on 8-byte keys.
     val exploded = docs.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("__sh"))
+      explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("__sh"))
     val aggs = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("__sh"))).as(s"h$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -73,8 +75,12 @@ object Dedup {
       val slice = (0 until r).map(j => col(s"h${b * r + j}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
     }
+    // Signatures are expensive relative to their size (narrow rows);
+    // materialize once so the self-join doesn't recompute them per side.
+    // At scale this is the standard persist-the-signatures step.
     val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+      .localCheckpoint()
     val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rgt = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     l.join(rgt, Seq("band", "bucket"))
@@ -89,17 +95,8 @@ object Dedup {
    * at least one exact chunk (pigeonhole) — candidates come from a chunk
    * equi-join, verified by exact Hamming distance.
    */
-  def simhash(textCol: Column): Column = {
-    val toks = array_distinct(tokens(textCol))
-    val hashes = transform(toks, t => xxhash64(t))
-    // fold over bits: for each bit position, count votes
-    val bits: Seq[Column] = (0 until 64).map { i =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def simhash(textCol: Column): Column =
+    graft.plans.NativeFunctions.simhash(array_distinct(tokens(textCol)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column =
@@ -108,6 +105,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val sig = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+      .localCheckpoint() // one signature pass feeds both join sides
     val chunks = sig.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
@@ -132,8 +130,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
+    // Shingles are hashed 64-bit keys (native one-pass expression): the
+    // self-join shuffle carries 8-byte keys instead of word strings, and
+    // intersection counts are unchanged (2^-64 collision odds).
+    // localCheckpoint: shingling runs once, not once per join side.
     val grams = docs.select(col(idCol),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("g"))
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
+      .localCheckpoint()
     val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
     val l = grams.select(col("g"), col(idCol).as("a"))
     val r = grams.select(col("g"), col(idCol).as("b"))
@@ -158,6 +161,7 @@ object Dedup {
       planes: Int = 12, seed: Long = 42L): DataFrame = {
     val bucketed = Similarity.hyperplaneBuckets(embeddings, vecCol, planes, seed)
       .select(col(idCol), col("bucket"), col(vecCol))
+      .localCheckpoint() // bucket projections feed both join sides
     val l = bucketed.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
     val r = bucketed.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, "bucket").where(col("a") < col("b"))

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a, b) via zip_with + aggregate, in double. */
+  /** Sequential-fold dot product in double — a native codegen'd
+    * expression ([[graft.plans.DotProductExpr]]); bit-identical to the
+    * `aggregate(zip_with(...))` formulation it replaces but stays
+    * inside whole-stage codegen (HOFs are interpreted per element). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.plans.NativeFunctions.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

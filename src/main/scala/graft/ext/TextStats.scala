@@ -107,9 +107,6 @@ object TextStats {
    * engines (all intermediates < 2^63) and usable as a cheap
    * near-identity key after normalization.
    */
-  def fingerprint(text: Column): Column = {
-    val normalized = array_join(tokens(text), " ")
-    val codes = transform(split(normalized, ""), ch => ascii(ch).cast("long"))
-    aggregate(codes, lit(0L), (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
-  }
+  def fingerprint(text: Column): Column =
+    graft.plans.NativeFunctions.rollingHash(array_join(tokens(text), " "))
 }

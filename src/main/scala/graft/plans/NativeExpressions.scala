@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the engine's hottest scalar kernels.
+ *
+ * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`)
+ * are interpreted per element — fine for occasional use, but a simhash
+ * over token arrays or a 64-dim dot product in a candidate join becomes
+ * the per-row inner loop of the whole query. These expressions compile
+ * to a single static-call in generated code (`doGenCode` emits a call
+ * into [[Native]]), keeping the operator inside whole-stage codegen
+ * with zero per-element boxing/allocation.
+ *
+ * Semantics are bit-identical to the Column-function formulations they
+ * replace (sequential left-fold double accumulation; xxhash64 seed 42),
+ * so oracle-checked results do not change.
+ */
+object Native {
+
+  /** SimHash over a token array: bit i of the signature is the sign of
+    * the ±1 votes of bit i across xxhash64(token) values. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Polynomial rolling hash over code points:
+    * acc = (acc * 31 + codePoint) mod 1e9+7. */
+  def rollingHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /**
+   * Distinct hashed word n-gram shingles in one pass: lowercase,
+   * whitespace-tokenize, hash each n-gram by chaining per-word xxhash64
+   * values (order-sensitive, so two grams collide iff their word
+   * sequences match, modulo 2^-64 hash collisions). Documents shorter
+   * than n shingle to their whole token sequence — same contract as
+   * [[graft.ext.Dedup.shingles]].
+   */
+  def hashedShingles(text: UTF8String, n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val wordHashes = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      wordHashes(i) = XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      i += 1
+    }
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) {
+      var h = 42L
+      var j = 0
+      while (j < toks.length) { h = XXH64.hashLong(wordHashes(j), h); j += 1 }
+      set.add(h)
+    } else {
+      var start = 0
+      while (start <= toks.length - n) {
+        var h = 42L
+        var j = start
+        while (j < start + n) { h = XXH64.hashLong(wordHashes(j), h); j += 1 }
+        set.add(h)
+        start += 1
+      }
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Sequential-fold dot product; floats widened to double per element
+    * (matches `aggregate(zip_with(...))` exactly, bit for bit). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** simhash(array<string>) → long. */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.simhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** rolling_hash(string) → long (mod 1e9+7, multiplier 31). */
+case class RollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.rollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** hashed_shingles(string, n) → array<long> (distinct, doc order). */
+case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.hashedShingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.hashedShingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpr =
+    copy(child = newChild)
+}
+
+/** dot(array<float|double>, array<float|double>) → double. */
+case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Native.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.Native.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points. */
+object NativeFunctions {
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  def rollingHash(str: Column): Column =
+    ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(str)))
+
+  def hashedShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProductExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
