@@ -110,6 +110,13 @@ object BlueprintParser {
    * `config` (generator keys win); s3 targets without a `bucket` get
    * `defaultBucket` injected. Resolution is planning-time, pure.
    */
+  /** EP1 local analog of the S3 blueprint fetch (src/main.py:1071-1083):
+    * read the blueprint JSON from a filesystem path. */
+  def parseFile(path: String, defaultBucket: String = "default-bucket"): Blueprint =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
+      defaultBucket)
+
   def parse(json: String, defaultBucket: String = "default-bucket"): Blueprint = {
     val root = mapper.readTree(json)
     val commons: Map[String, JsonNode] = fields(root.get("commons"))

@@ -122,4 +122,19 @@ object Sinks {
     * the only imperative escape hatch, executed per partition. */
   def deliver(envelopes: DataFrame, callback: String => Unit): Unit =
     envelopes.toJSON.foreachPartition { it: Iterator[String] => it.foreach(callback) }
+
+  /**
+   * D2 — batched delivery (`get_list_chunks` + `fill_timeseries_queue`,
+   * src/main.py:71-82, 575-586): rows are delivered in chunks of
+   * `batchSize` (the reference's SQS/CloudWatch 10-per-call limits),
+   * batching per partition so parallelism is preserved and no partition
+   * ever materializes more than one chunk at a time.
+   */
+  def deliverBatched(envelopes: DataFrame, batchSize: Int,
+      callback: Seq[String] => Unit): Unit = {
+    require(batchSize > 0, "batchSize must be positive")
+    envelopes.toJSON.foreachPartition { it: Iterator[String] =>
+      it.grouped(batchSize).foreach(chunk => callback(chunk.toSeq))
+    }
+  }
 }

@@ -74,6 +74,69 @@ class EngineSpec extends SparkSpec {
     all(metrics.map(_.getAs[String]("metric_name")).toSeq) shouldBe "Timeseries"
   }
 
+  test("execute: full blueprint → one activity frame per target (EP2+EP3)") {
+    val bp = BlueprintParser.parse(
+      """{"commons": {"num_points": 20},
+        | "generators":[
+        |  {"id":"g1","shape":"constant","config":{"constant":3}},
+        |  {"id":"g2","shape":"square","config":{"low_value":0,"low_width":1,"high_value":6,"high_width":1}}],
+        | "targets":[
+        |  {"type":"s3","action":"put","generators":["g1"],"fake_types":["sentence"]},
+        |  {"type":"s3","action":"get","generators":["g2"],"prefix":"pre/"},
+        |  {"type":"cloudwatch","generators":["g1","g2"]},
+        |  {"type":"lambda","function_name":"fn","generators":["g1"],"slice_size":2}]}""".stripMargin)
+    val frames = Engine.execute(spark, bp, 42L, to_timestamp(lit("2026-01-01 00:00:00")))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    frames.size shouldBe 4
+    // s3/put: 20 slots × value 3 objects
+    frames(0)._2.count() shouldBe 60L
+    // s3/get: only nonzero slots (value 6 on odd slots) × 6 gets
+    frames(1)._2.count() shouldBe 60L
+    // cloudwatch: every datapoint incl zeros (zero-skip is S3-only, §2.8 #4)
+    frames(2)._2.count() shouldBe 40L
+    // lambda single mode with slice_size 2: value 3 → [2,1] per slot
+    frames(3)._2.count() shouldBe 40L
+    val env = frames(3)._2.head()
+    env.getAs[String]("target") should include("\"function_name\":\"fn\"")
+    env.getAs[String]("target") should not include "generators"
+  }
+
+  test("batched delivery chunks per partition (D2, ≤10 per call)") {
+    val df = spark.range(35).toDF("v").repartition(2)
+    // chunk sizes observed via an accumulator (callback runs on executors)
+    val acc = spark.sparkContext.collectionAccumulator[Int]("chunks")
+    Sinks.deliverBatched(df, 10, chunk => acc.add(chunk.size))
+    val chunks = acc.value
+    chunks.size should be >= 4 // 2 partitions × ≥2 chunks
+    all(chunks.toArray.map(_.asInstanceOf[Int]).toSeq) should be <= 10
+    chunks.toArray.map(_.asInstanceOf[Int]).sum shouldBe 35
+  }
+
+  test("replay from a text file preserves line order, skips blanks (S3, src/main.py:510-529)") {
+    val f = java.nio.file.Files.createTempFile("graft-replay", ".txt")
+    java.nio.file.Files.writeString(f,
+      "10\n20\n\n30\n  \n40\n50\n60\n70\n80\n90\n100\n")
+    val cfg = graft.blueprint.Config.of(
+      """{"num_points":12,"signal_min":1,"signal_max":10}""")
+    val out = longSeriesOf(graft.operators.Transforms.intCast(
+      graft.operators.Replay.fromTextFile(spark, "r", f.toString, cfg)))
+    // 10 values, zero-padded to 12, scaled to [1,10]: v=10*k → k, pad 0 → ceil(0*9/100*... )
+    out.map(_._1) shouldBe (0L until 12L)
+    // raw [10..100, 0, 0]: mn=0 mx=100 → ceil(v/100*9+1)
+    val raw = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 0, 0).map(_.toDouble)
+    val expected = raw.map(v => math.ceil(v / 100.0 * 9.0 + 1.0).toLong)
+    out.map(_._2) shouldBe expected
+    java.nio.file.Files.delete(f)
+  }
+
+  test("blueprint parseFile reads from a path (EP1)") {
+    val f = java.nio.file.Files.createTempFile("graft-bp", ".json")
+    java.nio.file.Files.writeString(f, SparkEntry.FlagshipBlueprintJson)
+    BlueprintParser.parseFile(f.toString).generators.map(_.id) shouldBe
+      Seq("ts1", "ts2", "ts3", "ts4", "ts5")
+    java.nio.file.Files.delete(f)
+  }
+
   test("driver contract: every oracle has a query; queries all named sanely") {
     val q = SparkEntry.queries
     val o = SparkEntry.oracleSql
