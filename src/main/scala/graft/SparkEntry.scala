@@ -399,6 +399,19 @@ object SparkEntry {
         .orderBy("op", "key")
     }),
 
+    // Skew-safe salted join — must be bit-identical to the plain join
+    // (the oracle IS the plain join in DuckDB).
+    "q_salted_join" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.SkewUtils.saltedJoin(l, o, Seq("l_orderkey"), buckets = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -503,7 +516,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 
   // === Extension suite: dedup / similarity / text / multimodal ==========
@@ -573,6 +592,13 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
       Similarity.lshTopK(emb, queries, k = 5).orderBy("query_id", "rank")
+    }),
+
+    "x_sim_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(emb, queries, k = 5).orderBy("query_id", "rank")
     }),
 
     "x_media_meta" -> ((s, dir) =>

@@ -77,6 +77,72 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: Lloyd-iterated centroids partition the
+   * corpus into `nCentroids` cells; each query probes its `nProbe`
+   * nearest cells and scores only those candidates exactly. The classic
+   * scale path when LSH recall is too blunt: candidate count scales
+   * with corpus/nCentroids × nProbe.
+   *
+   * Centroids are tiny (nCentroids × dims doubles) and are the ONLY
+   * thing collected to the driver — assignment and scoring stay
+   * distributed. Init is deterministic (hash-ranked corpus sample).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val c = corpus.select(col(idCol), col(vecCol))
+
+    // deterministic init: hash-rank the corpus, take the first n vectors
+    var centroids: Array[Seq[Double]] = c
+      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()))
+
+    def nearestCentroidCol(v: Column, cents: Array[Seq[Double]], probes: Int): Column = {
+      // squared L2 via -2·v·c + ||c||² (||v||² constant per row)
+      val scored = cents.zipWithIndex.map { case (cent, i) =>
+        val centCol = array(cent.map(lit): _*)
+        val normSq = cent.map(x => x * x).sum
+        struct((lit(normSq) - lit(2.0) * dot(v, centCol)).as("d"), lit(i).as("cid"))
+      }
+      // ascending sort → first `probes` centroid ids
+      slice(transform(array_sort(array(scored: _*)), s => s.getField("cid")), 1, probes)
+    }
+
+    var it = 0
+    while (it < iters) {
+      val assigned = c.withColumn("cid",
+        element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+      it += 1
+    }
+
+    val assigned = c.withColumn("cid",
+      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+    val probed = queries
+      .select(col(queryIdCol), col(vecCol).as("__qv"))
+      .withColumn("cid", explode(nearestCentroidCol(col("__qv"), centroids, nProbe)))
+    val cand = assigned.join(broadcast(probed), "cid")
+      .withColumn("score", cosine(col(vecCol), col("__qv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
    * ANN top-k: score only corpus vectors whose bucket matches the query's
    * bucket under any of `tables` independent hash tables (multi-probe via
    * multiple tables, the standard recall knob).

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew mitigation for large joins (SURVEY §8 scale posture; the 100 TB
+ * design lever the reference never needed at 10⁵ rows).
+ *
+ * Spark's AQE skew-join handles sort-merge skew automatically; explicit
+ * salting remains necessary when (a) AQE is disabled, (b) the skewed
+ * side feeds a shuffled hash join, or (c) a single hot key exceeds what
+ * one task can hold even after AQE splitting. The salted join here is
+ * semantically identical to the plain equi-join — verified by the
+ * `q_salted_join` oracle, which hash-compares it against DuckDB's plain
+ * join.
+ */
+object SkewUtils {
+
+  /**
+   * Equi-join `big ⋈ small` on `keys`, salting the big side into
+   * `buckets` sub-keys and replicating the small side once per bucket.
+   * Use when `small` is too large to broadcast but `big`'s key
+   * distribution is skewed. Salt is derived deterministically from the
+   * big side's whole row hash, so results are stable across retries.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltCol = "__salt"
+    val bigSalted = big.withColumn(saltCol,
+      pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
+    val smallReplicated = small
+      .withColumn(saltCol, explode(sequence(lit(0), lit(buckets - 1))))
+      .withColumn(saltCol, col(saltCol).cast("int"))
+    bigSalted.join(smallReplicated, keys :+ saltCol, joinType).drop(saltCol)
+  }
+
+  /**
+   * Two-phase skew-safe `collect_list`-style aggregation: partial
+   * collect per (key, salt) shard, then merge shards. Hash aggregation
+   * already does map-side partial aggregation for algebraic functions
+   * (sum/count/min/max) — this helper exists for holistic aggregates
+   * whose per-key state (the list itself) is what skews.
+   */
+  def saltedCollectList(df: DataFrame, keys: Seq[String], valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val keyCols = keys.map(col)
+    val partial = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(buckets)))
+      .groupBy(keyCols :+ col("__salt"): _*)
+      .agg(collect_list(col(valueCol)).as("__shard"))
+    partial.groupBy(keyCols: _*)
+      .agg(flatten(collect_list(col("__shard"))).as(s"${valueCol}_list"))
+  }
+}

@@ -53,4 +53,44 @@ object PacedRunner {
       .outputMode("append")
       .trigger(trigger)
   }
+
+  /**
+   * At-most-once paced delivery (the reference's delete-before-process,
+   * src/main.py:726-731). Structured Streaming's foreachBatch is
+   * at-least-once under retry (offsets commit after the batch), so
+   * at-most-once is layered on with a claim ledger: each tick is
+   * appended to `ledgerPath` BEFORE its side effect runs; on a retried
+   * batch, already-claimed ticks are dropped. A tick whose delivery
+   * crashed after the claim is therefore skipped forever — exactly the
+   * reference's "no time machine" semantics (README.md:282).
+   *
+   * `deliver` receives (tick, slot frame for that tick).
+   */
+  def startAtMostOnce(spark: SparkSession, slots: DataFrame, cycleLength: Long,
+      ledgerPath: String, deliver: (Long, DataFrame) => Unit,
+      ticks: DataFrame, trigger: Trigger): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.SaveMode
+    resolveSlots(ticks, slots, cycleLength)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sess = batch.sparkSession
+        val batchTicks = batch.select("tick").distinct()
+        val claimed =
+          try sess.read.parquet(ledgerPath).select("tick")
+          catch { case _: Exception => sess.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS tick").limit(0) }
+        val fresh = batchTicks.join(claimed, Seq("tick"), "left_anti")
+          .collect().map(_.getLong(0)).sorted
+        if (fresh.nonEmpty) {
+          // claim BEFORE side effects (delete-before-process)
+          import sess.implicits._
+          fresh.toSeq.toDF("tick").write.mode(SaveMode.Append).parquet(ledgerPath)
+          fresh.foreach { t =>
+            deliver(t, batch.where(col("tick") === t).drop("tick"))
+          }
+        }
+      }
+      .start()
+  }
 }

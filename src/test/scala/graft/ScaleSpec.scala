@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.SkewUtils
+import graft.ext.Similarity
+import graft.streaming.PacedRunner
+
+/** Scale/streaming additions: salted joins, IVF ANN, at-most-once
+  * delivery, typed API edge. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join ≡ plain join (inner), including duplicate keys") {
+    val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "e"))
+      .toDF("k", "payload")
+    val small = Seq((1L, "x"), (2L, "y"), (4L, "z")).toDF("k", "tag")
+    val plain = big.join(small, Seq("k")).orderBy("k", "payload")
+    val salted = SkewUtils.saltedJoin(big, small, Seq("k"), buckets = 4)
+      .orderBy("k", "payload")
+    salted.columns.toSeq shouldBe plain.columns.toSeq
+    salted.collect().toSeq shouldBe plain.collect().toSeq
+  }
+
+  test("salted collect_list preserves the multiset per key") {
+    val df = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
+    val out = SkewUtils.saltedCollectList(df, Seq("k"), "v", buckets = 5)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1).sorted).toMap
+    out(0) shouldBe (3 to 99 by 3)
+    out(1) shouldBe (1 to 100 by 3)
+    out(2) shouldBe (2 to 98 by 3)
+  }
+
+  test("IVF top-k: self-match at rank 1, deterministic across runs") {
+    val vecs = (0L until 100L).map { i =>
+      val r = new java.util.Random(i)
+      (i, Array.fill(16)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8,
+      nProbe = 3, iters = 2)
+    val top1 = out.where($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    top1.length shouldBe 4
+    top1.foreach { case (q, n) => n shouldBe q } // probes must include own cell
+    val again = Similarity.ivfTopK(vecs, queries, k = 3, nCentroids = 8,
+      nProbe = 3, iters = 2)
+    again.orderBy("query_id", "rank").collect().map(_.getLong(1)).toSeq shouldBe
+      out.orderBy("query_id", "rank").collect().map(_.getLong(1)).toSeq
+  }
+
+  test("at-most-once delivery: claim ledger dedups re-delivered ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-amo").toString
+    val slots = Seq((0L, 10L), (1L, 11L), (2L, 12L)).toDF("t", "value")
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val mem = MemoryStream[Long]
+    mem.addData(0L, 1L) // before start: AvailableNow snapshots at start
+    val q = PacedRunner.startAtMostOnce(spark, slots, 3L, s"$tmp/ledger",
+      (tick, _) => { delivered.add(tick); () },
+      mem.toDF(), Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    // second query over the same ledger: tick 1 repeats + new tick 2
+    val mem2 = MemoryStream[Long]
+    mem2.addData(1L, 2L)
+    val q2 = PacedRunner.startAtMostOnce(spark, slots, 3L, s"$tmp/ledger",
+      (tick, _) => { delivered.add(tick); () },
+      mem2.toDF(), Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    delivered.toArray.map(_.asInstanceOf[Long]).sorted.toSeq shouldBe Seq(0L, 1L, 2L)
+  }
+
+  test("typed API: Dataset[DataPoint] round-trips the IR frame") {
+    val bp = graft.blueprint.BlueprintParser.parse(
+      """{"generators":[{"id":"g","shape":"constant","config":{"num_points":5,"constant":3}}],
+        | "targets":[]}""".stripMargin)
+    val ds = TypedApi.materialize(spark, bp, 42L)
+    val rows = ds.collect().sortBy(_.t)
+    rows.map(_.generatorId).distinct.toSeq shouldBe Seq("g")
+    rows.map(_.value).toSeq shouldBe Seq(3L, 3L, 3L, 3L, 3L)
+  }
+}

@@ -25,10 +25,10 @@ class StreamingSpec extends SparkSpec {
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
+    mem.addData(0L, 1L, 2L, 3L) // before start: AvailableNow snapshots at start
     val q = PacedRunner.resolveSlots(mem.toDF(), slots, 3L)
       .writeStream.format("memory").queryName("paced_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    mem.addData(0L, 1L, 2L, 3L)
     q.awaitTermination(60000)
     val rows = spark.table("paced_test").orderBy("tick")
       .collect().map(r => (r.getAs[Long]("tick"), r.getAs[Long]("t"), r.getAs[Long]("value")))
