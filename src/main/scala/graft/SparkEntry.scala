@@ -339,6 +339,16 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // CUBE grouping sets over two dims.
+    "q_cube" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")),
+
     // ROLLUP grouping sets (nulls exported as 'ALL' for cross-engine order).
     "q_rollup" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -461,6 +471,14 @@ object SparkEntry {
         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48.0)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
         |       coalesce(l_linestatus, 'ALL') AS lstatus,
@@ -564,6 +582,13 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Cluster resolution over the (oracle-checked) jaccard pair graph:
+    // every doc in a pair component mapped to its min-id representative.
+    "x_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
+
     "x_sim_bruteforce" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -614,7 +639,11 @@ object SparkEntry {
 
     "x_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
-        .select("media_id", "feature").orderBy("media_id"))
+        .select("media_id", "feature").orderBy("media_id")),
+
+    "x_media_decode" -> ((s, dir) =>
+      Multimodal.decodeBatched(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
+        .toDF().orderBy("media_id"))
   )
 
   private val extOracles: Map[String, String] = Map(
@@ -640,6 +669,28 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
          |ORDER BY a, b""".stripMargin,
+
+    "x_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |                 ELSE [array_to_string(tk[i:i+2], ' ')
+         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a, b FROM inter
+         |          JOIN sizes sa ON sa.doc_id = a
+         |          JOIN sizes sb ON sb.doc_id = b
+         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05),
+         |edges AS (SELECT a AS x, b AS y FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach AS (SELECT x AS id, x AS r FROM edges
+         |          UNION
+         |          SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x)
+         |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "x_text_quality" ->
       s"""SELECT doc_id,

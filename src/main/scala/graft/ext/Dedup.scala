@@ -152,6 +152,46 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster resolution: given near-dup pairs (a, b), assign
+   * every document its cluster representative (the minimum doc id
+   * reachable through pair edges) — the "keep one copy" step of a
+   * dedup pipeline.
+   *
+   * Implemented as iterative min-label propagation over the edge frame
+   * (each round: label = min(own, neighbors')), converging in
+   * O(component diameter) rounds with an early-exit convergence check.
+   * Near-dup graphs are overwhelmingly tiny cliques (diameter 1-2), so
+   * the bound is loose in practice. Each round is one shuffle; lineage
+   * is truncated per round so plans stay flat. For adversarially long
+   * chains at extreme scale, switch to the large-star/small-star
+   * alternation — same frame shapes, fewer rounds.
+   */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "y"), "y")
+        .select(col("x").as("id"), col("rep"))
+      val next = labels.select("id", "rep").union(viaNeighbor)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint() // truncate the growing lineage each round
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).isEmpty
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /**
    * Embedding-cosine near-dup: pairs with cosine >= threshold, candidates
    * from hyperplane-LSH buckets (see [[Similarity.hyperplaneBuckets]]),
    * verified with exact cosine.

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -86,6 +86,44 @@ object Multimodal {
       .withColumn("frame_payload",
         substring(col("payload"), (pmod(col("frame_ts"), lit(16)) + 1).cast("int"), lit(16)))
       .select(col("media_id"), col("frame_ts"), col("frame_payload"))
+  }
+
+  /** Typed row for the batch-decode path. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, kind: String, width: Int,
+      height: Int, duration_s: Int, n_bytes: Long)
+
+  /**
+   * Batch decode via `mapPartitions` — the shape a real codec needs:
+   * heavyweight per-partition init (codec context, native lib handles)
+   * amortized across the partition's rows, rows streamed through an
+   * iterator (never materialized per partition), output typed. The
+   * decode kernel itself is the deterministic STUB (`stubDecode`);
+   * swap it for a real parser without touching the Spark plumbing.
+   */
+  def decodeBatched(media: DataFrame): Dataset[DecodedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE (codec context in real life)
+        rows.map { r =>
+          val (w, h, d) = stubDecode(r.payload)
+          DecodedRow(r.media_id, r.kind, w, h, d, r.payload.length.toLong)
+        }
+      }
+  }
+
+  /** STUB codec kernel: dimensions/duration from a hash of the payload
+    * (a real implementation parses JPEG SOF / WAV fmt / MP4 moov). */
+  private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val w = (math.floorMod(h, 1920L) + 1L).toInt
+    val hh = (math.floorMod(h >>> 16, 1080L) + 1L).toInt
+    val d = (math.floorMod(h >>> 32, 600L) + 1L).toInt
+    (w, hh, d)
   }
 
   /**

@@ -139,6 +139,36 @@ class ExtSpec extends SparkSpec {
     out(2L) should not be acc
   }
 
+  test("duplicate clusters: min-label propagation resolves chains and cliques") {
+    // components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (chain of 4)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
+      .toDF("a", "b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L
+    out(10L) shouldBe 10L
+    out(11L) shouldBe 10L
+    Seq(20L, 21L, 22L, 23L).map(out) shouldBe Seq(20L, 20L, 20L, 20L)
+  }
+
+  test("batch decode (mapPartitions): typed output, deterministic, matches payload size") {
+    val media = Multimodal.asMediaFrame(docs)
+    val out = Multimodal.decodeBatched(media).collect().sortBy(_.media_id)
+    out.length shouldBe 5
+    out.foreach { d =>
+      d.width should (be >= 1 and be <= 1920)
+      d.height should (be >= 1 and be <= 1080)
+      d.duration_s should (be >= 1 and be <= 600)
+    }
+    // identical payloads (docs 0,1) decode identically
+    out(0).width shouldBe out(1).width
+    out(0).n_bytes shouldBe out(1).n_bytes
+    val again = Multimodal.decodeBatched(media).collect().sortBy(_.media_id)
+    again.map(_.width).toSeq shouldBe out.map(_.width).toSeq
+  }
+
   test("multimodal: meta/resize/frames plumbing has the right shapes") {
     val media = Multimodal.withMeta(Multimodal.asMediaFrame(docs))
     media.count() shouldBe 5
