@@ -409,6 +409,29 @@ object SparkEntry {
         .orderBy("op", "key")
     }),
 
+    // String/date function coverage (§2.6): formatting, substrings,
+    // regex replace, month bucketing via epoch math.
+    "q_string_date" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_u"),
+          substring(col("c_mktsegment"), 1, 4).as("seg4"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+          concat_ws("|", col("c_mktsegment"), col("c_custkey")).as("tag"),
+          length(col("c_name")).cast("long").as("name_len"))
+        .orderBy("c_custkey")),
+
+    // Exact percentiles (interpolated) per group.
+    "q_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Skew-safe salted join — must be bit-identical to the plain join
     // (the oracle IS the plain join in DuckDB).
     "q_salted_join" -> ((s, dir) => {
@@ -535,6 +558,22 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    "q_string_date" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_u,
+        |  substr(c_mktsegment, 1, 4) AS seg4,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+        |  concat_ws('|', c_mktsegment, c_custkey) AS tag,
+        |  CAST(len(c_name) AS BIGINT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n,
