@@ -445,6 +445,43 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Bucketed co-located join: both sides bucketed by the join key at
+    // write time → SortMergeJoin with NO Exchange on either side (the
+    // at-scale alternative to shuffling 100 TB per join). Result must
+    // equal the plain join (same oracle shape as q_salted_join).
+    "q_bucketed_join" -> ((s, dir) => {
+      val buckets = 8
+      val suffix = math.abs(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val lTbl = s"l_bucketed_$suffix"
+      val oTbl = s"o_bucketed_$suffix"
+      if (!s.catalog.tableExists(lTbl)) {
+        // in-memory catalog forgets tables between sessions but the
+        // warehouse dirs survive — clear stale locations before CTAS
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+        Seq(lTbl, oTbl).foreach { t =>
+          val p = java.nio.file.Paths.get(
+            if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString
+            else wh.getPath).resolve(t)
+          if (java.nio.file.Files.exists(p)) {
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+          }
+        }
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+          .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(lTbl)
+        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(oTbl)
+      }
+      s.table(lTbl)
+        .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -558,6 +595,12 @@ object SparkEntry {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 20""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_string_date" ->
       """SELECT c_custkey,

@@ -72,6 +72,22 @@ class ScaleSpec extends SparkSpec {
     delivered.toArray.map(_.asInstanceOf[Long]).sorted.toSeq shouldBe Seq(0L, 1L, 2L)
   }
 
+  test("bucketed join plan has no Exchange on either join side") {
+    // disable auto-broadcast so the small test tables take the
+    // sort-merge path the bucketing is designed for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("q_bucketed_join")(spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // the join reads bucketed tables directly: no shuffle below it
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      joinPart should not include "Exchange hashpartitioning(l_orderkey"
+      joinPart should not include "Exchange hashpartitioning(o_orderkey"
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("typed API: Dataset[DataPoint] round-trips the IR frame") {
     val bp = graft.blueprint.BlueprintParser.parse(
       """{"generators":[{"id":"g","shape":"constant","config":{"num_points":5,"constant":3}}],
