@@ -146,6 +146,20 @@ object SparkEntry {
         .orderBy("id", "value")
     }),
 
+    // Max-envelope stress: 100 generators × 20,160 slots (the
+    // reference's documented 14-day ceiling, README.md:41) = 2M points
+    // materialized through the real Engine path, exact oracle.
+    "g_stress_envelope" -> ((s, _) => {
+      val gens = (0 until 100).map { i =>
+        val lw = i % 5 + 1; val hw = i % 3 + 1
+        s"""{"id":"g${"%03d".format(i)}","shape":"square",
+           | "config":{"low_value":$i,"low_width":$lw,"high_value":${2 * i + 1},"high_width":$hw}}""".stripMargin
+      }.mkString(",")
+      val bp = BlueprintParser.parse(
+        s"""{"commons":{"num_points":20160},"generators":[$gens],"targets":[]}""")
+      Engine.materialize(s, bp, Seed).orderBy("generator_id", "t")
+    }),
+
     // ---- RNG-dependent (rows-only check; semantics pinned by goldens) ----
     "g_random_uniform" -> ((s, _) =>
       Transforms.intCast(Generators.random(s, "tsr",
@@ -270,6 +284,13 @@ object SparkEntry {
         |                END) AS value
         |  FROM base
         |) ORDER BY t, value""".stripMargin,
+
+    "g_stress_envelope" ->
+      """SELECT printf('g%03d', i) AS generator_id, t,
+        |       CAST(CASE WHEN t % ((i % 5 + 1) + (i % 3 + 1)) < i % 5 + 1
+        |                 THEN i ELSE 2 * i + 1 END AS BIGINT) AS value
+        |FROM range(100) AS g(i) CROSS JOIN range(20160) AS tt(t)
+        |ORDER BY generator_id, t""".stripMargin,
 
     "k_metrics" ->
       """SELECT * FROM (

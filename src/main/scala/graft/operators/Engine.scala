@@ -15,14 +15,29 @@ object Engine {
 
   def materialize(spark: SparkSession, bp: Blueprint, seed: Long): DataFrame = {
     require(bp.generators.nonEmpty, "blueprint has no generators")
-    bp.generators.map { gen =>
+    // Plan-size control at high generator counts: a blueprint is one
+    // frame per generator union'd together, which is fine at 6
+    // generators but makes Catalyst chew a 10,000-branch union at
+    // fleet scale. Square/constant generators without noise/anomalies
+    // are pure functions of (t, params), so they collapse into ONE
+    // range scan × broadcast parameter table ([[Generators.squareBulk]]).
+    val (bulkable, individual) = bp.generators.partition { g =>
+      (g.shape == "square" || g.shape == "constant") &&
+        !g.config.noiseEnabled && g.config.anomalies.isEmpty
+    }
+    val bulkFrame =
+      if (bulkable.isEmpty) Nil
+      else Seq(Transforms.intCast(Generators.squareBulk(spark, bulkable))
+        .select(col(Transforms.Gid), col("t"), col("value")))
+    val perGen = individual.map { gen =>
       val raw = Generators.forSpec(spark, gen, seed)
       val noised = Transforms.applyNoise(raw, gen.config, seed)
       val withAnomalies = Transforms.applyAnomalies(
         noised, gen.config.anomalies, gen.config.numPoints, seed, gen.id)
       Transforms.intCast(withAnomalies)
         .select(col(Transforms.Gid), col("t"), col("value"))
-    }.reduce(_ unionByName _)
+    }
+    (bulkFrame ++ perGen).reduce(_ unionByName _)
   }
 
   /**

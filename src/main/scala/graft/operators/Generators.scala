@@ -71,6 +71,40 @@ object Generators {
   }
 
   /**
+   * Vectorized generation for square/constant fleets: ONE
+   * `spark.range(maxN)` crossed with a broadcast parameter table
+   * (id, lo, lw, hi, hw, n), filtered to each generator's length.
+   * Semantically identical to [[square]]/[[constant]] per generator
+   * (a constant c is the square wave lo=hi=c), but the plan stays a
+   * single scan regardless of generator count — the shape that
+   * survives 10,000-generator blueprints.
+   */
+  def squareBulk(spark: SparkSession, gens: Seq[ResolvedGenerator]): DataFrame = {
+    import spark.implicits._
+    val params = gens.map { g =>
+      g.shape match {
+        case "constant" =>
+          val c = g.config.double("constant", 1.0)
+          (g.id, c, 1L, c, 1L, g.config.numPoints)
+        case _ =>
+          val lw = g.config.long("low_width", 1L)
+          val hw = g.config.long("high_width", 1L)
+          require(lw + hw > 0, s"square generator '${g.id}': low_width+high_width must be > 0")
+          (g.id, g.config.double("low_value", 0.0), lw,
+            g.config.double("high_value", 0.0), hw, g.config.numPoints)
+      }
+    }.toDF(Gid, "__lo", "__lw", "__hi", "__hw", "__n")
+    val maxN = gens.map(_.config.numPoints).max
+    spark.range(0, maxN).toDF("t")
+      .crossJoin(broadcast(params))
+      .where(col("t") < col("__n"))
+      .withColumn("value",
+        when(pmod(col("t"), col("__lw") + col("__hw")) < col("__lw"), col("__lo"))
+          .otherwise(col("__hi")))
+      .select(col(Gid), col("t"), col("value"))
+  }
+
+  /**
    * S6 — custom formula (src/main.py:464-477): per-slot `eval(formula)`
    * with `t` in scope, then scale+ceil. Compiled through the closed DSL
    * ([[graft.dsl.Formula]]) instead of eval. The reference also exposes the

@@ -74,6 +74,29 @@ class EngineSpec extends SparkSpec {
     all(metrics.map(_.getAs[String]("metric_name")).toSeq) shouldBe "Timeseries"
   }
 
+  test("bulk generation: square/constant fleet collapses to one range scan, same values") {
+    val gens = (0 until 40).map { i =>
+      if (i % 2 == 0)
+        s"""{"id":"g$i","shape":"constant","config":{"num_points":${50 + i},"constant":$i}}"""
+      else
+        s"""{"id":"g$i","shape":"square","config":{"num_points":${50 + i},"low_value":$i,"low_width":2,"high_value":${i * 3},"high_width":3}}"""
+    }.mkString(",")
+    val bp = BlueprintParser.parse(s"""{"generators":[$gens],"targets":[]}""")
+    val bulk = Engine.materialize(spark, bp, 42L)
+    // one range scan in the whole plan (not 40)
+    val nRanges = "Range \\(".r.findAllIn(bulk.queryExecution.executedPlan.toString).length
+    nRanges shouldBe 1
+    // values identical to the per-generator path
+    val g7 = bulk.where($"generator_id" === "g7").orderBy("t")
+      .collect().map(_.getLong(2)).toSeq
+    val expected = graft.operators.Transforms.intCast(
+      graft.operators.Generators.square(spark, "g7",
+        graft.blueprint.Config.of("""{"num_points":57,"low_value":7,"low_width":2,"high_value":21,"high_width":3}""")))
+      .orderBy("t").collect().map(_.getLong(2)).toSeq
+    g7 shouldBe expected
+    bulk.count() shouldBe (0 until 40).map(50 + _).sum.toLong
+  }
+
   test("execute: full blueprint → one activity frame per target (EP2+EP3)") {
     val bp = BlueprintParser.parse(
       """{"commons": {"num_points": 20},
