@@ -665,6 +665,16 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
+    // Corpus dedup stats: exact distincts (oracle) — the approx
+    // (HLL sketch) variant lives in the rows-only x-queries since
+    // sketch estimates are engine-specific by construction.
+    "x_dedup_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        countDistinct(sha2(col("text"), 256)).as("n_distinct_digest"),
+        countDistinct(col("lang")).as("n_langs"))),
+
     "x_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
         .orderBy("a", "b")),
@@ -753,6 +763,13 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x_dedup_stats" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_distinct_text,
+        |       count(DISTINCT sha256(text)) AS n_distinct_digest,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM documents""".stripMargin,
 
     "x_jaccard_pairs" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

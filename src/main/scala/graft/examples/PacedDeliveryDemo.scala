@@ -40,9 +40,12 @@ object PacedDeliveryDemo {
     val ledger = java.nio.file.Files.createTempDirectory("graft-demo").toString + "/ledger"
     val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
 
-    // Run 1: ticks 0 and 1; delivery of tick 1 crashes AFTER the claim.
+    // Run 1: ticks 0, 1, 2; delivery of tick 1 crashes AFTER its claim.
+    // Tick 2 sits behind the crash: it must NOT be claimed (claims are
+    // per-tick, immediately before each delivery) so the retry run can
+    // still deliver it.
     val m1 = MemoryStream[Long]
-    m1.addData(0L, 1L)
+    m1.addData(0L, 1L, 2L)
     val q1 = PacedRunner.startAtMostOnce(spark, slots, 5L, ledger,
       (tick, slot) => {
         if (tick == 1L) throw new RuntimeException("simulated delivery crash")
@@ -53,9 +56,11 @@ object PacedDeliveryDemo {
     try q1.awaitTermination(60000)
     catch { case _: Exception => println("[demo] run 1 crashed mid-delivery (expected)") }
 
-    // Run 2: tick 1 re-offered (at-least-once transport) + new tick 2.
+    // Run 2: ticks 1 and 2 re-offered (at-least-once transport) + new
+    // tick 3. Tick 1 is claimed → skipped forever; tick 2 was never
+    // claimed → delivered now.
     val m2 = MemoryStream[Long]
-    m2.addData(1L, 2L)
+    m2.addData(1L, 2L, 3L)
     val q2 = PacedRunner.startAtMostOnce(spark, slots, 5L, ledger,
       (tick, slot) => {
         delivered.add(tick)
@@ -65,8 +70,8 @@ object PacedDeliveryDemo {
     q2.awaitTermination(60000)
 
     val ticks = delivered.toArray.map(_.asInstanceOf[Long]).sorted.toSeq
-    println(s"[demo] delivered ticks = $ticks (tick 1 claimed-then-crashed, never redelivered => at-most-once)")
-    assert(ticks == Seq(0L, 2L), s"expected Seq(0, 2), got $ticks")
+    println(s"[demo] delivered ticks = $ticks (tick 1 claimed-then-crashed => dropped; tick 2 behind the crash => recovered)")
+    assert(ticks == Seq(0L, 2L, 3L), s"expected Seq(0, 2, 3), got $ticks")
     println("[demo] AT-MOST-ONCE OK")
     spark.stop()
   }

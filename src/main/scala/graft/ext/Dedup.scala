@@ -29,9 +29,9 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
 
-  /** Lower-cased whitespace tokens. */
-  def tokens(textCol: Column): Column =
-    filter(split(lower(textCol), "\\s+"), t => length(t) > 0)
+  /** Lower-cased whitespace tokens (delegates to the engine's single
+    * tokenizer definition in [[TextStats.tokens]]). */
+  def tokens(textCol: Column): Column = TextStats.tokens(textCol)
 
   /** Word n-gram shingles as strings; documents shorter than n shingle to
     * their whole token sequence. */

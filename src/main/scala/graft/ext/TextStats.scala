@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
  */
 object TextStats {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped — the ONE
+    * tokenizer definition; [[Dedup.tokens]] delegates here so the
+    * shared DuckDB oracle fragment can't desynchronize. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 

@@ -109,8 +109,13 @@ object Samplers {
     val q = 1.0 / r
     val f = (q + z) / (1.0 + q * z)
     val u3 = rng.nextDouble()
-    if (u3 > 0.5) (mu + math.acos(f)) % (2.0 * math.Pi)
-    else (mu - math.acos(f)) % (2.0 * math.Pi)
+    val theta =
+      if (u3 > 0.5) (mu + math.acos(f)) % (2.0 * math.Pi)
+      else (mu - math.acos(f)) % (2.0 * math.Pi)
+    // Python-style floored mod: CPython's vonmisesvariate returns [0, 2π);
+    // Scala's % keeps the dividend's sign and would leave half the mass
+    // negative for small mu.
+    if (theta < 0.0) theta + 2.0 * math.Pi else theta
   }
 
   private def nextPos(rng: java.util.Random): Double = {

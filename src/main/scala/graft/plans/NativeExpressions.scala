@@ -160,22 +160,34 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** dot(array<float|double>, array<float|double>) → double. */
+/** dot(array<float|double>, array<float|double>) → double.
+  * Length mismatch → null, matching `aggregate(zip_with(...))`
+  * (zip_with null-pads the shorter side, poisoning the sum) — a
+  * silently truncated dot product would hide data corruption. */
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    Native.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else Native.dot(x, y, isFloat(left), isFloat(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.plans.Native.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.plans.Native.dot($a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =

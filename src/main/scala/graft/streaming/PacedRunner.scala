@@ -76,19 +76,27 @@ object PacedRunner {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sess = batch.sparkSession
-        val batchTicks = batch.select("tick").distinct()
+        // Missing ledger (first run) reads as empty; any OTHER read
+        // failure must propagate — treating a transient read error as
+        // "nothing claimed" would re-deliver and break at-most-once.
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(ledgerPath), sess.sparkContext.hadoopConfiguration)
+        val ledgerExists = fs.exists(new org.apache.hadoop.fs.Path(ledgerPath))
         val claimed =
-          try sess.read.parquet(ledgerPath).select("tick")
-          catch { case _: Exception => sess.emptyDataFrame.selectExpr("CAST(NULL AS LONG) AS tick").limit(0) }
-        val fresh = batchTicks.join(claimed, Seq("tick"), "left_anti")
+          if (ledgerExists) sess.read.parquet(ledgerPath).select("tick")
+          else sess.range(0).select(col("id").as("tick"))
+        val fresh = batch.select("tick").distinct()
+          .join(claimed, Seq("tick"), "left_anti")
           .collect().map(_.getLong(0)).sorted
-        if (fresh.nonEmpty) {
-          // claim BEFORE side effects (delete-before-process)
-          import sess.implicits._
-          fresh.toSeq.toDF("tick").write.mode(SaveMode.Append).parquet(ledgerPath)
-          fresh.foreach { t =>
-            deliver(t, batch.where(col("tick") === t).drop("tick"))
-          }
+        import sess.implicits._
+        // Claim granularity is ONE tick, immediately before its own
+        // delivery (the reference deletes exactly one message before
+        // processing it, src/main.py:726-731): a crash mid-batch drops
+        // only the tick whose delivery was attempted, not every
+        // unattempted tick behind it.
+        fresh.foreach { t =>
+          Seq(t).toDF("tick").write.mode(SaveMode.Append).parquet(ledgerPath)
+          deliver(t, batch.where(col("tick") === t).drop("tick"))
         }
       }
       .start()

@@ -66,6 +66,20 @@ class ExtSpec extends SparkSpec {
     pairs should have size 1
   }
 
+  test("native dot: length mismatch yields null (zip_with parity), match yields value") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f))
+    ).toDF("a", "b").select(Similarity.dot($"a", $"b").as("d"))
+    val rows = df.collect()
+    rows(0).getDouble(0) shouldBe 11.0
+    rows(1).isNullAt(0) shouldBe true
+    // vonMises wraps into [0, 2π) like CPython
+    val r = new java.util.Random(5)
+    val draws = Seq.fill(500)(graft.functions.Samplers.vonMises(r, 0.0, 2.0))
+    all(draws) should (be >= 0.0 and be < 2.0 * math.Pi)
+  }
+
   test("brute-force cosine top-k: exact ranking on known vectors") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.8f, 0.6f)),
