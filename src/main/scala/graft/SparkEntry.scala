@@ -212,14 +212,21 @@ object SparkEntry {
         bp.targets.head, Seed).orderBy("t", "key")
     }),
 
-    // K1/get read-amplification request frame (rows-only).
+    // K1/get read-amplification request frame (rows-only). The GetObject
+    // pool is the keys a put target wrote (ListObjectsV2 stand-in) padded
+    // with fakes — the reference's list-then-draw composition.
     "k_get_requests" -> ((s, _) => {
       val bp = BlueprintParser.parse(
         """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":4}}],
-          | "targets":[{"type":"s3","action":"get","generators":["tsa"],"prefix":"data/"}]}""".stripMargin)
+          | "targets":[
+          |  {"type":"s3","action":"put","generators":["tsa"],"prefix":"data/","fake_types":["sentence"]},
+          |  {"type":"s3","action":"get","generators":["tsa"],"prefix":"data/"}]}""".stripMargin)
       val series = Engine.materialize(s, bp, Seed)
-      Sinks.getRequests(Dispatch.routeToTarget(series, bp.targets.head),
-        bp.targets.head, Seed).orderBy("t", "key")
+      val putKeys = Sinks.fakeObjects(
+        Dispatch.routeToTarget(series, bp.targets.head), bp.targets.head, Seed)
+        .select("key").limit(100)
+      Sinks.getRequests(Dispatch.routeToTarget(series, bp.targets(1)),
+        bp.targets(1), Seed, Some(putKeys)).orderBy("t", "key")
     })
   )
 

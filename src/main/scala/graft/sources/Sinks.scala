@@ -69,26 +69,53 @@ object Sinks {
 
   /**
    * K1/get — read-amplification simulator for an s3/get target
-   * (src/main.py:931-975): datapoint value v ⇒ v GetObject attempts
-   * against up to min(v, 1000) listed keys padded with fake keys
-   * `{prefix}fake-object-{rand8}`. We emit the access-request frame
-   * (one row per attempted get) rather than performing the reads.
+   * (src/main.py:931-975): per nonzero datapoint value v, build a key
+   * pool of up to min(v, 1000) REAL keys under the prefix (the
+   * ListObjectsV2 step; supplied as the optional `listing` frame with
+   * a `key` column — our stand-in for the bucket), padded with fake
+   * keys `{prefix}fake-object-{rand8}` up to v, then perform v
+   * GetObject draws chosen uniformly WITH REPLACEMENT from the pool
+   * (`random.choice` at src/main.py:968). We emit the access-request
+   * frame (one row per attempted get) rather than performing reads.
+   *
+   * Real keys are rank-limited and broadcast (the pool is ≤1000 keys
+   * by the reference's own ceiling), so the draw is a map-side join
+   * however large the datapoint frame is.
    */
-  def getRequests(routed: DataFrame, target: TargetSpec, seed: Long): DataFrame = {
+  def getRequests(routed: DataFrame, target: TargetSpec, seed: Long,
+      listing: Option[DataFrame] = None): DataFrame = {
     val prefix = target.raw.string("prefix", "")
-    val listCeiling = 1000L // S3_LIST_OBJECTS_MAX, src/main.py:57
+    val listCeiling = 1000 // S3_LIST_OBJECTS_MAX, src/main.py:57
+    val realKeys: Array[String] = listing match {
+      case Some(df) => df.select("key").limit(listCeiling)
+        .collect().map(_.getString(0))
+      case None => Array.empty
+    }
+    val realKeysCol = array(realKeys.map(lit).toSeq: _*)
     val fakeKey = udf((h: Long) => {
       val r = new java.util.Random(h)
       val letters = ('A' to 'Z') ++ ('a' to 'z')
       val s = (0 until 8).map(_ => letters(r.nextInt(letters.size))).mkString
       s"${prefix}fake-object-$s"
     })
-    routed
+    val withGets = routed
       .where(col("value") > 0)
+      .withColumn("__nreal",
+        least(col("value"), lit(realKeys.length.toLong), lit(listCeiling.toLong)))
       .withColumn("__get", explode(sequence(lit(1L), col("value"))))
-      .withColumn("key_pool_size", least(col("value"), lit(listCeiling)))
+    // uniform draw from the v-sized pool: indices [0, __nreal) hit real
+    // keys, the rest are per-draw fake keys (the padded tail)
+    val drawIdx = floor(
+      Rng.uniform(seed, "get_draw", col(Gid), col("t"), col("__get")) *
+        col("value").cast("double")).cast("long")
+    withGets
+      .withColumn("__draw", drawIdx)
       .withColumn("key",
-        fakeKey(Rng.hash64(seed, "get_key", col(Gid), col("t"), col("__get"))))
+        when(col("__draw") < col("__nreal"),
+          element_at(realKeysCol, (col("__draw") + 1).cast("int")))
+          .otherwise(fakeKey(
+            Rng.hash64(seed, "get_key", col(Gid), col("t"), col("__draw")))))
+      .withColumn("key_pool_size", col("value"))
       .select(col(Gid), col("t"), col("key"), col("key_pool_size"))
   }
 

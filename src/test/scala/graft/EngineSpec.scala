@@ -63,6 +63,29 @@ class EngineSpec extends SparkSpec {
     objs.unpersist()
   }
 
+  test("s3/get draws come from the real-key pool padded with fakes, with replacement") {
+    val bp = BlueprintParser.parse(
+      """{"generators":[{"id":"g1","shape":"constant","config":{"num_points":30,"constant":5}}],
+        | "targets":[{"type":"s3","action":"get","generators":["g1"],"prefix":"pre/"}]}""".stripMargin)
+    val series = Engine.materialize(spark, bp, 42L)
+    val routed = Dispatch.routeToTarget(series, bp.targets.head)
+    val listing = Seq("pre/real-1", "pre/real-2", "pre/real-3").toDF("key")
+    val out = Sinks.getRequests(routed, bp.targets.head, 42L, Some(listing)).cache()
+    out.count() shouldBe 150L // 30 slots × value 5
+    val keys = out.select("key").collect().map(_.getString(0))
+    // pool per slot = 3 real keys + 2 fake pads; draws hit both kinds
+    keys.count(_.startsWith("pre/real-")) should be > 0
+    keys.count(_.startsWith("pre/fake-object-")) should be > 0
+    keys.foreach(k => k should startWith("pre/"))
+    // deterministic
+    val again = Sinks.getRequests(routed, bp.targets.head, 42L, Some(listing))
+    again.exceptAll(out).count() shouldBe 0L
+    // no listing → all fakes (current k_get_requests behavior)
+    val noList = Sinks.getRequests(routed, bp.targets.head, 42L)
+    noList.where(col("key").startsWith("pre/fake-object-")).count() shouldBe 150L
+    out.unpersist()
+  }
+
   test("metric frame carries shape dimension from the blueprint (src/main.py:1059-1069)") {
     val bp = BlueprintParser.parse(
       """{"generators":[{"id":"g1","shape":"constant","config":{"num_points":5,"constant":2}}],
