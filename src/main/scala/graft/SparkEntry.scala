@@ -426,6 +426,16 @@ object SparkEntry {
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("hour_e", "event_type")),
 
+    // JSON functions: parse events.props with a declared schema and
+    // aggregate the extracted field (§2.6 array/map/JSON row).
+    "q_json_extract" -> ((s, dir) =>
+      eventsTbl(s, dir)
+        .withColumn("k", expr("from_json(props, 'k LONG').k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
     // Set operations: EXCEPT / INTERSECT with distinct semantics.
     "q_setop" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
@@ -604,6 +614,13 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_setop" ->
       """SELECT * FROM (
