@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Event-time streaming operators over an events stream
+ * `(user_id LONG, event_type STRING, ts TIMESTAMP, value DOUBLE)` —
+ * the streaming forms of the batch q_events_hourly / q_sessionize
+ * queries. The reference itself is processing-time only (SURVEY §2.9);
+ * these are engine extensions for real event streams at scale.
+ */
+object EventTimeOps {
+
+  /**
+   * Tumbling-window counts/sums with a watermark: late events beyond
+   * `lateness` are dropped and state for closed windows is reclaimed —
+   * the property that keeps state bounded on an unbounded stream.
+   */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, s_start: Long, s_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /**
+   * Stateful sessionization via flatMapGroupsWithState: a session
+   * closes after `gapUs` of inactivity (processing-time timeout), then
+   * emits one summary row. Per-user state is one SessionState — bounded
+   * regardless of stream length; timeouts reclaim idle users.
+   *
+   * Caveat: with `Trigger.ProcessingTime(0)` the registered timeouts
+   * make `processAllAvailable()` livelock (continuous no-data batches);
+   * use a nonzero trigger interval or AvailableNow in drivers/tests.
+   */
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start_us, s.last_us, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_us)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_us - s.last_us <= gapUs =>
+                  cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start_us, s.last_us, s.n, s.sum)
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapUs / 1000L) // µs → ms
+            }
+            closed.iterator
+          }
+      }
+  }
+}

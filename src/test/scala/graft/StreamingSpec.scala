@@ -22,6 +22,53 @@ class StreamingSpec extends SparkSpec {
       (3L, 0L, 10L), (4L, 1L, 11L), (7L, 1L, 11L))
   }
 
+  test("watermarked window agg drops late events and finalizes windows") {
+    import graft.streaming.EventTimeOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // batch 1: events in the 10:00 window; batch 2 advances the
+    // watermark far past it; batch 3 is a too-late straggler
+    mem.addData((1L, "click", ts(5), 1.0), (2L, "click", ts(20), 2.0))
+    val df = mem.toDF().toDF("user_id", "event_type", "ts", "value")
+    val q = EventTimeOps.windowedCounts(df, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    mem.addData((3L, "click", java.sql.Timestamp.valueOf("2026-01-01 13:00:00"), 4.0))
+    q.processAllAvailable()
+    mem.addData((4L, "click", ts(1), 8.0)) // late beyond watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_test").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("w_start").toString,
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    // the 10:00 window finalized with ONLY the two on-time events
+    rows should contain(("2026-01-01 10:00:00.0", 2L, 3.0))
+    rows.map(_._2).sum shouldBe 2L // 13:00 window still open; straggler dropped
+  }
+
+  test("stateful sessionization closes sessions on gap and emits summaries") {
+    import graft.streaming.EventTimeOps
+    import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionEvent]
+    val us = 1000000L
+    // user 7: two bursts separated by > gap (30 min) within one batch
+    mem.addData(
+      SessionEvent(7L, 0 * us, 1.0), SessionEvent(7L, 60 * us, 2.0),
+      SessionEvent(7L, 4000 * us, 10.0), SessionEvent(7L, 4050 * us, 20.0),
+      SessionEvent(9L, 0 * us, 5.0))
+    val q = EventTimeOps.sessionize(mem.toDS(), gapUs = 1800L * us)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val closed = spark.table("sess_test").as[SessionOut].collect()
+    // the first burst closed when the second began (gap exceeded)
+    closed.toSeq shouldBe Seq(SessionOut(7L, 0L, 60 * us, 2L, 3.0))
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
