@@ -174,6 +174,14 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("rep", col("id"))
+      .localCheckpoint()
+    // Convergence check without an extra join: per-id labels only ever
+    // decrease, so the total label sum strictly decreases every round
+    // until the fixpoint — equal sums ⇔ converged. One cheap scalar agg
+    // over the checkpointed frame per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -183,8 +191,9 @@ object Dedup {
       val next = labels.select("id", "rep").union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint() // truncate the growing lineage each round
-      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .where(col("rep") =!= col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
       round += 1
     }
