@@ -222,9 +222,11 @@ object SparkEntry {
           |  {"type":"s3","action":"put","generators":["tsa"],"prefix":"data/","fake_types":["sentence"]},
           |  {"type":"s3","action":"get","generators":["tsa"],"prefix":"data/"}]}""".stripMargin)
       val series = Engine.materialize(s, bp, Seed)
+      // orderBy before limit: an unordered limit takes whichever rows
+      // scan first, which would make the dump partition-count-dependent
       val putKeys = Sinks.fakeObjects(
         Dispatch.routeToTarget(series, bp.targets.head), bp.targets.head, Seed)
-        .select("key").limit(100)
+        .select("key").orderBy("key").limit(100)
       Sinks.getRequests(Dispatch.routeToTarget(series, bp.targets(1)),
         bp.targets(1), Seed, Some(putKeys)).orderBy("t", "key")
     })
@@ -489,14 +491,16 @@ object SparkEntry {
     // equal the plain join (same oracle shape as q_salted_join).
     "q_bucketed_join" -> ((s, dir) => {
       val buckets = 8
-      val suffix = math.abs(scala.util.hashing.MurmurHash3.stringHash(dir))
+      val suffix = scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff
       val lTbl = s"l_bucketed_$suffix"
       val oTbl = s"o_bucketed_$suffix"
-      if (!s.catalog.tableExists(lTbl)) {
-        // in-memory catalog forgets tables between sessions but the
-        // warehouse dirs survive — clear stale locations before CTAS
-        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
-        Seq(lTbl, oTbl).foreach { t =>
+      // Each table guarded separately so a failure between the two
+      // writes self-heals on retry; in-memory catalog forgets tables
+      // between sessions but warehouse dirs survive — clear the stale
+      // location before each CTAS.
+      def ensure(t: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(t)) {
+          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
           val p = java.nio.file.Paths.get(
             if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString
             else wh.getPath).resolve(t)
@@ -504,10 +508,14 @@ object SparkEntry {
             java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
               .forEach(f => java.nio.file.Files.delete(f))
           }
+          write
         }
+      ensure(lTbl) {
         tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
           .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable(lTbl)
+      }
+      ensure(oTbl) {
         tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
           .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable(oTbl)

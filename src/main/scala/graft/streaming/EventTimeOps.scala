@@ -55,23 +55,32 @@ object EventTimeOps {
             state.remove()
             Iterator(SessionOut(userId, s.start_us, s.last_us, s.n, s.sum))
           } else {
+            // No cross-batch ordering guarantee: an event may precede
+            // the open session. Merge anything within `gapUs` of the
+            // session's [start, last] span (extending either end); an
+            // event older than start-gap belongs to an already-closed
+            // window and is emitted as its own singleton session (late
+            // data preserved, never an inverted span).
             val sorted = rows.toSeq.sortBy(_.ts_us)
             var cur = state.getOption
             val closed = scala.collection.mutable.ListBuffer.empty[SessionOut]
             sorted.foreach { e =>
               cur match {
-                case Some(s) if e.ts_us - s.last_us <= gapUs =>
-                  cur = Some(SessionState(s.start_us, e.ts_us, s.n + 1, s.sum + e.value))
-                case Some(s) =>
+                case Some(s) if e.ts_us >= s.start_us - gapUs && e.ts_us <= s.last_us + gapUs =>
+                  cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                    math.max(s.last_us, e.ts_us), s.n + 1, s.sum + e.value))
+                case Some(s) if e.ts_us > s.last_us + gapUs =>
                   closed += SessionOut(userId, s.start_us, s.last_us, s.n, s.sum)
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
+                case Some(_) => // too old for the open session
+                  closed += SessionOut(userId, e.ts_us, e.ts_us, 1L, e.value)
                 case None =>
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapUs / 1000L) // µs → ms
+              state.setTimeoutDuration(math.max(1L, gapUs / 1000L)) // µs → ms
             }
             closed.iterator
           }

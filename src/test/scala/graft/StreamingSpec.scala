@@ -69,6 +69,30 @@ class StreamingSpec extends SparkSpec {
     closed.toSeq shouldBe Seq(SessionOut(7L, 0L, 60 * us, 2L, 3.0))
   }
 
+  test("sessionization handles out-of-order events: span extends, never inverts") {
+    import graft.streaming.EventTimeOps
+    import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val us = 1000000L
+    val mem = MemoryStream[SessionEvent]
+    // out-of-order within the gap: 1000s, then 500s (earlier!), then a
+    // distant burst at 5000s; and one hopelessly late event at 100s
+    // after the watermark of activity has moved on
+    mem.addData(
+      SessionEvent(1L, 1000 * us, 1.0), SessionEvent(1L, 500 * us, 2.0),
+      SessionEvent(1L, 5000 * us, 4.0), SessionEvent(1L, 100 * us, 8.0))
+    val q = EventTimeOps.sessionize(mem.toDS(), gapUs = 1800L * us)
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("sess_ooo").as[SessionOut].collect().sortBy(_.s_start)
+    // events sort to 100,500,1000,5000: 100 opens; 500 within gap merges
+    // (extends); 1000 merges; 5000 closes the [100,1000] session
+    out.toSeq shouldBe Seq(SessionOut(1L, 100 * us, 1000 * us, 3L, 11.0))
+    out.foreach(s => s.s_end should be >= s.s_start)
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
