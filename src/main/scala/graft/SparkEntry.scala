@@ -201,6 +201,28 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // Roundtrip: the activity generator's fake-object corpus fed into
+    // the training-data operators — blueprint → fake documents → text
+    // quality + language-ID + exact dedup, one pipeline (rows-only:
+    // corpus content is seeded-RNG).
+    "x_synthetic_corpus" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":200,"constant":2}}],
+          | "targets":[{"type":"s3","action":"put","generators":["tsa"],
+          |             "fake_types":["sentence","email","address","profile"],"fake_counts":3}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      val corpus = Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
+        bp.targets.head, Seed)
+        .select(col("key").as("doc_id"), col("body").as("text"))
+      TextStats.qualityFacets(corpus)
+        .withColumn("lang_pred", TextStats.langId(col("text")))
+        .withColumn("digest", sha2(col("text"), 256))
+        .groupBy("quality_bucket", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("digest")).as("n_distinct"))
+        .orderBy("quality_bucket", "lang_pred")
+    }),
+
     // K1a fake S3 object corpus (seeded content; rows-only).
     "k_fake_objects" -> ((s, _) => {
       val bp = BlueprintParser.parse(

@@ -80,6 +80,16 @@ class GeneratorsSpec extends SparkSpec {
     }
   }
 
+  test("unknown shape and missing formula fail fast with named errors") {
+    import graft.blueprint.ResolvedGenerator
+    val bad = ResolvedGenerator("g", "cubic", Config.empty)
+    val e = intercept[IllegalArgumentException](Generators.forSpec(spark, bad, 1L))
+    e.getMessage should include("cubic")
+    val noFormula = intercept[IllegalArgumentException](
+      Generators.custom(spark, "g", Config.empty))
+    noFormula.getMessage should include("formula")
+  }
+
   test("gaussian draws have roughly the configured moments before scaling") {
     import graft.functions.Rng
     val df = spark.range(5000).toDF("t")
