@@ -770,6 +770,12 @@ object SparkEntry {
     "x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
 
+    // Full composed pipeline: LSH candidates → exact-jaccard verify →
+    // cluster resolution (rows-only: LSH banding is hash-RNG).
+    "x_neardup_text" -> ((s, dir) =>
+      Dedup.nearDuplicates(tbl(s, dir, "documents"), minJaccard = 0.3)
+        .orderBy("id")),
+
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
 

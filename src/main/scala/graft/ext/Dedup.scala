@@ -152,6 +152,38 @@ object Dedup {
   }
 
   /**
+   * The composed near-duplicate pipeline — the 100 TB shape: MinHash-LSH
+   * banding proposes candidate pairs (bucketed equi-join, no cross
+   * join), exact n-gram Jaccard verifies ONLY those candidates, and the
+   * survivors resolve to duplicate clusters. Exact verification cost
+   * scales with candidates, not with corpus².
+   *
+   * Returns (doc id → cluster representative) for every doc that has at
+   * least one verified near-duplicate.
+   */
+  def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minJaccard: Double = 0.7,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    val cand = minhashLshPairs(docs, idCol, textCol, numHashes, bands, shingleN)
+    val grams = docs.select(col(idCol),
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
+      .localCheckpoint()
+    val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
+    // intersection counts computed only over candidate pairs
+    val ga = grams.select(col(idCol).as("a"), col("g"))
+    val gb = grams.select(col(idCol).as("b"), col("g"))
+    val verified = cand
+      .join(ga, "a").join(gb, Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("n_a"))), "a")
+      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("n_b"))), "b")
+      .where(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")) >= minJaccard)
+      .select("a", "b")
+    duplicateClusters(verified)
+  }
+
+  /**
    * Duplicate-cluster resolution: given near-dup pairs (a, b), assign
    * every document its cluster representative (the minimum doc id
    * reachable through pair edges) — the "keep one copy" step of a

@@ -153,6 +153,23 @@ class ExtSpec extends SparkSpec {
     out(2L) should not be acc
   }
 
+  test("composed near-dup pipeline: LSH candidates -> exact verify -> clusters") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (1L, "the quick brown fox jumps over the lazy dog near the red barn"),   // exact dup
+      (2L, "the quick brown fox jumps over the lazy dog near the red fence"),  // near dup
+      (3L, "completely unrelated text about spark query engines and columnar formats"),
+      (4L, "another unrelated document mentioning streams and watermarks only")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDuplicates(corpus, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(0L) shouldBe 0L
+    clusters(1L) shouldBe 0L   // exact dup joins doc 0's cluster
+    clusters(2L) shouldBe 0L   // near dup verified and clustered
+    clusters.contains(3L) shouldBe false // unrelated docs emit nothing
+    clusters.contains(4L) shouldBe false
+  }
+
   test("duplicate clusters: min-label propagation resolves chains and cliques") {
     // components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (chain of 4)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
