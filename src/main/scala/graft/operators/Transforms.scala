@@ -103,8 +103,11 @@ object Transforms {
     // Deterministic slot draws (uniform inclusive, with replacement).
     val rng = new java.util.Random(seed ^
       scala.util.hashing.MurmurHash3.stringHash(s"$generatorId/anomaly/$specIdx").toLong)
+    // floorMod, not abs%: abs(Long.MinValue) is negative (would land
+    // below `start`), and floorMod's residual bias over a 64-bit draw
+    // is a vanishing 2^-64 per slot.
     val slots = (0L until spec.counts)
-      .map(_ => start + (math.abs(rng.nextLong()) % (end - start + 1)))
+      .map(_ => start + math.floorMod(rng.nextLong(), end - start + 1))
       .distinct
     val slotDf = slots.toDF("t").withColumn("__anom", lit(true))
 
