@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.operators.{Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, PiiScan, Similarity, TextStats}
 import graft.sources.Sinks
 
 /**
@@ -820,8 +820,92 @@ object SparkEntry {
 
     "x_media_decode" -> ((s, dir) =>
       Multimodal.decodeBatched(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
-        .toDF().orderBy("media_id"))
+        .toDF().orderBy("media_id")),
+
+    // PII/credential scan over a deterministic mixed corpus (planted
+    // positives + clean rows), constructed identically in the oracle —
+    // the cross-engine check of the detector regex semantics.
+    "x_pii_scan" -> ((s, dir) =>
+      PiiScan.scan(piiCorpus(tbl(s, dir, "customer")), "txt")
+        .drop("txt").orderBy("c_custkey")),
+
+    // Roundtrip: the engine's own fake sensitive-data corpus (SURVEY
+    // §2.5 providers) fed through the scanner — every planted secret
+    // class must be detected (rows-only: corpus content is seeded-RNG;
+    // per-provider hit guarantees pinned in PiiSpec).
+    "x_pii_roundtrip" -> ((s, _) => {
+      val bp = BlueprintParser.parse(
+        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":60,"constant":3}}],
+          | "targets":[{"type":"s3","action":"put","generators":["tsa"],
+          |   "fake_types":["itin","aws_creds","slack_creds","github_creds","facebook_creds",
+          |                 "cve","iban","ssn","email","phone_number","credit_card_full","rsa","profile"],
+          |   "fake_counts":2}]}""".stripMargin)
+      val series = Engine.materialize(s, bp, Seed)
+      val corpus = Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
+        bp.targets.head, Seed)
+        .select(col("key").as("doc_id"), col("body").as("text"))
+      PiiScan.findings(corpus)
+        .groupBy("detector")
+        .agg(count(lit(1)).as("n_docs"), sum("n_matches").as("n_matches"))
+        .orderBy("detector")
+    })
   )
+
+  /**
+   * Deterministic PII test corpus: customer rows with secrets planted by
+   * key residue (ssn on key%3=0, email on key%2=0, …) so the frame mixes
+   * positives, negatives, and multi-hit rows. Built from arithmetic +
+   * format_string only — the oracle constructs the identical text in SQL.
+   */
+  private def piiCorpus(customer: DataFrame): DataFrame = {
+    val k = col("c_custkey")
+    def m(n: Long) = pmod(k, lit(n))
+    val txt = concat_ws(" ",
+      col("c_name"),
+      when(m(2) === 0, format_string("contact user%d@example.com", k)),
+      when(m(3) === 0, format_string("ssn %03d-%02d-%04d",
+        m(800) + 100, m(90) + 10, m(10000))),
+      when(m(5) === 0, format_string("itin 9%02d-7%d-%04d",
+        m(100), m(10), m(10000))),
+      when(m(7) === 0, format_string("card %04d %04d %04d %04d",
+        m(10000), pmod(k * 3, lit(10000)), pmod(k * 7, lit(10000)),
+        pmod(k * 11, lit(10000)))),
+      when(m(4) === 0, format_string("src %d.%d.%d.%d",
+        m(256), pmod(k * 3, lit(256)), pmod(k * 7, lit(256)), pmod(k * 11, lit(256)))),
+      when(m(6) === 0, format_string("CVE-%d-%d", m(28) + 1999, m(9999) + 1)),
+      when(m(9) === 0, format_string("slack_token=xoxb-%04d-%04d-%05d-%010d",
+        m(10000), pmod(k * 3, lit(10000)), m(100000), m(10000000000L))),
+      when(m(8) === 0, format_string("tel (%03d) %03d-%04d",
+        m(800) + 200, m(700) + 300, m(10000))),
+      when(m(11) === 0, concat(lit("AKIA"),
+        lpad(pmod(k * 999983L, lit(10000000000000000L)).cast("string"), 16, "0"))))
+    customer.select(k, txt.as("txt"))
+  }
+
+  /** DuckDB mirror of [[piiCorpus]]'s text construction. */
+  private val piiCorpusSql: String =
+    """SELECT c_custkey, concat_ws(' ', c_name,
+      |  CASE WHEN c_custkey % 2 = 0 THEN printf('contact user%d@example.com', c_custkey) END,
+      |  CASE WHEN c_custkey % 3 = 0 THEN printf('ssn %03d-%02d-%04d',
+      |       c_custkey % 800 + 100, c_custkey % 90 + 10, c_custkey % 10000) END,
+      |  CASE WHEN c_custkey % 5 = 0 THEN printf('itin 9%02d-7%d-%04d',
+      |       c_custkey % 100, c_custkey % 10, c_custkey % 10000) END,
+      |  CASE WHEN c_custkey % 7 = 0 THEN printf('card %04d %04d %04d %04d',
+      |       c_custkey % 10000, (c_custkey * 3) % 10000, (c_custkey * 7) % 10000,
+      |       (c_custkey * 11) % 10000) END,
+      |  CASE WHEN c_custkey % 4 = 0 THEN printf('src %d.%d.%d.%d',
+      |       c_custkey % 256, (c_custkey * 3) % 256, (c_custkey * 7) % 256,
+      |       (c_custkey * 11) % 256) END,
+      |  CASE WHEN c_custkey % 6 = 0 THEN printf('CVE-%d-%d',
+      |       c_custkey % 28 + 1999, c_custkey % 9999 + 1) END,
+      |  CASE WHEN c_custkey % 9 = 0 THEN printf('slack_token=xoxb-%04d-%04d-%05d-%010d',
+      |       c_custkey % 10000, (c_custkey * 3) % 10000, c_custkey % 100000,
+      |       c_custkey % 10000000000) END,
+      |  CASE WHEN c_custkey % 8 = 0 THEN printf('tel (%03d) %03d-%04d',
+      |       c_custkey % 800 + 200, c_custkey % 700 + 300, c_custkey % 10000) END,
+      |  CASE WHEN c_custkey % 11 = 0 THEN 'AKIA' ||
+      |       lpad(CAST((c_custkey * 999983) % 10000000000000000 AS VARCHAR), 16, '0') END
+      |) AS txt FROM customer""".stripMargin
 
   private val extOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -916,6 +1000,22 @@ object SparkEntry {
          |     for c in split(array_to_string($toksSql, ' '), '')]),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Detector regexes injected from the SAME registry the Spark query
+    // uses (PiiScan.detectors) — oracle and engine cannot drift apart.
+    "x_pii_scan" -> {
+      val counts = PiiScan.detectors.map { case (n, p) =>
+        s"CAST(len(regexp_extract_all(txt, '${p.replace("'", "''")}')) AS BIGINT) AS pii_$n"
+      }.mkString(",\n  ")
+      val total = PiiScan.detectors.map { case (n, _) => s"pii_$n" }.mkString(" + ")
+      s"""WITH corpus AS ($piiCorpusSql),
+         |scanned AS (SELECT c_custkey,
+         |  $counts
+         |FROM corpus)
+         |SELECT *, $total AS pii_total,
+         |       CAST(($total) > 0 AS INT) AS has_pii
+         |FROM scanned ORDER BY c_custkey""".stripMargin
+    },
 
     "x_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
