@@ -517,31 +517,36 @@ object SparkEntry {
       val lTbl = s"l_bucketed_$suffix"
       val oTbl = s"o_bucketed_$suffix"
       // Each table guarded separately so a failure between the two
-      // writes self-heals on retry; in-memory catalog forgets tables
-      // between sessions but warehouse dirs survive — clear the stale
-      // location before each CTAS.
-      def ensure(t: String)(write: => Unit): Unit =
+      // writes self-heals on retry. The in-memory catalog forgets tables
+      // between sessions but warehouse dirs survive: a COMPLETE previous
+      // write (_SUCCESS marker) is re-attached as an external bucketed
+      // table over the same LOCATION — bucket ids live in the file
+      // names, so the shuffle-free join survives without re-bucketing
+      // the fact tables every session. Partial writes are cleared and
+      // redone.
+      def ensure(t: String, keyCol: String)(src: org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(t)) {
           val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
           val p = java.nio.file.Paths.get(
             if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString
             else wh.getPath).resolve(t)
-          if (java.nio.file.Files.exists(p)) {
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.delete(f))
+          if (java.nio.file.Files.exists(p.resolve("_SUCCESS"))) {
+            s.sql(s"CREATE TABLE $t (${src.schema.toDDL}) USING PARQUET " +
+              s"CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $buckets BUCKETS " +
+              s"LOCATION '${p.toUri}'")
+          } else {
+            if (java.nio.file.Files.exists(p)) {
+              java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.delete(f))
+            }
+            src.write.bucketBy(buckets, keyCol).sortBy(keyCol)
+              .mode("overwrite").saveAsTable(t)
           }
-          write
         }
-      ensure(lTbl) {
-        tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
-          .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
-          .mode("overwrite").saveAsTable(lTbl)
-      }
-      ensure(oTbl) {
-        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
-          .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
-          .mode("overwrite").saveAsTable(oTbl)
-      }
+      ensure(lTbl, "l_orderkey")(
+        tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"))
+      ensure(oTbl, "o_orderkey")(
+        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       s.table(lTbl)
         .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -207,12 +207,21 @@ object Dedup {
    */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxRounds: Int = 16): DataFrame = {
-    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+    // pairs is typically the output of an expensive verification join;
+    // materialize its narrow (a, b) projection ONCE so the two-sided
+    // union below reads a checkpoint instead of evaluating the whole
+    // upstream pipeline twice.
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val edges = p.select(col("a").as("x"), col("b").as("y"))
+      .union(p.select(col("b").as("x"), col("a").as("y")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("rep", col("id"))
+    // Seed labels with the distance-1 minimum (min of self and direct
+    // neighbors) straight from the edge scan — one aggregation replaces
+    // the first propagation round. Both edge directions are present, so
+    // every node appears as `x`.
+    var labels = edges.groupBy(col("x")).agg(min(col("y")).as("mn"))
+      .select(col("x").as("id"), least(col("x"), col("mn")).as("rep"))
       .localCheckpoint()
     // Convergence check without an extra join: per-id labels only ever
     // decrease, so the total label sum strictly decreases every round
