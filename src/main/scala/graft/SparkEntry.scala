@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
-import graft.operators.{Dispatch, Engine, Generators, Replay, Transforms}
+import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
 import graft.ext.{Dedup, Multimodal, PiiScan, Similarity, TextStats}
 import graft.sources.Sinks
 
@@ -555,6 +555,42 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // As-of join: each click event aligned to the user's most recent
+    // prior (or simultaneous) view. Union + per-key ordered window —
+    // one shuffle on user_id, linear in |clicks|+|views|; never the
+    // O(n·m)-per-key range-join formulation (see AsOfJoin scaladoc).
+    "q_asof_join" -> ((s, dir) => {
+      val e = eventsTbl(s, dir)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("view_event_id", "view_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("t_click_us"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_view_value").as("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // Range (interval-membership) join: lineitems classified into price
+    // bands. The band dim is provably tiny → broadcast non-equi join
+    // (BroadcastNestedLoop with a 5-row build side), so the fact table
+    // streams through map-side with no shuffle.
+    "q_range_join" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("A", 0.0, 10000.0), ("B", 10000.0, 25000.0),
+        ("C", 25000.0, 50000.0), ("D", 50000.0, 100000.0),
+        ("E", 100000.0, 1000000000.0))).toDF("band", "lo", "hi")
+      tbl(s, dir, "lineitem").join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+        .groupBy("band").agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_price"))
+        .orderBy("band")
+    }),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -702,7 +738,25 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS t_click_us,
+        |       v.event_id AS view_event_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT band, count(*) AS n,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES ('A',0.0,10000.0),('B',10000.0,25000.0),('C',25000.0,50000.0),
+        |             ('D',50000.0,100000.0),('E',100000.0,1000000000.0))
+        |     AS bands(band, lo, hi)
+        |  ON l_extendedprice >= lo AND l_extendedprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin
   )
 
   // === Extension suite: dedup / similarity / text / multimodal ==========
