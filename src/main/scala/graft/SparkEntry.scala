@@ -808,6 +808,40 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Corpus-wide bigram heavy hitters: map-side-combinable hash agg
+    // over the exploded grams, then TakeOrdered (never a global sort)
+    // with a full tie-break so the top-k set is deterministic.
+    "x_ngram_topk" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(TextStats.wordNgrams(col("text"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram")).limit(50)),
+
+    // Vocabulary statistics via two-level aggregation: per-token counts
+    // (one shuffle on the token), then a scalar rollup — total tokens,
+    // vocabulary size, and hapax legomena (frequency-1 tokens).
+    "x_vocab_stats" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_vocab"),
+          sum(when(col("n") === 1, 1).otherwise(0)).as("n_hapax"))),
+
+    // Per-document repetition: duplicated-bigram fraction — the standard
+    // "repetitive text" pretraining filter signal. Pure projection, no
+    // shuffle.
+    "x_repetition" -> ((s, dir) => {
+      val bg = TextStats.wordNgrams(col("text"), 2)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(bg).cast("long").as("n_bigrams"),
+        size(array_distinct(bg)).cast("long").as("n_distinct"),
+        when(size(bg) === 0, lit(0.0)).otherwise(
+          (size(bg) - size(array_distinct(bg))).cast("double") /
+            size(bg).cast("double")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Cluster resolution over the (oracle-checked) jaccard pair graph:
     // every doc in a pair component mapped to its min-id representative.
     "x_dedup_clusters" -> ((s, dir) => {
@@ -1059,6 +1093,32 @@ object SparkEntry {
          |     for c in split(array_to_string($toksSql, ' '), '')]),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_ngram_topk" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(t)),
+         |                    i -> t[i] || ' ' || t[i+1])) AS gram
+         |      FROM tk WHERE len(t) >= 2)
+         |SELECT gram, count(*) AS n FROM g
+         |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "x_vocab_stats" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_vocab,
+         |       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |FROM c""".stripMargin,
+
+    "x_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |b AS (SELECT doc_id, list_transform(range(1, len(t)),
+         |                     i -> t[i] || ' ' || t[i+1]) AS bg FROM tk)
+         |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+         |       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+         |       CASE WHEN len(bg) = 0 THEN 0.0
+         |            ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+         |                 / CAST(len(bg) AS DOUBLE) END AS rep_ratio
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Detector regexes injected from the SAME registry the Spark query
     // uses (PiiScan.detectors) — oracle and engine cannot drift apart.

@@ -103,6 +103,20 @@ object TextStats {
   }
 
   /**
+   * Word n-grams (space-joined) over the shared tokenizer. Documents
+   * with fewer than n tokens yield an EMPTY array — corpus-statistics
+   * semantics, in contrast to [[Dedup.shingles]] which falls back to
+   * the whole document (a recall choice for dedup candidate
+   * generation, wrong for frequency counting).
+   */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + lit(j))): _*)))
+  }
+
+  /**
    * Document fingerprint: polynomial rolling hash of the lowercased,
    * whitespace-normalized text — `acc = (acc * 31 + code) mod 1e9+7`,
    * folded with `aggregate` over the character array. Stable across

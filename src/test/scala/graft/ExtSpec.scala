@@ -214,4 +214,19 @@ class ExtSpec extends SparkSpec {
     val feats = Multimodal.features(Multimodal.asMediaFrame(docs))
     feats.head().getAs[Seq[Double]]("feature").length shouldBe 8
   }
+
+  test("wordNgrams: space-joined sliding windows; short docs yield empty") {
+    val df = Seq((0L, "a b c d"), (1L, "only"), (2L, ""), (3L, "x  y"))
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextStats.wordNgrams($"text", 2).as("bg"),
+        TextStats.wordNgrams($"text", 3).as("tg"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1), r.getSeq[String](2)))
+      .sortBy(_._1)
+    out(0)._2 shouldBe Seq("a b", "b c", "c d")
+    out(0)._3 shouldBe Seq("a b c", "b c d")
+    out(1)._2 shouldBe empty     // 1 token < n=2
+    out(2)._2 shouldBe empty     // no tokens at all
+    out(3)._2 shouldBe Seq("x y") // multi-space collapses via tokenizer
+  }
 }
