@@ -874,15 +874,45 @@ object SparkEntry {
 
     // Threshold tuned to the synthetic corpus (random vectors: max
     // pairwise cosine ≈ 0.51) so the candidate-verify path yields rows.
+    // Oracle-checked despite the LSH step: the hyperplanes are
+    // plan-time literals from a seeded generator, so the SAME constants
+    // are injected into the DuckDB oracle SQL (see neardupEmbeddingSql)
+    // — bucket assignment and exact-cosine verify replay identically.
     "x_neardup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), threshold = 0.35,
-        planes = 4).orderBy("a", "b")),
+        planes = 4)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("a", "b")),
 
+    // Exact all-pairs cosine — the recall baseline for the LSH/IVF
+    // paths (see Similarity.cosinePairs scaladoc for the scale
+    // contract).
+    "x_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(tbl(s, dir, "embeddings"), threshold = 0.35)
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("a", "b")),
+
+    // Norm statistics over the embedding corpus; the sum runs in
+    // decimal so the scalar aggregate is identical under any partition
+    // order.
+    "x_embed_stats" -> ((s, dir) =>
+      tbl(s, dir, "embeddings")
+        .select(Similarity.norm(col("embedding")).as("nrm"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min("nrm"), 6).as("min_norm"),
+          round(max("nrm"), 6).as("max_norm"),
+          sum(col("nrm").cast("decimal(28,12)")).cast("double").as("sum_norm"))),
+
+    // Oracle-checked like x_neardup_embedding: all 4 hash tables' plane
+    // constants are injected into the DuckDB SQL (simLshSql).
     "x_sim_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(emb, queries, k = 5).orderBy("query_id", "rank")
+      Similarity.lshTopK(emb, queries, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("query_id", "rank")
     }),
 
     "x_sim_ivf" -> ((s, dir) => {
@@ -999,6 +1029,83 @@ object SparkEntry {
       |  CASE WHEN c_custkey % 11 = 0 THEN 'AKIA' ||
       |       lpad(CAST((c_custkey * 999983) % 10000000000000000 AS VARCHAR), 16, '0') END
       |) AS txt FROM customer""".stripMargin
+
+  /** DuckDB fragment: sequential-fold self dot product of `v` (matches
+    * the engine's left-to-right fold in NativeFunctions.dot). */
+  private val selfDotSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)""".stripMargin
+
+  /** DuckDB fragment: sequential-fold dot of `l.v` and `r.v`. */
+  private val pairDotSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |          [l.v[i] * r.v[i] for i in generate_series(1, 64)]), (x, y) -> x + y)""".stripMargin
+
+  /**
+   * DuckDB mirror of [[Dedup.embeddingNearDups]] (threshold 0.35,
+   * planes 4, seed 42): the hyperplanes are plan-time constants from
+   * [[Similarity.planeLiterals]], so the SAME literals are embedded
+   * here — the LSH bucket assignment replays bit-identically and the
+   * "approximate" pipeline becomes exactly oracle-checkable.
+   */
+  private def neardupEmbeddingSql: String = {
+    val planes = Similarity.planeLiterals(dims = 64, planes = 4, seed = 42L)
+    def dotPlane(p: Seq[Double]): String = {
+      val lst = p.mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * ($lst)[i] for i in generate_series(1, 64)]), (a, b) -> a + b)"
+    }
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n        + ")
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |n AS (SELECT vec_id, v, bucket, sqrt($selfDotSql) AS nrm FROM b),
+       |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+       |        $pairDotSql / (l.nrm * r.nrm) AS cosine
+       |      FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT a, b, round(cosine, 6) AS cosine_r FROM p
+       |WHERE cosine >= 0.35 ORDER BY a, b""".stripMargin
+  }
+
+  /**
+   * DuckDB mirror of [[Similarity.lshTopK]] (k=5, 8 planes × 4 tables,
+   * seed 42, queries = vec_id < 5) with all 32 plane-constant arrays
+   * injected — candidate generation via per-table bucket equality, then
+   * exact cosine and per-query ranking, replayed bit-identically.
+   */
+  private def simLshSql: String = {
+    def dotPlane(p: Seq[Double]): String = {
+      val lst = p.mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * ($lst)[i] for i in generate_series(1, 64)]), (a, b) -> a + b)"
+    }
+    val perTable = (0 until 4).map { t =>
+      val planes = Similarity.planeLiterals(dims = 64, planes = 8, seed = 42L + 1000L * t)
+      val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN ${dotPlane(p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n          + ")
+      s"SELECT vec_id, v, nrm, $t AS tbl, $bucketExpr AS bucket FROM n"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt($selfDotSql) AS nrm FROM e),
+       |cb AS ($perTable),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM cb c JOIN cb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |         WHERE q.vec_id < 5),
+       |scored AS (SELECT cd.query_id, cd.neighbor_id,
+       |             $pairDotSql / (l.nrm * r.nrm) AS score
+       |           FROM cand cd
+       |           JOIN n l ON l.vec_id = cd.neighbor_id
+       |           JOIN n r ON r.vec_id = cd.query_id),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY score DESC, neighbor_id) AS rank,
+       |             round(score, 6) AS score_r
+       |           FROM scored)
+       |SELECT query_id, neighbor_id, rank, score_r
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   private val extOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -1135,6 +1242,28 @@ object SparkEntry {
          |       CAST(($total) > 0 AS INT) AS has_pii
          |FROM scanned ORDER BY c_custkey""".stripMargin
     },
+
+    "x_neardup_embedding" -> neardupEmbeddingSql,
+
+    "x_sim_lsh" -> simLshSql,
+
+    "x_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt($selfDotSql) AS nrm FROM e),
+         |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |        $pairDotSql / (l.nrm * r.nrm) AS cosine
+         |      FROM n l JOIN n r ON l.vec_id < r.vec_id)
+         |SELECT a, b, round(cosine, 6) AS cosine_r FROM p
+         |WHERE cosine >= 0.35 ORDER BY a, b""".stripMargin,
+
+    "x_embed_stats" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT sqrt($selfDotSql) AS nrm FROM e)
+         |SELECT count(*) AS n_vecs,
+         |       round(min(nrm), 6) AS min_norm,
+         |       round(max(nrm), 6) AS max_norm,
+         |       CAST(sum(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
+         |FROM n""".stripMargin,
 
     "x_sim_bruteforce" ->
       """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -54,6 +54,25 @@ object Similarity {
   }
 
   /**
+   * Exact all-pairs cosine at-or-above `threshold` — the
+   * verification-grade baseline that the LSH ([[Dedup.embeddingNearDups]])
+   * and IVF paths are measured against. Inherently O(n²): at full corpus
+   * scale run it on a sample or on LSH candidates; the broadcast side
+   * here is the whole (small-by-contract) frame, mirroring
+   * [[bruteForceTopK]]'s role as the exactness reference.
+   */
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings.select(col(idCol), col(vecCol))
+    val l = e.select(col(idCol).as("a"), col(vecCol).as("__va"))
+    val r = e.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplanes: plane p, dim i ~ N(0,1)
    * derived from `java.util.Random(seed*31 + p)` at plan time — literal
    * arrays, broadcast implicitly with the plan, identical on every
