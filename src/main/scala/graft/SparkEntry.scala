@@ -332,7 +332,22 @@ object SparkEntry {
         |  SELECT 1767225600, 'Timeseries', 'square', 'tsb',
         |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS DOUBLE), 'Count'
         |  FROM generate_series(0, 499) AS g(t)
-        |) ORDER BY id, value""".stripMargin
+        |) ORDER BY id, value""".stripMargin,
+
+    // Wire-format oracle: the blueprint uses only deterministic shapes
+    // (constant 5, square 2/9 width 1/1), so the grouped envelope JSON
+    // — including Spark's to_json field order and the sorted datapoint
+    // array — is reconstructed literally.
+    "d_envelopes" ->
+      """SELECT t,
+        |  'amazon-macie-activity-generator' AS source,
+        |  'execute-datapoints' AS action,
+        |  '2026-01-01T00:00:00Z' AS "timestamp",
+        |  '[{"generator_id":"tsa","value":5},{"generator_id":"tsb","value":' ||
+        |    CASE WHEN t % 2 = 0 THEN '2' ELSE '9' END || '}]' AS datapoints,
+        |  '{"type":"lambda","function_name":"fn1"}' AS target
+        |FROM generate_series(0, 99) AS g(t)
+        |ORDER BY t""".stripMargin
   )
 
   // === Relational suite over the TPC-H-ish tables =======================
@@ -1030,6 +1045,30 @@ object SparkEntry {
       |       lpad(CAST((c_custkey * 999983) % 10000000000000000 AS VARCHAR), 16, '0') END
       |) AS txt FROM customer""".stripMargin
 
+  /** DuckDB mirror of "exact 3-gram jaccard pairs >= threshold →
+    * min-reachable-id clusters" (recursive CTE transitive closure). */
+  private def jaccardClustersSql(threshold: Double): String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |grams AS (SELECT doc_id, unnest(list_distinct(
+       |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |                 ELSE [array_to_string(tk[i:i+2], ' ')
+       |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+       |          FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+       |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+       |          GROUP BY 1, 2),
+       |pairs AS (SELECT a, b FROM inter
+       |          JOIN sizes sa ON sa.doc_id = a
+       |          JOIN sizes sb ON sb.doc_id = b
+       |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= $threshold),
+       |edges AS (SELECT a AS x, b AS y FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach AS (SELECT x AS id, x AS r FROM edges
+       |          UNION
+       |          SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x)
+       |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   /** DuckDB fragment: sequential-fold self dot product of `v` (matches
     * the engine's left-to-right fold in NativeFunctions.dot). */
   private val selfDotSql =
@@ -1138,27 +1177,14 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
          |ORDER BY a, b""".stripMargin,
 
-    "x_dedup_clusters" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |grams AS (SELECT doc_id, unnest(list_distinct(
-         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-         |                 ELSE [array_to_string(tk[i:i+2], ' ')
-         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
-         |          FROM toks),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
-         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
-         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
-         |          GROUP BY 1, 2),
-         |pairs AS (SELECT a, b FROM inter
-         |          JOIN sizes sa ON sa.doc_id = a
-         |          JOIN sizes sb ON sb.doc_id = b
-         |          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05),
-         |edges AS (SELECT a AS x, b AS y FROM pairs
-         |          UNION SELECT b, a FROM pairs),
-         |reach AS (SELECT x AS id, x AS r FROM edges
-         |          UNION
-         |          SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x)
-         |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "x_dedup_clusters" -> jaccardClustersSql(0.05),
+
+    // Exact transitive closure at the pipeline's verify threshold: the
+    // LSH banding stage only *proposes* candidates and the exact-jaccard
+    // verify keeps pairs >= 0.3, so the output equals the closure over
+    // ALL exact pairs >= 0.3 whenever LSH recall is 1.0 — which holds
+    // (and is pinned by ExtSpec's ground-truth check) on this corpus.
+    "x_neardup_text" -> jaccardClustersSql(0.3),
 
     "x_text_quality" ->
       s"""SELECT doc_id,
