@@ -606,6 +606,48 @@ object SparkEntry {
         .orderBy("band")
     }),
 
+    // Bloom semi-join reduction: the selective dim's key set rides a
+    // broadcast Bloom filter that prunes the fact side BEFORE its
+    // shuffle; false positives drop in the real join, so the result
+    // equals the plain join (which is exactly what the oracle runs).
+    "q_bloom_join" -> ((s, dir) => {
+      val dim = tbl(s, dir, "orders").where(col("o_totalprice") > 450000.0)
+      graft.operators.SkewUtils.bloomPrunedJoin(tbl(s, dir, "lineitem"), dim,
+          "l_orderkey", "o_orderkey", expectedKeys = 20000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    // per-priority, and grand-total aggregates in one pass.
+    "q_grouping_sets" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")),
+
+    // Rolling window over event time per type (7-row trailing frame);
+    // the frame sum runs in decimal so it is exact under any
+    // evaluation order.
+    "q_rolling_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t_us"), col("event_id")).rowsBetween(-6, 0)
+      eventsTbl(s, dir)
+        .select(col("event_type"), expr("ts div 1000").as("t_us"),
+          col("event_id"), col("value"))
+        .withColumn("roll_sum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .drop("value")
+        .orderBy("event_type", "t_us", "event_id")
+    }),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -754,6 +796,29 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 450000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_rolling_window" ->
+      """SELECT event_type, epoch_us(ts) AS t_us, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS roll_sum,
+        |  count(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, t_us, event_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS t_click_us,

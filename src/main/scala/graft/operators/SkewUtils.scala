@@ -62,4 +62,31 @@ object SkewUtils {
     partial.groupBy(keyCols: _*)
       .agg(flatten(collect_list(col("__shard"))).as(s"${valueCol}_list"))
   }
+
+  /**
+   * Semi-join reduction via Bloom filter: build a Bloom filter over the
+   * (selective) dim side's join keys, broadcast it, and pre-filter the
+   * fact side BEFORE its shuffle — the classic trick when the dim side
+   * is too large to broadcast as a hash table but its key set still
+   * fits a few MB of bits. False positives just flow into the real join
+   * and drop there, so the result is semantically identical to the
+   * plain equi-join (hash-verified by the `q_bloom_join` oracle).
+   *
+   * At 100 TB this is the difference between shuffling the whole fact
+   * table and shuffling only the ~matching fraction; Spark's own
+   * runtime bloom-filter rewrite does the same under AQE — this
+   * operator makes the reduction explicit and tunable (expectedKeys /
+   * fpp trade filter size vs pruning power).
+   */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = fact.sparkSession
+    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
+    val bfBc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bfBc.value.mightContainLong(k))
+    fact.where(mightContain(col(factKey)))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

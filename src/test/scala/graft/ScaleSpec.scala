@@ -23,6 +23,21 @@ class ScaleSpec extends SparkSpec {
     salted.collect().toSeq shouldBe plain.collect().toSeq
   }
 
+  test("bloom-pruned join ≡ plain join; filter actually prunes non-keys") {
+    val fact = (0L until 1000L).map(i => (i, s"p$i")).toDF("fk", "payload")
+    val dim = Seq((10L, "x"), (500L, "y"), (999L, "z")).toDF("dk", "tag")
+    val plain = fact.join(dim, $"fk" === $"dk").orderBy("fk")
+    val bloomed = SkewUtils.bloomPrunedJoin(fact, dim, "fk", "dk",
+      expectedKeys = 10L, fpp = 0.01).orderBy("fk")
+    bloomed.collect().toSeq shouldBe plain.collect().toSeq
+    // the pre-filter must cut the fact side to ~|dim| (+ fp slack),
+    // otherwise the "reduction" shuffles everything anyway
+    val bf = dim.stat.bloomFilter("dk", 10L, 0.01)
+    val mightContain = udf { (k: Long) => bf.mightContainLong(k) }
+    val kept = fact.where(mightContain($"fk")).count()
+    kept should be < 100L
+  }
+
   test("salted collect_list preserves the multiset per key") {
     val df = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
     val out = SkewUtils.saltedCollectList(df, Seq("k"), "v", buckets = 5)
