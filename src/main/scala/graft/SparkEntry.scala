@@ -891,11 +891,20 @@ object SparkEntry {
     // Corpus-wide bigram heavy hitters: map-side-combinable hash agg
     // over the exploded grams, then TakeOrdered (never a global sort)
     // with a full tie-break so the top-k set is deterministic.
-    "x_ngram_topk" -> ((s, dir) =>
+    // Grams come from arrays_zip of two shifted slices — plain
+    // expressions, NOT a higher-order `transform` (HOF lambdas are
+    // interpreted per element; the zip form stays codegen-friendly and
+    // builds each gram string once, post-explode).
+    "x_ngram_topk" -> ((s, dir) => {
+      val toks = TextStats.tokens(col("text"))
+      val n1 = greatest(size(toks) - 1, lit(0))
       tbl(s, dir, "documents")
-        .select(explode(TextStats.wordNgrams(col("text"), 2)).as("gram"))
+        .select(explode(arrays_zip(
+          slice(toks, lit(1), n1).as("a"), slice(toks, lit(2), n1).as("b"))).as("z"))
+        .select(concat_ws(" ", col("z.a"), col("z.b")).as("gram"))
         .groupBy("gram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("gram")).limit(50)),
+        .orderBy(col("n").desc, col("gram")).limit(50)
+    }),
 
     // Vocabulary statistics via two-level aggregation: per-token counts
     // (one shuffle on the token), then a scalar rollup — total tokens,
@@ -909,16 +918,21 @@ object SparkEntry {
 
     // Per-document repetition: duplicated-bigram fraction — the standard
     // "repetitive text" pretraining filter signal. Pure projection, no
-    // shuffle.
+    // shuffle. Counts avoid materializing gram strings entirely:
+    // total bigrams = token count - 1, distinct bigrams = the native
+    // one-pass hashed-shingle kernel (2^-64 collision odds, same
+    // equivalence the oracle-checked jaccard pipeline relies on).
     "x_repetition" -> ((s, dir) => {
-      val bg = TextStats.wordNgrams(col("text"), 2)
+      val toks = TextStats.tokens(col("text"))
+      val nb = greatest(size(toks) - 1, lit(0)).cast("long")
+      val nd = when(size(toks) < 2, lit(0L))
+        .otherwise(size(graft.plans.NativeFunctions.hashedShingles(col("text"), 2)).cast("long"))
       tbl(s, dir, "documents").select(
         col("doc_id"),
-        size(bg).cast("long").as("n_bigrams"),
-        size(array_distinct(bg)).cast("long").as("n_distinct"),
-        when(size(bg) === 0, lit(0.0)).otherwise(
-          (size(bg) - size(array_distinct(bg))).cast("double") /
-            size(bg).cast("double")).as("rep_ratio"))
+        nb.as("n_bigrams"),
+        nd.as("n_distinct"),
+        when(nb === 0, lit(0.0)).otherwise(
+          (nb - nd).cast("double") / nb.cast("double")).as("rep_ratio"))
         .orderBy("doc_id")
     }),
 

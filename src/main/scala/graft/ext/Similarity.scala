@@ -63,11 +63,15 @@ object Similarity {
    */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms computed once per vector BEFORE the pair join — per-pair
+    // cosine is then a single dot product instead of three
     val e = embeddings.select(col(idCol), col(vecCol))
-    val l = e.select(col(idCol).as("a"), col(vecCol).as("__va"))
-    val r = e.select(col(idCol).as("b"), col(vecCol).as("__vb"))
+      .withColumn("__n", norm(col(vecCol)))
+    val l = e.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val r = e.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     l.join(broadcast(r), col("a") < col("b"))
-      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
   }
