@@ -648,6 +648,23 @@ object SparkEntry {
         .orderBy("event_type", "t_us", "event_id")
     }),
 
+    // Window-function variety over one pass: lag/lead navigation,
+    // ntile bucketing, percent_rank — per-customer order history.
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_date_e"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_date_e"),
+          col("o_totalprice"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .orderBy("o_custkey", "o_date_e", "o_orderkey")
+    }),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -819,6 +836,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, t_us, event_id""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date_e,
+        |       o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY epoch(o_orderdate), o_orderkey)
+        |ORDER BY o_custkey, o_date_e, o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS t_click_us,
