@@ -27,6 +27,21 @@ object EventTimeOps {
       .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /**
+   * Streaming exact dedup with bounded state: drop repeat `keyCols`
+   * arrivals, keeping state only within the watermark horizon —
+   * `dropDuplicatesWithinWatermark` reclaims each key's state once the
+   * watermark passes it, so state is bounded by the lateness window
+   * instead of growing with the whole stream. The streaming counterpart
+   * of the batch `Dedup.exact*` operators (same key semantics) for
+   * at-least-once sources that can redeliver.
+   */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "30 minutes", tsCol: String = "ts"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, s_start: Long, s_end: Long,

@@ -48,6 +48,28 @@ class StreamingSpec extends SparkSpec {
     rows.map(_._2).sum shouldBe 2L // 13:00 window still open; straggler dropped
   }
 
+  test("streaming dedup within watermark drops redelivered keys, keeps distinct ones") {
+    import graft.streaming.EventTimeOps
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    // batch 1 contains an intra-batch duplicate of event 1
+    mem.addData((1L, ts(0), 1.0), (1L, ts(0), 1.0), (2L, ts(1), 2.0))
+    val df = mem.toDF().toDF("event_id", "ts", "value")
+    val q = EventTimeOps.dedupWithinWatermark(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    // batch 2 redelivers event 2 (within the watermark horizon) and
+    // adds a fresh event 3
+    mem.addData((2L, ts(1), 2.0), (3L, ts(2), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_test").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    rows shouldBe Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+  }
+
   test("stateful sessionization closes sessions on gap and emits summaries") {
     import graft.streaming.EventTimeOps
     import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
