@@ -14,7 +14,10 @@ object Bench {
     // query doesn't absorb session startup cost.
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) run order: Map iteration order shifts as
+    // queries are added, which silently reshuffles warm-up/GC effects
+    // between rounds; sorted order keeps per-query numbers comparable.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the computation under measurement) writes nothing.
@@ -36,7 +39,7 @@ object Bench {
       .mkString("{", ",", "}")
     // total sums successful runs only; failures are visible as -1 in
     // the per-query map (a -1 folded into the total would corrupt it).
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
