@@ -528,9 +528,6 @@ object SparkEntry {
     // equal the plain join (same oracle shape as q_salted_join).
     "q_bucketed_join" -> ((s, dir) => {
       val buckets = 8
-      val suffix = scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff
-      val lTbl = s"l_bucketed_$suffix"
-      val oTbl = s"o_bucketed_$suffix"
       // Each table guarded separately so a failure between the two
       // writes self-heals on retry. The in-memory catalog forgets tables
       // between sessions but warehouse dirs survive: a COMPLETE previous
@@ -538,7 +535,12 @@ object SparkEntry {
       // table over the same LOCATION — bucket ids live in the file
       // names, so the shuffle-free join survives without re-bucketing
       // the fact tables every session. Partial writes are cleared and
-      // redone.
+      // redone. The table name fingerprints sf dir + schema + bucket
+      // count, so changing any of those falls through to a fresh CTAS
+      // instead of silently attaching stale files.
+      def suffix(src: org.apache.spark.sql.DataFrame): Int =
+        scala.util.hashing.MurmurHash3.stringHash(
+          s"$dir|${src.schema.toDDL}|$buckets") & 0x7fffffff
       def ensure(t: String, keyCol: String)(src: org.apache.spark.sql.DataFrame): Unit =
         if (!s.catalog.tableExists(t)) {
           val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
@@ -558,10 +560,12 @@ object SparkEntry {
               .mode("overwrite").saveAsTable(t)
           }
         }
-      ensure(lTbl, "l_orderkey")(
-        tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"))
-      ensure(oTbl, "o_orderkey")(
-        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+      val lSrc = tbl(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+      val oSrc = tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      val lTbl = s"l_bucketed_${suffix(lSrc)}"
+      val oTbl = s"o_bucketed_${suffix(oSrc)}"
+      ensure(lTbl, "l_orderkey")(lSrc)
+      ensure(oTbl, "o_orderkey")(oSrc)
       s.table(lTbl)
         .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
@@ -621,7 +625,10 @@ object SparkEntry {
     }),
 
     // Explicit GROUPING SETS (beyond rollup/cube): per-status,
-    // per-priority, and grand-total aggregates in one pass.
+    // per-priority, and grand-total aggregates in one pass. NULL
+    // grouping keys are coalesced to 'ALL' like q_rollup/q_cube —
+    // engines disagree on NULL sort position, so NULL keys must never
+    // reach the cross-engine compare.
     "q_grouping_sets" -> ((s, dir) =>
       tbl(s, dir, "orders")
         .groupingSets(
@@ -629,7 +636,10 @@ object SparkEntry {
           col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(dec2(col("o_totalprice"))).cast("double").as("sum_price"))
-        .orderBy("o_orderstatus", "o_orderpriority")),
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")),
 
     // Rolling window over event time per type (7-row trailing frame);
     // the frame sum runs in decimal so it is exact under any
@@ -822,11 +832,13 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(*) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+        |ORDER BY status, priority""".stripMargin,
 
     "q_rolling_window" ->
       """SELECT event_type, epoch_us(ts) AS t_us, event_id,
@@ -1015,16 +1027,19 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
 
-    // Norm statistics over the embedding corpus; the sum runs in
-    // decimal so the scalar aggregate is identical under any partition
-    // order.
+    // Norm statistics over the embedding corpus. The sum is quantized
+    // to integer micro-units BEFORE aggregating: long addition is exact
+    // and order-independent, and `round(x*1e6)` is the same computation
+    // in both engines — unlike a double→DECIMAL(28,12) cast, whose
+    // 12th-digit rounding mode differs between engines on ~1/1500
+    // full-precision doubles.
     "x_embed_stats" -> ((s, dir) =>
       tbl(s, dir, "embeddings")
         .select(Similarity.norm(col("embedding")).as("nrm"))
         .agg(count(lit(1)).as("n_vecs"),
           round(min("nrm"), 6).as("min_norm"),
           round(max("nrm"), 6).as("max_norm"),
-          sum(col("nrm").cast("decimal(28,12)")).cast("double").as("sum_norm"))),
+          sum(round(col("nrm") * 1e6).cast("long")).as("sum_norm_u6"))),
 
     // Oracle-checked like x_neardup_embedding: all 4 hash tables' plane
     // constants are injected into the DuckDB SQL (simLshSql).
@@ -1290,8 +1305,9 @@ object SparkEntry {
     // Exact transitive closure at the pipeline's verify threshold: the
     // LSH banding stage only *proposes* candidates and the exact-jaccard
     // verify keeps pairs >= 0.3, so the output equals the closure over
-    // ALL exact pairs >= 0.3 whenever LSH recall is 1.0 — which holds
-    // (and is pinned by ExtSpec's ground-truth check) on this corpus.
+    // ALL exact pairs >= 0.3 whenever LSH recall is 1.0 — verified by
+    // running this oracle at sf0.001, sf0.01, AND sf0.1 (the data and
+    // seeds are fixed, so the banding outcome is deterministic per SF).
     "x_neardup_text" -> jaccardClustersSql(0.3),
 
     "x_text_quality" ->
@@ -1396,7 +1412,7 @@ object SparkEntry {
          |SELECT count(*) AS n_vecs,
          |       round(min(nrm), 6) AS min_norm,
          |       round(max(nrm), 6) AS max_norm,
-         |       CAST(sum(CAST(nrm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm
+         |       CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_norm_u6
          |FROM n""".stripMargin,
 
     "x_sim_bruteforce" ->

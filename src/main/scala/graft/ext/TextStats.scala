@@ -108,6 +108,13 @@ object TextStats {
    * semantics, in contrast to [[Dedup.shingles]] which falls back to
    * the whole document (a recall choice for dedup candidate
    * generation, wrong for frequency counting).
+   *
+   * NOTE: this is the semantic REFERENCE implementation; the `transform`
+   * lambda is interpreted per element, so corpus-scale hot paths must
+   * not call it. For counting, derive sizes without materializing grams
+   * (total = tokens−n+1; distinct = the native hashed-shingle kernel);
+   * for materialized bigrams use the codegen-friendly
+   * `arrays_zip(slice, slice)` formulation (see `x_ngram_topk`).
    */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -34,24 +34,24 @@ object AsOfJoin {
       lTime: String, rTime: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     val keyCols = keys.map(col)
-    val l = left
-      .withColumn("__t", col(lTime).cast("long"))
-      .withColumn("__is_l", lit(1))
-      .withColumn("__r", lit(null).cast("string")) // placeholder, retyped by unionByName
     val r = right.select(
       keyCols :+ col(rTime).cast("long").as("__t") :+ lit(0).as("__is_l")
         :+ struct(payload.map(col): _*).as("__r"): _*)
-    // unionByName(allowMissing) nulls the left-only columns on right rows;
-    // the string placeholder on the left is replaced by a real struct
-    // column by re-selecting from the right schema's type.
-    val unioned = l.drop("__r")
+    // unionByName(allowMissing) nulls the left-only columns on right
+    // rows; the left side carries a correctly-typed null struct so the
+    // union schemas line up.
+    val l = left
+      .withColumn("__t", col(lTime).cast("long"))
+      .withColumn("__is_l", lit(1))
       .withColumn("__r", lit(null).cast(r.schema("__r").dataType))
-      .unionByName(r, allowMissingColumns = true)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal timestamps (__is_l asc)
     // so `rTime == lTime` matches — inclusive as-of, same as DuckDB's
-    // ASOF JOIN `l.t >= r.t`.
+    // ASOF JOIN `l.t >= r.t`. The payload struct is the final ordering
+    // key: among right rows sharing (keys, rTime) the greatest payload
+    // wins deterministically instead of depending on shuffle order.
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t"), col("__is_l"))
+      .orderBy(col("__t"), col("__is_l"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
