@@ -186,6 +186,21 @@ object SparkEntry {
         .orderBy("t")
     }),
 
+    // D1 inverse: unpivot (melt) the wide slot frame back to the long
+    // IR — proves the transpose is lossless in both directions.
+    "d_unpivot" -> ((s, _) => {
+      val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":5}"""))
+      val b = Generators.square(s, "tsb",
+        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
+      val wide = Transforms.zeroFillAlign(
+          Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
+        .groupBy("t").pivot("generator_id", Seq("tsa", "tsb")).agg(first("value"))
+      wide.unpivot(Array(col("t")), Array(col("tsa"), col("tsb")),
+          "generator_id", "value")
+        .select("generator_id", "t", "value")
+        .orderBy("generator_id", "t")
+    }),
+
     // D6/D7 grouped envelopes as JSON-ready frames.
     "d_envelopes" -> ((s, _) => {
       val bp = BlueprintParser.parse(
@@ -333,6 +348,17 @@ object SparkEntry {
         |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS DOUBLE), 'Count'
         |  FROM generate_series(0, 499) AS g(t)
         |) ORDER BY id, value""".stripMargin,
+
+    "d_unpivot" ->
+      """SELECT * FROM (
+        |  SELECT 'tsa' AS generator_id, t,
+        |         CAST(CASE WHEN t < 300 THEN 5 ELSE 0 END AS BIGINT) AS value
+        |  FROM generate_series(0, 499) AS g(t)
+        |  UNION ALL
+        |  SELECT 'tsb' AS generator_id, t,
+        |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS BIGINT) AS value
+        |  FROM generate_series(0, 499) AS g(t)
+        |) ORDER BY generator_id, t""".stripMargin,
 
     // Wire-format oracle: the blueprint uses only deterministic shapes
     // (constant 5, square 2/9 width 1/1), so the grouped envelope JSON
