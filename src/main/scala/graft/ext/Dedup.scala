@@ -212,10 +212,13 @@ object Dedup {
     // union below reads a checkpoint instead of evaluating the whole
     // upstream pipeline twice.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    // Both edge directions, read twice from the checkpoint (narrow).
+    // No distinct() and no second checkpoint: pair inputs are already
+    // deduplicated by their producers, and even duplicate edges cannot
+    // change a min-aggregation — a distinct here would only add a full
+    // shuffle of the edge set per call.
     val edges = p.select(col("a").as("x"), col("b").as("y"))
       .union(p.select(col("b").as("x"), col("a").as("y")))
-      .distinct()
-      .localCheckpoint()
     // Seed labels with the distance-1 minimum (min of self and direct
     // neighbors) straight from the edge scan — one aggregation replaces
     // the first propagation round. Both edge directions are present, so
