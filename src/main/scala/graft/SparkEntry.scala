@@ -1053,6 +1053,26 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
 
+    // ANN quality measurement: recall@5 of the LSH path against the
+    // exact brute-force baseline, per query vector — the "did the
+    // approximate path actually work" check, itself oracle-checked.
+    "x_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(emb, queries, k = 5)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(lsh, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy("query_id")
+    }),
+
     // Norm statistics over the embedding corpus. The sum is quantized
     // to integer micro-units BEFORE aggregating: long addition is exact
     // and order-independent, and `round(x*1e6)` is the same computation
@@ -1295,6 +1315,28 @@ object SparkEntry {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB mirror of x_sim_bruteforce (exact cosine top-5 for the
+    * first 5 vectors) — also reused as a CTE by x_ann_recall. */
+  private val simBruteforceSql: String =
+    """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
+      |      FROM e),
+      |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                    [c.v[i] * q.qv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
+      |                  / (c.nrm * q.qn) AS score
+      |           FROM n c CROSS JOIN q),
+      |ranked AS (SELECT query_id, neighbor_id,
+      |                  row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY score DESC, neighbor_id) AS rank,
+      |                  round(score, 6) AS score_r
+      |           FROM scored)
+      |SELECT query_id, neighbor_id, rank, score_r
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val extOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1441,25 +1483,23 @@ object SparkEntry {
          |       CAST(sum(CAST(round(nrm * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_norm_u6
          |FROM n""".stripMargin,
 
-    "x_sim_bruteforce" ->
-      """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |               [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
-        |      FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-        |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-        |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |                    [c.v[i] * q.qv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
-        |                  / (c.nrm * q.qn) AS score
-        |           FROM n c CROSS JOIN q),
-        |ranked AS (SELECT query_id, neighbor_id,
-        |                  row_number() OVER (PARTITION BY query_id
-        |                                     ORDER BY score DESC, neighbor_id) AS rank,
-        |                  round(score, 6) AS score_r
-        |           FROM scored)
-        |SELECT query_id, neighbor_id, rank, score_r
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    "x_sim_bruteforce" -> simBruteforceSql,
+
+    // ANN quality measurement as a first-class query: recall@5 of the
+    // LSH path against the exact baseline, per query vector. Both
+    // sides' oracle SQL is reused verbatim as CTEs, so the measured
+    // recall is itself exactly cross-engine-checked.
+    "x_ann_recall" ->
+      s"""WITH bf AS ($simBruteforceSql),
+         |lsh AS ($simLshSql),
+         |hits AS (SELECT bf.query_id, count(*) AS n_hit
+         |         FROM bf JOIN lsh USING (query_id, neighbor_id)
+         |         GROUP BY bf.query_id)
+         |SELECT query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(n_hit, 0) * 20 AS BIGINT) AS recall_pct
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
   )
 
   // ---------------------------------------------------------------------
