@@ -47,6 +47,32 @@ class ScaleSpec extends SparkSpec {
     out(2) shouldBe (2 to 98 by 3)
   }
 
+  test("LSH top-k recall is high on clustered vectors (low on noise is expected)") {
+    import graft.ext.Similarity
+    // 20 well-separated cluster centers, 10 tight members each: the
+    // regime LSH exists for. Deterministic construction.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(64)(rnd.nextGaussian() * 5.0))
+    val rows = for {
+      c <- centers.indices
+      m <- 0 until 10
+    } yield (c.toLong * 10 + m,
+      centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" % 10 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id")
+    val hits = bf.join(lsh, Seq("query_id", "neighbor_id")).count()
+    val total = bf.count()
+    total shouldBe 100L // 20 queries × 5
+    // same-cluster members collide in every hyperplane table with high
+    // probability; demand strong (not perfect) recall
+    hits.toDouble / total should be >= 0.9
+  }
+
   test("IVF top-k: self-match at rank 1, deterministic across runs") {
     val vecs = (0L until 100L).map { i =>
       val r = new java.util.Random(i)
