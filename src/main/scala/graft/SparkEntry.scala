@@ -701,6 +701,16 @@ object SparkEntry {
         .orderBy("o_custkey", "o_date_e", "o_orderkey")
     }),
 
+    // Grouped top-k via the bounded typed Aggregator (map-side pruning:
+    // each partition forwards <= k rows per group into the shuffle),
+    // oracle-checked against the window-rank formulation it replaces.
+    "q_topk_agg" -> ((s, dir) =>
+      graft.operators.TopK.perGroup(
+          tbl(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey")),
+          "l_returnflag", "l_extendedprice", "l_orderkey", k = 3)
+        .orderBy("l_returnflag", "rank")),
+
     // Global sort + limit with a full tie-break.
     "q_sort_limit" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -849,6 +859,14 @@ object SparkEntry {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT l_returnflag, rank, l_extendedprice, l_orderkey FROM (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey) AS INT) AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin,
 
     "q_bloom_join" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Grouped top-k via a typed [[Aggregator]] with a BOUNDED buffer — the
+ * scale-friendly alternative to `row_number().over(partitionBy(...))
+ * <= k`: the window form shuffles and sorts EVERY row of every group,
+ * while an aggregator participates in partial (map-side) aggregation,
+ * so each partition forwards at most k rows per group into the
+ * shuffle. At 100 TB with small k this is the difference between
+ * shuffling the table and shuffling ~k rows per (group, partition).
+ *
+ * Entries are (score, id); ordering is score DESC then id ASC, applied
+ * identically while pruning and at finish, so results are deterministic
+ * under any partitioning.
+ */
+object TopK {
+
+  /** Buffer kept sorted (score desc, id asc), length <= k. Encoders are
+    * supplied by the caller's session implicits. */
+  final class TopKAggregator(k: Int)(
+      implicit seqEnc: Encoder[Seq[(Double, Long)]])
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    require(k > 0, "k must be positive")
+
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+
+    override def zero: Seq[(Double, Long)] = Nil
+
+    private def insert(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] = {
+      val (before, after) = buf.span(ord.lt(_, e))
+      val merged = (before :+ e) ++ after
+      if (merged.length > k) merged.take(k) else merged
+    }
+
+    override def reduce(buf: Seq[(Double, Long)], e: (Double, Long)): Seq[(Double, Long)] =
+      insert(buf, e)
+
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.foldLeft(a)(insert)
+
+    override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
+  }
+
+  /**
+   * Top-k rows per group: `df` must expose `groupCol` (string),
+   * `scoreCol` (double) and `idCol` (long). Output: one row per kept
+   * entry with a 1-based `rank`.
+   */
+  def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(groupCol).cast("string"),
+        col(scoreCol).cast("double"), col(idCol).cast("long"))
+      .as[(String, Double, Long)]
+    val agg = new TopKAggregator(k).toColumn.name("topk")
+    ds.groupByKey(_._1)
+      .mapValues { case (_, s, id) => (s, id) }
+      .agg(agg)
+      .toDF(groupCol, "topk")
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e._1").as(scoreCol), col("e._2").as(idCol))
+  }
+}

@@ -38,6 +38,24 @@ class ScaleSpec extends SparkSpec {
     kept should be < 100L
   }
 
+  test("typed top-k aggregator: window-rank equivalence, ties, small groups, any partitioning") {
+    import graft.operators.TopK
+    val rows = Seq(
+      ("a", 5.0, 1L), ("a", 9.0, 2L), ("a", 9.0, 3L), ("a", 1.0, 4L), ("a", 7.0, 5L),
+      ("b", 2.0, 6L), ("b", 2.0, 7L), // tie on score -> id asc
+      ("c", 3.0, 8L))                 // group smaller than k
+    for (parts <- Seq(1, 3, 7)) {
+      val df = rows.toDF("g", "score", "id").repartition(parts)
+      val got = TopK.perGroup(df, "g", "score", "id", k = 3)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      got shouldBe Seq(
+        ("a", 1, 9.0, 2L), ("a", 2, 9.0, 3L), ("a", 3, 7.0, 5L),
+        ("b", 1, 2.0, 6L), ("b", 2, 2.0, 7L),
+        ("c", 1, 3.0, 8L))
+    }
+  }
+
   test("salted collect_list preserves the multiset per key") {
     val df = (1 to 100).map(i => (i % 3, i)).toDF("k", "v")
     val out = SkewUtils.saltedCollectList(df, Seq("k"), "v", buckets = 5)
