@@ -131,6 +131,25 @@ class ScaleSpec extends SparkSpec {
     delivered.toArray.map(_.asInstanceOf[Long]).sorted.toSeq shouldBe Seq(0L, 1L, 2L)
   }
 
+  test("partitioned parquet: partition pruning reads only the matching directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Seq(("click", 1L, 1.0), ("view", 2L, 2.0), ("error", 3L, 3.0),
+        ("click", 4L, 4.0), ("view", 5L, 5.0))
+      .toDF("event_type", "event_id", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).where($"event_type" === "click")
+    pruned.collect().map(_.getAs[Long]("event_id")).sorted shouldBe Array(1L, 4L)
+    // the executed plan must carry the partition filter, and the scan's
+    // selected partitions must exclude view/error directories
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+    scan.partitionFilters.map(_.toString).mkString should include("event_type")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    parts should not be empty
+    all(parts) should include("event_type=click")
+  }
+
   test("bucketed join plan has no Exchange on either join side") {
     // disable auto-broadcast so the small test tables take the
     // sort-merge path the bucketing is designed for

@@ -70,6 +70,22 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
   }
 
+  test("stream-static join enriches streaming events with a static dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0)) // 3 has no dim row
+    val joined = mem.toDF().toDF("user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).sorted.toSeq
+    rows shouldBe Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None))
+  }
+
   test("stateful sessionization closes sessions on gap and emits summaries") {
     import graft.streaming.EventTimeOps
     import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
