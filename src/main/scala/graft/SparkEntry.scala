@@ -117,14 +117,7 @@ object SparkEntry {
     }),
 
     // D1 slot transpose, wide form (pivot) for oracle comparability.
-    "d_slots" -> ((s, _) => {
-      val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":5}"""))
-      val b = Generators.square(s, "tsb",
-        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
-      Transforms.zeroFillAlign(Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
-        .groupBy("t").pivot("generator_id", Seq("tsa", "tsb")).agg(first("value"))
-        .orderBy("t")
-    }),
+    "d_slots" -> ((s, _) => slotsWideTsab(s).orderBy("t")),
 
     // D5 slicing: square wave of 0s and 7s, slice_size 3 → 0→[0], 7→[3,3,1].
     "d_slice" -> ((s, _) => {
@@ -187,19 +180,15 @@ object SparkEntry {
     }),
 
     // D1 inverse: unpivot (melt) the wide slot frame back to the long
-    // IR — proves the transpose is lossless in both directions.
-    "d_unpivot" -> ((s, _) => {
-      val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":5}"""))
-      val b = Generators.square(s, "tsb",
-        Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
-      val wide = Transforms.zeroFillAlign(
-          Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
-        .groupBy("t").pivot("generator_id", Seq("tsa", "tsb")).agg(first("value"))
-      wide.unpivot(Array(col("t")), Array(col("tsa"), col("tsb")),
+    // IR — proves the transpose is lossless in both directions. Uses
+    // the SAME wide frame as d_slots (one shared helper), so the two
+    // queries cannot drift apart.
+    "d_unpivot" -> ((s, _) =>
+      slotsWideTsab(s)
+        .unpivot(Array(col("t")), Array(col("tsa"), col("tsb")),
           "generator_id", "value")
         .select("generator_id", "t", "value")
-        .orderBy("generator_id", "t")
-    }),
+        .orderBy("generator_id", "t")),
 
     // D6/D7 grouped envelopes as JSON-ready frames.
     "d_envelopes" -> ((s, _) => {
@@ -268,6 +257,17 @@ object SparkEntry {
         bp.targets(1), Seed, Some(putKeys)).orderBy("t", "key")
     })
   )
+
+  /** The d_slots wide frame (constant tsa=5×300 + square tsb, aligned
+    * to 500 slots, pivoted) — shared by d_slots and its d_unpivot
+    * inverse so the roundtrip proof can't drift. */
+  private def slotsWideTsab(s: SparkSession): DataFrame = {
+    val a = Generators.constant(s, "tsa", Config.of("""{"num_points":300,"constant":5}"""))
+    val b = Generators.square(s, "tsb",
+      Config.of("""{"num_points":500,"low_value":10,"low_width":10,"high_value":40,"high_width":5}"""))
+    Transforms.zeroFillAlign(Transforms.intCast(a unionByName b), Seq("tsa", "tsb"), 500L)
+      .groupBy("t").pivot("generator_id", Seq("tsa", "tsb")).agg(first("value"))
+  }
 
   private val engineOracles: Map[String, String] = Map(
     "g_sinusoidal" ->
@@ -1032,7 +1032,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.bruteForceTopK(emb, queries, k = 5)
+      Similarity.bruteForceTopK(emb, queries, k = AnnK)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("score"), 6).as("score_r"))
         .orderBy("query_id", "rank")
@@ -1078,16 +1078,16 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = AnnK)
         .select("query_id", "neighbor_id")
-      val lsh = Similarity.lshTopK(emb, queries, k = 5)
+      val lsh = Similarity.lshTopK(emb, queries, k = AnnK)
         .select("query_id", "neighbor_id")
       val hits = bf.join(lsh, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
       queries.select("query_id").join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          (coalesce(col("n_hit"), lit(0L)) * 20).as("recall_pct"))
+          (coalesce(col("n_hit"), lit(0L)) * (100 / AnnK)).as("recall_pct"))
         .orderBy("query_id")
     }),
 
@@ -1111,7 +1111,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.lshTopK(emb, queries, k = 5)
+      Similarity.lshTopK(emb, queries, k = AnnK)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("score"), 6).as("score_r"))
         .orderBy("query_id", "rank")
@@ -1121,7 +1121,7 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      Similarity.ivfTopK(emb, queries, k = 5).orderBy("query_id", "rank")
+      Similarity.ivfTopK(emb, queries, k = AnnK).orderBy("query_id", "rank")
     }),
 
     "x_media_meta" -> ((s, dir) =>
@@ -1256,6 +1256,12 @@ object SparkEntry {
        |          SELECT reach.id, e.y FROM reach JOIN edges e ON reach.r = e.x)
        |SELECT id, min(r) AS rep FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** k for the ANN query suite (bruteforce/LSH/IVF top-k and the
+    * recall measurement) — one constant shared by the Spark queries AND
+    * the generated oracle SQL so the `recall_pct` arithmetic and the
+    * `rank <= k` bounds cannot drift apart. Must divide 100. */
+  private val AnnK = 5
+
   /** DuckDB fragment: sequential-fold self dot product of `v` (matches
     * the engine's left-to-right fold in NativeFunctions.dot). */
   private val selfDotSql =
@@ -1330,13 +1336,13 @@ object SparkEntry {
        |             round(score, 6) AS score_r
        |           FROM scored)
        |SELECT query_id, neighbor_id, rank, score_r
-       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of x_sim_bruteforce (exact cosine top-5 for the
     * first 5 vectors) — also reused as a CTE by x_ann_recall. */
   private val simBruteforceSql: String =
-    """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
       |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |               [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
@@ -1353,7 +1359,7 @@ object SparkEntry {
       |                  round(score, 6) AS score_r
       |           FROM scored)
       |SELECT query_id, neighbor_id, rank, score_r
-      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   private val extOracles: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -1514,7 +1520,7 @@ object SparkEntry {
          |         FROM bf JOIN lsh USING (query_id, neighbor_id)
          |         GROUP BY bf.query_id)
          |SELECT query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
-         |       CAST(coalesce(n_hit, 0) * 20 AS BIGINT) AS recall_pct
+         |       CAST(coalesce(n_hit, 0) * ${100 / AnnK} AS BIGINT) AS recall_pct
          |FROM (SELECT DISTINCT query_id FROM bf) q
          |LEFT JOIN hits USING (query_id)
          |ORDER BY query_id""".stripMargin

@@ -26,8 +26,14 @@ object TopK {
       extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     require(k > 0, "k must be positive")
 
+    // Matches Spark's `ORDER BY score DESC` total order, where NaN is
+    // GREATER than any double (NaN ranks first, then +Inf, ...): the
+    // leading flag puts NaN entries ahead instead of Scala's default
+    // (-NaN = NaN sorts last and would silently drop NaN rows).
     private val ord: Ordering[(Double, Long)] =
-      Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+      Ordering.by[(Double, Long), (Int, Double, Long)] { case (s, id) =>
+        (if (s.isNaN) 0 else 1, -s, id)
+      }
 
     override def zero: Seq[(Double, Long)] = Nil
 
@@ -50,14 +56,16 @@ object TopK {
   }
 
   /**
-   * Top-k rows per group: `df` must expose `groupCol` (string),
-   * `scoreCol` (double) and `idCol` (long). Output: one row per kept
-   * entry with a 1-based `rank`.
+   * Top-k rows per group: `df` must expose `groupCol` (any atomic
+   * type — grouped via its string form internally, restored to the
+   * original type in the output), `scoreCol` (double) and `idCol`
+   * (long). Output: one row per kept entry with a 1-based `rank`.
    */
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val gType = df.schema(groupCol).dataType
     val ds = df.select(col(groupCol).cast("string"),
         col(scoreCol).cast("double"), col(idCol).cast("long"))
       .as[(String, Double, Long)]
@@ -67,7 +75,8 @@ object TopK {
       .agg(agg)
       .toDF(groupCol, "topk")
       .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+      .select(col(groupCol).cast(gType).as(groupCol),
+        (col("pos") + 1).cast("int").as("rank"),
         col("e._1").as(scoreCol), col("e._2").as(idCol))
   }
 }

@@ -54,6 +54,13 @@ class ScaleSpec extends SparkSpec {
         ("b", 1, 2.0, 6L), ("b", 2, 2.0, 7L),
         ("c", 1, 3.0, 8L))
     }
+    // NaN ranks FIRST — Spark's ORDER BY score DESC treats NaN as
+    // greater than any double, and the aggregator must agree
+    val withNaN = Seq(("n", Double.NaN, 1L), ("n", 99.0, 2L),
+      ("n", Double.PositiveInfinity, 3L)).toDF("g", "score", "id")
+    val nanTop = TopK.perGroup(withNaN, "g", "score", "id", k = 2)
+      .orderBy("rank").collect().map(_.getLong(3)).toSeq
+    nanTop shouldBe Seq(1L, 3L) // NaN, then +Inf
   }
 
   test("salted collect_list preserves the multiset per key") {
@@ -132,7 +139,9 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("partitioned parquet: partition pruning reads only the matching directory") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_part")
+    val dir = dirPath.toString
+    try {
     Seq(("click", 1L, 1.0), ("view", 2L, 2.0), ("error", 3L, 3.0),
         ("click", 4L, 4.0), ("view", 5L, 5.0))
       .toDF("event_type", "event_id", "value")
@@ -148,6 +157,11 @@ class ScaleSpec extends SparkSpec {
       .flatMap(_.files).map(_.getPath.toString)
     parts should not be empty
     all(parts) should include("event_type=click")
+    } finally {
+      java.nio.file.Files.walk(dirPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
   }
 
   test("bucketed join plan has no Exchange on either join side") {
