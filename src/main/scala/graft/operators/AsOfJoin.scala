@@ -29,19 +29,38 @@ object AsOfJoin {
    * carried through the window as ONE struct, so all payload columns are
    * guaranteed to come from the same matched right row even when
    * payload values are themselves null.
+   *
+   * NULL join keys follow SQL join equality: a left row with any NULL
+   * key matches nothing (null payload), and NULL-keyed right rows match
+   * no one — same as DuckDB's ASOF JOIN. (A bare `Window.partitionBy`
+   * would group NULLs together and wrongly match them.)
+   *
+   * Timestamp columns are compared at microsecond precision
+   * (`unix_micros`); other time columns must already be integral and
+   * are compared via a plain long cast.
    */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       lTime: String, rTime: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
     val keyCols = keys.map(col)
-    val r = right.select(
-      keyCols :+ col(rTime).cast("long").as("__t") :+ lit(0).as("__is_l")
+    // Microsecond-exact ordering key for timestamps; a plain long cast
+    // would truncate TimestampType to whole seconds.
+    def timeKey(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ or _)
+    val leftNullKeyed = left.where(anyKeyNull)
+    val leftKeyed = left.where(!anyKeyNull)
+    val r = right.where(!anyKeyNull).select(
+      keyCols :+ timeKey(right, rTime).as("__t") :+ lit(0).as("__is_l")
         :+ struct(payload.map(col): _*).as("__r"): _*)
     // unionByName(allowMissing) nulls the left-only columns on right
     // rows; the left side carries a correctly-typed null struct so the
     // union schemas line up.
-    val l = left
-      .withColumn("__t", col(lTime).cast("long"))
+    val l = leftKeyed
+      .withColumn("__t", timeKey(left, lTime))
       .withColumn("__is_l", lit(1))
       .withColumn("__r", lit(null).cast(r.schema("__r").dataType))
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -58,7 +77,15 @@ object AsOfJoin {
       .where(col("__is_l") === 1)
     val out = payload.foldLeft(matched) { (df, c) =>
       df.withColumn(prefix + c, col("__m." + c))
+    }.drop("__t", "__is_l", "__r", "__m")
+    // NULL-keyed left rows skip the window entirely and go straight to
+    // the null-payload output (SQL join semantics; also avoids piling
+    // every NULL key into one window partition at scale).
+    val payloadType = r.schema("__r").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val nullOut = payload.foldLeft(leftNullKeyed) { (df, c) =>
+      df.withColumn(prefix + c, lit(null).cast(payloadType(c).dataType))
     }
-    out.drop("__t", "__is_l", "__r", "__m")
+    out.unionByName(nullOut)
   }
 }

@@ -81,12 +81,39 @@ object SkewUtils {
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val spark = fact.sparkSession
+    // Dispatch the pre-filter on the fact key's actual type: a single
+    // long-typed UDF would make Spark insert a cast-to-bigint, which
+    // under non-ANSI silently nulls (= drops) non-numeric keys before
+    // the join. `df.stat.bloomFilter` inserts integral columns as longs
+    // and strings as UTF-8 bytes, so the probe must match the build.
+    // Validate BEFORE building the filter so unsupported types fail with
+    // this contract message rather than deep inside stat.bloomFilter.
+    val factType = fact.schema(factKey).dataType
+    val dimType = dim.schema(dimKey).dataType
+    def category(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "integral"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"bloomPrunedJoin supports integral or string join keys, not $other")
+    }
+    require(category(factType) == category(dimType),
+      s"fact key type $factType and dim key type $dimType must be in the " +
+        "same Bloom-insertion category (both integral or both string)")
     val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
     val bfBc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bfBc.value.mightContainLong(k))
-    fact.where(mightContain(col(factKey)))
+    val pred = category(factType) match {
+      case "integral" =>
+        val f = udf((k: java.lang.Long) =>
+          k != null && bfBc.value.mightContainLong(k))
+        f(col(factKey).cast("long"))
+      case "string" =>
+        val f = udf((k: String) =>
+          k != null && bfBc.value.mightContainString(k))
+        f(col(factKey))
+    }
+    fact.where(pred)
       .join(dim, col(factKey) === col(dimKey))
   }
 }

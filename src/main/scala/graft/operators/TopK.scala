@@ -30,9 +30,12 @@ object TopK {
     // GREATER than any double (NaN ranks first, then +Inf, ...): the
     // leading flag puts NaN entries ahead instead of Scala's default
     // (-NaN = NaN sorts last and would silently drop NaN rows).
+    // `s + 0.0` collapses -0.0 to +0.0 first (Spark normalizes ±0.0 as
+    // equal; Scala's total order would rank them) so ±0.0 ties break by
+    // id like Spark's ORDER BY.
     private val ord: Ordering[(Double, Long)] =
       Ordering.by[(Double, Long), (Int, Double, Long)] { case (s, id) =>
-        (if (s.isNaN) 0 else 1, -s, id)
+        (if (s.isNaN) 0 else 1, -(s + 0.0), id)
       }
 
     override def zero: Seq[(Double, Long)] = Nil

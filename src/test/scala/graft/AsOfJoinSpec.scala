@@ -58,4 +58,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(0))
     out.getString(1) shouldBe "only-tag"
   }
+
+  test("NULL join keys never match (SQL join equality, like DuckDB ASOF)") {
+    val l = Seq((1L, Option("k1"), 100L), (2L, Option.empty[String], 100L))
+      .toDF("id", "k", "t")
+    val r = Seq((Option("k1"), 50L, 500L), (Option.empty[String], 10L, 999L))
+      .toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "t", "t", Seq("rid"))
+      .select("id", "asof_rid").collect()
+      .map(row => (row.getLong(0), Option(row.get(1)))).sortBy(_._1).toSeq
+    out shouldBe Seq(
+      (1L, Some(500L)), // normal keyed match unaffected
+      (2L, None))       // NULL key matches nothing, not the NULL right row
+  }
+
+  test("timestamp columns align at microsecond precision, not whole seconds") {
+    val l = Seq((1L, "k", java.sql.Timestamp.valueOf("2026-01-01 00:00:01.000500")))
+      .toDF("id", "k", "ts")
+    val r = Seq(
+      ("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:01.000400"), 1L),
+      ("k", java.sql.Timestamp.valueOf("2026-01-01 00:00:01.000600"), 2L))
+      .toDF("k", "ts", "rid")
+    // a whole-second cast would see all three at t=1 and pick rid=2
+    // (greatest payload tie-break); microsecond keys pick rid=1
+    val out = AsOfJoin.asOf(l, r, Seq("k"), "ts", "ts", Seq("rid"))
+    out.select("asof_rid").head().getLong(0) shouldBe 1L
+  }
 }

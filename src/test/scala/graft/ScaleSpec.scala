@@ -61,6 +61,26 @@ class ScaleSpec extends SparkSpec {
     val nanTop = TopK.perGroup(withNaN, "g", "score", "id", k = 2)
       .orderBy("rank").collect().map(_.getLong(3)).toSeq
     nanTop shouldBe Seq(1L, 3L) // NaN, then +Inf
+    // ±0.0 are EQUAL under Spark's ORDER BY (NormalizeFloatingNumbers);
+    // ties must break by id asc, not by sign bit
+    val zeros = Seq(("z", 0.0, 2L), ("z", -0.0, 1L), ("z", -1.0, 3L))
+      .toDF("g", "score", "id")
+    val zeroTop = TopK.perGroup(zeros, "g", "score", "id", k = 2)
+      .orderBy("rank").collect().map(_.getLong(3)).toSeq
+    zeroTop shouldBe Seq(1L, 2L) // -0.0@1 ties +0.0@2 -> id asc
+  }
+
+  test("bloom-pruned join supports string keys without a silent numeric cast") {
+    val fact = (0 until 500).map(i => (s"key$i", i)).toDF("fk", "payload")
+    val dim = Seq(("key7", "x"), ("key300", "y")).toDF("dk", "tag")
+    val plain = fact.join(dim, $"fk" === $"dk").orderBy("fk")
+    val bloomed = SkewUtils.bloomPrunedJoin(fact, dim, "fk", "dk",
+      expectedKeys = 10L, fpp = 0.01).orderBy("fk")
+    bloomed.collect().toSeq shouldBe plain.collect().toSeq
+    // mixed categories are rejected up front instead of mis-probing
+    an[IllegalArgumentException] should be thrownBy
+      SkewUtils.bloomPrunedJoin(fact, dim.select($"dk".cast("double").as("dk"), $"tag"),
+        "fk", "dk", expectedKeys = 10L)
   }
 
   test("salted collect_list preserves the multiset per key") {
