@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
+import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
 import graft.ext.{Dedup, Multimodal, PiiScan, Similarity, TextStats}
 import graft.sources.Sinks
@@ -10,10 +11,12 @@ import graft.sources.Sinks
 /**
  * Driver contract (see SURVEY.md §7): one `queries` entry per implemented
  * operator from SURVEY.md §2, with a DuckDB-equivalent `oracleSql` for
- * every operator whose semantics are SQL-expressible. Queries whose
- * results depend on the engine's hash-based RNG (xxhash64 streams) have
- * no cross-engine oracle and get the driver's rows-only check; their
- * exact semantics are pinned by seeded goldens in the ScalaTest suite.
+ * every operator whose semantics are SQL-expressible. The engine's
+ * hash-RNG is md5-based precisely so RNG-derived queries replay in
+ * DuckDB (see Rng scaladoc); the few remaining rows-only queries are
+ * those whose content passes through engine-side-only constructs
+ * (wordlist fake data, stub media codecs), pinned by seeded goldens in
+ * the ScalaTest suite instead.
  *
  * Determinism rules for oracle-checked queries (hash compare is exact):
  *  - integer/string outputs preferred; doubles only as exact passthrough
@@ -74,6 +77,27 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   private def scaleSql(lo: Double, hi: Double): String =
     s"CAST(ceil(round((v - mn) / (mx - mn) * ${hi - lo} + $lo, 9)) AS BIGINT)"
+
+  // ---------------------------------------------------------------------
+  // Cross-engine RNG replay (Rng.uniform/gaussian are md5-based so the
+  // SAME draws can be computed in DuckDB SQL — see Rng scaladoc).
+  // `tExpr` is the slot column expression; gid/stream/seed are the
+  // plan-time constants of the draw.
+  // ---------------------------------------------------------------------
+  private def uniformSql(stream: String, gid: String, tExpr: String = "t"): String =
+    s"(('0x' || substr(md5('$Seed' || chr(1) || '$stream' || chr(1) || " +
+      s"'$gid' || chr(1) || $tExpr::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+
+  /** Box-Muller standard normal, quantized to 9 digits like Rng.gaussian. */
+  private def gaussSql(stream: String, gid: String, tExpr: String = "t"): String =
+    s"round(sqrt(-2.0 * ln(1.0 - ${uniformSql(stream + "/bm1", gid, tExpr)})) * " +
+      s"cos(2.0 * pi() * ${uniformSql(stream + "/bm2", gid, tExpr)}), 9)"
+
+  /** One config shared by the g_anomalies query AND its oracle (the
+    * oracle injects the driver-side slot draws as literals). */
+  private val AnomaliesCfgJson: String =
+    """{"num_points":200,"low_value":1,"low_width":3,"high_value":7,"high_width":2,
+      | "anomalies":{"start":10,"end":50,"counts":5}}""".stripMargin
 
   // === Engine suite: generators / transforms / dispatch =================
 
@@ -171,9 +195,7 @@ object SparkEntry {
     }),
 
     "g_anomalies" -> ((s, _) => {
-      val cfg = Config.of(
-        """{"num_points":200,"low_value":1,"low_width":3,"high_value":7,"high_width":2,
-          | "anomalies":{"start":10,"end":50,"counts":5}}""".stripMargin)
+      val cfg = Config.of(AnomaliesCfgJson)
       Transforms.intCast(Transforms.applyAnomalies(
         Generators.square(s, "tsq", cfg), cfg.anomalies, cfg.numPoints, Seed, "tsq"))
         .orderBy("t")
@@ -312,6 +334,49 @@ object SparkEntry {
         |         CAST(CASE WHEN t % 15 < 10 THEN 10 ELSE 40 END AS BIGINT) AS value
         |  FROM generate_series(0, 499) AS g(t)
         |) ORDER BY generator_id, t""".stripMargin,
+
+    // The md5 counter-RNG replays bit-identically in DuckDB (Rng
+    // scaladoc); min-max scaling + round-9 + ceil mirror scaledExpr.
+    "g_random_uniform" ->
+      s"""WITH base AS (SELECT t, ${uniformSql("random/uniform", "tsr")} AS v
+         |              FROM generate_series(0, 999) AS g(t)),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'tsr' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    "g_random_gauss" ->
+      s"""WITH base AS (SELECT t, 10.0 + 3.0 * ${gaussSql("random/gauss", "tsg")} AS v
+         |              FROM generate_series(0, 999) AS g(t)),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'tsg' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    // apply_noise semantics: rescale the REALIZED gaussian sample to
+    // [noise_min, noise_max], add to the signal, clamp at 0.
+    "g_noise" ->
+      s"""WITH base AS (SELECT t, ${gaussSql("noise", "tsn")} AS v
+         |              FROM generate_series(0, 499) AS g(t)),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'tsn' AS generator_id, t,
+         |       CAST(greatest(0.0, 10.0 +
+         |            ceil(round((v - mn) / (mx - mn) * 4.0 + 1.0, 9))) AS BIGINT) AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    // Anomaly slots are drawn driver-side from the deterministic seed,
+    // so the SAME slots are injected here as literals; the default
+    // formula is (floor(max(series)) + 1)^2 over the pre-injection
+    // series.
+    "g_anomalies" -> {
+      val cfg = Config.of(AnomaliesCfgJson)
+      val slots = Transforms.anomalySlots(cfg.anomalies.head, cfg.numPoints,
+        Seed, "tsq", 0).mkString(", ")
+      s"""WITH base AS (SELECT t, CAST(CASE WHEN t % 5 < 3 THEN 1 ELSE 7 END AS DOUBLE) AS v
+         |              FROM generate_series(0, 199) AS g(t)),
+         |stats AS (SELECT pow(floor(max(v)) + 1.0, 2.0) AS anom FROM base)
+         |SELECT 'tsq' AS generator_id, t,
+         |       CAST(CASE WHEN t IN ($slots) THEN anom ELSE v END AS BIGINT) AS value
+         |FROM base, stats ORDER BY t""".stripMargin
+    },
 
     "d_slots" ->
       """SELECT t,
@@ -1038,16 +1103,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- hash-based (rows-only) ----
+    // MinHash-LSH candidate pairs — exact-oracle checked: the md5 gram
+    // key, affine permutations, and band buckets all replay in DuckDB
+    // with the same injected coefficients (Dedup.minhashCoefs).
     "x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
 
     // Full composed pipeline: LSH candidates → exact-jaccard verify →
-    // cluster resolution (rows-only: LSH banding is hash-RNG).
+    // cluster resolution. The oracle compares the exact transitive
+    // closure at the verify threshold (valid while LSH recall is 1.0 —
+    // and the candidate set itself is now pinned by the x_minhash_pairs
+    // exact oracle, so a recall drop shows up there first).
     "x_neardup_text" -> ((s, dir) =>
       Dedup.nearDuplicates(tbl(s, dir, "documents"), minJaccard = 0.3)
         .orderBy("id")),
 
+    // SimHash near-dup pairs — exact-oracle checked (60-bit md5-vote
+    // signature + 15-bit chunk banding replays in DuckDB).
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
 
@@ -1393,6 +1465,54 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "x_dedup_clusters" -> jaccardClustersSql(0.05),
+
+    // MinHash-LSH replay: same md5 gram keys, same injected affine
+    // coefficients, same band buckets (see Dedup.minhashSignatures).
+    "x_minhash_pairs" -> {
+      val (as, bs) = Dedup.minhashCoefs(32)
+      val aList = as.mkString("[", ", ", "]")
+      val bList = bs.mkString("[", ", ", "]")
+      val p = Dedup.MinhashPrime
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |                 ELSE [array_to_string(tk[i:i+2], ' ')
+         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+         |          FROM toks),
+         |xs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS x
+         |       FROM grams),
+         |sig AS (SELECT doc_id, j,
+         |               min(($aList[j+1] * x + $bList[j+1]) % $p) AS h
+         |        FROM xs CROSS JOIN generate_series(0, 31) s(j) GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, j // 4 AS band,
+         |                 string_agg(h::VARCHAR, ',' ORDER BY j) AS bucket
+         |          FROM sig GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+         |          FROM bands la JOIN bands lb ON la.band = lb.band
+         |           AND la.bucket = lb.bucket AND la.doc_id < lb.doc_id)
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+    },
+
+    // SimHash replay: 60-bit signature from per-bit ±1 votes of each
+    // distinct token's md5 key; 4×15-bit chunk banding; exact Hamming
+    // verify (see Dedup.simhashSignatures).
+    "x_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |dtok AS (SELECT doc_id, unnest(list_distinct(tk)) AS tok FROM toks),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM dtok),
+         |votes AS (SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS v
+         |          FROM hs CROSS JOIN generate_series(0, 59) s(b) GROUP BY 1, 2),
+         |sigs0 AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+         |          FROM votes GROUP BY 1),
+         |sigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+         |         FROM documents d LEFT JOIN sigs0 s ON d.doc_id = s.doc_id),
+         |chunks AS (SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS key
+         |           FROM sigs CROSS JOIN generate_series(0, 3) s(c)),
+         |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sig AS sa, r.sig AS sb
+         |         FROM chunks l JOIN chunks r ON l.c = r.c AND l.key = r.key
+         |          AND l.doc_id < r.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
 
     // Exact transitive closure at the pipeline's verify threshold: the
     // LSH banding stage only *proposes* candidates and the exact-jaccard

@@ -42,21 +42,66 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
   }
 
+  /** Prime modulus of the affine MinHash permutation family (2^31-1;
+    * products a*x stay below 2^62, so the arithmetic never overflows a
+    * BIGINT in either Spark or DuckDB). */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Seed of the affine coefficient family — a plan-time constant, so
+    * the SAME coefficients are injected into the DuckDB oracle. */
+  val MinhashCoefSeed: Long = 1234567L
+
+  /** Affine permutation coefficients h_j(x) = (a_j*x + b_j) mod p:
+    * a_j in [1, p-1], b_j in [0, p-1], drawn from [[MinhashCoefSeed]]. */
+  def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val r = new scala.util.Random(MinhashCoefSeed)
+    val as = Seq.fill(numHashes)(1L + r.nextInt((MinhashPrime - 1).toInt))
+    val bs = Seq.fill(numHashes)(r.nextInt(MinhashPrime.toInt).toLong)
+    (as, bs)
+  }
+
+  /** Exploded word n-gram STRINGS (doc id, gram) — shifted-slice zip
+    * with post-explode concat, never an interpreted higher-order
+    * lambda; documents shorter than n contribute their whole token
+    * sequence (matching the oracle's gram CTE). */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), cnt).as(s"g$j"))
+    val long = docs.where(size(toks) >= n)
+      .select(col(idCol), explode(arrays_zip(slices: _*)).as("z"))
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(j => col(s"z.g$j")): _*).as("__g"))
+    val short = docs.where(size(toks) < n)
+      .select(col(idCol), array_join(toks, " ").as("__g"))
+    long.unionByName(short)
+  }
+
+  /** 60-bit md5 gram key in [0, p): shared by Spark and the oracle
+    * (`('0x' || substr(md5(g), 1, 15))::BIGINT % p`). */
+  private def md5Key(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long") % lit(MinhashPrime)
+
   /**
-   * MinHash signatures: k independent hash functions via seeded xxhash64,
-   * signature_j = min over shingles of xxhash64(j, shingle). Computed as
-   * k map-side min-aggregations over the exploded shingle frame — one
+   * MinHash signatures: k affine permutations of the md5 gram key,
+   * signature_j = min over shingles of (a_j*key + b_j) mod p. Computed
+   * as k map-side min-aggregations over the exploded gram frame — one
    * shuffle of (doc_id, k longs) regardless of document size.
+   *
+   * Every ingredient (md5, affine arithmetic, min) evaluates
+   * identically in DuckDB, so LSH candidate pairs are exact-oracle
+   * checkable — the reason this is md5+affine rather than seeded
+   * xxhash64 (which only Spark has).
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
-    // Shingling runs in the native one-pass expression (distinct hashed
-    // n-grams); the k hash families then operate on 8-byte keys.
-    val exploded = docs.select(col(idCol),
-      explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("__sh"))
+    val (as, bs) = minhashCoefs(numHashes)
+    val keyed = gramRows(docs, idCol, textCol, shingleN)
+      .select(col(idCol), md5Key(col("__g")).as("__x"))
     val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("__sh"))).as(s"h$j"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((lit(as(j)) * col("__x") + lit(bs(j))) % lit(MinhashPrime)).as(s"h$j"))
+    keyed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -71,9 +116,12 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    // The bucket key is the branded comma-join of the band's hashes —
+    // a plain string both engines render identically (a hash of the
+    // tuple would need the same hash on both sides).
     val bandCols = (0 until bands).map { b =>
-      val slice = (0 until r).map(j => col(s"h${b * r + j}"))
-      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+      val slice = (0 until r).map(j => col(s"h${b * r + j}").cast("string"))
+      struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bucket"))
     }
     // Signatures are expensive relative to their size (narrow rows);
     // materialize once so the self-join doesn't recompute them per side.
@@ -88,28 +136,58 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /**
-   * SimHash: 64-bit signature whose bit i is the sign of the sum of
-   * (+1/-1) votes from each token's hash bit i. Near-dups differ in few
-   * bits; with 4 16-bit chunks, any pair within Hamming distance 3 shares
-   * at least one exact chunk (pigeonhole) — candidates come from a chunk
-   * equi-join, verified by exact Hamming distance.
-   */
-  def simhash(textCol: Column): Column =
-    graft.plans.NativeFunctions.simhash(array_distinct(tokens(textCol)))
+  /** SimHash signature width. 60 (not 64) so the whole signature fits
+    * the 15-hex-digit md5 prefix that both engines parse into a
+    * non-negative BIGINT. */
+  val SimhashBits: Int = 60
 
-  /** Hamming distance between two 64-bit signatures. */
+  /**
+   * SimHash: 60-bit signature whose bit i is the sign of the sum of
+   * (+1/-1) votes from each distinct token's md5-derived hash bit i.
+   * Near-dups differ in few bits; with 4 15-bit chunks, any pair within
+   * Hamming distance 3 shares at least one exact chunk (pigeonhole) —
+   * candidates come from a chunk equi-join, verified by exact Hamming
+   * distance.
+   *
+   * Built from md5 + integer bit arithmetic only, so signatures (and
+   * the candidate/verify pipeline) replay exactly in the DuckDB oracle.
+   * (`NativeFunctions.simhash` remains the faster xxhash64 one-pass
+   * variant for engine-side-only use.)
+   */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val hashed = docs
+      .select(col(idCol), explode(array_distinct(toks)).as("__tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("__h"))
+    val voteAggs = (0 until SimhashBits).map(b =>
+      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b"))
+    val sigExpr = (0 until SimhashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val sigs = hashed.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col(idCol), sigExpr.as("sig"))
+    // token-less documents produce no vote rows — they still carry a
+    // signature (all-zero), like the one-pass native variant
+    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("sig"))
+  }
+
+  /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+    val sig = simhashSignatures(docs, idCol, textCol)
       .localCheckpoint() // one signature pass feeds both join sides
+    val chunkBits = SimhashBits / 4
     val chunks = sig.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("ck"))
+          shiftrightunsigned(col("sig"), c * chunkBits)
+            .bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))): _*)).as("ck"))
       .select(col(idCol), col("sig"), col("ck.chunk"), col("ck.key"))
     val l = chunks.select(col("chunk"), col("key"), col(idCol).as("a"), col("sig").as("sig_a"))
     val r = chunks.select(col("chunk"), col("key"), col(idCol).as("b"), col("sig").as("sig_b"))

@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
  *
  * Every stochastic choice in the engine (random shapes, noise draws, anomaly
  * slots, fake content, 50/50 key prefixes) is a pure function of
- * `(seed, stream, t, counter)` via a counter-based hash RNG: we key
- * `xxhash64` on the identifying columns and map the 64-bit output to
- * U[0,1). Unlike `rand()`/`randn()` (seeded per-partition), this survives
- * repartitioning, retries, and AQE re-planning unchanged — which is what
- * makes seeded goldens and cross-engine oracles possible.
+ * `(seed, stream, t, counter)` via a counter-based hash RNG: we key a
+ * cross-engine hash (md5) on the identifying columns and map 52 output
+ * bits to U[0,1). Unlike `rand()`/`randn()` (seeded per-partition), this
+ * survives repartitioning, retries, and AQE re-planning unchanged — which
+ * is what makes seeded goldens and cross-engine oracles possible.
  *
  * The reference uses Python's global `random` (src/main.py:540-570,
  * 598-601, 630) — unseeded, irreproducible. Determinism here is a
@@ -20,24 +20,57 @@ import org.apache.spark.sql.functions._
  */
 object Rng {
 
-  /** U[0,1) from hashed key columns: top 53 bits of xxhash64 / 2^53. */
+  /** Exact value of 2^-52 — multiplying a 52-bit integer by it is an
+    * exact power-of-two scaling in IEEE doubles. */
+  val Inv2p52: Double = 1.0 / (1L << 52)
+
+  /**
+   * U[0,1) from hashed key columns: 52 bits of md5 / 2^52.
+   *
+   * md5 (not xxhash64) is deliberate: both Spark and DuckDB expose the
+   * same md5 hex digest, so every uniform draw — and everything built
+   * from it by +,-,*,/,sqrt — replays bit-identically in the DuckDB
+   * oracle (`('0x' || substr(md5(payload), 1, 13))::BIGINT * 2^-52`).
+   * xxhash64 exists only on the Spark side and forced all RNG-derived
+   * queries down to rows-only checks.
+   *
+   * Contract: keys must be non-null string or integral columns — they
+   * are joined with the [[Sep]] control-character separator (DuckDB
+   * `chr(1)`) via their canonical string form, which DuckDB's
+   * `::VARCHAR` reproduces. (concat_ws skips NULLs, and
+   * float-to-string formats differ per engine.)
+   */
+  val Sep = "\u0001"
+
   def uniform(seed: Long, stream: String, keys: Column*): Column = {
-    val h = xxhash64((lit(seed) +: lit(stream) +: keys): _*)
-    shiftrightunsigned(h, 11).cast("double") * lit(1.0 / (1L << 53))
+    val payload = concat_ws(Sep,
+      (lit(seed.toString) +: lit(stream) +: keys.map(_.cast("string"))): _*)
+    conv(substring(md5(payload), 1, 13), 16, 10).cast("long").cast("double") *
+      lit(Inv2p52)
   }
 
   /** U(0,1] — safe for log(). */
   def uniformPos(seed: Long, stream: String, keys: Column*): Column =
     lit(1.0) - uniform(seed, stream, keys: _*)
 
-  /** Standard normal via Box-Muller from two independent hash streams. */
+  /**
+   * Standard normal via Box-Muller from two independent hash streams,
+   * quantized to 9 decimal digits. The quantization (same documented
+   * trick as [[graft.operators.Transforms.scaledExpr]]) absorbs the
+   * last-ulp differences between Java's and DuckDB's `ln`/`cos`
+   * (measured: ~0.1% of inputs differ by 1 ulp; a 1-ulp input
+   * difference flips `round(_, 9)` only within ~1e-16 of a grid
+   * boundary) so downstream arithmetic sees identical doubles in both
+   * engines. Distributional cost: none at 9 digits.
+   */
   def gaussian(seed: Long, stream: String, keys: Column*): Column = {
     val u1 = uniformPos(seed, stream + "/bm1", keys: _*)
     val u2 = uniform(seed, stream + "/bm2", keys: _*)
-    sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+    round(sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2), 9)
   }
 
-  /** Raw signed 64-bit hash (for UDF-side samplers needing a per-row seed). */
+  /** Raw signed 64-bit hash (for UDF-side samplers needing a per-row
+    * seed; never crosses engines, so xxhash64 is fine — and faster). */
   def hash64(seed: Long, stream: String, keys: Column*): Column =
     xxhash64((lit(seed) +: lit(stream) +: keys): _*)
 }

@@ -92,6 +92,28 @@ object Transforms {
     }
   }
 
+  /**
+   * The deterministic anomaly slot draws (uniform inclusive, with
+   * replacement, deduplicated) for one spec. Public so the DuckDB
+   * oracle builder can inject the SAME slots as plan-time literals —
+   * the sampling is pure driver-side Scala, which makes an exact
+   * cross-engine oracle possible for anomaly injection.
+   */
+  def anomalySlots(spec: AnomalySpec, n: Long, seed: Long,
+      generatorId: String, specIdx: Int): Seq[Long] = {
+    val start = math.min(spec.start.getOrElse(0L), n - 1)
+    val end = math.min(spec.end.getOrElse(n - 1), n - 1)
+    if (spec.counts <= 0 || end < start) return Nil
+    val rng = new java.util.Random(seed ^
+      scala.util.hashing.MurmurHash3.stringHash(s"$generatorId/anomaly/$specIdx").toLong)
+    // floorMod, not abs%: abs(Long.MinValue) is negative (would land
+    // below `start`), and floorMod's residual bias over a 64-bit draw
+    // is a vanishing 2^-64 per slot.
+    (0L until spec.counts)
+      .map(_ => start + math.floorMod(rng.nextLong(), end - start + 1))
+      .distinct
+  }
+
   private def applyOneAnomaly(df: DataFrame, spec: AnomalySpec, n: Long,
       seed: Long, generatorId: String, specIdx: Int): DataFrame = {
     val spark = df.sparkSession
@@ -100,15 +122,7 @@ object Transforms {
     val end = math.min(spec.end.getOrElse(n - 1), n - 1)
     if (spec.counts <= 0 || end < start) return df
 
-    // Deterministic slot draws (uniform inclusive, with replacement).
-    val rng = new java.util.Random(seed ^
-      scala.util.hashing.MurmurHash3.stringHash(s"$generatorId/anomaly/$specIdx").toLong)
-    // floorMod, not abs%: abs(Long.MinValue) is negative (would land
-    // below `start`), and floorMod's residual bias over a 64-bit draw
-    // is a vanishing 2^-64 per slot.
-    val slots = (0L until spec.counts)
-      .map(_ => start + math.floorMod(rng.nextLong(), end - start + 1))
-      .distinct
+    val slots = anomalySlots(spec, n, seed, generatorId, specIdx)
     val slotDf = slots.toDF("t").withColumn("__anom", lit(true))
 
     // Pre-injection aggregates feed datapoint_max / max(datapoints) refs.

@@ -40,7 +40,7 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     pairs.map(p => (p._1, p._2)) should contain((0L, 1L))
     pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 shouldBe 0L
-    val sigs = docs.select($"doc_id", Dedup.simhash($"text").as("s")).collect()
+    val sigs = Dedup.simhashSignatures(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) should be > 3
   }
