@@ -1189,6 +1189,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Exact-oracle checked with NO injected constants: the oracle
+    // re-derives the same centroids (md5-ranked init, quantized exact
+    // means) from the data — see simIvfSql.
     "x_sim_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -1411,6 +1414,71 @@ object SparkEntry {
        |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
   }
 
+  /**
+   * DuckDB mirror of [[Similarity.ivfTopK]] (16 centroids, 3 Lloyd
+   * iterations, 4 probes, k=5, seed 42, queries = vec_id < 5) — the
+   * whole k-means replays: md5-ranked init, argmin assignment with the
+   * same sequential-fold dot products, integer-nano-unit exact means
+   * (the reason ivfTopK's means are quantized), probe, exact cosine,
+   * rank. No constants are injected; the oracle derives the same
+   * centroids from the data.
+   */
+  private def simIvfSql: String = {
+    // sequential-fold helpers over aliased DOUBLE-list columns — the
+    // same left-to-right order as NativeFunctions.dot
+    def dotL(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[$a[i] * $b[i] for i in generate_series(1, 64)]), (x, y) -> x + y)"
+    def norm2(a: String): String = dotL(a, a)
+    // one Lloyd iteration: assign to nearest centroid of `cent`, then
+    // exact quantized means with empty-cluster carry-over
+    def iterate(cent: String, next: String): String =
+      s"""a_$next AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           (${norm2("c.cv")} - 2.0 * ${dotL("e.v", "c.cv")}) ASC, c.cid ASC) AS rn
+         |  FROM e CROSS JOIN $cent c) WHERE rn = 1),
+         |m_$next AS (SELECT cid, pos,
+         |         sum(CAST(round(v[pos] * 1000000000.0) AS BIGINT)) AS s,
+         |         count(*) AS n
+         |       FROM a_$next CROSS JOIN generate_series(1, 64) g(pos)
+         |       GROUP BY cid, pos),
+         |$next AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+         |       FROM $cent c LEFT JOIN
+         |         (SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+         |                           ORDER BY pos) AS cv
+         |          FROM m_$next GROUP BY cid) m ON c.cid = m.cid)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |cent0 AS (SELECT row_number() OVER (ORDER BY rnk, vec_id) - 1 AS cid, v AS cv
+       |          FROM (SELECT vec_id, v,
+       |                  ('0x' || substr(md5('$Seed' || chr(1) || 'ivf/init' || chr(1) ||
+       |                     vec_id::VARCHAR), 1, 13))::BIGINT AS rnk
+       |                FROM e ORDER BY rnk, vec_id LIMIT 16)),
+       |${iterate("cent0", "cent1")},
+       |${iterate("cent1", "cent2")},
+       |${iterate("cent2", "cent3")},
+       |af AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           (${norm2("c.cv")} - 2.0 * ${dotL("e.v", "c.cv")}) ASC, c.cid ASC) AS rn
+       |  FROM e CROSS JOIN cent3 c) WHERE rn = 1),
+       |probed AS (SELECT query_id, qv, cid FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
+       |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |           (${norm2("c.cv")} - 2.0 * ${dotL("q.v", "c.cv")}) ASC, c.cid ASC) AS pr
+       |  FROM (SELECT * FROM e WHERE vec_id < 5) q CROSS JOIN cent3 c) WHERE pr <= 4),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |           ${dotL("a.v", "p.qv")} /
+       |             (sqrt(${norm2("a.v")}) * sqrt(${norm2("p.qv")})) AS score
+       |         FROM af a JOIN probed p ON a.cid = p.cid),
+       |ranked AS (SELECT query_id, neighbor_id, score,
+       |             row_number() OVER (PARTITION BY query_id
+       |                                ORDER BY score DESC, neighbor_id ASC) AS rank
+       |           FROM cand)
+       |SELECT query_id, neighbor_id, score, rank
+       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of x_sim_bruteforce (exact cosine top-5 for the
     * first 5 vectors) — also reused as a CTE by x_ann_recall. */
   private val simBruteforceSql: String =
@@ -1513,6 +1581,57 @@ object SparkEntry {
          |          AND l.doc_id < r.doc_id)
          |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
+
+    // Stub media codecs replay in DuckDB: documents.text IS the payload
+    // byte-for-byte (corpus is pure ASCII, verified), and the stub's
+    // entropy source is the same md5 prefix both engines compute.
+    "x_media_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |                  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+        |                  CAST(len(text) AS BIGINT) AS n_bytes
+        |           FROM documents)
+        |SELECT media_id, kind,
+        |       CAST(h % 1920 + 1 AS INT) AS width,
+        |       CAST((h >> 16) % 1080 + 1 AS INT) AS height,
+        |       CAST((h >> 32) % 600 + 1 AS INT) AS duration_s,
+        |       n_bytes
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    // decodeBatched's MessageDigest kernel computes the same md5 prefix
+    // as the Column path, so the oracle is the same formula.
+    "x_media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |                  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
+        |                  CAST(len(text) AS BIGINT) AS n_bytes
+        |           FROM documents)
+        |SELECT media_id, kind,
+        |       CAST(h % 1920 + 1 AS INT) AS width,
+        |       CAST((h >> 16) % 1080 + 1 AS INT) AS height,
+        |       CAST((h >> 32) % 600 + 1 AS INT) AS duration_s,
+        |       n_bytes
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "x_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT media_id, text,
+        |              unnest(generate_series(0, (h >> 32) % 600, 60)) AS frame_ts
+        |       FROM m)
+        |SELECT media_id, frame_ts,
+        |       substr(text, CAST(frame_ts % 16 + 1 AS INT), 16)::BLOB AS frame_payload
+        |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
+
+    "x_sim_ivf" -> simIvfSql,
+
+    "x_media_features" ->
+      """SELECT doc_id AS media_id, d AS dim,
+        |       (('0x' || substr(md5(text || chr(1) || d::VARCHAR), 1, 15))::BIGINT
+        |        % 2000) / 1000.0 - 1.0 AS feature_val
+        |FROM documents CROSS JOIN generate_series(0, 7) s(d)
+        |ORDER BY media_id, dim""".stripMargin,
 
     // Exact transitive closure at the pipeline's verify threshold: the
     // LSH banding stage only *proposes* candidates and the exact-jaccard

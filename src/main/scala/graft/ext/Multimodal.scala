@@ -35,14 +35,22 @@ object Multimodal {
         (pmod(col(idCol), lit(kinds.size)) + 1).cast("int")).as("kind"),
       col(textCol).cast("binary").as("payload"))
 
+  /** 60-bit md5 hash of the payload bytes — the stub codec's entropy
+    * source. md5 (not xxhash64) so the DuckDB oracle can reproduce the
+    * stub's outputs exactly: `('0x' || substr(md5(payload), 1, 15))
+    * ::BIGINT`. [[decodeBatched]]'s kernel computes the identical value
+    * via MessageDigest, so the Column and mapPartitions paths agree. */
+  private def payloadHash(payload: Column): Column =
+    conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
+
   /**
    * STUB decode — `???` in spirit: real implementation would parse the
    * container header (JPEG SOF / WAV fmt / MP4 moov). Deterministic fake:
-   * dimensions & duration derived from xxhash64(payload). The column
+   * dimensions & duration derived from md5(payload). The column
    * *signature* (binary -> struct) is the real contract.
    */
   def decodeMeta(payload: Column, kind: Column): Column = {
-    val h = xxhash64(payload)
+    val h = payloadHash(payload)
     struct(
       (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
       (pmod(shiftrightunsigned(h, 16), lit(1080L)) + 1L).cast("int").as("height"),
@@ -114,27 +122,32 @@ object Multimodal {
       }
   }
 
-  /** STUB codec kernel: dimensions/duration from a hash of the payload
-    * (a real implementation parses JPEG SOF / WAV fmt / MP4 moov). */
+  /** STUB codec kernel: dimensions/duration from the payload's md5 (a
+    * real implementation parses JPEG SOF / WAV fmt / MP4 moov). Computes
+    * the SAME 60-bit value as the Column-side [[payloadHash]], so both
+    * decode paths — and the DuckDB oracle — agree exactly. */
   private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = (math.floorMod(h, 1920L) + 1L).toInt
-    val hh = (math.floorMod(h >>> 16, 1080L) + 1L).toInt
-    val d = (math.floorMod(h >>> 32, 600L) + 1L).toInt
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val hex = digest.take(8).map(b => f"$b%02x").mkString.take(15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    val w = (h % 1920L + 1L).toInt
+    val hh = ((h >>> 16) % 1080L + 1L).toInt
+    val d = ((h >>> 32) % 600L + 1L).toInt
     (w, hh, d)
   }
 
   /**
    * STUB feature extraction — real kernel would run an encoder; the fake
-   * emits a deterministic 8-dim pseudo-embedding from payload hashes so
-   * downstream similarity plumbing ([[Similarity]]) is exercised end to
-   * end with the true column shape (`array<double>`).
+   * emits a deterministic 8-dim pseudo-embedding from per-dimension md5
+   * hashes (oracle-replayable like [[payloadHash]]) so downstream
+   * similarity plumbing ([[Similarity]]) is exercised end to end with
+   * the true column shape (`array<double>`).
    */
   def features(media: DataFrame, dims: Int = 8): DataFrame = {
     val cols = (0 until dims).map { d =>
-      (pmod(xxhash64(col("payload"), lit(d)), lit(2000L)).cast("double") / 1000.0 - 1.0)
+      val h = payloadHash(concat(col("payload"),
+        lit(graft.functions.Rng.Sep + d.toString).cast("binary")))
+      (pmod(h, lit(2000L)).cast("double") / 1000.0 - 1.0)
     }
     media.withColumn("feature", array(cols: _*))
   }

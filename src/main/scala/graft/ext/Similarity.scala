@@ -118,9 +118,11 @@ object Similarity {
 
     val c = corpus.select(col(idCol), col(vecCol))
 
-    // deterministic init: hash-rank the corpus, take the first n vectors
+    // deterministic init: md5-rank the corpus (replayable in the DuckDB
+    // oracle, unlike xxhash64), take the first n vectors; id tiebreak
+    // makes the order total
     var centroids: Array[Seq[Double]] = c
-      .orderBy(xxhash64(col(idCol), lit(seed)))
+      .orderBy(graft.functions.Rng.uniform(seed, "ivf/init", col(idCol)), col(idCol))
       .limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()))
@@ -140,9 +142,15 @@ object Similarity {
     while (it < iters) {
       val assigned = c.withColumn("cid",
         element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+      // Exact mean: quantize each coordinate to integer nano-units and
+      // sum as longs (order-independent, unlike a float `avg` whose
+      // partial-sum order follows partitioning), then divide once.
+      // Deterministic under any partitioning AND replayable in DuckDB.
       val means = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("x").cast("double") * lit(1e9)).cast("long")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("m"))
         .collect().groupBy(_.getInt(0))
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
