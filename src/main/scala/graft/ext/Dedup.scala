@@ -207,7 +207,7 @@ object Dedup {
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, pruneRareGrams: Boolean = false): DataFrame = {
     // Shingles are hashed 64-bit keys (native one-pass expression): the
     // self-join shuffle carries 8-byte keys instead of word strings, and
     // intersection counts are unchanged (2^-64 collision odds).
@@ -216,8 +216,22 @@ object Dedup {
         explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
       .localCheckpoint()
     val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
-    val l = grams.select(col("g"), col(idCol).as("a"))
-    val r = grams.select(col("g"), col(idCol).as("b"))
+    // Rare-gram pruning (opt-in): a gram held by a single document
+    // cannot produce a pair, and in a LARGE natural-text corpus most
+    // shingles are unique — pre-filtering them shrinks the self-join's
+    // input dramatically at 100 TB. It costs one extra aggregation +
+    // join on `g`, which only amortizes once the join input dwarfs the
+    // count — measured at sf0.1 the corpus is too small and the prune
+    // LOSES ~1s, hence default-off; enable for corpus-scale runs.
+    // Result is provably unchanged either way (spec-verified).
+    val shared =
+      if (!pruneRareGrams) grams
+      else grams.join(
+        grams.groupBy("g").agg(count(lit(1)).as("__f"))
+          .where(col("__f") > 1).select("g"),
+        "g")
+    val l = shared.select(col("g"), col(idCol).as("a"))
+    val r = shared.select(col("g"), col(idCol).as("b"))
     val inter = l.join(r, "g").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("n_common"))
     // sizes has one narrow row per document — a broadcast would grow
@@ -307,7 +321,10 @@ object Dedup {
     // Convergence check without an extra join: per-id labels only ever
     // decrease, so the total label sum strictly decreases every round
     // until the fixpoint — equal sums ⇔ converged. One cheap scalar agg
-    // over the checkpointed frame per round.
+    // over the checkpointed frame per round. (An edge-alignment check
+    // — "every edge joins equal reps" — was tried and measured SLOWER:
+    // it costs two extra edge-sized joins per round, which outweighs
+    // the one no-change round the sum test needs to observe.)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)

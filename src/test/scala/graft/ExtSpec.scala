@@ -51,6 +51,11 @@ class ExtSpec extends SparkSpec {
     out((0L, 1L)) shouldBe 1.0
     out((0L, 2L)) should (be > 0.1 and be < 1.0)
     out.keys.foreach { case (a, b) => a should be < b }
+    // the at-scale rare-gram prune must not change results
+    val pruned = Dedup.ngramJaccardPairs(docs, minJaccard = 0.1,
+      pruneRareGrams = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pruned shouldBe out
   }
 
   test("embedding near-dup finds the planted duplicate vector") {
