@@ -42,6 +42,32 @@ object EventTimeOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /**
+   * Stream-stream inner interval join: pair rows of two streams sharing
+   * `key` whose event times lie within `within` of each other. Both
+   * sides carry watermarks AND the join condition bounds each side's
+   * event time by the other's — the two ingredients Spark needs to
+   * reclaim join state (without the time bound the left buffer would
+   * grow forever waiting for arbitrarily-late right matches).
+   *
+   * Output columns: key, left time/payload prefixed `l_`, right
+   * prefixed `r_`.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, valueCol: String,
+      within: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.select(col(key), col(tsCol).as("l_ts"), col(valueCol).as("l_value"))
+      .withWatermark("l_ts", lateness)
+    val r = right.select(col(key).as("__rk"), col(tsCol).as("r_ts"), col(valueCol).as("r_value"))
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .drop("__rk")
+  }
+
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(start_us: Long, last_us: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, s_start: Long, s_end: Long,

@@ -147,6 +147,95 @@ class EngineSpec extends SparkSpec {
     env.getAs[String]("target") should not include "generators"
   }
 
+  test("SampleBlueprint-shaped blueprint runs end to end (full reference surface)") {
+    // Mirrors resources/SampleBlueprint.json structurally (6 generators
+    // incl. a `real` replay file; 3 sensitive-content put targets, a
+    // sliced get target, a grouped lambda target, cloudwatch) with
+    // num_points scaled 10000 → 200 so the spec stays fast. This is the
+    // "a user of the reference switches their blueprint over" golden.
+    val replayFile = java.nio.file.Files.createTempFile("graft-replay", ".dat")
+    java.nio.file.Files.writeString(replayFile,
+      (1 to 120).map(i => if (i % 7 == 0) "" else s"${i % 30}").mkString("\n"))
+    val bp = BlueprintParser.parse(
+      s"""{
+         | "commons": {"num_points": 200, "signal_min": 1, "signal_max": 10,
+         |             "noise_min": -5, "noise_max": 5,
+         |             "anomalies": {"start": 10, "end": 20, "counts": 2,
+         |                           "formula": "max(datapoints) + t * 10"}},
+         | "generators": [
+         |  {"id":"ts1","shape":"sinusoidal","config":{"frequency":0.25}},
+         |  {"id":"ts2","shape":"constant","config":{"num_points":50,"constant":20,
+         |      "anomalies":{"start":80,"end":85,"counts":1}}},
+         |  {"id":"ts3","shape":"random","config":{"type":"uniform"}},
+         |  {"id":"ts4","shape":"square","config":{"high_value":40,"low_value":10,"high_width":5,"low_width":10}},
+         |  {"id":"ts5","shape":"real","config":{"bucket":"test-bucket","key":"${replayFile.toString}"}},
+         |  {"id":"ts6","shape":"custom","config":{"formula":"t * 10"}}
+         | ],
+         | "targets": [
+         |  {"type":"s3","prefix":"sensitive/","action":"put","generators":["ts1","ts2"],
+         |   "fake_types":["bban","iban","credit_card_full","phone_number","ssn","address"],
+         |   "fake_counts":20},
+         |  {"type":"s3","prefix":"crypto/","action":"put","generators":["ts1","ts2"],
+         |   "fake_types":["rsa","dsa","pgp","ec","aws_creds","github_creds","slack_creds","facebook_creds"],
+         |   "fake_counts":1},
+         |  {"type":"s3","prefix":"passwd/","action":"put","generators":["ts1","ts2"],
+         |   "fake_types":["linux_shadow","linux_passwd"],"fake_counts":1},
+         |  {"type":"s3","bucket":"test-bucket","action":"get","slice_size":100,
+         |   "generators":["ts3","ts4"]},
+         |  {"type":"lambda","function":"test","generators":["ts1"],"group_datapoints":true},
+         |  {"type":"cloudwatch","namespace":"Test/Timeseries",
+         |   "generators":["ts1","ts2","ts3","ts4","ts5","ts6"],"group_datapoints":true}
+         | ]}""".stripMargin)
+
+    val series = Engine.materialize(spark, bp, 42L).cache()
+    // every generator materializes at its own length; values are longs
+    val lens = series.groupBy("generator_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    lens shouldBe Map("ts1" -> 200L, "ts2" -> 50L, "ts3" -> 200L,
+      "ts4" -> 200L, "ts5" -> 200L, "ts6" -> 200L)
+
+    val frames = Engine.execute(spark, bp, 42L,
+      to_timestamp(lit("2026-01-01 00:00:00")))
+    frames.map(_._2) shouldBe Seq("s3", "s3", "s3", "s3", "lambda", "cloudwatch")
+
+    def routedSum(gens: Seq[String]): Long = series
+      .where(col("generator_id").isin(gens: _*) && col("value") > 0)
+      .agg(sum("value")).head().getLong(0)
+
+    // put targets: one object per unit of activity, keys under the
+    // target's prefix, body = disclaimer + fake_counts provider lines
+    val putRows = frames(0)._3.cache()
+    putRows.count() shouldBe routedSum(Seq("ts1", "ts2"))
+    val keys = putRows.select("key").collect().map(_.getString(0))
+    all(keys.toSeq) should startWith("sensitive/")
+    all(keys.toSeq) should endWith(".fake")
+    val body = putRows.select("body").head().getString(0)
+    body should startWith("Sample Report")
+    frames(1)._3.select("key").head().getString(0) should startWith("crypto/")
+    frames(2)._3.select("key").head().getString(0) should startWith("passwd/")
+
+    // get target: one request per unit of activity even when sliced;
+    // no listing was supplied, so the whole pool is fake keys
+    val gets = frames(3)._3.cache()
+    gets.count() shouldBe routedSum(Seq("ts3", "ts4"))
+    gets.select("key").head().getString(0) should include("fake-object-")
+
+    // grouped lambda target: one envelope per slot of its generator
+    frames(4)._3.count() shouldBe 200L
+
+    // cloudwatch: one metric row per datapoint of all six generators
+    // (zero-skip is an S3-only semantic, SURVEY §2.8 #4)
+    frames(5)._3.count() shouldBe series.count()
+
+    // end-to-end determinism: a second execution produces byte-identical
+    // activity (same seed → same noise, anomalies, draws, fake content)
+    val again = Engine.execute(spark, bp, 42L,
+      to_timestamp(lit("2026-01-01 00:00:00")))
+    again(0)._3.collect().map(_.toString).sorted shouldBe
+      putRows.collect().map(_.toString).sorted
+    java.nio.file.Files.delete(replayFile)
+  }
+
   test("batched delivery chunks per partition (D2, ≤10 per call)") {
     val df = spark.range(35).toDF("v").repartition(2)
     // chunk sizes observed via an accumulator (callback runs on executors)

@@ -86,6 +86,30 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Seq((1L, Some("gold")), (2L, Some("silver")), (3L, None))
   }
 
+  test("stream-stream interval join pairs events within the time bound only") {
+    import graft.streaming.EventTimeOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val lmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // user 1: right events at +5min (in bound) and +25min (out of the
+    // 10-minute bound); user 2: match on the other key — must not pair
+    lmem.addData((1L, ts(0), 1.0), (2L, ts(0), 2.0))
+    rmem.addData((1L, ts(5), 10.0), (1L, ts(25), 20.0), (2L, ts(8), 30.0))
+    val joined = EventTimeOps.intervalJoin(
+      lmem.toDF().toDF("user_id", "ts", "value"),
+      rmem.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("l_value"),
+        r.getAs[Double]("r_value"))).sorted.toSeq
+    rows shouldBe Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0))
+  }
+
   test("stateful sessionization closes sessions on gap and emits summaries") {
     import graft.streaming.EventTimeOps
     import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
