@@ -17,20 +17,30 @@ object Bench {
     // Deterministic (sorted) run order: Map iteration order shifts as
     // queries are added, which silently reshuffles warm-up/GC effects
     // between rounds; sorted order keeps per-query numbers comparable.
+    // Median of N runs per query (default 3): a single-shot wall clock on
+    // a shared machine can misreport a 2 s query as 50 s when another
+    // process holds the cores mid-run; the median discards one bad trial
+    // per query, making the reported number load-robust.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes every output column (count() would let
-      // Catalyst prune the computation under measurement) writes nothing.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes every output column (count() would let
+        // Catalyst prune the computation under measurement) writes nothing.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+          -1.0
         }
-      // Failed queries record sentinel -1, never their partial elapsed
+      }
+      // Any failed trial records sentinel -1, never a partial elapsed
       // time — downstream consumers must not mistake a crash for a fast
       // run (and the total must not silently shrink).
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val median =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
     results.collect { case (n, v) if v < 0 => n }.foreach { n =>
       System.err.println(s"[bench] RESULT INCOMPLETE: $n recorded as -1")

@@ -85,8 +85,18 @@ object SparkEntry {
   // plan-time constants of the draw.
   // ---------------------------------------------------------------------
   private def uniformSql(stream: String, gid: String, tExpr: String = "t"): String =
-    s"(('0x' || substr(md5('$Seed' || chr(1) || '$stream' || chr(1) || " +
-      s"'$gid' || chr(1) || $tExpr::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    s"(('0x' || substr(${digestSql(stream, gid, tExpr)}, 1, 13))::BIGINT * ${Rng.Inv2p52})"
+
+  /** The raw md5 hex digest behind a draw (Rng.digest replay); extra
+    * keys ride along in tExpr as `k1::VARCHAR || chr(1) || k2`. */
+  private def digestSql(stream: String, gid: String, tExpr: String = "t"): String =
+    s"md5('$Seed' || chr(1) || '$stream' || chr(1) || " +
+      s"'$gid' || chr(1) || $tExpr::VARCHAR)"
+
+  /** uuid4-shaped 8-4-4-4-12 rendering of a 32-hex-char digest column. */
+  private def uuidSql(d: String): String =
+    s"substr($d,1,8) || '-' || substr($d,9,4) || '-' || substr($d,13,4) || " +
+      s"'-' || substr($d,17,4) || '-' || substr($d,21,12)"
 
   /** Box-Muller standard normal, quantized to 9 digits like Rng.gaussian. */
   private def gaussSql(stream: String, gid: String, tExpr: String = "t"): String =
@@ -249,26 +259,45 @@ object SparkEntry {
         .orderBy("quality_bucket", "lang_pred")
     }),
 
-    // K1a fake S3 object corpus (seeded content; rows-only).
+    // K1a fake S3 object corpus (seeded body text; rows-only — the
+    // structural columns are exact-oracled separately by k_object_meta).
     "k_fake_objects" -> ((s, _) => {
-      val bp = BlueprintParser.parse(
-        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":3}}],
-          | "targets":[{"type":"s3","action":"put","generators":["tsa"],
-          |             "fake_types":["sentence","email","itin"],"fake_counts":2}]}""".stripMargin)
-      val series = Engine.materialize(s, bp, Seed)
-      Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
-        bp.targets.head, Seed).orderBy("t", "key")
+      val series = Engine.materialize(s, FakeObjectsBp, Seed)
+      Sinks.fakeObjects(Dispatch.routeToTarget(series, FakeObjectsBp.targets.head),
+        FakeObjectsBp.targets.head, Seed).orderBy("t", "key")
     }),
 
-    // K1/get read-amplification request frame (rows-only). The GetObject
-    // pool is the keys a put target wrote (ListObjectsV2 stand-in) padded
-    // with fakes — the reference's list-then-draw composition.
+    // K1a structural projection — everything fakeObjects derives from the
+    // md5 column RNG (key dir/uuid, content_type, acl) plus the body's
+    // CRLF line count, exact-oracled in DuckDB. The body TEXT itself is
+    // wordlist-driven (rows-only above; content pinned in EngineSpec).
+    "k_object_meta" -> ((s, _) => {
+      val series = Engine.materialize(s, FakeObjectsBp, Seed)
+      Sinks.fakeObjects(Dispatch.routeToTarget(series, FakeObjectsBp.targets.head),
+        FakeObjectsBp.targets.head, Seed)
+        .select(col("generator_id"), col("t"), col("key"), col("content_type"),
+          col("acl"),
+          ((length(col("body")) -
+            length(regexp_replace(col("body"), "\r\n", ""))) / 2)
+            .cast("long").as("n_lines"))
+        .orderBy("t", "key")
+    }),
+
+    // K1/get read-amplification request frame. The GetObject pool is the
+    // keys a put target wrote (ListObjectsV2 stand-in) padded with fake
+    // keys — the reference's list-then-draw composition (src/main.py:
+    // 931-975). The get volume (50/tick) deliberately exceeds the listed
+    // pool (20 keys) so BOTH branches — real-key draws and the padded
+    // fake tail — appear in the dump; every draw is md5-derived, so the
+    // whole frame replays exactly in DuckDB (exact oracle).
     "k_get_requests" -> ((s, _) => {
       val bp = BlueprintParser.parse(
-        """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":4}}],
+        """{"generators":[
+          |  {"id":"tsa","shape":"constant","config":{"num_points":20,"constant":1}},
+          |  {"id":"tsb","shape":"constant","config":{"num_points":50,"constant":50}}],
           | "targets":[
           |  {"type":"s3","action":"put","generators":["tsa"],"prefix":"data/","fake_types":["sentence"]},
-          |  {"type":"s3","action":"get","generators":["tsa"],"prefix":"data/"}]}""".stripMargin)
+          |  {"type":"s3","action":"get","generators":["tsb"],"prefix":"data/"}]}""".stripMargin)
       val series = Engine.materialize(s, bp, Seed)
       // orderBy before limit: an unordered limit takes whichever rows
       // scan first, which would make the dump partition-count-dependent
@@ -279,6 +308,16 @@ object SparkEntry {
         bp.targets(1), Seed, Some(putKeys)).orderBy("t", "key")
     })
   )
+
+  /** Shared by k_fake_objects (full dump, rows-only body) and
+    * k_object_meta (exact-oracled structural projection) so the two
+    * views can never drift apart. */
+  private val FakeObjectsBp = BlueprintParser.parse(
+    """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":50,"constant":3}}],
+      | "targets":[{"type":"s3","action":"put","generators":["tsa"],
+      |             "fake_types":["sentence","email","itin"],"fake_counts":2,
+      |             "content_types":["text/plain","application/json"],
+      |             "acls":["private","public-read"]}]}""".stripMargin)
 
   /** The d_slots wide frame (constant tsa=5×300 + square tsb, aligned
     * to 500 slots, pivoted) — shared by d_slots and its d_unpivot
@@ -414,6 +453,58 @@ object SparkEntry {
         |  FROM generate_series(0, 499) AS g(t)
         |) ORDER BY id, value""".stripMargin,
 
+    // K1a structural oracle: every column of k_object_meta is a pure
+    // function of md5 draws replayed here (see Sinks.fakeObjects); the
+    // body line count is pinned by construction (2 disclaimer CRLFs +
+    // fake_counts=2 single-line providers).
+    "k_object_meta" -> {
+      val keys = "t::VARCHAR || chr(1) || obj"
+      def pickSql(items: Seq[String], stream: String): String =
+        s"[${items.map("'" + _ + "'").mkString(",")}]" +
+          s"[CAST(floor(${uniformSql(stream, "tsa", keys)} * ${items.size}.0) AS INT) + 1]"
+      s"""WITH obj AS (SELECT t, o.i AS obj FROM generate_series(0, 49) g(t)
+         |             CROSS JOIN generate_series(1, 3) o(i)),
+         |m AS (SELECT t, obj, ${digestSql("obj_uuid", "tsa", keys)} AS d,
+         |             ${pickSql(Seq("sentence", "email", "itin"), "obj_provider")} AS provider,
+         |             ${uniformSql("obj_mixed", "tsa", keys)} AS um,
+         |             ${pickSql(Seq("text/plain", "application/json"), "obj_ctype")} AS content_type,
+         |             ${pickSql(Seq("private", "public-read"), "obj_acl")} AS acl
+         |      FROM obj)
+         |SELECT 'tsa' AS generator_id, t,
+         |       (CASE WHEN um < 0.5 THEN provider ELSE 'mixed' END) || '/' ||
+         |       ${uuidSql("d")} || '.fake' AS key,
+         |       content_type, acl, CAST(4 AS BIGINT) AS n_lines
+         |FROM m ORDER BY t, key""".stripMargin
+    },
+
+    // K1/get oracle: pool = the put target's 20 md5-derived keys (sorted,
+    // limit 100), draws = floor(u*50) with replacement; draw >= pool size
+    // falls into the fake-object tail whose 8-letter suffix is the md5
+    // byte→52-letter map from Sinks.getRequests.
+    "k_get_requests" -> {
+      val letters = (('A' to 'Z') ++ ('a' to 'z')).mkString
+      val fakeSuffix = (0 until 8).map(i =>
+        s"substr('$letters', 1 + ('0x' || substr(f.d, ${2 * i + 1}, 2))::BIGINT % 52, 1)")
+        .mkString(" || ")
+      val putKeys = "t::VARCHAR || chr(1) || '1'"
+      s"""WITH putobj AS (SELECT t, ${digestSql("obj_uuid", "tsa", putKeys)} AS d,
+         |                       ${uniformSql("obj_mixed", "tsa", putKeys)} AS um
+         |                FROM generate_series(0, 19) g(t)),
+         |putkeys AS (SELECT 'data/' || (CASE WHEN um < 0.5 THEN 'sentence' ELSE 'mixed' END)
+         |                   || '/' || ${uuidSql("d")} || '.fake' AS key FROM putobj),
+         |pool AS (SELECT key, row_number() OVER (ORDER BY key) - 1 AS idx
+         |         FROM (SELECT key FROM putkeys ORDER BY key LIMIT 100)),
+         |draws AS (SELECT t, CAST(floor(${uniformSql("get_draw", "tsb", "t::VARCHAR || chr(1) || o.i")} * 50.0) AS BIGINT) AS draw
+         |          FROM generate_series(0, 49) g(t) CROSS JOIN generate_series(1, 50) o(i)),
+         |fk AS (SELECT t, draw, ${digestSql("get_key", "tsb", "t::VARCHAR || chr(1) || draw")} AS d FROM draws)
+         |SELECT 'tsb' AS generator_id, f.t AS t,
+         |       CASE WHEN f.draw < 20 THEN p.key
+         |            ELSE 'data/fake-object-' || $fakeSuffix END AS key,
+         |       CAST(50 AS BIGINT) AS key_pool_size
+         |FROM fk f LEFT JOIN pool p ON f.draw = p.idx
+         |ORDER BY t, key""".stripMargin
+    },
+
     "d_unpivot" ->
       """SELECT * FROM (
         |  SELECT 'tsa' AS generator_id, t,
@@ -544,6 +635,24 @@ object SparkEntry {
         .groupBy("user_id", "sid")
         .agg(count(lit(1)).as("n_events"), min("tse").as("s_start"), max("tse").as("s_end"))
         .orderBy("user_id", "sid")
+    }),
+
+    // Batch form of the stream-stream interval join: the SAME
+    // EventTimeOps.intervalJoin code path the streaming suite runs
+    // (withWatermark is a no-op on batch frames), so the streaming
+    // operator's join semantics get a DuckDB CORRECTNESS row. Clicks
+    // paired with same-user errors within ±2h of event time.
+    "q_interval_join" -> ((s, dir) => {
+      val e = eventsTbl(s, dir).select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+      val errors = e.where(col("event_type") === "error")
+      graft.streaming.EventTimeOps.intervalJoin(
+        clicks, errors, "user_id", "ts", "value", within = "2 hours")
+        .select(col("user_id"),
+          unix_micros(col("l_ts")).as("l_es"), col("l_value"),
+          unix_micros(col("r_ts")).as("r_es"), col("r_value"))
+        .orderBy("user_id", "l_es", "r_es")
     }),
 
     // Tumbling 1h event-time aggregation (batch form of the stream op).
@@ -863,6 +972,15 @@ object SparkEntry {
         |SELECT user_id, sid, count(*) AS n_events,
         |       min(tse) AS s_start, max(tse) AS s_end
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS es, value FROM events),
+        |l AS (SELECT user_id, es AS l_es, value AS l_value FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS rk, es AS r_es, value AS r_value FROM e WHERE event_type = 'error')
+        |SELECT user_id, l_es, l_value, r_es, r_value
+        |FROM l JOIN r ON user_id = rk
+        |  AND r_es >= l_es - 7200000000 AND r_es <= l_es + 7200000000
+        |ORDER BY user_id, l_es, r_es""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_e, event_type,
@@ -1205,9 +1323,14 @@ object SparkEntry {
           col("meta.height"), col("meta.duration_s"), col("meta.n_bytes"))
         .orderBy("media_id")),
 
+    // frame_payload is BINARY; the driver's pandas compare cannot sort a
+    // bytearray column, so the dump carries lower(hex(..)) — same rule as
+    // the x_media_features scalar-columns note below.
     "x_media_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents"))), 60)
+        .select(col("media_id"), col("frame_ts"),
+          lower(hex(col("frame_payload"))).as("frame_hex"))
         .orderBy("media_id", "frame_ts")),
 
     // Dumped in long form (media_id, dim, feature_val): the driver's
@@ -1621,7 +1744,7 @@ object SparkEntry {
         |              unnest(generate_series(0, (h >> 32) % 600, 60)) AS frame_ts
         |       FROM m)
         |SELECT media_id, frame_ts,
-        |       substr(text, CAST(frame_ts % 16 + 1 AS INT), 16)::BLOB AS frame_payload
+        |       lower(hex(substr(text, CAST(frame_ts % 16 + 1 AS INT), 16))) AS frame_hex
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
     "x_sim_ivf" -> simIvfSql,

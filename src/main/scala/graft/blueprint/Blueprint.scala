@@ -110,6 +110,20 @@ object BlueprintParser {
    * `config` (generator keys win); s3 targets without a `bucket` get
    * `defaultBucket` injected. Resolution is planning-time, pure.
    */
+  /** EP1 env-driven entry contract (src/main.py:54-61): the reference
+    * resolves its blueprint location from the REQUIRED `BlueprintBucket`
+    * / `BlueprintObject` env vars and injects the required
+    * `DefaultS3Bucket` into bucket-less s3 targets. Local analog:
+    * bucket = a directory, object = the blueprint file inside it. A
+    * missing var fails fast, mirroring `os.environ[...]`'s KeyError. */
+  def fromEnv(env: Map[String, String] = sys.env): Blueprint = {
+    def req(k: String): String = env.getOrElse(k, throw new NoSuchElementException(
+      s"required env var '$k' is not set (EP1 entry contract, src/main.py:54-61)"))
+    parseFile(
+      java.nio.file.Paths.get(req("BlueprintBucket"), req("BlueprintObject")).toString,
+      req("DefaultS3Bucket"))
+  }
+
   /** EP1 local analog of the S3 blueprint fetch (src/main.py:1071-1083):
     * read the blueprint JSON from a filesystem path. */
   def parseFile(path: String, defaultBucket: String = "default-bucket"): Blueprint =

@@ -52,7 +52,9 @@ object Dedup {
   val MinhashCoefSeed: Long = 1234567L
 
   /** Affine permutation coefficients h_j(x) = (a_j*x + b_j) mod p:
-    * a_j in [1, p-1], b_j in [0, p-1], drawn from [[MinhashCoefSeed]]. */
+    * a_j in [1, p-1], b_j in [0, p-1] — `nextInt(p)` is exclusive of
+    * its bound, so its max draw is p-1 = 2147483646, the full residue
+    * range mod p. Drawn from [[MinhashCoefSeed]]. */
   def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
     val r = new scala.util.Random(MinhashCoefSeed)
     val as = Seq.fill(numHashes)(1L + r.nextInt((MinhashPrime - 1).toInt))

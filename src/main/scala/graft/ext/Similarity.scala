@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
  *
  *  - [[bruteForceTopK]]: exact cosine top-k, query side broadcast. The
  *    correctness baseline; scales linearly in corpus size with zero
- *    shuffle on the corpus (scan + per-partition top-k via window over
- *    the small query dimension).
+ *    shuffle on the corpus (scan + bounded map-side top-k aggregation;
+ *    only ≤k candidates per query per partition reach the shuffle).
  *  - [[lshTopK]]: random-hyperplane LSH bucketing; only colliding buckets
  *    are scored. The 100 TB path — candidate set shrinks ~2^planes-fold.
  *
@@ -33,43 +33,51 @@ object Similarity {
   /**
    * Exact top-k neighbors for each query vector. `queries` must be small
    * (it is broadcast); `corpus` is unbounded. Corpus norms are computed
-   * once before the join; ranking is per-query via window (partition
-   * count = number of queries — fine, queries are few by contract).
+   * once before the join; ranking is [[graft.operators.TopK.perGroup]] —
+   * a bounded typed aggregator with map-side partial aggregation, so
+   * each partition forwards at most k candidates per query into the
+   * shuffle instead of sorting the whole scored corpus per query the
+   * way a `row_number().over(partitionBy(query))` window would.
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
       .withColumn("__cnorm", norm(col("__cv")))
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("__qnorm", norm(col("__qv")))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("score", dot(col("__cv"), col("__qv")) / (col("__cnorm") * col("__qnorm")))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"))
+    graft.operators.TopK.perGroup(scored, queryIdCol, "score", idCol, k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
   /**
    * Exact all-pairs cosine at-or-above `threshold` — the
    * verification-grade baseline that the LSH ([[Dedup.embeddingNearDups]])
-   * and IVF paths are measured against. Inherently O(n²): at full corpus
-   * scale run it on a sample or on LSH candidates; the broadcast side
-   * here is the whole (small-by-contract) frame, mirroring
-   * [[bruteForceTopK]]'s role as the exactness reference.
+   * and IVF paths are measured against. Inherently O(n²), so the
+   * small-input contract is ENFORCED: inputs larger than `maxRows`
+   * throw (run [[Dedup.embeddingNearDups]] or pass a sample instead of
+   * silently OOM-ing a driver with a full-corpus broadcast at 100×
+   * scale). The bound check reads at most `maxRows + 1` rows. No
+   * broadcast hint: within the bound the planner/AQE picks the
+   * broadcast nested-loop join on its own.
    */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxRows: Int = 100000): DataFrame = {
     // norms computed once per vector BEFORE the pair join — per-pair
     // cosine is then a single dot product instead of three
     val e = embeddings.select(col(idCol), col(vecCol))
       .withColumn("__n", norm(col(vecCol)))
+    val n = e.limit(maxRows + 1).count()
+    require(n <= maxRows,
+      s"cosinePairs is the O(n²) verification baseline: input exceeds " +
+        s"$maxRows rows — use Dedup.embeddingNearDups (LSH) or a sample")
     val l = e.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
     val r = e.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
-    l.join(broadcast(r), col("a") < col("b"))
+    l.join(r, col("a") < col("b"))
       .withColumn("cosine",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("cosine") >= threshold)

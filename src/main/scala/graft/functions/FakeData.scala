@@ -148,18 +148,42 @@ object FakeData {
   // ---- stand-ins for the built-in Faker providers shipped blueprints use
   // (we fake the *shape* of the data, not the Faker corpus) ----
 
+  // Wordlists sized so generated corpora aren't degenerate for the
+  // text-analysis/PII operators downstream (stopwords present for the
+  // quality scorer, enough vocabulary that dedup/fingerprint tests see
+  // realistic collision rates) while staying pure-ASCII single-line.
   private val Words = Vector("lorem", "ipsum", "dolor", "sit", "amet",
     "consectetur", "adipiscing", "elit", "sed", "do", "eiusmod", "tempor",
     "incididunt", "labore", "dolore", "magna", "aliqua", "enim", "minim",
-    "veniam", "quis", "nostrud", "exercitation", "ullamco", "laboris")
+    "veniam", "quis", "nostrud", "exercitation", "ullamco", "laboris",
+    "the", "a", "and", "of", "to", "in", "is", "it", "that", "for",
+    "report", "quarterly", "summary", "account", "customer", "invoice",
+    "payment", "balance", "statement", "record", "system", "access",
+    "request", "service", "review", "notice", "pending", "approved",
+    "transfer", "deposit", "credit", "branch", "office", "manager",
+    "agent", "policy", "claim", "contract", "schedule", "meeting",
+    "project", "update", "status", "final", "draft", "internal",
+    "confidential", "archive", "backup", "export", "import", "ledger",
+    "audit", "expense", "revenue", "budget", "forecast", "region")
   private val FirstNames = Vector("alex", "sam", "jordan", "taylor", "casey",
-    "riley", "morgan", "avery", "quinn", "rowan")
+    "riley", "morgan", "avery", "quinn", "rowan", "jamie", "drew",
+    "cameron", "reese", "skyler", "emerson", "finley", "harper",
+    "kendall", "logan", "parker", "peyton", "sawyer", "spencer",
+    "blake", "charlie", "dakota", "elliot", "hayden", "marley")
   private val LastNames = Vector("smith", "johnson", "lee", "garcia", "chen",
-    "patel", "kim", "lopez", "brown", "davis")
+    "patel", "kim", "lopez", "brown", "davis", "miller", "wilson",
+    "anderson", "thomas", "moore", "martin", "thompson", "white",
+    "harris", "clark", "lewis", "walker", "hall", "young", "king",
+    "wright", "scott", "green", "baker", "nguyen")
   private val Streets = Vector("Oak St", "Maple Ave", "Pine Rd", "Cedar Ln",
-    "Elm Dr", "Birch Blvd", "Walnut Way", "Spruce Ct")
+    "Elm Dr", "Birch Blvd", "Walnut Way", "Spruce Ct", "Chestnut St",
+    "Willow Ave", "Aspen Rd", "Poplar Ln", "Sycamore Dr", "Magnolia Blvd",
+    "Juniper Way", "Hickory Ct", "Laurel St", "Cypress Ave", "Redwood Rd",
+    "Dogwood Ln")
   private val Cities = Vector("Springfield", "Riverton", "Fairview",
-    "Greenville", "Bristol", "Clinton", "Ashland", "Milton")
+    "Greenville", "Bristol", "Clinton", "Ashland", "Milton", "Georgetown",
+    "Salem", "Madison", "Franklin", "Arlington", "Burlington", "Clayton",
+    "Dayton", "Lexington", "Oxford", "Winchester", "Kingston")
   private val Exts = Vector("txt", "csv", "pdf", "doc", "xls", "log", "json")
 
   def sentence(r: Random): String = {

@@ -42,12 +42,18 @@ object Rng {
    */
   val Sep = "\u0001"
 
-  def uniform(seed: Long, stream: String, keys: Column*): Column = {
-    val payload = concat_ws(Sep,
-      (lit(seed.toString) +: lit(stream) +: keys.map(_.cast("string"))): _*)
-    conv(substring(md5(payload), 1, 13), 16, 10).cast("long").cast("double") *
-      lit(Inv2p52)
-  }
+  /** The raw md5 hex digest of the canonical `(seed, stream, keys*)`
+    * payload — the entropy source behind [[uniform]], exposed for
+    * operators that need hex-derived tokens (uuids, key suffixes) that
+    * must replay in the DuckDB oracle:
+    * `md5('seed' || chr(1) || 'stream' || chr(1) || key::VARCHAR || …)`. */
+  def digest(seed: Long, stream: String, keys: Column*): Column =
+    md5(concat_ws(Sep,
+      (lit(seed.toString) +: lit(stream) +: keys.map(_.cast("string"))): _*))
+
+  def uniform(seed: Long, stream: String, keys: Column*): Column =
+    conv(substring(digest(seed, stream, keys: _*), 1, 13), 16, 10)
+      .cast("long").cast("double") * lit(Inv2p52)
 
   /** U(0,1] — safe for log(). */
   def uniformPos(seed: Long, stream: String, keys: Column*): Column =
@@ -62,6 +68,15 @@ object Rng {
    * difference flips `round(_, 9)` only within ~1e-16 of a grid
    * boundary) so downstream arithmetic sees identical doubles in both
    * engines. Distributional cost: none at 9 digits.
+   *
+   * Residual cross-engine risk: Spark's round(double, 9) goes through
+   * BigDecimal HALF_UP while DuckDB rounds via float multiply/divide,
+   * so for inputs sitting exactly ON a 9-digit grid point the two can
+   * still disagree by one ulp — a failure mode independent of the
+   * 1-ulp-input analysis above. It has never fired over the oracle
+   * sample sizes; if an oracle ever needs a hard guarantee, compare on
+   * an integer grid instead — CAST(round(x * 1e9) AS BIGINT) on both
+   * sides, the way the IVF centroid means already do.
    */
   def gaussian(seed: Long, stream: String, keys: Column*): Column = {
     val u1 = uniformPos(seed, stream + "/bm1", keys: _*)

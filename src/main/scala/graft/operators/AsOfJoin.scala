@@ -43,6 +43,8 @@ object AsOfJoin {
       lTime: String, rTime: String, payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    require(keys.nonEmpty, "asOf needs at least one join key " +
+      "(a key-less global as-of would silently match across all rows)")
     val keyCols = keys.map(col)
     // Microsecond-exact ordering key for timestamps; a plain long cast
     // would truncate TimestampType to whole seconds.

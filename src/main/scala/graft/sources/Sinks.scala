@@ -25,10 +25,15 @@ object Sinks {
    * provider lines, random content_type/acl.
    *
    * Built as a frame, never a loop (SURVEY §7.4 hard part 6): rows =
-   * sum(value) via `explode(sequence(...))`, content via a seeded UDF
-   * keyed on (generator_id, t, object index) — deterministic at any
-   * parallelism. Zero values produce zero rows, matching the reference's
-   * zero-skip for S3 (src/main.py:1032-1034).
+   * sum(value) via `explode(sequence(...))`. Everything *structural* —
+   * provider choice, key (uuid + 50/50 prefix dir), content_type, acl —
+   * is a codegen'd md5-column derivation keyed on (generator_id, t,
+   * object index), so it stays in whole-stage codegen AND replays
+   * exactly in the DuckDB oracle (see k_object_meta). Only the body
+   * TEXT (wordlist-driven provider lines) needs a UDF, seeded per
+   * object — deterministic at any parallelism either way. Zero values
+   * produce zero rows, matching the reference's zero-skip for S3
+   * (src/main.py:1032-1034).
    */
   def fakeObjects(routed: DataFrame, target: TargetSpec, seed: Long): DataFrame = {
     val prefix = target.raw.string("prefix", "")
@@ -41,30 +46,43 @@ object Sinks {
     val disclaimer = "Sample Report - No identification of actual persons or " +
       "places is intended or should be inferred\r\n\r\n"
 
-    val mkObject = udf((h: Long) => {
+    // uniform pick from a plan-time list — floor(u * n) on the shared
+    // md5 uniform, so the same element is picked by the oracle SQL
+    def pick(items: Seq[String], stream: String): Column =
+      element_at(array(items.map(lit): _*),
+        (floor(Rng.uniform(seed, stream, col(Gid), col("t"), col("__obj")) *
+          lit(items.size.toDouble)) + 1L).cast("int"))
+
+    // uuid4-shaped token from the md5 hex digest (8-4-4-4-12)
+    val d = Rng.digest(seed, "obj_uuid", col(Gid), col("t"), col("__obj"))
+    val uuidCol = concat_ws("-", substring(d, 1, 8), substring(d, 9, 4),
+      substring(d, 13, 4), substring(d, 17, 4), substring(d, 21, 12))
+
+    val provider = pick(fakeTypes, "obj_provider")
+    val dir = when(
+      Rng.uniform(seed, "obj_mixed", col(Gid), col("t"), col("__obj")) < 0.5,
+      provider).otherwise(lit("mixed"))
+
+    val mkBody = udf((prov: String, h: Long) => {
       val r = new java.util.Random(h)
-      val provider = fakeTypes(r.nextInt(fakeTypes.size))
-      val fn = FakeData.registry(provider)
-      val key =
-        if (r.nextDouble() < 0.5) s"$prefix$provider/${FakeData.uuid(r)}.fake"
-        else s"${prefix}mixed/${FakeData.uuid(r)}.fake"
+      val fn = FakeData.registry(prov)
       val body = new StringBuilder(disclaimer)
       var i = 0L
       while (i < fakeCounts) { body.append(fn(r)).append("\r\n"); i += 1 }
-      (key, body.toString,
-        contentTypes(r.nextInt(contentTypes.size)),
-        acls(r.nextInt(acls.size)))
+      body.toString
     })
 
     routed
       .where(col("value") > 0)
       .withColumn("__obj", explode(sequence(lit(1L), col("value"))))
-      .withColumn("__o",
-        mkObject(Rng.hash64(seed, "fake_object", col(Gid), col("t"), col("__obj"))))
+      .withColumn("provider", provider)
       .select(
         col(Gid), col("t"),
-        col("__o._1").as("key"), col("__o._2").as("body"),
-        col("__o._3").as("content_type"), col("__o._4").as("acl"))
+        concat(lit(prefix), dir, lit("/"), uuidCol, lit(".fake")).as("key"),
+        mkBody(col("provider"),
+          Rng.hash64(seed, "fake_object", col(Gid), col("t"), col("__obj"))).as("body"),
+        pick(contentTypes, "obj_ctype").as("content_type"),
+        pick(acls, "obj_acl").as("acl"))
   }
 
   /**
@@ -92,12 +110,18 @@ object Sinks {
       case None => Array.empty
     }
     val realKeysCol = array(realKeys.map(lit).toSeq: _*)
-    val fakeKey = udf((h: Long) => {
-      val r = new java.util.Random(h)
-      val letters = ('A' to 'Z') ++ ('a' to 'z')
-      val s = (0 until 8).map(_ => letters(r.nextInt(letters.size))).mkString
-      s"${prefix}fake-object-$s"
-    })
+    // fake-key suffix: 8 letters, each byte of the md5 digest mapped into
+    // the 52-letter alphabet — a pure column derivation (stays in
+    // whole-stage codegen; no UDF) that the DuckDB oracle replays:
+    // substr(letters, 1 + ('0x'||substr(md5(p), 2i-1, 2))::BIGINT % 52, 1)
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).mkString
+    def fakeKey(digest: Column): Column = {
+      val chars = (0 until 8).map { i =>
+        val b = conv(substring(digest, i * 2 + 1, 2), 16, 10).cast("int")
+        lit(letters).substr(pmod(b, lit(52)) + 1, lit(1))
+      }
+      concat((lit(s"${prefix}fake-object-") +: chars): _*)
+    }
     val withGets = routed
       .where(col("value") > 0)
       .withColumn("__nreal",
@@ -114,7 +138,7 @@ object Sinks {
         when(col("__draw") < col("__nreal"),
           element_at(realKeysCol, (col("__draw") + 1).cast("int")))
           .otherwise(fakeKey(
-            Rng.hash64(seed, "get_key", col(Gid), col("t"), col("__draw")))))
+            Rng.digest(seed, "get_key", col(Gid), col("t"), col("__draw")))))
       .withColumn("key_pool_size", col("value"))
       .select(col(Gid), col("t"), col("key"), col("key_pool_size"))
   }

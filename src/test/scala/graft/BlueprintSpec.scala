@@ -72,4 +72,26 @@ class BlueprintSpec extends AnyFunSuite with Matchers {
     bp.targets(2).groupDatapoints shouldBe true
     bp.targets(0).groupDatapoints shouldBe false
   }
+
+  test("EP1 env entry: BlueprintBucket/Object resolve the file, DefaultS3Bucket injects; missing var fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("bp_env").toFile
+    try {
+      val f = new java.io.File(dir, "bp.json")
+      java.nio.file.Files.write(f.toPath,
+        """{"generators":[{"id":"g","shape":"constant","config":{"num_points":3,"constant":1}}],
+          | "targets":[{"type":"s3","action":"put","generators":["g"]}]}""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val env = Map("BlueprintBucket" -> dir.getAbsolutePath,
+        "BlueprintObject" -> "bp.json", "DefaultS3Bucket" -> "env-bucket")
+      val parsed = BlueprintParser.fromEnv(env)
+      parsed.generators.map(_.id) shouldBe Seq("g")
+      parsed.targets.head.raw.string("bucket", "") shouldBe "env-bucket"
+      val ex = intercept[NoSuchElementException] {
+        BlueprintParser.fromEnv(env - "BlueprintObject")
+      }
+      ex.getMessage should include("BlueprintObject")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }

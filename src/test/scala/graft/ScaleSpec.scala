@@ -200,6 +200,63 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bruteForceTopK: bounded aggregation replaces the per-query window, same output") {
+    val corpus = (0L until 60L).map { i =>
+      val r = new java.util.Random(i * 7 + 1)
+      (i, Array.fill(8)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val out = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    // scale contract: no window over the scored corpus — ranking goes
+    // through the TopK aggregator (partial aggregation before shuffle)
+    out.queryExecution.executedPlan.toString should not include "Window"
+    // output identical to the window-rank formulation
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select($"vec_id", $"embedding".as("cv"))
+    val q = queries.select($"query_id", $"embedding".as("qv"))
+    val scored = c.crossJoin(q).withColumn("score",
+      Similarity.cosine($"cv", $"qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id".asc)
+    val ref = scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= 5)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    out.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet shouldBe ref
+  }
+
+  test("cosinePairs enforces its O(n²) small-input contract") {
+    val vecs = (0L until 10L).map { i =>
+      (i, Array.fill(4)(((i % 3) + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    // over the bound: refuse instead of broadcasting an unbounded corpus
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(vecs, 0.5, maxRows = 5)
+    }
+    ex.getMessage should include("embeddingNearDups")
+    // within the bound: exact pairs, a < b, threshold respected
+    val out = Similarity.cosinePairs(vecs, 0.999).collect()
+    out.foreach { r => r.getLong(0) should be < r.getLong(1) }
+    // ids with equal direction (i%3 equal) are cosine-1 pairs
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 3L))
+    pairs should not contain ((0L, 1L))
+  }
+
+  test("documents corpus is pure ASCII (media oracles equate char and byte semantics)") {
+    // the x_media_* oracles use DuckDB len/substr (characters) against
+    // the engine's byte length/slice of the binary payload; that holds
+    // only for single-byte text, so pin it per SF here
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+        .where(octet_length($"text") =!= length($"text") ||
+          $"text".rlike("[^\\x00-\\x7F]"))
+        .count()
+      withClue(s"$sf non-ascii docs:") { bad shouldBe 0L }
+    }
+  }
+
   test("typed API: Dataset[DataPoint] round-trips the IR frame") {
     val bp = graft.blueprint.BlueprintParser.parse(
       """{"generators":[{"id":"g","shape":"constant","config":{"num_points":5,"constant":3}}],
