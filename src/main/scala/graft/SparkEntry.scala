@@ -237,26 +237,44 @@ object SparkEntry {
         .orderBy("t")
     }),
 
-    // Roundtrip: the activity generator's fake-object corpus fed into
-    // the training-data operators — blueprint → fake documents → text
-    // quality + language-ID + exact dedup, one pipeline (rows-only:
-    // corpus content is seeded-RNG).
+    // Roundtrip: the activity generator's fake-object corpus summarized
+    // as a training-data corpus profile — blueprint → fake documents →
+    // per-provider structural summary. Same split as k_fake_objects/
+    // k_object_meta: every output column is either an md5-column
+    // derivation (provider dir, object keys) or a body-structure
+    // invariant pinned by construction (CRLF line count = 2 disclaimer
+    // CRLFs + fake_counts provider lines; the disclaimer prefix), so the
+    // whole frame replays exactly in DuckDB. The wordlist body TEXT
+    // itself stays rows-only (k_fake_objects; content pinned in
+    // EngineSpec). The n_lines/disclaimed columns are computed from the
+    // REAL bodies Spark-side and pinned to constants oracle-side — a
+    // genuine structural assertion, not a tautology.
     "x_synthetic_corpus" -> ((s, _) => {
       val bp = BlueprintParser.parse(
         """{"generators":[{"id":"tsa","shape":"constant","config":{"num_points":200,"constant":2}}],
           | "targets":[{"type":"s3","action":"put","generators":["tsa"],
           |             "fake_types":["sentence","email","address","profile"],"fake_counts":3}]}""".stripMargin)
       val series = Engine.materialize(s, bp, Seed)
-      val corpus = Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
+      val disclaimer = "Sample Report - No identification of actual persons or " +
+        "places is intended or should be inferred\r\n\r\n"
+      Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
         bp.targets.head, Seed)
-        .select(col("key").as("doc_id"), col("body").as("text"))
-      TextStats.qualityFacets(corpus)
-        .withColumn("lang_pred", TextStats.langId(col("text")))
-        .withColumn("digest", sha2(col("text"), 256))
-        .groupBy("quality_bucket", "lang_pred")
+        .select(
+          split(col("key"), "/").getItem(0).as("provider_dir"),
+          col("key").as("doc_id"),
+          col("content_type"), col("acl"),
+          ((length(col("body")) -
+            length(regexp_replace(col("body"), "\r\n", ""))) / 2)
+            .cast("long").as("n_lines"),
+          col("body").startsWith(disclaimer).as("disclaimed"))
+        .groupBy("provider_dir", "content_type", "acl")
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("digest")).as("n_distinct"))
-        .orderBy("quality_bucket", "lang_pred")
+          countDistinct(col("doc_id")).as("n_keys"),
+          sum(col("n_lines")).cast("long").as("total_lines"),
+          bool_and(col("disclaimed")).as("all_disclaimed"),
+          min(col("doc_id")).as("first_key"),
+          max(col("doc_id")).as("last_key"))
+        .orderBy("provider_dir")
     }),
 
     // K1a fake S3 object corpus (seeded body text; rows-only — the

@@ -227,8 +227,11 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("cosinePairs enforces its O(n²) small-input contract") {
+    // one-hot direction per class: cross-class cosine is exactly 0,
+    // same-class cosine is exactly 1 — so threshold assertions are meaningful
     val vecs = (0L until 10L).map { i =>
-      (i, Array.fill(4)(((i % 3) + 1).toFloat))
+      val v = Array.fill(4)(0f); v((i % 3).toInt) = (i + 1).toFloat
+      (i, v)
     }.toDF("vec_id", "embedding")
     // over the bound: refuse instead of broadcasting an unbounded corpus
     val ex = intercept[IllegalArgumentException] {
@@ -250,7 +253,7 @@ class ScaleSpec extends SparkSpec {
     // only for single-byte text, so pin it per SF here
     for (sf <- Seq("sf0.001", "sf0.01")) {
       val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
-        .where(octet_length($"text") =!= length($"text") ||
+        .where(octet_length($"text") =!= org.apache.spark.sql.functions.length($"text") ||
           $"text".rlike("[^\\x00-\\x7F]"))
         .count()
       withClue(s"$sf non-ascii docs:") { bad shouldBe 0L }
