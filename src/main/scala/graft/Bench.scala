@@ -56,15 +56,25 @@ object Bench {
     results.collect { case (n, (v, _)) if v < 0 => n }.foreach { n =>
       System.err.println(s"[bench] RESULT INCOMPLETE: $n recorded as -1")
     }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+    // Per-query values rounded to 1 ms: full-precision doubles made the
+    // combined line ~4.5k chars, which overflowed the driver's ~2000-char
+    // stdout tail capture in round 6 (BENCH_r06 parsed:null — the headline
+    // totals at the FRONT of the line were truncated away).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + r3(mn) }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
+    val qsMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + r3(md) }
       .mkString("{", ",", "}")
     // totals sum successful runs only; failures are visible as -1 in
     // the per-query maps (a -1 folded into the total would corrupt it).
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2._1).filter(_ >= 0).sum)
+    val totalMed = r3(results.map(_._2._2).filter(_ >= 0).sum)
+    // Detail line FIRST, compact headline LAST: the driver keeps only the
+    // tail of stdout and parses the final JSON line, so the headline (with
+    // the per-query min map, the map cross-round comparisons need) must be
+    // the last thing printed and must fit the tail on its own.
+    println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

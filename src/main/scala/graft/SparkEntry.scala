@@ -255,8 +255,7 @@ object SparkEntry {
           | "targets":[{"type":"s3","action":"put","generators":["tsa"],
           |             "fake_types":["sentence","email","address","profile"],"fake_counts":3}]}""".stripMargin)
       val series = Engine.materialize(s, bp, Seed)
-      val disclaimer = "Sample Report - No identification of actual persons or " +
-        "places is intended or should be inferred\r\n\r\n"
+      val disclaimer = Sinks.Disclaimer
       Sinks.fakeObjects(Dispatch.routeToTarget(series, bp.targets.head),
         bp.targets.head, Seed)
         .select(
@@ -1643,6 +1642,36 @@ object SparkEntry {
       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   private val extOracles: Map[String, String] = Map(
+    // Synthetic-corpus structural replay: provider dir / keys / ctype /
+    // acl are the same md5-column derivations as k_object_meta (constant
+    // generator value=2 → 2 objects per slot over 200 slots); n_lines is
+    // pinned by construction (2 disclaimer CRLFs + fake_counts=3
+    // single-line providers = 5 per doc — sentence/email/address/profile
+    // emit no embedded CRLF, see FakeData) and disclaimed=true for every
+    // body (Sinks.Disclaimer prefix), so the Spark-side aggregates over
+    // REAL bodies replay as constants here.
+    "x_synthetic_corpus" -> {
+      val keys = "t::VARCHAR || chr(1) || obj"
+      val provs = Seq("sentence", "email", "address", "profile")
+      s"""WITH obj AS (SELECT t, o.i AS obj FROM generate_series(0, 199) g(t)
+         |             CROSS JOIN generate_series(1, 2) o(i)),
+         |m AS (SELECT ${digestSql("obj_uuid", "tsa", keys)} AS d,
+         |             [${provs.map("'" + _ + "'").mkString(",")}]
+         |               [CAST(floor(${uniformSql("obj_provider", "tsa", keys)} * ${provs.size}.0) AS INT) + 1] AS provider,
+         |             ${uniformSql("obj_mixed", "tsa", keys)} AS um
+         |      FROM obj),
+         |k AS (SELECT (CASE WHEN um < 0.5 THEN provider ELSE 'mixed' END) AS provider_dir,
+         |             (CASE WHEN um < 0.5 THEN provider ELSE 'mixed' END) || '/' ||
+         |               ${uuidSql("d")} || '.fake' AS doc_id
+         |      FROM m)
+         |SELECT provider_dir, 'text/plain' AS content_type, 'private' AS acl,
+         |       count(*) AS n_docs, count(DISTINCT doc_id) AS n_keys,
+         |       CAST(5 * count(*) AS BIGINT) AS total_lines,
+         |       TRUE AS all_disclaimed,
+         |       min(doc_id) AS first_key, max(doc_id) AS last_key
+         |FROM k GROUP BY 1, 2, 3 ORDER BY provider_dir""".stripMargin
+    },
+
     "x_dedup_exact" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -16,6 +16,13 @@ import graft.operators.Transforms.Gid
  */
 object Sinks {
 
+  /** Disclaimer prepended to every fake object body (reference's
+    * FAKE_DATA_DISCLAIMER, src/main.py:55). Shared with queries that
+    * assert on body structure (x_synthetic_corpus) so the literal can
+    * never silently diverge from the sink. */
+  val Disclaimer: String = "Sample Report - No identification of actual persons " +
+    "or places is intended or should be inferred\r\n\r\n"
+
   /**
    * K1a — fake S3 object corpus for an s3/put target
    * (`create_bucket_object`, src/main.py:977-1020): each datapoint value v
@@ -43,8 +50,7 @@ object Sinks {
       Seq(target.raw.string("content_type", "text/plain")))
     val acls = target.raw.strings("acls", Seq(target.raw.string("acl", "private")))
 
-    val disclaimer = "Sample Report - No identification of actual persons or " +
-      "places is intended or should be inferred\r\n\r\n"
+    val disclaimer = Disclaimer
 
     // uniform pick from a plan-time list — floor(u * n) on the shared
     // md5 uniform, so the same element is picked by the oracle SQL
