@@ -1337,7 +1337,8 @@ object SparkEntry {
     "x_media_meta" -> ((s, dir) =>
       Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
         .select(col("media_id"), col("kind"), col("meta.width"),
-          col("meta.height"), col("meta.duration_s"), col("meta.n_bytes"))
+          col("meta.height"), col("meta.duration_s"), col("meta.n_bytes"),
+          col("meta.sample_rate"), col("meta.channels"))
         .orderBy("media_id")),
 
     // frame_payload is BINARY; the driver's pandas compare cannot sort a
@@ -1753,19 +1754,27 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
 
     // Stub media codecs replay in DuckDB: documents.text IS the payload
-    // byte-for-byte (corpus is pure ASCII, verified), and the stub's
-    // entropy source is the same md5 prefix both engines compute.
+    // byte-for-byte (Spark casts the string to binary = its UTF-8 bytes;
+    // DuckDB md5/strlen also operate on UTF-8 bytes), and the stub's
+    // entropy source is the same md5 prefix both engines compute. All
+    // forms here are byte-semantic (strlen, hex(encode(..)) slicing), so
+    // the oracles hold even for non-ASCII corpora; the ScaleSpec ASCII
+    // pin is a dataset canary, not a correctness precondition.
+    // sample_rate/channels are the REAL wav-parse outputs, pinned 0 here
+    // because a text payload can never carry the RIFF/WAVE magic — the
+    // wav branch itself is exercised in MultimodalSpec.
     "x_media_meta" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |                  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
-        |                  CAST(len(text) AS BIGINT) AS n_bytes
+        |                  CAST(strlen(text) AS BIGINT) AS n_bytes
         |           FROM documents)
         |SELECT media_id, kind,
         |       CAST(h % 1920 + 1 AS INT) AS width,
         |       CAST((h >> 16) % 1080 + 1 AS INT) AS height,
         |       CAST((h >> 32) % 600 + 1 AS INT) AS duration_s,
-        |       n_bytes
+        |       n_bytes,
+        |       CAST(0 AS INT) AS sample_rate, CAST(0 AS INT) AS channels
         |FROM m ORDER BY media_id""".stripMargin,
 
     // decodeBatched's MessageDigest kernel computes the same md5 prefix
@@ -1774,13 +1783,14 @@ object SparkEntry {
       """WITH m AS (SELECT doc_id AS media_id,
         |                  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
         |                  ('0x' || substr(md5(text), 1, 15))::BIGINT AS h,
-        |                  CAST(len(text) AS BIGINT) AS n_bytes
+        |                  CAST(strlen(text) AS BIGINT) AS n_bytes
         |           FROM documents)
         |SELECT media_id, kind,
         |       CAST(h % 1920 + 1 AS INT) AS width,
         |       CAST((h >> 16) % 1080 + 1 AS INT) AS height,
         |       CAST((h >> 32) % 600 + 1 AS INT) AS duration_s,
-        |       n_bytes
+        |       n_bytes,
+        |       CAST(0 AS INT) AS sample_rate, CAST(0 AS INT) AS channels
         |FROM m ORDER BY media_id""".stripMargin,
 
     "x_media_frames" ->
@@ -1791,7 +1801,8 @@ object SparkEntry {
         |              unnest(generate_series(0, (h >> 32) % 600, 60)) AS frame_ts
         |       FROM m)
         |SELECT media_id, frame_ts,
-        |       lower(hex(substr(text, CAST(frame_ts % 16 + 1 AS INT), 16))) AS frame_hex
+        |       lower(substr(hex(encode(text)),
+        |                    CAST((frame_ts % 16) * 2 + 1 AS INT), 32)) AS frame_hex
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
     "x_sim_ivf" -> simIvfSql,

@@ -1,0 +1,73 @@
+package graft.ext
+
+/**
+ * Pure-Scala media container parsers — the first REAL codec in the
+ * multimodal suite (no native libraries needed for header-level
+ * decode). Currently RIFF/WAV: magic check + chunk walk + PCM fmt
+ * parse. Payloads that don't carry the magic fall back to the
+ * deterministic md5 stub in [[Multimodal]], so the text-backed test
+ * corpus keeps replaying exactly in the DuckDB oracle.
+ *
+ * The reference has no media handling at all (it generates text fakes,
+ * src/main.py:977-1020) — this is part of the training-data-pipeline
+ * extension surface, not reference parity.
+ */
+object MediaCodecs {
+
+  /** Parsed WAV header facts. `durationS` is ceil(dataBytes/byteRate) —
+    * integer arithmetic, so the Column-side parse in
+    * [[Multimodal.decodeMeta]] computes the identical value. */
+  final case class WavMeta(channels: Int, sampleRate: Int, byteRate: Int,
+      bitsPerSample: Int, dataBytes: Long, durationS: Int)
+
+  private def leU16(b: Array[Byte], pos: Int): Int =
+    (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8)
+
+  private def leU32(b: Array[Byte], pos: Int): Long =
+    (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+      ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+
+  private def chunkId(b: Array[Byte], pos: Int): String =
+    new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /**
+   * Chunk-walking RIFF/WAV parse: verifies `RIFF….WAVE`, then walks
+   * chunks from offset 12 (`id(4) size(4 LE) body[size]`, bodies padded
+   * to even length per the RIFF spec) until both a `fmt ` and a `data`
+   * chunk are seen. Handles non-canonical layouts — extra chunks (LIST,
+   * fact, …) before `data`, extended fmt bodies — that the Column-side
+   * canonical parse does not. Truncated or malformed containers return
+   * None (callers fall back to the stub) rather than throwing: at 100 TB
+   * a corrupt blob must degrade, not kill the stage.
+   */
+  def parseWav(payload: Array[Byte]): Option[WavMeta] = {
+    if (payload == null || payload.length < 44) return None
+    if (chunkId(payload, 0) != "RIFF" || chunkId(payload, 8) != "WAVE") return None
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, byteRate, bits
+    var dataBytes = -1L
+    while (pos + 8 <= payload.length && (fmt.isEmpty || dataBytes < 0)) {
+      val id = chunkId(payload, pos)
+      val size = leU32(payload, pos + 4)
+      if (id == "fmt " && fmt.isEmpty) {
+        if (size < 16 || pos + 8 + 16 > payload.length) return None
+        fmt = Some((leU16(payload, pos + 10), leU32(payload, pos + 12).toInt,
+          leU32(payload, pos + 16).toInt, leU16(payload, pos + 22)))
+      } else if (id == "data" && dataBytes < 0) {
+        dataBytes = size
+      }
+      // chunk bodies are padded to even length; guard against size
+      // overflowing Int on adversarial headers
+      val step = 8L + size + (size & 1L)
+      if (step <= 0 || pos + step > Int.MaxValue) pos = payload.length
+      else pos += step.toInt
+    }
+    fmt match {
+      case Some((ch, rate, byteRate, bits)) if dataBytes >= 0 =>
+        val dur =
+          if (byteRate > 0) ((dataBytes + byteRate - 1) / byteRate).toInt else 0
+        Some(WavMeta(ch, rate, byteRate, bits, dataBytes, dur))
+      case _ => None
+    }
+  }
+}

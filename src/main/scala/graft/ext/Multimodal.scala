@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with a typed metadata struct, plus decode /
  * feature-extract / resize / frame-sample operators.
  *
- * The actual media codecs are NOT available in this environment, so the
- * decode kernels are deterministic STUBS (clearly marked below): they
- * derive plausible metadata/features from a hash of the payload bytes.
+ * Container-header decode is REAL for RIFF/WAV (pure-Scala parse, no
+ * native libraries — [[MediaCodecs]]); pixel/sample codecs are NOT
+ * available in this environment, so the remaining decode kernels are
+ * deterministic STUBS (clearly marked below): they derive plausible
+ * metadata/features from a hash of the payload bytes.
  * Everything around them — schema, partition behavior, explode shapes,
  * batch-friendly column signatures — is real and is what matters at
  * scale: a payload column is never shuffled unless the operator needs
@@ -43,20 +45,65 @@ object Multimodal {
   private def payloadHash(payload: Column): Column =
     conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
 
+  /** Little-endian unsigned int read from a binary column at 1-based
+    * byte position `pos` — per-byte hex/conv, all codegen'd functions. */
+  private def leUint(payload: Column, pos: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("long") * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Canonical 44-byte PCM WAV layout: RIFF/WAVE magic, a 16-byte
+    * `fmt ` chunk at offset 12, `data` immediately after. The chunk-
+    * walking general case lives in [[MediaCodecs.parseWav]] (kernel
+    * path); the Column path recognizes the canonical layout only, which
+    * is what wav writers emit in practice. */
+  private def isCanonicalWav(payload: Column): Column =
+    length(payload) >= 44 &&
+      substring(payload, 1, 4) === lit(ascii("RIFF")) &&
+      substring(payload, 9, 4) === lit(ascii("WAVE")) &&
+      substring(payload, 13, 4) === lit(ascii("fmt ")) &&
+      leUint(payload, 17, 4) === 16L &&
+      substring(payload, 37, 4) === lit(ascii("data"))
+
   /**
-   * STUB decode — `???` in spirit: real implementation would parse the
-   * container header (JPEG SOF / WAV fmt / MP4 moov). Deterministic fake:
-   * dimensions & duration derived from md5(payload). The column
-   * *signature* (binary -> struct) is the real contract.
+   * Container-header decode. Payloads carrying the canonical RIFF/WAV
+   * magic get a REAL header parse (sample rate / channels / duration
+   * from the fmt and data chunks — little-endian field reads, all
+   * codegen'd column functions); everything else falls back to the
+   * deterministic md5 STUB (a real implementation would add JPEG SOF /
+   * MP4 moov walks; those formats' variable-offset structures need the
+   * kernel path, see [[decodeBatched]]). The column signature
+   * (binary -> struct) is the contract either way.
    */
   def decodeMeta(payload: Column, kind: Column): Column = {
     val h = payloadHash(payload)
-    struct(
-      (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
-      (pmod(shiftrightunsigned(h, 16), lit(1080L)) + 1L).cast("int").as("height"),
-      (pmod(shiftrightunsigned(h, 32), lit(600L)) + 1L).cast("int").as("duration_s"),
-      length(payload).cast("long").as("n_bytes"),
-      kind.as("format"))
+    val byteRate = leUint(payload, 29, 4)
+    val dataBytes = leUint(payload, 41, 4)
+    // integer ceil-div, exact in double up to 2^53 — matches the kernel
+    // parser's (dataBytes + byteRate - 1) / byteRate
+    val durationS = when(byteRate > 0,
+      floor((dataBytes + byteRate - lit(1L)) / byteRate)).otherwise(0L).cast("int")
+    when(isCanonicalWav(payload),
+      struct(
+        lit(0).as("width"),
+        lit(0).as("height"),
+        durationS.as("duration_s"),
+        length(payload).cast("long").as("n_bytes"),
+        lit("wav").as("format"),
+        leUint(payload, 25, 4).cast("int").as("sample_rate"),
+        leUint(payload, 23, 2).cast("int").as("channels")))
+    .otherwise(
+      struct(
+        (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
+        (pmod(shiftrightunsigned(h, 16), lit(1080L)) + 1L).cast("int").as("height"),
+        (pmod(shiftrightunsigned(h, 32), lit(600L)) + 1L).cast("int").as("duration_s"),
+        length(payload).cast("long").as("n_bytes"),
+        kind.as("format"),
+        lit(0).as("sample_rate"),
+        lit(0).as("channels")))
   }
 
   def withMeta(media: DataFrame): DataFrame =
@@ -76,7 +123,9 @@ object Multimodal {
       ceil(m.getField("height") * scale).cast("int").as("height"),
       m.getField("duration_s").as("duration_s"),
       m.getField("n_bytes").as("n_bytes"),
-      m.getField("format").as("format")))
+      m.getField("format").as("format"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("channels").as("channels")))
   }
 
   /**
@@ -99,15 +148,19 @@ object Multimodal {
   /** Typed row for the batch-decode path. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedRow(media_id: Long, kind: String, width: Int,
-      height: Int, duration_s: Int, n_bytes: Long)
+      height: Int, duration_s: Int, n_bytes: Long, sample_rate: Int,
+      channels: Int)
 
   /**
    * Batch decode via `mapPartitions` — the shape a real codec needs:
    * heavyweight per-partition init (codec context, native lib handles)
    * amortized across the partition's rows, rows streamed through an
-   * iterator (never materialized per partition), output typed. The
-   * decode kernel itself is the deterministic STUB (`stubDecode`);
-   * swap it for a real parser without touching the Spark plumbing.
+   * iterator (never materialized per partition), output typed. RIFF/WAV
+   * payloads get the REAL chunk-walking header parse
+   * ([[MediaCodecs.parseWav]] — unlike the Column path it handles
+   * non-canonical chunk layouts); everything else goes through the
+   * deterministic STUB (`stubDecode`). Add real parsers for further
+   * formats here without touching the Spark plumbing.
    */
   def decodeBatched(media: DataFrame): Dataset[DecodedRow] = {
     val spark = media.sparkSession
@@ -116,8 +169,14 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init happens HERE (codec context in real life)
         rows.map { r =>
-          val (w, h, d) = stubDecode(r.payload)
-          DecodedRow(r.media_id, r.kind, w, h, d, r.payload.length.toLong)
+          MediaCodecs.parseWav(r.payload) match {
+            case Some(w) => DecodedRow(r.media_id, r.kind, 0, 0, w.durationS,
+              r.payload.length.toLong, w.sampleRate, w.channels)
+            case None =>
+              val (wd, h, d) = stubDecode(r.payload)
+              DecodedRow(r.media_id, r.kind, wd, h, d,
+                r.payload.length.toLong, 0, 0)
+          }
         }
       }
   }

@@ -220,6 +220,72 @@ class ExtSpec extends SparkSpec {
     feats.head().getAs[Seq[Double]]("feature").length shouldBe 8
   }
 
+  // hand-built WAV container: canonical 44-byte PCM header, optionally
+  // with a LIST chunk wedged between fmt and data (non-canonical layout)
+  private def wavBytes(sampleRate: Int, channels: Int, bits: Int,
+      dataLen: Int, extraChunk: Boolean = false): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val extra = if (extraChunk) 8 + 10 else 0
+    val bb = ByteBuffer.allocate(44 + extra + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * bits / 8
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+    if (extraChunk)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(10).put(Array.fill[Byte](10)(0x7f))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(Array.tabulate[Byte](dataLen)(i => (i % 251).toByte))
+    bb.array()
+  }
+
+  test("MediaCodecs.parseWav: canonical + chunk-walk layouts; malformed -> None") {
+    val w = graft.ext.MediaCodecs.parseWav(wavBytes(8000, 2, 16, 64000)).get
+    w.sampleRate shouldBe 8000
+    w.channels shouldBe 2
+    w.bitsPerSample shouldBe 16
+    w.byteRate shouldBe 32000
+    w.dataBytes shouldBe 64000L
+    w.durationS shouldBe 2 // ceil(64000 / 32000)
+    // ceil rounding: one extra byte of data bumps the duration
+    graft.ext.MediaCodecs.parseWav(wavBytes(8000, 2, 16, 64001)).get.durationS shouldBe 3
+    // non-canonical: LIST chunk before data — the chunk walk finds both
+    val nc = graft.ext.MediaCodecs.parseWav(
+      wavBytes(44100, 1, 8, 44100, extraChunk = true)).get
+    nc.sampleRate shouldBe 44100
+    nc.durationS shouldBe 1
+    // malformed: wrong magic, truncated header
+    graft.ext.MediaCodecs.parseWav("RIFFxxxxDATA".getBytes) shouldBe None
+    graft.ext.MediaCodecs.parseWav(wavBytes(8000, 2, 16, 64000).take(30)) shouldBe None
+  }
+
+  test("decodeMeta/decodeBatched: real wav parse with stub fallback, paths agree") {
+    val wav = wavBytes(16000, 1, 16, 48000) // byteRate 32000 -> 2 s
+    val media = Seq((1L, "audio", wav), (2L, "audio", "not a wav at all".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val metas = Multimodal.withMeta(media).select("media_id", "meta")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    val wm = metas(1L)
+    wm.getAs[String]("format") shouldBe "wav"
+    wm.getAs[Int]("sample_rate") shouldBe 16000
+    wm.getAs[Int]("channels") shouldBe 1
+    wm.getAs[Int]("duration_s") shouldBe 2
+    wm.getAs[Int]("width") shouldBe 0
+    // non-wav payload falls back to the md5 stub (format = kind, rate 0)
+    metas(2L).getAs[String]("format") shouldBe "audio"
+    metas(2L).getAs[Int]("sample_rate") shouldBe 0
+    metas(2L).getAs[Int]("width") should be >= 1
+    // kernel path agrees with the Column path on the canonical layout
+    val dec = Multimodal.decodeBatched(media).collect()
+      .map(d => d.media_id -> d).toMap
+    dec(1L).sample_rate shouldBe 16000
+    dec(1L).channels shouldBe 1
+    dec(1L).duration_s shouldBe 2
+    dec(2L).sample_rate shouldBe 0
+    dec(2L).width shouldBe metas(2L).getAs[Int]("width")
+  }
+
   test("wordNgrams: space-joined sliding windows; short docs yield empty") {
     val df = Seq((0L, "a b c d"), (1L, "only"), (2L, ""), (3L, "x  y"))
       .toDF("doc_id", "text")

@@ -247,11 +247,13 @@ class ScaleSpec extends SparkSpec {
     pairs should not contain ((0L, 1L))
   }
 
-  test("documents corpus is pure ASCII (media oracles equate char and byte semantics)") {
-    // the x_media_* oracles use DuckDB len/substr (characters) against
-    // the engine's byte length/slice of the binary payload; that holds
-    // only for single-byte text, so pin it per SF here
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+  test("documents corpus is pure ASCII (dataset canary for the media suite)") {
+    // The x_media_* oracles are now byte-semantic (strlen /
+    // hex(encode(..)) slicing), so they no longer DEPEND on an ASCII
+    // corpus — this pin remains as a data-drift canary covering every SF
+    // the suite and the driver bench run at, so a corpus change that
+    // introduces multi-byte text is a visible event, not a silent one.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val bad = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
         .where(octet_length($"text") =!= org.apache.spark.sql.functions.length($"text") ||
           $"text".rlike("[^\\x00-\\x7F]"))
