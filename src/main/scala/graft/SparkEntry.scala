@@ -672,6 +672,24 @@ object SparkEntry {
         .orderBy("user_id", "l_es", "r_es")
     }),
 
+    // Left-outer form of the same stream-stream operator: clicks with no
+    // same-user error within ±2h survive with null right columns — the
+    // batch CORRECTNESS row for the outer path (streaming emission at
+    // the watermark is covered in StreamingSpec).
+    "q_interval_join_outer" -> ((s, dir) => {
+      val e = eventsTbl(s, dir).select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+      val errors = e.where(col("event_type") === "error")
+      graft.streaming.EventTimeOps.intervalJoin(
+        clicks, errors, "user_id", "ts", "value", within = "2 hours",
+        joinType = "left_outer")
+        .select(col("user_id"),
+          unix_micros(col("l_ts")).as("l_es"), col("l_value"),
+          unix_micros(col("r_ts")).as("r_es"), col("r_value"))
+        .orderBy("user_id", "l_es", "r_es")
+    }),
+
     // Tumbling 1h event-time aggregation (batch form of the stream op).
     "q_events_hourly" -> ((s, dir) =>
       eventsTbl(s, dir)
@@ -996,6 +1014,15 @@ object SparkEntry {
         |r AS (SELECT user_id AS rk, es AS r_es, value AS r_value FROM e WHERE event_type = 'error')
         |SELECT user_id, l_es, l_value, r_es, r_value
         |FROM l JOIN r ON user_id = rk
+        |  AND r_es >= l_es - 7200000000 AND r_es <= l_es + 7200000000
+        |ORDER BY user_id, l_es, r_es""".stripMargin,
+
+    "q_interval_join_outer" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS es, value FROM events),
+        |l AS (SELECT user_id, es AS l_es, value AS l_value FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS rk, es AS r_es, value AS r_value FROM e WHERE event_type = 'error')
+        |SELECT user_id, l_es, l_value, r_es, r_value
+        |FROM l LEFT JOIN r ON user_id = rk
         |  AND r_es >= l_es - 7200000000 AND r_es <= l_es + 7200000000
         |ORDER BY user_id, l_es, r_es""".stripMargin,
 

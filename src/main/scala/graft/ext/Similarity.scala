@@ -60,21 +60,25 @@ object Similarity {
    * small-input contract is ENFORCED: inputs larger than `maxRows`
    * throw (run [[Dedup.embeddingNearDups]] or pass a sample instead of
    * silently OOM-ing a driver with a full-corpus broadcast at 100×
-   * scale). The bound check reads at most `maxRows + 1` rows. No
-   * broadcast hint: within the bound the planner/AQE picks the
-   * broadcast nested-loop join on its own.
+   * scale). The bound check reads at most `maxRows + 1` rows (limit
+   * pushdown early-exits the scan); once it passes, the ≤maxRows input
+   * is localCheckpointed, so upstream lineage runs ONCE — not once for
+   * the guard and once per self-join branch. No broadcast hint: within
+   * the bound the planner/AQE picks the broadcast nested-loop join on
+   * its own.
    */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxRows: Int = 100000): DataFrame = {
     // norms computed once per vector BEFORE the pair join — per-pair
     // cosine is then a single dot product instead of three
-    val e = embeddings.select(col(idCol), col(vecCol))
+    val e0 = embeddings.select(col(idCol), col(vecCol))
       .withColumn("__n", norm(col(vecCol)))
-    val n = e.limit(maxRows + 1).count()
+    val n = e0.limit(maxRows + 1).count()
     require(n <= maxRows,
       s"cosinePairs is the O(n²) verification baseline: input exceeds " +
         s"$maxRows rows — use Dedup.embeddingNearDups (LSH) or a sample")
+    val e = e0.localCheckpoint()
     val l = e.select(col(idCol).as("a"), col(vecCol).as("__va"), col("__n").as("__na"))
     val r = e.select(col(idCol).as("b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     l.join(r, col("a") < col("b"))

@@ -43,12 +43,19 @@ object EventTimeOps {
       .dropDuplicatesWithinWatermark(keyCols)
 
   /**
-   * Stream-stream inner interval join: pair rows of two streams sharing
+   * Stream-stream interval join: pair rows of two streams sharing
    * `key` whose event times lie within `within` of each other. Both
    * sides carry watermarks AND the join condition bounds each side's
    * event time by the other's — the two ingredients Spark needs to
    * reclaim join state (without the time bound the left buffer would
    * grow forever waiting for arbitrarily-late right matches).
+   *
+   * `joinType` "inner" (default) or "left_outer": outer emits an
+   * unmatched left row (null right columns) once the watermark passes
+   * the end of that row's match interval — i.e. outer results are
+   * delayed by `within` + `lateness`, the price of a correct "no match
+   * ever arrived" verdict on an unbounded stream. Same state bound as
+   * inner: rows are reclaimed at the watermark either way.
    *
    * Output columns: key, left time/payload prefixed `l_`, right
    * prefixed `r_`.
@@ -56,7 +63,10 @@ object EventTimeOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, valueCol: String,
       within: String = "10 minutes",
-      lateness: String = "30 minutes"): DataFrame = {
+      lateness: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner/left_outer, got '$joinType'")
     val l = left.select(col(key), col(tsCol).as("l_ts"), col(valueCol).as("l_value"))
       .withWatermark("l_ts", lateness)
     val r = right.select(col(key).as("__rk"), col(tsCol).as("r_ts"), col(valueCol).as("r_value"))
@@ -64,7 +74,8 @@ object EventTimeOps {
     l.join(r,
       col(key) === col("__rk") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .drop("__rk")
   }
 

@@ -110,6 +110,37 @@ class StreamingSpec extends SparkSpec {
     rows shouldBe Seq((1L, 1.0, 10.0), (2L, 2.0, 30.0))
   }
 
+  test("left-outer interval join emits unmatched rows once the watermark passes") {
+    import graft.streaming.EventTimeOps
+    implicit val sqlCtx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val lmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // user 1 matches at +5min; user 3 has NO right event ever
+    lmem.addData((1L, ts(10, 0), 1.0), (3L, ts(10, 0), 3.0))
+    rmem.addData((1L, ts(10, 5), 10.0))
+    val joined = EventTimeOps.intervalJoin(
+      lmem.toDF().toDF("user_id", "ts", "value"),
+      rmem.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", within = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    // flush rows on DISTINCT keys advance both watermarks past
+    // 10:10 + 30min lateness; user 3's "no match ever" verdict becomes
+    // final and the outer row must flush (the flush rows' own outer
+    // verdicts are still pending, so they stay buffered)
+    lmem.addData((98L, ts(14, 0), 0.0))
+    rmem.addData((99L, ts(14, 0), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ij_outer").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("l_value"),
+        Option(r.getAs[java.lang.Double]("r_value")).map(_.toDouble))).sorted.toSeq
+    rows shouldBe Seq((1L, 1.0, Some(10.0)), (3L, 3.0, None))
+  }
+
   test("stateful sessionization closes sessions on gap and emits summaries") {
     import graft.streaming.EventTimeOps
     import graft.streaming.EventTimeOps.{SessionEvent, SessionOut}
