@@ -151,39 +151,91 @@ object FakeData {
   // Wordlists sized so generated corpora aren't degenerate for the
   // text-analysis/PII operators downstream (stopwords present for the
   // quality scorer, enough vocabulary that dedup/fingerprint tests see
-  // realistic collision rates) while staying pure-ASCII single-line.
-  private val Words = Vector("lorem", "ipsum", "dolor", "sit", "amet",
-    "consectetur", "adipiscing", "elit", "sed", "do", "eiusmod", "tempor",
-    "incididunt", "labore", "dolore", "magna", "aliqua", "enim", "minim",
-    "veniam", "quis", "nostrud", "exercitation", "ullamco", "laboris",
-    "the", "a", "and", "of", "to", "in", "is", "it", "that", "for",
-    "report", "quarterly", "summary", "account", "customer", "invoice",
-    "payment", "balance", "statement", "record", "system", "access",
-    "request", "service", "review", "notice", "pending", "approved",
-    "transfer", "deposit", "credit", "branch", "office", "manager",
-    "agent", "policy", "claim", "contract", "schedule", "meeting",
-    "project", "update", "status", "final", "draft", "internal",
-    "confidential", "archive", "backup", "export", "import", "ledger",
-    "audit", "expense", "revenue", "budget", "forecast", "region")
+  // realistic collision rates and langid/vocab stats see real variety)
+  // while staying pure-ASCII single-line. The reference leans on the
+  // Faker library's corpus (requirements.txt; main.py:988); these lists
+  // fake the breadth, not the exact corpus.
+  private val Words = Vector(
+    // stopwords / function words (quality scorer needs them present)
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "is", "it", "that", "for", "with", "as", "was", "were", "be", "been",
+    "by", "from", "this", "these", "those", "are", "not", "have", "has",
+    "had", "will", "would", "can", "could", "should", "may", "might",
+    "we", "you", "they", "he", "she", "them", "his", "her", "its", "our",
+    // lorem seed kept for continuity with earlier corpora
+    "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+    "elit", "sed", "do", "eiusmod", "tempor", "incididunt", "labore",
+    "dolore", "magna", "aliqua", "enim", "minim", "veniam", "quis",
+    "nostrud", "exercitation", "ullamco", "laboris",
+    // business/report vocabulary (the reference's fake docs read like
+    // financial reports)
+    "report", "quarterly", "annual", "monthly", "summary", "account",
+    "customer", "invoice", "payment", "balance", "statement", "record",
+    "system", "access", "request", "service", "review", "notice",
+    "pending", "approved", "rejected", "transfer", "deposit", "withdrawal",
+    "credit", "debit", "branch", "office", "manager", "agent", "policy",
+    "claim", "contract", "schedule", "meeting", "project", "update",
+    "status", "final", "draft", "internal", "external", "confidential",
+    "archive", "backup", "export", "import", "ledger", "audit", "expense",
+    "revenue", "budget", "forecast", "region", "district", "quarter",
+    "fiscal", "year", "total", "amount", "rate", "interest", "principal",
+    "maturity", "portfolio", "asset", "liability", "equity", "dividend",
+    "shareholder", "board", "director", "officer", "department", "division",
+    "compliance", "regulation", "disclosure", "filing", "exhibit",
+    "attachment", "reference", "document", "signature", "authorized",
+    "effective", "termination", "renewal", "amendment", "provision",
+    "clause", "section", "paragraph", "appendix", "addendum", "witness",
+    // general vocabulary for variety
+    "number", "value", "process", "result", "change", "order", "issue",
+    "detail", "period", "level", "group", "member", "partner", "client",
+    "vendor", "supplier", "product", "delivery", "shipment", "inventory",
+    "warehouse", "location", "address", "contact", "telephone", "message",
+    "response", "approval", "decision", "action", "priority", "deadline",
+    "extension", "transaction", "settlement", "clearing", "reconciliation",
+    "adjustment", "correction", "estimate", "projection", "analysis",
+    "performance", "growth", "decline", "increase", "decrease", "margin",
+    "profit", "loss", "cost", "price", "discount", "premium", "fee")
   private val FirstNames = Vector("alex", "sam", "jordan", "taylor", "casey",
     "riley", "morgan", "avery", "quinn", "rowan", "jamie", "drew",
     "cameron", "reese", "skyler", "emerson", "finley", "harper",
     "kendall", "logan", "parker", "peyton", "sawyer", "spencer",
-    "blake", "charlie", "dakota", "elliot", "hayden", "marley")
+    "blake", "charlie", "dakota", "elliot", "hayden", "marley",
+    "maria", "james", "wei", "fatima", "carlos", "aisha", "yuki",
+    "omar", "priya", "ivan", "sofia", "liam", "noah", "emma", "olivia",
+    "ava", "mia", "lucas", "ethan", "amara", "diego", "elena", "felix",
+    "greta", "hugo", "ines", "jonas", "karim", "lena", "marco")
   private val LastNames = Vector("smith", "johnson", "lee", "garcia", "chen",
     "patel", "kim", "lopez", "brown", "davis", "miller", "wilson",
     "anderson", "thomas", "moore", "martin", "thompson", "white",
     "harris", "clark", "lewis", "walker", "hall", "young", "king",
-    "wright", "scott", "green", "baker", "nguyen")
+    "wright", "scott", "green", "baker", "nguyen",
+    "adams", "alvarez", "bell", "bennett", "brooks", "campbell", "carter",
+    "castillo", "collins", "cooper", "cruz", "diaz", "edwards", "evans",
+    "flores", "foster", "gomez", "gonzalez", "gray", "gutierrez",
+    "hernandez", "hill", "howard", "hughes", "ito", "jackson", "james",
+    "jenkins", "khan", "kumar", "long", "mendoza", "mitchell", "morales",
+    "morgan", "murphy", "myers", "nelson", "ortiz", "parker", "perez",
+    "perry", "peterson", "phillips", "powell", "price", "ramirez", "reed",
+    "reyes", "richardson", "rivera", "roberts", "rogers", "ross", "russell",
+    "sanchez", "sanders", "silva", "singh", "stewart", "sullivan", "torres",
+    "turner", "wang", "ward", "watson", "weber", "wood", "yamamoto", "zhang")
   private val Streets = Vector("Oak St", "Maple Ave", "Pine Rd", "Cedar Ln",
     "Elm Dr", "Birch Blvd", "Walnut Way", "Spruce Ct", "Chestnut St",
     "Willow Ave", "Aspen Rd", "Poplar Ln", "Sycamore Dr", "Magnolia Blvd",
     "Juniper Way", "Hickory Ct", "Laurel St", "Cypress Ave", "Redwood Rd",
-    "Dogwood Ln")
+    "Dogwood Ln", "Main St", "First Ave", "Second St", "Third Ave",
+    "Park Rd", "Lake Dr", "Hill St", "River Rd", "Church St", "High St",
+    "Mill Ln", "Bridge Rd", "Station Rd", "Market St", "Union Ave",
+    "Washington Blvd", "Lincoln Ave", "Jefferson St", "Madison Dr",
+    "Franklin Way")
   private val Cities = Vector("Springfield", "Riverton", "Fairview",
     "Greenville", "Bristol", "Clinton", "Ashland", "Milton", "Georgetown",
     "Salem", "Madison", "Franklin", "Arlington", "Burlington", "Clayton",
-    "Dayton", "Lexington", "Oxford", "Winchester", "Kingston")
+    "Dayton", "Lexington", "Oxford", "Winchester", "Kingston",
+    "Auburn", "Bedford", "Camden", "Dover", "Easton", "Florence",
+    "Glendale", "Hamilton", "Irvington", "Jackson", "Kendall", "Lakewood",
+    "Manchester", "Newport", "Oakland", "Plymouth", "Quincy", "Richmond",
+    "Sheffield", "Trenton", "Vernon", "Westfield", "York", "Zionsville")
   private val Exts = Vector("txt", "csv", "pdf", "doc", "xls", "log", "json")
 
   def sentence(r: Random): String = {
