@@ -70,4 +70,33 @@ object MediaCodecs {
       case _ => None
     }
   }
+
+  /** Parsed BMP header facts. Negative stored height means top-down row
+    * order; `height` here is the absolute pixel height. */
+  final case class BmpMeta(width: Int, height: Int, bitsPerPixel: Int)
+
+  /** Legal BMP color depths — also the structural sanity check that
+    * makes a text payload starting with "BM" unparseable as BMP (ASCII
+    * bytes at the bpp offset decode to huge values). */
+  private val BmpDepths = Set(1, 4, 8, 16, 24, 32)
+
+  /**
+   * BMP (BITMAPINFOHEADER and later) parse: `BM` magic, 14-byte file
+   * header, DIB header size >= 40 at offset 14, signed little-endian
+   * dimensions at 18/22, planes must be 1, bpp must be a legal depth.
+   * Width/height of zero or beyond 1e9 are rejected as malformed.
+   */
+  def parseBmp(payload: Array[Byte]): Option[BmpMeta] = {
+    if (payload == null || payload.length < 54) return None
+    if (payload(0) != 'B' || payload(1) != 'M') return None
+    if (leU32(payload, 14) < 40L) return None // core (12-byte) headers: skip
+    val w = leU32(payload, 18).toInt // signed int32 by construction
+    val h = leU32(payload, 22).toInt
+    val planes = leU16(payload, 26)
+    val bpp = leU16(payload, 28)
+    if (planes != 1 || !BmpDepths.contains(bpp)) return None
+    val ah = math.abs(h)
+    if (w <= 0 || ah <= 0 || w > 1000000000 || ah > 1000000000) return None
+    Some(BmpMeta(w, ah, bpp))
+  }
 }

@@ -68,14 +68,37 @@ object Multimodal {
       leUint(payload, 17, 4) === 16L &&
       substring(payload, 37, 4) === lit(ascii("data"))
 
+  /** Signed int32 view of a 4-byte little-endian field. */
+  private def leS32(payload: Column, pos: Int): Column = {
+    val v = leUint(payload, pos, 4)
+    when(v >= 2147483648L, v - 4294967296L).otherwise(v)
+  }
+
+  /** BMP with a BITMAPINFOHEADER-or-later DIB header; planes==1 and a
+    * legal color depth double as the structural guard that keeps text
+    * payloads (even ones starting "BM") out of this branch — mirrors
+    * [[MediaCodecs.parseBmp]]. */
+  private def isBmp(payload: Column): Column = {
+    val w = leS32(payload, 19)
+    val h = leS32(payload, 23)
+    length(payload) >= 54 &&
+      substring(payload, 1, 2) === lit(ascii("BM")) &&
+      leUint(payload, 15, 4) >= 40L &&
+      leUint(payload, 27, 2) === 1L &&
+      leUint(payload, 29, 2).isInCollection(Seq(1L, 4L, 8L, 16L, 24L, 32L)) &&
+      w > 0L && w <= 1000000000L &&
+      abs(h) > 0L && abs(h) <= 1000000000L
+  }
+
   /**
    * Container-header decode. Payloads carrying the canonical RIFF/WAV
-   * magic get a REAL header parse (sample rate / channels / duration
-   * from the fmt and data chunks — little-endian field reads, all
-   * codegen'd column functions); everything else falls back to the
-   * deterministic md5 STUB (a real implementation would add JPEG SOF /
-   * MP4 moov walks; those formats' variable-offset structures need the
-   * kernel path, see [[decodeBatched]]). The column signature
+   * magic or a BMP header get a REAL parse (sample rate / channels /
+   * duration from the WAV fmt and data chunks; pixel dimensions from
+   * the BMP DIB header — little-endian field reads, all codegen'd
+   * column functions); everything else falls back to the deterministic
+   * md5 STUB (a real implementation would add JPEG SOF / MP4 moov
+   * walks; those formats' variable-offset structures need the kernel
+   * path, see [[decodeBatched]]). The column signature
    * (binary -> struct) is the contract either way.
    */
   def decodeMeta(payload: Column, kind: Column): Column = {
@@ -95,6 +118,15 @@ object Multimodal {
         lit("wav").as("format"),
         leUint(payload, 25, 4).cast("int").as("sample_rate"),
         leUint(payload, 23, 2).cast("int").as("channels")))
+    .when(isBmp(payload),
+      struct(
+        leS32(payload, 19).cast("int").as("width"),
+        abs(leS32(payload, 23)).cast("int").as("height"),
+        lit(0).as("duration_s"),
+        length(payload).cast("long").as("n_bytes"),
+        lit("bmp").as("format"),
+        lit(0).as("sample_rate"),
+        lit(0).as("channels")))
     .otherwise(
       struct(
         (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
@@ -156,9 +188,9 @@ object Multimodal {
    * heavyweight per-partition init (codec context, native lib handles)
    * amortized across the partition's rows, rows streamed through an
    * iterator (never materialized per partition), output typed. RIFF/WAV
-   * payloads get the REAL chunk-walking header parse
-   * ([[MediaCodecs.parseWav]] — unlike the Column path it handles
-   * non-canonical chunk layouts); everything else goes through the
+   * and BMP payloads get the REAL header parse ([[MediaCodecs.parseWav]]
+   * — unlike the Column path it handles non-canonical chunk layouts —
+   * and [[MediaCodecs.parseBmp]]); everything else goes through the
    * deterministic STUB (`stubDecode`). Add real parsers for further
    * formats here without touching the Spark plumbing.
    */
@@ -169,13 +201,16 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init happens HERE (codec context in real life)
         rows.map { r =>
-          MediaCodecs.parseWav(r.payload) match {
-            case Some(w) => DecodedRow(r.media_id, r.kind, 0, 0, w.durationS,
-              r.payload.length.toLong, w.sampleRate, w.channels)
-            case None =>
-              val (wd, h, d) = stubDecode(r.payload)
-              DecodedRow(r.media_id, r.kind, wd, h, d,
-                r.payload.length.toLong, 0, 0)
+          MediaCodecs.parseWav(r.payload).map(w =>
+            DecodedRow(r.media_id, r.kind, 0, 0, w.durationS,
+              r.payload.length.toLong, w.sampleRate, w.channels))
+          .orElse(MediaCodecs.parseBmp(r.payload).map(b =>
+            DecodedRow(r.media_id, r.kind, b.width, b.height, 0,
+              r.payload.length.toLong, 0, 0)))
+          .getOrElse {
+            val (wd, h, d) = stubDecode(r.payload)
+            DecodedRow(r.media_id, r.kind, wd, h, d,
+              r.payload.length.toLong, 0, 0)
           }
         }
       }

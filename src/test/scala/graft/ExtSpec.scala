@@ -260,6 +260,49 @@ class ExtSpec extends SparkSpec {
     graft.ext.MediaCodecs.parseWav(wavBytes(8000, 2, 16, 64000).take(30)) shouldBe None
   }
 
+  // minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, no pixels
+  private def bmpBytes(width: Int, height: Int, bpp: Int = 24): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(bpp.toShort)
+      .putInt(0).putInt(0).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.array()
+  }
+
+  test("MediaCodecs.parseBmp: dimensions, top-down height, text rejection") {
+    val b = graft.ext.MediaCodecs.parseBmp(bmpBytes(640, 480)).get
+    b.width shouldBe 640
+    b.height shouldBe 480
+    b.bitsPerPixel shouldBe 24
+    // negative stored height = top-down row order; reported as absolute
+    graft.ext.MediaCodecs.parseBmp(bmpBytes(320, -200)).get.height shouldBe 200
+    // a text payload starting "BM" fails the planes/bpp structural guard
+    val text = ("BM" + "x" * 60).getBytes("US-ASCII")
+    graft.ext.MediaCodecs.parseBmp(text) shouldBe None
+    // illegal depth rejected
+    graft.ext.MediaCodecs.parseBmp(bmpBytes(10, 10, bpp = 7)) shouldBe None
+  }
+
+  test("decodeMeta/decodeBatched: real bmp parse, column and kernel paths agree") {
+    val media = Seq((1L, "image", bmpBytes(1280, 720)),
+        (2L, "image", ("BM" + "y" * 80).getBytes("US-ASCII")))
+      .toDF("media_id", "kind", "payload")
+    val metas = Multimodal.withMeta(media).select("media_id", "meta")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    metas(1L).getAs[String]("format") shouldBe "bmp"
+    metas(1L).getAs[Int]("width") shouldBe 1280
+    metas(1L).getAs[Int]("height") shouldBe 720
+    metas(1L).getAs[Int]("duration_s") shouldBe 0
+    // BM-prefixed text stays on the stub path in BOTH engines
+    metas(2L).getAs[String]("format") shouldBe "image"
+    val dec = Multimodal.decodeBatched(media).collect()
+      .map(d => d.media_id -> d).toMap
+    dec(1L).width shouldBe 1280
+    dec(1L).height shouldBe 720
+    dec(2L).width shouldBe metas(2L).getAs[Int]("width")
+  }
+
   test("decodeMeta/decodeBatched: real wav parse with stub fallback, paths agree") {
     val wav = wavBytes(16000, 1, 16, 48000) // byteRate 32000 -> 2 s
     val media = Seq((1L, "audio", wav), (2L, "audio", "not a wav at all".getBytes))
