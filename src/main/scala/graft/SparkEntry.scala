@@ -690,6 +690,22 @@ object SparkEntry {
         .orderBy("user_id", "l_es", "r_es")
     }),
 
+    // Full-outer form: every click AND every error survives; the key is
+    // coalesced across sides so it is never null.
+    "q_interval_join_full" -> ((s, dir) => {
+      val e = eventsTbl(s, dir).select(col("user_id"), col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+      val errors = e.where(col("event_type") === "error")
+      graft.streaming.EventTimeOps.intervalJoin(
+        clicks, errors, "user_id", "ts", "value", within = "2 hours",
+        joinType = "full_outer")
+        .select(col("user_id"),
+          unix_micros(col("l_ts")).as("l_es"), col("l_value"),
+          unix_micros(col("r_ts")).as("r_es"), col("r_value"))
+        .orderBy("user_id", "l_es", "r_es")
+    }),
+
     // Tumbling 1h event-time aggregation (batch form of the stream op).
     "q_events_hourly" -> ((s, dir) =>
       eventsTbl(s, dir)
@@ -1023,6 +1039,15 @@ object SparkEntry {
         |r AS (SELECT user_id AS rk, es AS r_es, value AS r_value FROM e WHERE event_type = 'error')
         |SELECT user_id, l_es, l_value, r_es, r_value
         |FROM l LEFT JOIN r ON user_id = rk
+        |  AND r_es >= l_es - 7200000000 AND r_es <= l_es + 7200000000
+        |ORDER BY user_id, l_es, r_es""".stripMargin,
+
+    "q_interval_join_full" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS es, value FROM events),
+        |l AS (SELECT user_id, es AS l_es, value AS l_value FROM e WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS rk, es AS r_es, value AS r_value FROM e WHERE event_type = 'error')
+        |SELECT coalesce(user_id, rk) AS user_id, l_es, l_value, r_es, r_value
+        |FROM l FULL JOIN r ON user_id = rk
         |  AND r_es >= l_es - 7200000000 AND r_es <= l_es + 7200000000
         |ORDER BY user_id, l_es, r_es""".stripMargin,
 

@@ -50,14 +50,16 @@ object EventTimeOps {
    * reclaim join state (without the time bound the left buffer would
    * grow forever waiting for arbitrarily-late right matches).
    *
-   * `joinType` "inner" (default) or "left_outer": outer emits an
-   * unmatched left row (null right columns) once the watermark passes
-   * the end of that row's match interval — i.e. outer results are
-   * delayed by `within` + `lateness`, the price of a correct "no match
-   * ever arrived" verdict on an unbounded stream. Same state bound as
-   * inner: rows are reclaimed at the watermark either way.
+   * `joinType` "inner" (default), "left_outer", "right_outer" or
+   * "full_outer": outer forms emit an unmatched row (null columns for
+   * the absent side) once the watermark passes the end of that row's
+   * match interval — i.e. outer results are delayed by `within` +
+   * `lateness`, the price of a correct "no match ever arrived" verdict
+   * on an unbounded stream. Same state bound as inner: rows are
+   * reclaimed at the watermark either way.
    *
-   * Output columns: key, left time/payload prefixed `l_`, right
+   * Output columns: key (coalesced across sides for right/full outer,
+   * so it is never null), left time/payload prefixed `l_`, right
    * prefixed `r_`.
    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
@@ -65,18 +67,22 @@ object EventTimeOps {
       within: String = "10 minutes",
       lateness: String = "30 minutes",
       joinType: String = "inner"): DataFrame = {
-    require(joinType == "inner" || joinType == "left_outer",
-      s"intervalJoin supports inner/left_outer, got '$joinType'")
+    require(Set("inner", "left_outer", "right_outer", "full_outer")(joinType),
+      s"intervalJoin supports inner/left_outer/right_outer/full_outer, got '$joinType'")
     val l = left.select(col(key), col(tsCol).as("l_ts"), col(valueCol).as("l_value"))
       .withWatermark("l_ts", lateness)
     val r = right.select(col(key).as("__rk"), col(tsCol).as("r_ts"), col(valueCol).as("r_value"))
       .withWatermark("r_ts", lateness)
-    l.join(r,
+    val joined = l.join(r,
       col(key) === col("__rk") &&
         col("r_ts") >= col("l_ts") - expr(s"INTERVAL $within") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
       joinType)
-      .drop("__rk")
+    val keyed =
+      if (joinType == "right_outer" || joinType == "full_outer")
+        joined.withColumn(key, coalesce(col(key), col("__rk")))
+      else joined
+    keyed.drop("__rk")
   }
 
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
