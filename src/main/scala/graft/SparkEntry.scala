@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Dedup, Multimodal, PiiScan, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, TextStats}
 import graft.sources.Sinks
 
 /**
@@ -1191,7 +1191,29 @@ object SparkEntry {
   private def langScoreSql(lang: String): String =
     TextStats.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
 
+  /** Split fractions shared by the x_split_assign query and its oracle
+    * (the oracle embeds the exact IEEE cut values via Corpus.splitCuts). */
+  private val SplitFractions =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic corpus split: label is a pure md5 function of
+    // (seed, doc_id) — stable under corpus growth, exactly replayable.
+    "x_split_assign" -> ((s, dir) =>
+      Corpus.splitAssign(tbl(s, dir, "documents").select("doc_id"),
+        SplitFractions, Seed).orderBy("doc_id")),
+
+    // Benchmark decontamination: every 50th doc plays the held-out
+    // benchmark; corpus docs sharing any word 3-gram with it are
+    // flagged with their overlap count.
+    "x_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.decontaminate(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
@@ -1695,6 +1717,42 @@ object SparkEntry {
       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   private val extOracles: Map[String, String] = Map(
+    // Split-assignment replay: the same md5 uniform and the same IEEE
+    // cumulative cuts (embedded via Double.toString, which round-trips
+    // exactly through DuckDB's literal parser).
+    "x_split_assign" -> {
+      val cuts = Corpus.splitCuts(SplitFractions)
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_split' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val whens = SplitFractions.init.zip(cuts.init)
+        .map { case ((name, _), cut) => s"WHEN $u < $cut THEN '$name'" }
+        .mkString(" ")
+      s"""SELECT doc_id,
+         |       CASE $whens ELSE '${SplitFractions.last._1}' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // Decontamination replay: same distinct word 3-grams (short docs
+    // contribute their whole token sequence), same 60-bit md5 gram keys
+    // joined against the benchmark slice's distinct key set.
+    "x_decontaminate" -> {
+      val gramsCase =
+        """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |     ELSE [array_to_string(tk[i:i+2], ' ')
+          |           for i in generate_series(1, len(tk) - 2)] END""".stripMargin
+      val key = s"('0x' || substr(md5(g), 1, 15))::BIGINT % ${Dedup.MinhashPrime}"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |docg AS (SELECT doc_id, unnest(list_distinct($gramsCase)) AS g
+         |         FROM toks WHERE doc_id % 50 <> 0),
+         |bg AS (SELECT DISTINCT $key AS k
+         |       FROM (SELECT unnest(list_distinct($gramsCase)) AS g
+         |             FROM toks WHERE doc_id % 50 = 0)),
+         |dk AS (SELECT doc_id, $key AS k FROM docg)
+         |SELECT doc_id, count(*) AS n_overlap_grams
+         |FROM dk JOIN bg USING (k)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
     // Synthetic-corpus structural replay: provider dir / keys / ctype /
     // acl are the same md5-column derivations as k_object_meta (constant
     // generator value=2 → 2 objects per slot over 200 slots); n_lines is

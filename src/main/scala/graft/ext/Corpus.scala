@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Rng
+
+/**
+ * Corpus-management operators a large-scale training-data pipeline needs
+ * around the dedup/similarity/text suite: deterministic dataset splits
+ * and benchmark decontamination. Both are pure column pipelines — no
+ * UDFs, no driver-side state — and both are md5-replayable in the
+ * DuckDB oracle (same rationale as [[graft.functions.Rng]]).
+ *
+ * Not in the reference (which generates corpora, src/main.py:977-1020);
+ * part of the training-pipeline extension surface.
+ */
+object Corpus {
+
+  /**
+   * Deterministic train/val/test assignment: each row's split label is a
+   * pure function of `(seed, idCol)` via the md5 counter RNG — stable
+   * under repartitioning, retries, re-runs, and incremental corpus
+   * growth (adding documents never reassigns existing ones; a fractional
+   * `sample()`/`randomSplit()` reshuffles everything on every change).
+   * One narrow projection, no shuffle, fully codegen'd.
+   *
+   * `fractions` are (label, weight) in order; weights are normalized and
+   * the final label absorbs the rounding tail, so every row gets exactly
+   * one label.
+   */
+  /** Cumulative normalized thresholds of a fraction list — one shared
+    * double-arithmetic path, so the oracle SQL embeds bit-identical cut
+    * literals (0.8+0.1 is 0.9000000000000001 in IEEE; writing 0.9 in
+    * the oracle would misclassify a u landing in the gap). */
+  def splitCuts(fractions: Seq[(String, Double)]): Seq[Double] = {
+    val total = fractions.map(_._2).sum
+    fractions.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+  }
+
+  def splitAssign(df: DataFrame, fractions: Seq[(String, Double)],
+      seed: Long, idCol: String = "doc_id",
+      stream: String = "corpus_split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be non-empty positive weights")
+    val u = Rng.uniform(seed, stream, col(idCol))
+    val cuts = splitCuts(fractions)
+    // last label via otherwise(): u < 1.0 always, and the final cut may
+    // land a hair under 1.0 in floating point
+    val label = fractions.init.zip(cuts.init).reverse
+      .foldLeft(lit(fractions.last._1): Column) { case (acc, ((name, _), cut)) =>
+        when(u < cut, name).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing any word
+   * `n`-gram with a held-out benchmark set — the standard guard against
+   * evaluation leakage in training corpora. Returns
+   * `(idCol, n_overlap_grams)` for contaminated documents only.
+   *
+   * Shape at scale: distinct grams per side, joined on the 8-byte
+   * [[Dedup.md5Key]] hash of the gram — a short-key equi-join, never a
+   * string-payload shuffle. The benchmark side is distinct-reduced
+   * first; for a typical benchmark (≪ corpus) AQE turns the join into a
+   * broadcast. Never all-pairs, never driver-side.
+   */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dg = docs.select(col(idCol),
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+      .select(col(idCol), Dedup.md5Key(col("__g")).as("__k"))
+    val bg = benchmark.select(
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__g"))
+      .select(Dedup.md5Key(col("__g")).as("__k")).distinct()
+    dg.join(bg, "__k")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap_grams"))
+  }
+}

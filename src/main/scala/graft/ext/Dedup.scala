@@ -81,8 +81,9 @@ object Dedup {
   }
 
   /** 60-bit md5 gram key in [0, p): shared by Spark and the oracle
-    * (`('0x' || substr(md5(g), 1, 15))::BIGINT % p`). */
-  private def md5Key(c: Column): Column =
+    * (`('0x' || substr(md5(g), 1, 15))::BIGINT % p`). Public: also the
+    * gram join key of [[Corpus.decontaminate]]. */
+  def md5Key(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long") % lit(MinhashPrime)
 
   /**

@@ -329,6 +329,47 @@ class ExtSpec extends SparkSpec {
     dec(2L).width shouldBe metas(2L).getAs[Int]("width")
   }
 
+  test("splitAssign: total, deterministic, and stable under corpus growth") {
+    import graft.ext.Corpus
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (0L until 100L).toDF("doc_id")
+    val big = (0L until 1000L).toDF("doc_id")
+    val a = Corpus.splitAssign(small, fr, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row gets exactly one label from the fraction list
+    a.values.toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+    a.size shouldBe 100
+    // growing the corpus never reassigns an existing document
+    val b = Corpus.splitAssign(big, fr, seed = 7L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, label) => b(id) shouldBe label }
+    // proportions land near the weights at n=1000
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    counts("train").toDouble should (be > 700.0 and be < 900.0)
+    counts("val").toDouble should (be > 40.0 and be < 180.0)
+    // a different seed is a different (but equally total) assignment
+    val c = Corpus.splitAssign(small, fr, seed = 8L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    c should not equal a
+  }
+
+  test("decontaminate: flags only docs sharing an n-gram with the benchmark") {
+    import graft.ext.Corpus
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a sly quick brown fox ran off"), // shares "quick brown fox"
+      (2L, "entirely unrelated words here today"),
+      (3L, "the quick brown fox jumps again and the quick brown fox naps"))
+      .toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.keySet shouldBe Set(1L, 3L)
+    out(1L) shouldBe 1L // one overlapping distinct 3-gram
+    // doc 3 shares: "the quick brown", "quick brown fox", "brown fox jumps"
+    // (distinct grams — the repeat of "quick brown fox" counts once)
+    out(3L) shouldBe 3L
+  }
+
   test("wordNgrams: space-joined sliding windows; short docs yield empty") {
     val df = Seq((0L, "a b c d"), (1L, "only"), (2L, ""), (3L, "x  y"))
       .toDF("doc_id", "text")
