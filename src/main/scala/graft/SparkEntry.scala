@@ -1196,12 +1196,24 @@ object SparkEntry {
   private val SplitFractions =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
+  /** Per-language sampling quotas shared by x_stratified_sample and its
+    * oracle: downsample the majority language, keep the rarest whole. */
+  private val SampleRates = Map("en" -> 0.3, "zh" -> 1.0)
+  private val SampleDefaultRate = 0.6
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
     // (seed, doc_id) — stable under corpus growth, exactly replayable.
     "x_split_assign" -> ((s, dir) =>
       Corpus.splitAssign(tbl(s, dir, "documents").select("doc_id"),
         SplitFractions, Seed).orderBy("doc_id")),
+
+    // Deterministic per-language quota sampling (corpus balancing):
+    // keep iff the doc's md5 uniform clears its language's rate.
+    "x_stratified_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(
+        tbl(s, dir, "documents").select("doc_id", "lang"),
+        "lang", SampleRates, SampleDefaultRate, Seed).orderBy("doc_id")),
 
     // Benchmark decontamination: every 50th doc plays the held-out
     // benchmark; corpus docs sharing any word 3-gram with it are
@@ -1730,6 +1742,18 @@ object SparkEntry {
       s"""SELECT doc_id,
          |       CASE $whens ELSE '${SplitFractions.last._1}' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // Stratified-sample replay: same md5 uniform (distinct stream from
+    // the split), same rate literals (Double.toString round-trips).
+    "x_stratified_sample" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_sample' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val whens = SampleRates.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $u < (CASE $whens ELSE $SampleDefaultRate END)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Decontamination replay: same distinct word 3-grams (short docs

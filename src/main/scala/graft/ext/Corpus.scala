@@ -54,6 +54,31 @@ object Corpus {
   }
 
   /**
+   * Deterministic stratified sampling: keep a row iff its md5 uniform
+   * (keyed on `idCol`, independent of the [[splitAssign]] stream) falls
+   * under its stratum's rate — per-language/per-source quota sampling
+   * for corpus balancing. Same determinism story as [[splitAssign]]:
+   * stable under repartitioning, retries, and corpus growth, where
+   * `DataFrame.sampleBy` is seed-and-partition dependent. Strata absent
+   * from `rates` keep `defaultRate`. One narrow codegen'd filter — at
+   * 100 TB this is a scan with a pushed-down-able projection, no
+   * shuffle, no driver state.
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double, seed: Long,
+      idCol: String = "doc_id",
+      stream: String = "corpus_sample"): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val u = Rng.uniform(seed, stream, col(idCol))
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate): Column) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, v).otherwise(acc)
+      }
+    df.where(u < rate)
+  }
+
+  /**
    * Benchmark decontamination: flag corpus documents sharing any word
    * `n`-gram with a held-out benchmark set — the standard guard against
    * evaluation leakage in training corpora. Returns

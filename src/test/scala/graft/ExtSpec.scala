@@ -353,6 +353,27 @@ class ExtSpec extends SparkSpec {
     c should not equal a
   }
 
+  test("stratifiedSample: quota per stratum, deterministic, subset-stable") {
+    import graft.ext.Corpus
+    val df = (0L until 1000L).toDF("doc_id")
+      .withColumn("lang", when($"doc_id" % 2 === 0, "en").otherwise("rare"))
+    val rates = Map("en" -> 0.2)
+    val out = Corpus.stratifiedSample(df, "lang", rates,
+      defaultRate = 1.0, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // rate-1.0 stratum is kept whole; sampled stratum lands near 20%
+    out.count(_._2 == "rare") shouldBe 500
+    out.count(_._2 == "en").toDouble should (be > 50.0 and be < 150.0)
+    // deterministic and subset-stable: the same doc_ids survive when
+    // sampled from a larger corpus
+    val again = Corpus.stratifiedSample(df, "lang", rates, 1.0, 7L).collect()
+      .map(r => r.getLong(0)).toSet
+    again shouldBe out.map(_._1).toSet
+    val half = Corpus.stratifiedSample(df.where($"doc_id" < 500), "lang",
+      rates, 1.0, 7L).collect().map(r => r.getLong(0)).toSet
+    half shouldBe again.filter(_ < 500L)
+  }
+
   test("decontaminate: flags only docs sharing an n-gram with the benchmark") {
     import graft.ext.Corpus
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
