@@ -65,8 +65,9 @@ object Dedup {
   /** Exploded word n-gram STRINGS (doc id, gram) — shifted-slice zip
     * with post-explode concat, never an interpreted higher-order
     * lambda; documents shorter than n contribute their whole token
-    * sequence (matching the oracle's gram CTE). */
-  private def gramRows(docs: DataFrame, idCol: String, textCol: String,
+    * sequence (matching the oracle's gram CTE). Shared with
+    * [[Corpus.decontaminate]]. */
+  private[ext] def gramRows(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     val toks = tokens(col(textCol))
     val cnt = size(toks) - (n - 1)
