@@ -99,4 +99,56 @@ object MediaCodecs {
     if (w <= 0 || ah <= 0 || w > 1000000000 || ah > 1000000000) return None
     Some(BmpMeta(w, ah, bpp))
   }
+
+  /** Parsed JPEG frame-header facts (from the first SOF marker). */
+  final case class JpegMeta(width: Int, height: Int, components: Int,
+      progressive: Boolean)
+
+  private def beU16(b: Array[Byte], pos: Int): Int =
+    ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+
+  /**
+   * JPEG marker walk: verify the SOI magic (FFD8), then step segment by
+   * segment (marker FF xx + big-endian length including itself) until a
+   * start-of-frame marker (SOF0–SOF15, excluding DHT/JPG/DAC at C4/C8/CC)
+   * yields height/width/components. Standalone markers (RST, TEM) and
+   * fill bytes are skipped. Kernel-path only — SOF sits at a variable
+   * offset, which a fixed-position Column parse can't express; this is
+   * exactly the case [[Multimodal.decodeBatched]]'s mapPartitions shape
+   * exists for.
+   */
+  def parseJpeg(payload: Array[Byte]): Option[JpegMeta] = {
+    if (payload == null || payload.length < 4) return None
+    if ((payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var pos = 2
+    while (pos + 4 <= payload.length) {
+      if ((payload(pos) & 0xff) != 0xff) return None // desync: not a marker
+      // skip fill bytes (FF FF ... FF marker)
+      var mpos = pos + 1
+      while (mpos < payload.length && (payload(mpos) & 0xff) == 0xff) mpos += 1
+      if (mpos + 1 > payload.length) return None
+      val marker = payload(mpos) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) {
+        pos = mpos + 1 // standalone marker, no length field
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return None // EOI / start-of-scan before any SOF: no frame header
+      } else {
+        if (mpos + 3 > payload.length) return None
+        val len = beU16(payload, mpos + 1)
+        if (len < 2) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (mpos + 8 > payload.length || len < 8) return None
+          val h = beU16(payload, mpos + 4)
+          val w = beU16(payload, mpos + 6)
+          val nc = payload(mpos + 8) & 0xff
+          if (w <= 0 || h <= 0) return None
+          return Some(JpegMeta(w, h, nc, progressive = marker == 0xc2))
+        }
+        pos = mpos + 1 + len
+      }
+    }
+    None
+  }
 }

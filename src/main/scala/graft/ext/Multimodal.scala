@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with a typed metadata struct, plus decode /
  * feature-extract / resize / frame-sample operators.
  *
- * Container-header decode is REAL for RIFF/WAV (pure-Scala parse, no
- * native libraries — [[MediaCodecs]]); pixel/sample codecs are NOT
- * available in this environment, so the remaining decode kernels are
- * deterministic STUBS (clearly marked below): they derive plausible
- * metadata/features from a hash of the payload bytes.
+ * Container-header decode is REAL for RIFF/WAV, BMP and JPEG (pure-
+ * Scala parses, no native libraries — [[MediaCodecs]]; JPEG is
+ * kernel-path only, its SOF marker sits at a variable offset); pixel/
+ * sample codecs are NOT available in this environment, so the remaining
+ * decode kernels are deterministic STUBS (clearly marked below): they
+ * derive plausible metadata/features from a hash of the payload bytes.
  * Everything around them — schema, partition behavior, explode shapes,
  * batch-friendly column signatures — is real and is what matters at
  * scale: a payload column is never shuffled unless the operator needs
@@ -206,6 +207,9 @@ object Multimodal {
               r.payload.length.toLong, w.sampleRate, w.channels))
           .orElse(MediaCodecs.parseBmp(r.payload).map(b =>
             DecodedRow(r.media_id, r.kind, b.width, b.height, 0,
+              r.payload.length.toLong, 0, 0)))
+          .orElse(MediaCodecs.parseJpeg(r.payload).map(j =>
+            DecodedRow(r.media_id, r.kind, j.width, j.height, 0,
               r.payload.length.toLong, 0, 0)))
           .getOrElse {
             val (wd, h, d) = stubDecode(r.payload)

@@ -284,6 +284,40 @@ class ExtSpec extends SparkSpec {
     graft.ext.MediaCodecs.parseBmp(bmpBytes(10, 10, bpp = 7)) shouldBe None
   }
 
+  // minimal JPEG: SOI, APP0 shell, SOF0 frame header, EOI
+  private def jpegBytes(width: Int, height: Int,
+      progressive: Boolean = false): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val bb = ByteBuffer.allocate(2 + 18 + 19 + 2) // big-endian by default
+    bb.putShort(0xffd8.toShort)
+    bb.putShort(0xffe0.toShort).putShort(16).put(Array.fill[Byte](14)(0x4a))
+    bb.putShort((if (progressive) 0xffc2 else 0xffc0).toShort).putShort(17)
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(3.toByte).put(Array.fill[Byte](9)(0x11))
+    bb.putShort(0xffd9.toShort)
+    bb.array()
+  }
+
+  test("MediaCodecs.parseJpeg: SOF dimensions after marker walk; malformed -> None") {
+    val j = graft.ext.MediaCodecs.parseJpeg(jpegBytes(800, 600)).get
+    j.width shouldBe 800
+    j.height shouldBe 600
+    j.components shouldBe 3
+    j.progressive shouldBe false
+    graft.ext.MediaCodecs.parseJpeg(jpegBytes(64, 48, progressive = true))
+      .get.progressive shouldBe true
+    // kernel path surfaces the real dimensions
+    val media = Seq((1L, "image", jpegBytes(320, 240)))
+      .toDF("media_id", "kind", "payload")
+    val d = Multimodal.decodeBatched(media).collect().head
+    d.width shouldBe 320
+    d.height shouldBe 240
+    // not a JPEG / no SOF before EOI
+    graft.ext.MediaCodecs.parseJpeg("plain text".getBytes) shouldBe None
+    graft.ext.MediaCodecs.parseJpeg(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) shouldBe None
+  }
+
   test("decodeMeta/decodeBatched: real bmp parse, column and kernel paths agree") {
     val media = Seq((1L, "image", bmpBytes(1280, 720)),
         (2L, "image", ("BM" + "y" * 80).getBytes("US-ASCII")))
