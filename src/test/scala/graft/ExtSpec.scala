@@ -425,6 +425,35 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("GraftExtensions: native expressions callable from SQL after registration") {
+    import graft.plans.{GraftExtensions, NativeFunctions}
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("id", "text", "va", "vb").createOrReplaceTempView("ext_probe")
+    val row = spark.sql(
+      """SELECT graft_simhash(split(text, ' ')) AS sh,
+        |       graft_rolling_hash(text) AS rh,
+        |       graft_hashed_shingles(text, 2) AS hs,
+        |       graft_dot(va, vb) AS d
+        |FROM ext_probe""".stripMargin).head()
+    // SQL surface and Column surface are the same expression
+    val col = Seq(("the quick brown fox", Array(1.0, 2.0), Array(3.0, 4.0)))
+      .toDF("text", "va", "vb")
+      .select(NativeFunctions.simhash(split($"text", " ")).as("sh"),
+        NativeFunctions.rollingHash($"text").as("rh"),
+        NativeFunctions.hashedShingles($"text", 2).as("hs"),
+        NativeFunctions.dot($"va", $"vb").as("d")).head()
+    row.getLong(0) shouldBe col.getLong(0)
+    row.getLong(1) shouldBe col.getLong(1)
+    row.getSeq[Long](2) shouldBe col.getSeq[Long](2)
+    row.getDouble(3) shouldBe 11.0 // 1*3 + 2*4
+    // non-literal n is rejected at plan time
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_hashed_shingles(text, id + 1) FROM ext_probe").collect()
+    }
+    ex.getMessage should include("literal")
+  }
+
   test("wordNgrams: space-joined sliding windows; short docs yield empty") {
     val df = Seq((0L, "a b c d"), (1L, "only"), (2L, ""), (3L, "x  y"))
       .toDF("doc_id", "text")
