@@ -139,7 +139,8 @@ object MediaCodecs {
         val isSof = marker >= 0xc0 && marker <= 0xcf &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
         if (isSof) {
-          if (mpos + 8 > payload.length || len < 8) return None
+          // fields read end at the component count byte, payload(mpos+8)
+          if (mpos + 9 > payload.length || len < 8) return None
           val h = beU16(payload, mpos + 4)
           val w = beU16(payload, mpos + 6)
           val nc = payload(mpos + 8) & 0xff

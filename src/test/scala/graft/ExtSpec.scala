@@ -270,6 +270,51 @@ class ExtSpec extends SparkSpec {
     bb.array()
   }
 
+  test("media parsers: round-trip random headers; never throw on fuzzed bytes") {
+    import graft.ext.MediaCodecs
+    val r = new scala.util.Random(20260813L)
+    // round-trip: builder params survive the parse exactly
+    for (_ <- 1 to 200) {
+      val (rate, ch, bits) = (1 + r.nextInt(192000), 1 + r.nextInt(8),
+        Seq(8, 16, 24, 32)(r.nextInt(4)))
+      val dataLen = r.nextInt(100000)
+      val w = MediaCodecs.parseWav(
+        wavBytes(rate, ch, bits, dataLen, extraChunk = r.nextBoolean())).get
+      w.sampleRate shouldBe rate
+      w.channels shouldBe ch
+      w.bitsPerSample shouldBe bits
+      w.dataBytes shouldBe dataLen.toLong
+      val bw = 1 + r.nextInt(10000)
+      val bh = (if (r.nextBoolean()) 1 else -1) * (1 + r.nextInt(10000))
+      val b = MediaCodecs.parseBmp(bmpBytes(bw, bh)).get
+      b.width shouldBe bw
+      b.height shouldBe math.abs(bh)
+      val (jw, jh) = (1 + r.nextInt(65535), 1 + r.nextInt(65535))
+      val j = MediaCodecs.parseJpeg(jpegBytes(jw, jh)).get
+      j.width shouldBe jw
+      j.height shouldBe jh
+    }
+    // fuzz: random bytes, random truncations of valid headers, and
+    // magic-prefixed garbage must return None/Some — never throw
+    for (i <- 1 to 2000) {
+      val len = r.nextInt(200)
+      val junk = Array.fill[Byte](len)(r.nextInt(256).toByte)
+      MediaCodecs.parseWav(junk)
+      MediaCodecs.parseBmp(junk)
+      MediaCodecs.parseJpeg(junk)
+      val valid = i % 3 match {
+        case 0 => wavBytes(8000, 2, 16, 1000, extraChunk = true)
+        case 1 => bmpBytes(64, 64)
+        case _ => jpegBytes(64, 64)
+      }
+      val cut = valid.take(r.nextInt(valid.length + 1))
+      MediaCodecs.parseWav(cut); MediaCodecs.parseBmp(cut); MediaCodecs.parseJpeg(cut)
+      val prefixed = ("RIFF" + "BM" + "ÿØ").getBytes("ISO-8859-1") ++ junk
+      MediaCodecs.parseWav(prefixed); MediaCodecs.parseBmp(prefixed)
+      MediaCodecs.parseJpeg(prefixed)
+    }
+  }
+
   test("MediaCodecs.parseBmp: dimensions, top-down height, text rejection") {
     val b = graft.ext.MediaCodecs.parseBmp(bmpBytes(640, 480)).get
     b.width shouldBe 640
