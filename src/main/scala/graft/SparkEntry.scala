@@ -1226,6 +1226,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: deterministic shuffle order, then assign each
+    // doc its offset + pack in the concatenated token stream — a
+    // two-phase bucketed prefix sum (no single-partition global sort).
+    "x_pack_chunks" -> ((s, dir) =>
+      Corpus.packChunks(tbl(s, dir, "documents"), capacity = 256L,
+        seed = Seed, tokenCount = TextStats.tokenCount(col("text")),
+        buckets = 64)
+        .orderBy("ord")),
+
+    // TF-IDF top-3 terms per doc (quantized ln per the Rng.gaussian
+    // trick; ties broken by term).
+    "x_tfidf_topk" -> ((s, dir) =>
+      TextStats.tfidfTopK(tbl(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
@@ -1775,6 +1790,46 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_overlap_grams
          |FROM dk JOIN bg USING (k)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // Sequence-packing replay: the two-phase bucketed prefix sum equals
+    // a plain global window ORDER BY (u, doc_id) because the bucket id
+    // floor(u*B) is monotone in u. Same 256.0-divisor double floor as
+    // the Spark side (exact below 2^52).
+    "x_pack_chunks" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH t AS (SELECT doc_id,
+         |                  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |                  $u AS u
+         |           FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |             CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS ord,
+         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tokens, ord, start_tok,
+         |       CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
+         |       CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+         |         - CAST(floor(start_tok / 256.0) AS BIGINT) + 1 AS pack_span
+         |FROM o ORDER BY ord""".stripMargin
+    },
+
+    // TF-IDF replay: same tokenizer, same round(tf*ln(N/df), 9)
+    // quantization, same (score desc, term) tie-break.
+    "x_tfidf_topk" -> {
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |s AS (SELECT doc_id, term, tf, df, round(tf * ln(n / df), 9) AS score
+         |      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+         |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 3
+         |ORDER BY doc_id, score DESC, term""".stripMargin
     },
 
     // Synthetic-corpus structural replay: provider dir / keys / ctype /

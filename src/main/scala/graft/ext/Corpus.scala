@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Rng
 
@@ -107,5 +108,72 @@ object Corpus {
     dg.join(bg, "__k")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_overlap_grams"))
+  }
+
+  /**
+   * Sequence packing (concatenate-and-chunk): assign every document its
+   * position in a deterministically shuffled global token stream and the
+   * fixed-capacity training pack(s) it lands in — the GPT-style "pack
+   * documents into `capacity`-token blocks" step of a training-data
+   * pipeline. Returns
+   * `(idCol, n_tokens, ord, start_tok, pack_id, pack_span)` where `ord`
+   * is the 0-based rank in shuffle order, `start_tok` the document's
+   * offset in the concatenated token stream, `pack_id = floor(start_tok
+   * / capacity)` and `pack_span` the number of packs the document
+   * straddles.
+   *
+   * The shuffle order is the md5 uniform of `(seed, idCol)` (ties broken
+   * by id) — the same growth-stable determinism as [[splitAssign]], and
+   * exactly replayable in the oracle as
+   * `row_number()/sum() OVER (ORDER BY u, doc_id)`.
+   *
+   * Shape at scale — the point of this implementation: a global rank is
+   * NOT a global `Window.orderBy` (that plans a single-partition
+   * Exchange: one task sorts the corpus). Because the shuffle key is a
+   * uniform double, `bucket = floor(u * buckets)` is monotone in the
+   * sort order, so rank and prefix-sum decompose into a two-phase
+   * prefix sum: (1) per-bucket counts/token-sums — an aggregate of
+   * ≤`buckets` rows whose own exclusive prefix is a window over that
+   * tiny frame; (2) a broadcast join of the bucket offsets back onto the
+   * data and a per-bucket window (parallel across buckets). Everything
+   * stays distributed; the only narrow spot is the ≤`buckets`-row
+   * offset frame.
+   *
+   * `pack_id` is computed as `floor(start_tok / capacity)` in doubles —
+   * exact while `start_tok < 2^52` (≈4.5e15 tokens ≈ tens of PB of
+   * text), comfortably past the 100 TB design point.
+   */
+  def packChunks(df: DataFrame, capacity: Long, seed: Long,
+      tokenCount: Column, idCol: String = "doc_id",
+      buckets: Int = 256, stream: String = "corpus_order"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(col(idCol), tokenCount.cast("long").as("n_tokens"))
+      .withColumn("__u", Rng.uniform(seed, stream, col(idCol)))
+      .withColumn("__b", floor(col("__u") * buckets).cast("int"))
+    // Phase 1: exclusive per-bucket offsets. The frame is ≤`buckets`
+    // rows, so the single-partition window over it is bounded by
+    // construction (same rationale as the IVF centroid collect).
+    val wOff = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = base.groupBy("__b")
+      .agg(count(lit(1)).as("__c"), sum("n_tokens").as("__s"))
+      .select(col("__b"),
+        coalesce(sum("__c").over(wOff), lit(0L)).as("__ord_off"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__tok_off"))
+    // Phase 2: per-bucket rank + running sum, parallel across buckets.
+    val wb = Window.partitionBy("__b").orderBy(col("__u"), col(idCol))
+    val wbRun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = base.join(broadcast(offs), "__b")
+      .withColumn("ord",
+        col("__ord_off") + row_number().over(wb).cast("long") - lit(1L))
+      .withColumn("start_tok",
+        col("__tok_off") + sum("n_tokens").over(wbRun) - col("n_tokens"))
+    packed
+      .withColumn("pack_id",
+        floor(col("start_tok") / lit(capacity.toDouble)).cast("long"))
+      .withColumn("pack_span",
+        floor((col("start_tok") + greatest(col("n_tokens"), lit(1L)) - lit(1L))
+          / lit(capacity.toDouble)).cast("long") - col("pack_id") + lit(1L))
+      .select(idCol, "n_tokens", "ord", "start_tok", "pack_id", "pack_span")
   }
 }

@@ -132,4 +132,38 @@ object TextStats {
    */
   def fingerprint(text: Column): Column =
     graft.plans.NativeFunctions.rollingHash(array_join(tokens(text), " "))
+
+  /**
+   * TF-IDF top-`k` terms per document over the shared tokenizer:
+   * `score = round(tf * ln(N / df), 9)` with deterministic tie-break
+   * (score desc, then term asc). The 9-digit quantization is the same
+   * documented trick as [[graft.functions.Rng.gaussian]] — it absorbs
+   * the last-ulp `ln` differences between engines so the oracle hash
+   * compares bit-identical doubles.
+   *
+   * Shape at scale: one shuffle to `(doc, term)` counts, one
+   * vocabulary-sized aggregate for document frequencies (broadcastable
+   * — AQE picks broadcast when the vocab fits), a single-row corpus
+   * count cross-joined in, and a per-document window for top-k. No
+   * global sort, no driver-side state.
+   */
+  def tfidfTopK(df: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("__n") / col("df")), 9))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(idCol, "term", "tf", "df", "score")
+  }
 }

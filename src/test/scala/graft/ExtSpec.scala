@@ -470,6 +470,53 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("packChunks: contiguous global stream, bucket-count invariant, pack math") {
+    import graft.ext.Corpus
+    val docs = (0L until 200L).toDF("doc_id")
+      .withColumn("n", ($"doc_id" % 37) + 1)
+    val out = Corpus.packChunks(docs, capacity = 64L, seed = 7L,
+        tokenCount = $"n", buckets = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._3)
+    // ord is a permutation of 0..N-1 and start_tok is the exclusive
+    // prefix sum of n_tokens in ord order — the stream is contiguous
+    out.map(_._3) shouldBe (0L until 200L).toArray
+    out.scanLeft(0L)(_ + _._2).init.toSeq shouldBe out.map(_._4).toSeq
+    // pack assignment matches the offsets
+    out.foreach { case (_, n, _, start, packId, span) =>
+      packId shouldBe start / 64
+      span shouldBe (start + math.max(n, 1) - 1) / 64 - start / 64 + 1
+    }
+    // bucket decomposition is invisible: a different bucket count gives
+    // the identical frame (the order is a pure function of (seed, id))
+    val other = Corpus.packChunks(docs, capacity = 64L, seed = 7L,
+        tokenCount = $"n", buckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    other.toSeq shouldBe out.map(r => (r._1, r._3)).sortBy(_._1).toSeq
+  }
+
+  test("tfidfTopK: rare terms outscore common ones, k bound, deterministic ties") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      (0L, "alpha alpha alpha shared shared"),
+      (1L, "beta shared"),
+      (2L, "gamma shared")).toDF("doc_id", "text")
+    val out = TextStats.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, rows) => rows.length should be <= 2 }
+    // "shared" appears in all 3 docs → ln(3/3)=0; uniques score ln(3) per tf
+    val d0 = out.filter(_._1 == 0L).sortBy(-_._5)
+    d0.head._2 shouldBe "alpha"
+    d0.head._3 shouldBe 3L   // tf
+    d0.head._4 shouldBe 1L   // df
+    d0.head._5 shouldBe math.BigDecimal(3.0 * math.log(3.0))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.filter(r => r._1 == 0L && r._2 == "shared").head._5 shouldBe 0.0
+  }
+
   test("GraftExtensions: native expressions callable from SQL after registration") {
     import graft.plans.{GraftExtensions, NativeFunctions}
     GraftExtensions.register(spark)

@@ -226,6 +226,22 @@ class ScaleSpec extends SparkSpec {
       r.getAs[Double]("score"), r.getAs[Int]("rank"))).toSet shouldBe ref
   }
 
+  test("packChunks: global rank runs as a per-bucket window, not a global sort") {
+    import graft.ext.{Corpus, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Corpus.packChunks(docs, capacity = 256L, seed = 42L,
+      tokenCount = TextStats.tokenCount($"text"), buckets = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus-side window is partitioned by the bucket column —
+    // parallel across buckets, never one task sorting the corpus
+    plan should include regex """Window \[[^\]]*row_number[^\]]*\], \[__b"""
+    // bucket offsets join back as a broadcast (≤buckets rows)
+    plan should include("BroadcastHashJoin")
+    // the only single-partition exchange is the ≤buckets-row offset
+    // frame's window; the corpus never converges to one partition
+    "Exchange SinglePartition".r.findAllIn(plan).size should be <= 1
+  }
+
   test("cosinePairs enforces its O(n²) small-input contract") {
     // one-hot direction per class: cross-class cosine is exactly 0,
     // same-class cosine is exactly 1 — so threshold assertions are meaningful
