@@ -47,9 +47,10 @@ object EventTimeDemo {
     // --- stateful sessionization ---
     val sess = MemoryStream[SessionEvent]
     val us = 1000000L
+    // ts starts above 0: rows at ts <= watermark (initially 0) are late
     sess.addData(
-      SessionEvent(7L, 0, 1.0), SessionEvent(7L, 60 * us, 2.0),
-      SessionEvent(7L, 4000 * us, 10.0))
+      SessionEvent(7L, 10 * us, 1.0), SessionEvent(7L, 70 * us, 2.0),
+      SessionEvent(7L, 4010 * us, 10.0))
     val sq = EventTimeOps.sessionize(sess.toDS(), gapUs = 1800L * us)
       .writeStream.format("memory").queryName("demo_sess")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()

@@ -92,21 +92,32 @@ object EventTimeOps {
 
   /**
    * Stateful sessionization via flatMapGroupsWithState: a session
-   * closes after `gapUs` of inactivity (processing-time timeout), then
-   * emits one summary row. Per-user state is one SessionState — bounded
-   * regardless of stream length; timeouts reclaim idle users.
+   * closes after `gapUs` of event-time inactivity — either merged shut
+   * by a later in-batch event, or reclaimed by an EVENT-TIME timeout
+   * once the watermark passes `last + gap` — then emits one summary
+   * row. Per-user state is one SessionState, bounded regardless of
+   * stream length; the close decision depends only on event times, so
+   * a replay of the same stream emits identical sessions (a
+   * processing-time timeout would close sessions on wall-clock luck —
+   * and kept the query alive waiting for wall-clock timeouts, so
+   * `Trigger.AvailableNow` runs never self-terminated).
    *
-   * Caveat: with `Trigger.ProcessingTime(0)` the registered timeouts
-   * make `processAllAvailable()` livelock (continuous no-data batches);
-   * use a nonzero trigger interval or AvailableNow in drivers/tests.
+   * `lateness` is the watermark delay on the event-time column: events
+   * later than that are dropped; state for users idle past
+   * `lateness + gap` is reclaimed. Sessions still open when the stream
+   * ends (beyond the final watermark) remain unemitted, exactly like
+   * an unclosed window in [[windowedCounts]].
    */
-  def sessionize(events: Dataset[SessionEvent], gapUs: Long)
-      : Dataset[SessionOut] = {
+  def sessionize(events: Dataset[SessionEvent], gapUs: Long,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withColumn("__ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__ts", lateness)
+      .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -138,7 +149,12 @@ object EventTimeOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(math.max(1L, gapUs / 1000L)) // µs → ms
+              // close when the watermark passes last + gap; clamp above
+              // the current watermark (an already-overdue session closes
+              // at the next watermark advance — Spark rejects timeouts
+              // at or before the current watermark)
+              state.setTimeoutTimestamp(math.max((s.last_us + gapUs) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
             }
             closed.iterator
           }

@@ -148,18 +148,28 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val mem = MemoryStream[SessionEvent]
     val us = 1000000L
-    // user 7: two bursts separated by > gap (30 min) within one batch
+    // user 7: two bursts separated by > gap (30 min) within one batch.
+    // Timestamps start at 10 s, not 0: rows at ts <= watermark are late,
+    // and the initial watermark is 0 — a t=0 event would be dropped.
     mem.addData(
-      SessionEvent(7L, 0 * us, 1.0), SessionEvent(7L, 60 * us, 2.0),
-      SessionEvent(7L, 4000 * us, 10.0), SessionEvent(7L, 4050 * us, 20.0),
-      SessionEvent(9L, 0 * us, 5.0))
+      SessionEvent(7L, 10 * us, 1.0), SessionEvent(7L, 70 * us, 2.0),
+      SessionEvent(7L, 4010 * us, 10.0), SessionEvent(7L, 4060 * us, 20.0),
+      SessionEvent(9L, 10 * us, 5.0))
     val q = EventTimeOps.sessionize(mem.toDS(), gapUs = 1800L * us)
       .writeStream.format("memory").queryName("sess_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
-    val closed = spark.table("sess_test").as[SessionOut].collect()
-    // the first burst closed when the second began (gap exceeded)
-    closed.toSeq shouldBe Seq(SessionOut(7L, 0L, 60 * us, 2L, 3.0))
+    // event-time timeouts self-terminate under AvailableNow (a
+    // processing-time timeout kept the query alive forever here)
+    q.awaitTermination(120000) shouldBe true
+    val closed = spark.table("sess_test").as[SessionOut].collect().sortBy(_.user_id)
+    closed.toSeq shouldBe Seq(
+      // user 7's first burst closed when the second began (gap exceeded)
+      SessionOut(7L, 10 * us, 70 * us, 2L, 3.0),
+      // user 9 closed by the event-time timeout: the watermark (4060 s)
+      // passed its last event + gap (1800 s)
+      SessionOut(9L, 10 * us, 10 * us, 1L, 5.0))
+    // user 7's open session [4010 s, 4060 s] is beyond the final
+    // watermark + gap — correctly NOT emitted
   }
 
   test("sessionization handles out-of-order events: span extends, never inverts") {
@@ -178,7 +188,7 @@ class StreamingSpec extends SparkSpec {
     val q = EventTimeOps.sessionize(mem.toDS(), gapUs = 1800L * us)
       .writeStream.format("memory").queryName("sess_ooo")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    q.awaitTermination(120000) shouldBe true
     val out = spark.table("sess_ooo").as[SessionOut].collect().sortBy(_.s_start)
     // events sort to 100,500,1000,5000: 100 opens; 500 within gap merges
     // (extends); 1000 merges; 5000 closes the [100,1000] session
