@@ -1201,6 +1201,12 @@ object SparkEntry {
   private val SampleRates = Map("en" -> 0.3, "zh" -> 1.0)
   private val SampleDefaultRate = 0.6
 
+  /** Target training mixture for x_mix_to (sums to 1, so
+    * normalization is the identity and the oracle can embed the raw
+    * literals). */
+  private val MixWeights = Map(
+    "en" -> 0.5, "de" -> 0.1, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.2)
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
     // (seed, doc_id) — stable under corpus growth, exactly replayable.
@@ -1225,6 +1231,13 @@ object SparkEntry {
         d.where(col("doc_id") % 50 === 0))
         .orderBy("doc_id")
     }),
+
+    // Domain-mixture rebalancing: thin each language to the target
+    // mixture, binding stratum kept whole, md5 keep-decision.
+    "x_mix_to" -> ((s, dir) =>
+      Corpus.mixTo(tbl(s, dir, "documents").select("doc_id", "lang"),
+        "lang", MixWeights, Seed)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // Sequence packing: deterministic shuffle order, then assign each
     // doc its offset + pack in the concatenated token stream — a
@@ -1790,6 +1803,27 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_overlap_grams
          |FROM dk JOIN bg USING (k)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // Mixture replay: same per-stratum counts, same double arithmetic
+    // for scale/rates (BIGINT/DOUBLE division promotes to DOUBLE in
+    // both engines; weight literals cast explicitly so DuckDB doesn't
+    // fall into DECIMAL arithmetic), same md5 keep-decision.
+    "x_mix_to" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val whens = MixWeights.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |                  CASE lang $whens END AS w
+         |           FROM documents GROUP BY lang),
+         |cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+         |s AS (SELECT min(n / w) AS scale FROM cw),
+         |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), scale * w / n) AS rate
+         |      FROM cw CROSS JOIN s)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+         |WHERE $u < r.rate ORDER BY doc_id""".stripMargin
     },
 
     // Sequence-packing replay: the two-phase bucketed prefix sum equals

@@ -111,6 +111,44 @@ object Corpus {
   }
 
   /**
+   * Domain-mixture rebalancing: downsample strata so the surviving
+   * corpus follows `weights` (target mixture proportions, normalized)
+   * while keeping as much data as possible — the "rebalance sources to
+   * the training mix" step of a pretraining pipeline. The binding
+   * stratum (smallest `count/weight`) is kept whole; every other
+   * stratum is thinned to match; strata absent from `weights` are
+   * dropped. Selection is the same growth-stable md5 keep-decision as
+   * [[stratifiedSample]].
+   *
+   * Shape at scale: one small per-stratum count aggregate, a one-row
+   * min over it, a broadcast join of the ≤|strata| rate frame back onto
+   * the scan, and a codegen'd filter. No wide shuffle of the corpus.
+   */
+  def mixTo(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      seed: Long, idCol: String = "doc_id",
+      stream: String = "corpus_mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val total = weights.values.sum
+    val wNorm = weights.map { case (k, v) => k -> v / total }
+    val wExpr = wNorm.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (k, v)) =>
+        when(col(strataCol) === k, lit(v)).otherwise(acc)
+      }
+    val counts = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr)
+      .where(col("__w").isNotNull)
+    val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val rates = counts.crossJoin(broadcast(scale))
+      .select(col(strataCol),
+        least(lit(1.0), col("__scale") * col("__w") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .where(Rng.uniform(seed, stream, col(idCol)) < col("__rate"))
+      .drop("__rate")
+  }
+
+  /**
    * Sequence packing (concatenate-and-chunk): assign every document its
    * position in a deterministically shuffled global token stream and the
    * fixed-capacity training pack(s) it lands in — the GPT-style "pack

@@ -470,6 +470,25 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("mixTo: binding stratum kept whole-ish, others thinned, absent dropped") {
+    import graft.ext.Corpus
+    val df = (0L until 1500L).toDF("doc_id")
+      .withColumn("lang",
+        when($"doc_id" % 3 === 0, "en")
+          .when($"doc_id" % 3 === 1, "rare").otherwise("junk"))
+    // target 80/20 over {en, rare}: en (500 docs) binds; rare thins to
+    // ~125; junk is not in the target mix and is dropped entirely
+    val out = Corpus.mixTo(df, "lang", Map("en" -> 0.8, "rare" -> 0.2), 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang")))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    byLang.getOrElse("junk", 0) shouldBe 0
+    byLang("en").toDouble should be >= 499.0 // rate 1 up to one ulp
+    byLang("rare").toDouble should (be > 90.0 and be < 160.0)
+    // deterministic
+    Corpus.mixTo(df, "lang", Map("en" -> 0.8, "rare" -> 0.2), 7L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet shouldBe out.map(_._1).toSet
+  }
+
   test("packChunks: contiguous global stream, bucket-count invariant, pack math") {
     import graft.ext.Corpus
     val docs = (0L until 200L).toDF("doc_id")
