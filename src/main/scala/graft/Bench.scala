@@ -69,12 +69,17 @@ object Bench {
     // the per-query maps (a -1 folded into the total would corrupt it).
     val total = r3(results.map(_._2._1).filter(_ >= 0).sum)
     val totalMed = r3(results.map(_._2._2).filter(_ >= 0).sum)
-    // Detail line FIRST, compact headline LAST: the driver keeps only the
-    // tail of stdout and parses the final JSON line, so the headline (with
-    // the per-query min map, the map cross-round comparisons need) must be
-    // the last thing printed and must fit the tail on its own.
+    // Detail lines FIRST, compact headline LAST — and the headline must
+    // NOT carry the per-query maps: the driver keeps only a ~2000-char
+    // stdout tail and parses the final JSON line, and at 78 queries a
+    // map-bearing headline (~24 chars/entry even at 1 ms rounding)
+    // overflows that tail and truncates its own totals — the round-6
+    // failure repeated. The min/median maps get their own earlier
+    // lines; the final line stays a few hundred chars at any query
+    // count.
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
