@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, TextStats}
+import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, Sketches, TextStats}
 import graft.sources.Sinks
 
 /**
@@ -1232,6 +1232,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // KMV distinct sketch: per-language distinct-token estimate from
+    // bounded mergeable state (k doubles/group), alongside the exact
+    // count it approximates.
+    "x_kmv_distinct" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("lang"), explode(TextStats.tokens(col("text"))).as("term"))
+      val est = Sketches.kmvDistinct(toks, "lang", "term", k = 64, seed = Seed)
+      val exact = toks.groupBy("lang").agg(countDistinct("term").as("n_distinct"))
+      est.join(exact, "lang").orderBy("lang")
+    }),
+
     // Domain-mixture rebalancing: thin each language to the target
     // mixture, binding stratum kept whole, md5 keep-decision.
     "x_mix_to" -> ((s, dir) =>
@@ -1803,6 +1814,29 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_overlap_grams
          |FROM dk JOIN bg USING (k)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // KMV replay: the sketch's bounded-state answer equals the k
+    // smallest DISTINCT md5 uniforms per group by construction, so the
+    // oracle computes it as a window over the distinct-u frame.
+    "x_kmv_distinct" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'kmv' || " +
+        s"chr(1) || term), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS term FROM documents),
+         |u AS (SELECT DISTINCT lang, $u AS u FROM tok),
+         |r AS (SELECT lang, u,
+         |             row_number() OVER (PARTITION BY lang ORDER BY u) AS rk,
+         |             count(*) OVER (PARTITION BY lang) AS nd
+         |      FROM u),
+         |est AS (SELECT lang,
+         |               CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |                    ELSE 63 / max(CASE WHEN rk = 64 THEN u END) END
+         |                 AS est_distinct
+         |        FROM r GROUP BY lang),
+         |ex AS (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+         |       FROM tok GROUP BY lang)
+         |SELECT lang, est_distinct, n_distinct FROM est JOIN ex USING (lang)
+         |ORDER BY lang""".stripMargin
     },
 
     // Mixture replay: same per-stratum counts, same double arithmetic

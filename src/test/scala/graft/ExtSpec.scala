@@ -470,6 +470,22 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("kmvDistinct: exact below k, close above k, partition-independent") {
+    import graft.ext.Sketches
+    val small = (0L until 40L).map(i => ("a", s"tok$i")).toDF("g", "v")
+    Sketches.kmvDistinct(small, "g", "v", k = 64, seed = 7L)
+      .head().getDouble(1) shouldBe 40.0 // below k: the sketch is exact
+    // 2000 distinct values (each duplicated) estimated with k=64:
+    // standard error ≈ 1/√62 ≈ 13%; assert a generous 3σ band
+    val big = (0L until 4000L).map(i => ("b", s"tok${i / 2}")).toDF("g", "v")
+    val est = Sketches.kmvDistinct(big, "g", "v", k = 64, seed = 7L)
+      .head().getDouble(1)
+    est should (be > 1200.0 and be < 2800.0)
+    // bounded mergeable state ⇒ the answer is partition-independent
+    Sketches.kmvDistinct(big.repartition(13), "g", "v", k = 64, seed = 7L)
+      .head().getDouble(1) shouldBe est
+  }
+
   test("mixTo: binding stratum kept whole-ish, others thinned, absent dropped") {
     import graft.ext.Corpus
     val df = (0L until 1500L).toDF("doc_id")
