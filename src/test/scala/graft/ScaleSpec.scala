@@ -242,6 +242,18 @@ class ScaleSpec extends SparkSpec {
     "Exchange SinglePartition".r.findAllIn(plan).size should be <= 1
   }
 
+  test("kmvDistinct: sketch aggregates partially before the shuffle") {
+    import graft.ext.Sketches
+    val df = (0L until 500L).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = 32, seed = 42L)
+    val plan = out.queryExecution.executedPlan.toString
+    // the bounded buffer participates in map-side partial aggregation:
+    // a partial ObjectHashAggregate below the exchange, final above —
+    // at most k doubles per (group, partition) cross the shuffle
+    "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("partial_kmvaggregator")
+  }
+
   test("cosinePairs enforces its O(n²) small-input contract") {
     // one-hot direction per class: cross-class cosine is exactly 0,
     // same-class cosine is exactly 1 — so threshold assertions are meaningful
