@@ -1265,6 +1265,12 @@ object SparkEntry {
       TextStats.tfidfTopK(tbl(s, dir, "documents"), k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))),
 
+    // Unigram LM quality proxy: per-doc mean ln p(token) under the
+    // corpus unigram distribution, summed on the 1e-9 integer grid.
+    "x_unigram_logprob" -> ((s, dir) =>
+      TextStats.unigramLogProb(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
@@ -1898,6 +1904,20 @@ object SparkEntry {
          |        (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
          |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, score DESC, term""".stripMargin
+    },
+
+    // Unigram-LM replay: same grid snap (round half away from zero
+    // agrees between engines), integer sums are order-independent, and
+    // the final division is one double op on exact integers.
+    "x_unigram_logprob" -> {
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+         |lp AS (SELECT doc_id, CAST(round(ln(cnt / total) * 1e9) AS BIGINT) AS lp9
+         |       FROM tok JOIN cf USING (term) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(lp9) AS BIGINT) / (count(*) * 1e9) AS avg_logprob
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // Synthetic-corpus structural replay: provider dir / keys / ctype /

@@ -134,6 +134,36 @@ object TextStats {
     graft.plans.NativeFunctions.rollingHash(array_join(tokens(text), " "))
 
   /**
+   * Per-document average unigram log-probability under the corpus's
+   * own unigram distribution — the classic cheap LM-quality proxy
+   * (documents full of corpus-rare tokens score low). Per-token
+   * `ln(count/total)` is snapped to the 1e-9 integer grid BEFORE the
+   * per-document sum (the Rng scaladoc's integer-grid trick): summing
+   * raw doubles is addition-order-dependent, so a cross-engine hash
+   * compare would drift in the last ulp; summing grid integers is
+   * exact under any order. The final average divides the integer sum
+   * back out as one double op.
+   *
+   * Shape at scale: one (term) count shuffle, a vocabulary-sized join
+   * back onto the token stream (AQE broadcasts it while the vocab
+   * fits), a single-row total cross-joined in, one per-doc aggregate.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("__cnt"))
+    val tot = toks.agg(count(lit(1)).as("__total"))
+    toks.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp9",
+        round(log(col("__cnt") / col("__total")) * lit(1e9)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("__lp9").as("__slp9"))
+      .withColumn("avg_logprob", col("__slp9") / (col("n_tokens") * lit(1e9)))
+      .select(idCol, "n_tokens", "avg_logprob")
+  }
+
+  /**
    * TF-IDF top-`k` terms per document over the shared tokenizer:
    * `score = round(tf * ln(N / df), 9)` with deterministic tie-break
    * (score desc, then term asc). The 9-digit quantization is the same

@@ -470,6 +470,18 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("unigramLogProb: hand-checked averages; rare-token docs score lower") {
+    import graft.ext.TextStats
+    // corpus counts: a:2 b:2 c:1, total 5
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = TextStats.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out(0L)._1 shouldBe 3L
+    out(0L)._2 shouldBe math.log(0.4) +- 1e-9 // all tokens have p = 2/5
+    out(1L)._2 shouldBe (math.log(0.4) + math.log(0.2)) / 2 +- 1e-9
+    out(1L)._2 should be < out(0L)._2 // the rare-token doc scores lower
+  }
+
   test("kmvDistinct: exact below k, close above k, partition-independent") {
     import graft.ext.Sketches
     val small = (0L until 40L).map(i => ("a", s"tok$i")).toDF("g", "v")
