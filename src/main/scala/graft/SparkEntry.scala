@@ -1191,6 +1191,20 @@ object SparkEntry {
   private def langScoreSql(lang: String): String =
     TextStats.langMarkers.toMap.apply(lang).map(occSql).mkString("(", " + ", ")")
 
+  /** DuckDB fragment: the TextStats.qualityFacets bucket (shared by
+    * x_text_quality and x_weighted_sample so the two can't drift). */
+  private val qualityBucketSql: String = {
+    val stopSum = Seq("the", "a", "and", "of", "to", "in", "is", "it",
+      "that", "for").map(occSql).mkString(" + ")
+    s"""CASE WHEN len($toksSql) >= 20
+       |      AND len(text) <= len($toksSql) * 12
+       |      AND len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) * 5 <= len($toksSql)
+       |      AND $stopSum > 0
+       |     THEN 'good'
+       |     WHEN len($toksSql) >= 5 THEN 'fair'
+       |     ELSE 'poor' END""".stripMargin
+  }
+
   /** Split fractions shared by the x_split_assign query and its oracle
     * (the oracle embeds the exact IEEE cut values via Corpus.splitCuts). */
   private val SplitFractions =
@@ -1264,6 +1278,18 @@ object SparkEntry {
     "x_tfidf_topk" -> ((s, dir) =>
       TextStats.tfidfTopK(tbl(s, dir, "documents"), k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))),
+
+    // Quality-weighted sampling: per-row acceptance probability from
+    // the quality bucket (good kept whole, fair halved, poor decimated)
+    // — rejection sampling with the growth-stable md5 keep-decision.
+    "x_weighted_sample" -> ((s, dir) => {
+      val q = TextStats.qualityFacets(tbl(s, dir, "documents"))
+      val w = when(col("quality_bucket") === "good", lit(1.0))
+        .when(col("quality_bucket") === "fair", lit(0.5))
+        .otherwise(lit(0.1))
+      Corpus.weightedSample(q, w, Seed)
+        .select("doc_id", "quality_bucket").orderBy("doc_id")
+    }),
 
     // Unigram LM quality proxy: per-doc mean ln p(token) under the
     // corpus unigram distribution, summed on the 1e-9 integer grid.
@@ -2106,14 +2132,22 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
          |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
          |  CAST(${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} AS BIGINT) AS n_stop,
-         |  CASE WHEN len($toksSql) >= 20
-         |        AND len(text) <= len($toksSql) * 12
-         |        AND len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) * 5 <= len($toksSql)
-         |        AND ${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} > 0
-         |       THEN 'good'
-         |       WHEN len($toksSql) >= 5 THEN 'fair'
-         |       ELSE 'poor' END AS quality_bucket
+         |  $qualityBucketSql AS quality_bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Weighted-sample replay: same bucket fragment, same rate CASE,
+    // same md5 keep-decision (explicit DOUBLE casts as in x_mix_to).
+    "x_weighted_sample" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_wsample' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH q AS (SELECT doc_id, $qualityBucketSql AS quality_bucket
+         |           FROM documents)
+         |SELECT doc_id, quality_bucket FROM q
+         |WHERE $u < (CASE quality_bucket WHEN 'good' THEN CAST(1.0 AS DOUBLE)
+         |            WHEN 'fair' THEN CAST(0.5 AS DOUBLE)
+         |            ELSE CAST(0.1 AS DOUBLE) END)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "x_langid" ->
       s"""WITH scored AS (SELECT doc_id,

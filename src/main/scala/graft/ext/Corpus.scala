@@ -111,6 +111,19 @@ object Corpus {
   }
 
   /**
+   * Quality-weighted sampling: keep each row with its own acceptance
+   * probability `weight` (any Column in [0,1] — typically a quality
+   * score mapped to a keep rate). The continuous generalization of
+   * [[stratifiedSample]]: the keep-decision is the same growth-stable
+   * md5 uniform, so re-runs, retries, and corpus growth never
+   * reshuffle which rows survive. One codegen'd filter over the scan.
+   */
+  def weightedSample(df: DataFrame, weight: Column, seed: Long,
+      idCol: String = "doc_id",
+      stream: String = "corpus_wsample"): DataFrame =
+    df.where(Rng.uniform(seed, stream, col(idCol)) < weight)
+
+  /**
    * Domain-mixture rebalancing: downsample strata so the surviving
    * corpus follows `weights` (target mixture proportions, normalized)
    * while keeping as much data as possible — the "rebalance sources to

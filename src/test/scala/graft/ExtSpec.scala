@@ -470,6 +470,23 @@ class ExtSpec extends SparkSpec {
     out(3L) shouldBe 3L
   }
 
+  test("weightedSample: per-row acceptance probability, deterministic") {
+    import graft.ext.Corpus
+    val df = (0L until 1000L).toDF("doc_id")
+      .withColumn("w", when($"doc_id" % 2 === 0, 1.0).otherwise(0.0))
+    val kept = Corpus.weightedSample(df, $"w", 7L).collect()
+      .map(_.getAs[Long]("doc_id"))
+    // weight 1 always survives, weight 0 never
+    kept.length shouldBe 500
+    all(kept.map(_ % 2)) shouldBe 0L
+    // fractional weights: deterministic and near the expected rate
+    val half = Corpus.weightedSample(df.withColumn("w", lit(0.3)), $"w", 7L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    half.size.toDouble should (be > 230.0 and be < 370.0)
+    Corpus.weightedSample(df.withColumn("w", lit(0.3)), $"w", 7L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet shouldBe half
+  }
+
   test("unigramLogProb: hand-checked averages; rare-token docs score lower") {
     import graft.ext.TextStats
     // corpus counts: a:2 b:2 c:1, total 5
