@@ -1273,6 +1273,15 @@ object SparkEntry {
         buckets = 64)
         .orderBy("ord")),
 
+    // Pack-slice fan-out: one row per (document, pack) with half-open
+    // in-pack token ranges — the frame a packing job feeds the
+    // tokenizer writer; straddling docs contribute one slice per pack.
+    "x_pack_slices" -> ((s, dir) =>
+      Corpus.packSlices(tbl(s, dir, "documents"), capacity = 256L,
+        seed = Seed, tokenCount = TextStats.tokenCount(col("text")),
+        buckets = 64)
+        .orderBy("pack_id", "tok_from", "doc_id")),
+
     // TF-IDF top-3 terms per doc (quantized ln per the Rng.gaussian
     // trick; ties broken by term).
     "x_tfidf_topk" -> ((s, dir) =>
@@ -1914,6 +1923,38 @@ object SparkEntry {
          |       CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
          |         - CAST(floor(start_tok / 256.0) AS BIGINT) + 1 AS pack_span
          |FROM o ORDER BY ord""".stripMargin
+    },
+
+    // Pack-slice replay: same packChunks CTE, then one row per pack in
+    // [pack_id, pack_id + pack_span) via unnest(range(...)), ranges
+    // rebased to pack-local half-open offsets.
+    "x_pack_slices" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH t AS (SELECT doc_id,
+         |                  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |                  $u AS u
+         |           FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) AS BIGINT) AS start_tok
+         |      FROM t),
+         |c AS (SELECT doc_id, n_tokens, start_tok,
+         |             CAST(floor(start_tok / 256.0) AS BIGINT) AS pack0,
+         |             CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+         |               AS pack1
+         |      FROM o),
+         |f AS (SELECT doc_id, n_tokens, start_tok, pack0,
+         |             unnest(range(pack0, pack1 + 1)) AS pack_id
+         |      FROM c)
+         |SELECT doc_id, pack_id,
+         |       CAST(pack_id - pack0 AS INT) AS slice_idx,
+         |       greatest(start_tok, pack_id * 256) - pack_id * 256 AS tok_from,
+         |       least(start_tok + n_tokens, (pack_id + 1) * 256) - pack_id * 256 AS tok_to,
+         |       least(start_tok + n_tokens, (pack_id + 1) * 256)
+         |         - greatest(start_tok, pack_id * 256) AS n_slice_tokens
+         |FROM f ORDER BY pack_id, tok_from, doc_id""".stripMargin
     },
 
     // TF-IDF replay: same tokenizer, same round(tf*ln(N/df), 9)

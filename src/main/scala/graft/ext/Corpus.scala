@@ -227,4 +227,46 @@ object Corpus {
           / lit(capacity.toDouble)).cast("long") - col("pack_id") + lit(1L))
       .select(idCol, "n_tokens", "ord", "start_tok", "pack_id", "pack_span")
   }
+
+  /**
+   * Pack-slice fan-out: one row per (document, pack) with the document's
+   * in-pack token range — the frame an actual packing job feeds to the
+   * tokenizer writer, where a document straddling pack boundaries
+   * contributes a slice to each pack it touches. Built on
+   * [[packChunks]]'s output columns: for each pack `p` in
+   * `[pack_id, pack_id + pack_span)`, the document's global token span
+   * `[start_tok, start_tok + n_tokens)` intersected with the pack's
+   * span `[p*capacity, (p+1)*capacity)` and rebased to pack-local
+   * offsets. Ranges are half-open (`tok_from` inclusive, `tok_to`
+   * exclusive; `n_slice_tokens = tok_to - tok_from`), so an empty
+   * document yields one zero-width slice instead of an inverted range.
+   *
+   * Returns `(idCol, pack_id, slice_idx, tok_from, tok_to,
+   * n_slice_tokens)` where `slice_idx` is the 0-based position of the
+   * slice among the document's slices.
+   *
+   * Shape at scale: the fan-out is an `explode(sequence(...))` over
+   * [[packChunks]]'s already-distributed frame — a narrow Generate,
+   * rows bounded by `n_tokens/capacity + 1` per document, NO new
+   * shuffle or window beyond what packChunks already plans (pinned by
+   * ScaleSpec).
+   */
+  def packSlices(df: DataFrame, capacity: Long, seed: Long,
+      tokenCount: Column, idCol: String = "doc_id",
+      buckets: Int = 256, stream: String = "corpus_order"): DataFrame = {
+    val cap = lit(capacity)
+    val chunks = packChunks(df, capacity, seed, tokenCount, idCol, buckets, stream)
+    val packStart = col("__p") * cap
+    chunks
+      .withColumn("__p",
+        explode(sequence(col("pack_id"), col("pack_id") + col("pack_span") - 1)))
+      .withColumn("slice_idx", (col("__p") - col("pack_id")).cast("int"))
+      .withColumn("tok_from",
+        greatest(col("start_tok"), packStart) - packStart)
+      .withColumn("tok_to",
+        least(col("start_tok") + col("n_tokens"), packStart + cap) - packStart)
+      .select(col(idCol), col("__p").as("pack_id"), col("slice_idx"),
+        col("tok_from"), col("tok_to"),
+        (col("tok_to") - col("tok_from")).as("n_slice_tokens"))
+  }
 }

@@ -242,6 +242,33 @@ class ScaleSpec extends SparkSpec {
     "Exchange SinglePartition".r.findAllIn(plan).size should be <= 1
   }
 
+  test("packSlices: the fan-out is a narrow Generate — no shuffle beyond packChunks") {
+    import graft.ext.{Corpus, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunks = Corpus.packChunks(docs, capacity = 256L, seed = 42L,
+      tokenCount = TextStats.tokenCount($"text"), buckets = 64)
+    val slices = Corpus.packSlices(docs, capacity = 256L, seed = 42L,
+      tokenCount = TextStats.tokenCount($"text"), buckets = 64)
+    val chunkPlan = chunks.queryExecution.executedPlan.toString
+    val slicePlan = slices.queryExecution.executedPlan.toString
+    // the explode shows up as a Generate...
+    slicePlan should include("Generate explode")
+    // ...and adds zero exchanges over the packChunks plan: the fan-out
+    // runs where the chunk rows already live
+    "Exchange".r.findAllIn(slicePlan).size shouldBe
+      "Exchange".r.findAllIn(chunkPlan).size
+    // slice invariants: per-doc slice token counts sum to n_tokens and
+    // every slice fits its pack
+    val bad = slices
+      .where($"tok_from" < 0 || $"tok_to" > 256 || $"tok_from" > $"tok_to")
+      .count()
+    bad shouldBe 0L
+    val sums = slices.groupBy($"doc_id").agg(sum($"n_slice_tokens").as("s"))
+      .join(chunks.select($"doc_id", $"n_tokens"), "doc_id")
+      .where($"s" =!= $"n_tokens").count()
+    sums shouldBe 0L
+  }
+
   test("kmvDistinct: sketch aggregates partially before the shuffle") {
     import graft.ext.Sketches
     val df = (0L until 500L).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
