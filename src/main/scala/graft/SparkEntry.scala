@@ -1221,6 +1221,13 @@ object SparkEntry {
   private val MixWeights = Map(
     "en" -> 0.5, "de" -> 0.1, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.2)
 
+  /** Target mixture for x_mix_to_upsample: two strata at 0.5 each
+    * (exactly representable, so normalization is the identity) — the
+    * minority language gets an integer repeat factor > 1 plus a
+    * fractional remainder, the majority is thinned, and the other
+    * three languages exercise the dropped-stratum path. */
+  private val MixUpWeights = Map("en" -> 0.5, "fr" -> 0.5)
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
     // (seed, doc_id) — stable under corpus growth, exactly replayable.
@@ -1263,6 +1270,16 @@ object SparkEntry {
       Corpus.mixTo(tbl(s, dir, "documents").select("doc_id", "lang"),
         "lang", MixWeights, Seed)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Mixture rebalance with upsampling: input-sized output ON the
+    // requested mix — underweight strata get epoch repeats
+    // (floor(rate) copies + md5 keep-decision on the remainder),
+    // overweight strata are thinned by the same formula.
+    "x_mix_to_upsample" -> ((s, dir) =>
+      Corpus.mixTo(tbl(s, dir, "documents").select("doc_id", "lang"),
+        "lang", MixUpWeights, Seed, upsample = true)
+        .select("doc_id", "lang", "copy_idx")
+        .orderBy("doc_id", "copy_idx")),
 
     // Sequence packing: deterministic shuffle order, then assign each
     // doc its offset + pack in the concatenated token stream — a
@@ -1899,6 +1916,32 @@ object SparkEntry {
          |      FROM cw CROSS JOIN s)
          |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
          |WHERE $u < r.rate ORDER BY doc_id""".stripMargin
+    },
+
+    // Upsample replay: same per-stratum counts, scale = total kept rows
+    // as DOUBLE, rate = (scale * w) / n in the same operation order;
+    // repeats = floor(rate) + (u < frac), replayed via
+    // unnest(range(1, reps + 1)).
+    "x_mix_to_upsample" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val whens = MixUpWeights.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |                  CASE lang $whens END AS w
+         |           FROM documents GROUP BY lang),
+         |cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+         |s AS (SELECT CAST(sum(n) AS DOUBLE) AS scale FROM cw),
+         |r AS (SELECT lang, scale * w / n AS rate FROM cw CROSS JOIN s),
+         |reps AS (SELECT d.doc_id, d.lang,
+         |                CAST(floor(rate) AS BIGINT)
+         |                  + (CASE WHEN $u < rate - floor(rate) THEN 1 ELSE 0 END)
+         |                  AS nrep
+         |         FROM documents d JOIN r USING (lang))
+         |SELECT doc_id, lang, unnest(range(1, nrep + 1)) AS copy_idx
+         |FROM reps WHERE nrep >= 1
+         |ORDER BY doc_id, copy_idx""".stripMargin
     },
 
     // Sequence-packing replay: the two-phase bucketed prefix sum equals

@@ -124,22 +124,38 @@ object Corpus {
     df.where(Rng.uniform(seed, stream, col(idCol)) < weight)
 
   /**
-   * Domain-mixture rebalancing: downsample strata so the surviving
+   * Domain-mixture rebalancing: resample strata so the surviving
    * corpus follows `weights` (target mixture proportions, normalized)
-   * while keeping as much data as possible — the "rebalance sources to
-   * the training mix" step of a pretraining pipeline. The binding
-   * stratum (smallest `count/weight`) is kept whole; every other
-   * stratum is thinned to match; strata absent from `weights` are
-   * dropped. Selection is the same growth-stable md5 keep-decision as
+   * — the "rebalance sources to the training mix" step of a
+   * pretraining pipeline. Strata absent from `weights` are dropped.
+   * Selection is the same growth-stable md5 keep-decision as
    * [[stratifiedSample]].
    *
+   * Two modes:
+   *   - `upsample = false` (default): downsample-only. The binding
+   *     stratum (smallest `count/weight`) is kept whole; every other
+   *     stratum is thinned to match. Output rows are a subset of the
+   *     input; no `copy_idx` column.
+   *   - `upsample = true`: the target size of stratum `k` is
+   *     `N_total * w_k` (N_total = rows across weighted strata), so
+   *     the output is input-sized but ON the requested mix. A stratum
+   *     whose target exceeds its count gets epoch repeats: each row is
+   *     emitted `floor(rate)` times plus one more iff its md5 uniform
+   *     clears the fractional remainder — which for `rate < 1`
+   *     degenerates to exactly the downsample keep-rule, so one
+   *     formula covers both directions. Adds a `copy_idx` column
+   *     (1-based repeat number) so downstream shuffles see distinct
+   *     rows.
+   *
    * Shape at scale: one small per-stratum count aggregate, a one-row
-   * min over it, a broadcast join of the ≤|strata| rate frame back onto
-   * the scan, and a codegen'd filter. No wide shuffle of the corpus.
+   * reduction over it, a broadcast join of the ≤|strata| rate frame
+   * back onto the scan, and a codegen'd filter (plus, when upsampling,
+   * a narrow `explode(sequence(...))` whose fan-out is bounded by
+   * `max(rate)+1` per row). No wide shuffle of the corpus.
    */
   def mixTo(df: DataFrame, strataCol: String, weights: Map[String, Double],
       seed: Long, idCol: String = "doc_id",
-      stream: String = "corpus_mix"): DataFrame = {
+      stream: String = "corpus_mix", upsample: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
     val total = weights.values.sum
@@ -152,13 +168,26 @@ object Corpus {
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", wExpr)
       .where(col("__w").isNotNull)
-    val scale = counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val scale =
+      if (upsample) counts.agg(sum("__n").cast("double").as("__scale"))
+      else counts.agg(min(col("__n") / col("__w")).as("__scale"))
+    val rawRate = col("__scale") * col("__w") / col("__n")
     val rates = counts.crossJoin(broadcast(scale))
       .select(col(strataCol),
-        least(lit(1.0), col("__scale") * col("__w") / col("__n")).as("__rate"))
-    df.join(broadcast(rates), strataCol)
-      .where(Rng.uniform(seed, stream, col(idCol)) < col("__rate"))
-      .drop("__rate")
+        (if (upsample) rawRate else least(lit(1.0), rawRate)).as("__rate"))
+    val joined = df.join(broadcast(rates), strataCol)
+    val u = Rng.uniform(seed, stream, col(idCol))
+    if (!upsample) joined.where(u < col("__rate")).drop("__rate")
+    else {
+      // floor(rate) whole repeats + one more iff u clears the remainder;
+      // explode of a null/empty sequence drops the row (reps == 0)
+      val reps = floor(col("__rate")).cast("long") +
+        when(u < col("__rate") - floor(col("__rate")), 1L).otherwise(0L)
+      joined
+        .withColumn("copy_idx",
+          explode(when(reps >= 1L, sequence(lit(1L), reps))))
+        .drop("__rate")
+    }
   }
 
   /**

@@ -534,6 +534,43 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet shouldBe out.map(_._1).toSet
   }
 
+  test("mixTo upsample: output hits the mix via epoch repeats, stable under repartitioning") {
+    import graft.ext.Corpus
+    val df = (0L until 1500L).toDF("doc_id")
+      .withColumn("lang",
+        when($"doc_id" % 6 === 0, "rare") // 250 docs
+          .when($"doc_id" % 3 =!= 0, "en") // 1000 docs
+          .otherwise("junk"))              // 250 docs
+    // equal mix over {en, rare}: N_kept = 1250, target 625 each —
+    // en thins to rate 0.625, rare repeats at rate 2.5 (2 whole
+    // copies + half the docs get a third); junk is dropped
+    val out = Corpus.mixTo(df, "lang", Map("en" -> 0.5, "rare" -> 0.5), 7L,
+      upsample = true).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("copy_idx")))
+    val byLang = out.groupBy(_._2).view.mapValues(_.length).toMap
+    byLang.getOrElse("junk", 0) shouldBe 0
+    // 3σ bands: en ~ Binomial(1000, .625) σ≈15; rare extra copies
+    // ~ Binomial(250, .5) σ≈8 on top of the 500 whole copies
+    byLang("en").toDouble should (be > 580.0 and be < 670.0)
+    byLang("rare").toDouble should (be > 600.0 and be < 650.0)
+    // every rare doc appears at least twice (integer repeat factor),
+    // with 1-based contiguous copy indices
+    val rare = out.filter(_._2 == "rare").groupBy(_._1).view
+      .mapValues(_.map(_._3).sorted).toMap
+    rare.values.foreach { idxs =>
+      idxs.length should be >= 2
+      idxs shouldBe (1L to idxs.length).toVector
+    }
+    // keep/repeat decisions are pure functions of (seed, doc_id):
+    // repartitioning changes nothing
+    val again = Corpus.mixTo(df.repartition(13), "lang",
+      Map("en" -> 0.5, "rare" -> 0.5), 7L, upsample = true).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("copy_idx")))
+    again.sorted shouldBe out.sorted
+  }
+
   test("packChunks: contiguous global stream, bucket-count invariant, pack math") {
     import graft.ext.Corpus
     val docs = (0L until 200L).toDF("doc_id")
