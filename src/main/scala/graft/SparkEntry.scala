@@ -1264,6 +1264,17 @@ object SparkEntry {
       est.join(exact, "lang").orderBy("lang")
     }),
 
+    // Fixed-grid histogram sketch: per-language token-count quantiles
+    // from bounded mergeable bin counts (≤64 bins/group map-side) —
+    // quartiles + p90 read off as bin lower edges.
+    "x_hist_quantiles" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("lang"), TextStats.tokenCount(col("text")).as("n_tokens"))
+      Sketches.histQuantiles(docs, "lang", "n_tokens",
+        width = 8.0, maxBins = 64, probs = Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy("lang")
+    }),
+
     // Domain-mixture rebalancing: thin each language to the target
     // mixture, binding stratum kept whole, md5 keep-decision.
     "x_mix_to" -> ((s, dir) =>
@@ -1895,6 +1906,27 @@ object SparkEntry {
          |       FROM tok GROUP BY lang)
          |SELECT lang, est_distinct, n_distinct FROM est JOIN ex USING (lang)
          |ORDER BY lang""".stripMargin
+    },
+
+    // Histogram replay: same clamped floor(x/width) grid, cumulative
+    // window per group, quantile = lower edge of the first bin whose
+    // running count reaches max(1, ceil(p*n)).
+    "x_hist_quantiles" -> {
+      val qCols = Seq(0.25, 0.5, 0.75, 0.9).map { p =>
+        s"min(CASE WHEN cum >= greatest(1, ceil($p * n)) THEN bin END) * 8.0 AS q_${math.round(p * 1000)}"
+      }.mkString(",\n       ")
+      s"""WITH t AS (SELECT lang, CAST(len($toksSql) AS DOUBLE) AS x FROM documents),
+         |b AS (SELECT lang,
+         |             least(greatest(CAST(floor(x / 8.0) AS BIGINT), 0), 63) AS bin,
+         |             CAST(count(*) AS BIGINT) AS c
+         |      FROM t GROUP BY 1, 2),
+         |cum AS (SELECT lang, bin,
+         |               sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+         |               sum(c) OVER (PARTITION BY lang) AS n
+         |        FROM b)
+         |SELECT lang,
+         |       $qCols
+         |FROM cum GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     // Mixture replay: same per-stratum counts, same double arithmetic

@@ -62,6 +62,88 @@ object Sketches {
   }
 
   /**
+   * Fixed-grid histogram sketch: per-group bin counts over the grid
+   * `bin = clamp(floor(x / width), 0, maxBins-1)` — grid geometry is a
+   * plan-time constant, so the buffer is a bounded mergeable map
+   * (≤ `maxBins` entries per group) that participates in map-side
+   * partial aggregation exactly like [[KmvAggregator]]. Values left of
+   * the grid clamp into bin 0, values right of it into the last bin —
+   * standard fixed-grid overflow semantics, and the part that keeps
+   * state bounded no matter the data.
+   *
+   * `finish` reads off quantiles: `q(p)` = lower edge (`bin * width`)
+   * of the first bin whose cumulative count reaches
+   * `max(1, ceil(p * n))`. Unlike KLL/t-digest the whole construction
+   * is exactly replayable in a SQL oracle: `floor(x/width)` group-by,
+   * cumulative window, first-bin pick.
+   */
+  final class HistAggregator(width: Double, maxBins: Int, probs: Seq[Double])(
+      implicit bufEnc: Encoder[Map[Long, Long]], outEnc: Encoder[Seq[Double]])
+      extends Aggregator[Double, Map[Long, Long], Seq[Double]] {
+    require(width > 0, "width must be positive")
+    require(maxBins > 0, "maxBins must be positive")
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be non-empty and within [0, 1]")
+
+    private def bin(x: Double): Long =
+      math.min(math.max(math.floor(x / width).toLong, 0L), maxBins - 1L)
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(b: Map[Long, Long], x: Double): Map[Long, Long] = {
+      val k = bin(x)
+      b.updated(k, b.getOrElse(k, 0L) + 1L)
+    }
+
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+
+    override def finish(b: Map[Long, Long]): Seq[Double] = {
+      val n = b.values.sum // ≥ 1: groupByKey only materializes seen keys
+      val sorted = b.toSeq.sortBy(_._1)
+      var acc = 0L
+      val cumulative = sorted.map { case (k, c) => acc += c; (k, acc) }
+      probs.map { p =>
+        val target = math.max(1L, math.ceil(p * n).toLong)
+        cumulative.find(_._2 >= target).get._1 * width
+      }
+    }
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] = bufEnc
+    override def outputEncoder: Encoder[Seq[Double]] = outEnc
+  }
+
+  /**
+   * Per-group quantile estimates of `valueCol` from a fixed-grid
+   * histogram sketch — one output column `q_<p*1000>` (per-mille
+   * label, e.g. `q_500` = median) per requested probability, each the
+   * lower edge of the bin where that quantile falls (grid resolution
+   * `width`). Same group-key handling as [[kmvDistinct]].
+   *
+   * Shape at 100 TB: per-group quantiles become a ≤`maxBins`-entry
+   * map per (group, partition) crossing the shuffle — where an exact
+   * `percentile` shuffles every value and a global-sort approach dies
+   * outright. Error is bounded by the grid: a quantile is off by at
+   * most `width`.
+   */
+  def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      width: Double, maxBins: Int, probs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gType = df.schema(groupCol).dataType
+    val ds = df.select(col(groupCol).cast("string"),
+        col(valueCol).cast("double"))
+      .as[(String, Double)]
+    val agg = new HistAggregator(width, maxBins, probs).toColumn.name("__qs")
+    val labeled = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("__qs"), i + 1).as(s"q_${math.round(p * 1000)}")
+    }
+    ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .toDF(groupCol, "__qs")
+      .select(col(groupCol).cast(gType).as(groupCol) +: labeled: _*)
+  }
+
+  /**
    * Per-group distinct-count estimate of `valueCol` via a KMV sketch
    * over the md5 uniform of the value — partition-independent and
    * exactly replayable in the oracle (`(k-1) / k-th smallest distinct

@@ -515,6 +515,30 @@ class ExtSpec extends SparkSpec {
       .head().getDouble(1) shouldBe est
   }
 
+  test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
+    import graft.ext.Sketches
+    // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values
+    // that must clamp into the edge bins instead of growing state
+    val rows = (0L until 100L).map(i => ("a", i.toDouble)) ++
+      Seq.fill(10)(("b", 42.0)) ++ Seq(("a", -5.0), ("a", 1e9))
+    val df = rows.toDF("g", "v")
+    val out = Sketches.histQuantiles(df, "g", "v",
+        width = 10.0, maxBins = 10, probs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // a: 102 values, q25 target=26 → value 24 (bin 2), q50 target=51 →
+    // value 49 (bin 4), q90 target=92 → value 90 (bin 9, also holds the
+    // 1e9 clamp); lower edges 20/40/90
+    out("a") shouldBe ((20.0, 40.0, 90.0))
+    // b: all mass in bin 4 → every quantile reads its lower edge
+    out("b") shouldBe ((40.0, 40.0, 40.0))
+    // bounded mergeable state ⇒ partition-independent
+    Sketches.histQuantiles(df.repartition(7), "g", "v",
+        width = 10.0, maxBins = 10, probs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap shouldBe out
+  }
+
   test("mixTo: binding stratum kept whole-ish, others thinned, absent dropped") {
     import graft.ext.Corpus
     val df = (0L until 1500L).toDF("doc_id")

@@ -281,6 +281,19 @@ class ScaleSpec extends SparkSpec {
     plan should include("partial_kmvaggregator")
   }
 
+  test("histQuantiles: bounded bin map aggregates partially before the shuffle") {
+    import graft.ext.Sketches
+    val df = (0L until 500L).map(i => (s"g${i % 3}", (i % 100).toDouble))
+      .toDF("g", "v")
+    val out = Sketches.histQuantiles(df, "g", "v",
+      width = 10.0, maxBins = 16, probs = Seq(0.5, 0.9))
+    val plan = out.queryExecution.executedPlan.toString
+    // the ≤maxBins map participates in map-side partial aggregation —
+    // at most maxBins entries per (group, partition) cross the shuffle
+    "ObjectHashAggregate".r.findAllIn(plan).size should be >= 2
+    plan should include("partial_histaggregator")
+  }
+
   test("cosinePairs enforces its O(n²) small-input contract") {
     // one-hot direction per class: cross-class cosine is exactly 0,
     // same-class cosine is exactly 1 — so threshold assertions are meaningful
