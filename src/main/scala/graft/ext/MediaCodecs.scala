@@ -1,12 +1,13 @@
 package graft.ext
 
 /**
- * Pure-Scala media container parsers — the first REAL codec in the
+ * Pure-Scala media container parsers — the REAL codecs in the
  * multimodal suite (no native libraries needed for header-level
- * decode). Currently RIFF/WAV: magic check + chunk walk + PCM fmt
- * parse. Payloads that don't carry the magic fall back to the
- * deterministic md5 stub in [[Multimodal]], so the text-backed test
- * corpus keeps replaying exactly in the DuckDB oracle.
+ * decode): chunk-walking RIFF/WAV, BMP, JPEG SOF marker walk, PNG
+ * IHDR, and GIF logical-screen. Payloads that don't carry a magic
+ * fall back to the deterministic md5 stub in [[Multimodal]], so the
+ * text-backed test corpus keeps replaying exactly in the DuckDB
+ * oracle.
  *
  * The reference has no media handling at all (it generates text fakes,
  * src/main.py:977-1020) — this is part of the training-data-pipeline
@@ -16,7 +17,11 @@ object MediaCodecs {
 
   /** Parsed WAV header facts. `durationS` is ceil(dataBytes/byteRate) —
     * integer arithmetic, so the Column-side parse in
-    * [[Multimodal.decodeMeta]] computes the identical value. */
+    * [[Multimodal.decodeMeta]] computes the identical value.
+    * `dataBytes` is the declared data-chunk size clamped to the bytes
+    * actually present, so a truncated container reports the real byte
+    * count (and a duration derived from it) instead of the header's
+    * inflated claim — the Column parse clamps identically. */
   final case class WavMeta(channels: Int, sampleRate: Int, byteRate: Int,
       bitsPerSample: Int, dataBytes: Long, durationS: Int)
 
@@ -54,7 +59,9 @@ object MediaCodecs {
         fmt = Some((leU16(payload, pos + 10), leU32(payload, pos + 12).toInt,
           leU32(payload, pos + 16).toInt, leU16(payload, pos + 22)))
       } else if (id == "data" && dataBytes < 0) {
-        dataBytes = size
+        // clamp to the bytes actually present: a truncated container
+        // degrades to the real byte count, not the header's claim
+        dataBytes = math.min(size, (payload.length - (pos + 8)).toLong)
       }
       // chunk bodies are padded to even length; guard against size
       // overflowing Int on adversarial headers
@@ -106,6 +113,61 @@ object MediaCodecs {
 
   private def beU16(b: Array[Byte], pos: Int): Int =
     ((b(pos) & 0xff) << 8) | (b(pos + 1) & 0xff)
+
+  private def beU32(b: Array[Byte], pos: Int): Long =
+    ((b(pos) & 0xffL) << 24) | ((b(pos + 1) & 0xffL) << 16) |
+      ((b(pos + 2) & 0xffL) << 8) | (b(pos + 3) & 0xffL)
+
+  /** Parsed PNG IHDR facts. */
+  final case class PngMeta(width: Int, height: Int, bitDepth: Int,
+      colorType: Int)
+
+  private[graft] val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+  private val PngDepths = Set(1, 2, 4, 8, 16)
+  private val PngColorTypes = Set(0, 2, 3, 4, 6)
+
+  /**
+   * PNG IHDR parse: 8-byte signature, then the mandatory first chunk
+   * must be a 13-byte IHDR — big-endian width/height at fixed offsets
+   * 16/20, bit depth and color type validated against the spec's legal
+   * values (which doubles as the structural guard; the \\x89 signature
+   * byte already keeps any text payload out). Fixed-offset throughout,
+   * so the codegen'd Column parse in [[Multimodal.decodeMeta]] applies
+   * the identical predicate and reads.
+   */
+  def parsePng(payload: Array[Byte]): Option[PngMeta] = {
+    if (payload == null || payload.length < 33) return None
+    var i = 0
+    while (i < 8) { if (payload(i) != PngMagic(i)) return None; i += 1 }
+    if (beU32(payload, 8) != 13L || chunkId(payload, 12) != "IHDR") return None
+    val w = beU32(payload, 16)
+    val h = beU32(payload, 20)
+    val depth = payload(24) & 0xff
+    val colorType = payload(25) & 0xff
+    if (!PngDepths.contains(depth) || !PngColorTypes.contains(colorType)) return None
+    if (w <= 0 || h <= 0 || w > 1000000000L || h > 1000000000L) return None
+    Some(PngMeta(w.toInt, h.toInt, depth, colorType))
+  }
+
+  /** Parsed GIF logical-screen facts. `version` is "87a" or "89a". */
+  final case class GifMeta(width: Int, height: Int, version: String)
+
+  /**
+   * GIF header parse: "GIF87a"/"GIF89a" magic, then the logical screen
+   * descriptor's little-endian u16 canvas dimensions at offsets 6/8,
+   * rejected when zero. Fixed-offset, mirrored exactly by the Column
+   * parse in [[Multimodal.decodeMeta]].
+   */
+  def parseGif(payload: Array[Byte]): Option[GifMeta] = {
+    if (payload == null || payload.length < 13) return None
+    val hdr = new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val w = leU16(payload, 6)
+    val h = leU16(payload, 8)
+    if (w <= 0 || h <= 0) return None
+    Some(GifMeta(w, h, hdr.substring(3)))
+  }
 
   /**
    * JPEG marker walk: verify the SOI magic (FFD8), then step segment by

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with a typed metadata struct, plus decode /
  * feature-extract / resize / frame-sample operators.
  *
- * Container-header decode is REAL for RIFF/WAV, BMP and JPEG (pure-
- * Scala parses, no native libraries — [[MediaCodecs]]; JPEG is
- * kernel-path only, its SOF marker sits at a variable offset); pixel/
- * sample codecs are NOT available in this environment, so the remaining
- * decode kernels are deterministic STUBS (clearly marked below): they
+ * Container-header decode is REAL for RIFF/WAV, BMP, JPEG, PNG and
+ * GIF (pure-Scala parses, no native libraries — [[MediaCodecs]]; JPEG
+ * is kernel-path only, its SOF marker sits at a variable offset);
+ * pixel/sample codecs are NOT available in this environment, so the
+ * remaining decode kernels are deterministic STUBS (clearly marked
+ * below): they
  * derive plausible metadata/features from a hash of the payload bytes.
  * Everything around them — schema, partition behavior, explode shapes,
  * batch-friendly column signatures — is real and is what matters at
@@ -53,6 +54,12 @@ object Multimodal {
       conv(hex(substring(payload, pos + i, 1)), 16, 10).cast("long") * (1L << (8 * i))
     }.reduce(_ + _)
 
+  /** Big-endian unsigned int read — `hex` of the byte slice IS its
+    * big-endian digit string, so one conv suffices (PNG's IHDR fields
+    * are big-endian). */
+  private def beUint(payload: Column, pos: Int, nBytes: Int): Column =
+    conv(hex(substring(payload, pos, nBytes)), 16, 10).cast("long")
+
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -75,6 +82,31 @@ object Multimodal {
     when(v >= 2147483648L, v - 4294967296L).otherwise(v)
   }
 
+  /** PNG: 8-byte signature then a mandatory 13-byte IHDR first chunk;
+    * bit depth / color type validated against the spec's legal values —
+    * mirrors [[MediaCodecs.parsePng]] exactly (same predicate, same
+    * reads), so the Column and kernel paths agree on every payload. */
+  private def isPng(payload: Column): Column = {
+    val w = beUint(payload, 17, 4)
+    val h = beUint(payload, 21, 4)
+    length(payload) >= 33 &&
+      substring(payload, 1, 8) === lit(MediaCodecs.PngMagic) &&
+      beUint(payload, 9, 4) === 13L &&
+      substring(payload, 13, 4) === lit(ascii("IHDR")) &&
+      beUint(payload, 25, 1).isInCollection(Seq(1L, 2L, 4L, 8L, 16L)) &&
+      beUint(payload, 26, 1).isInCollection(Seq(0L, 2L, 3L, 4L, 6L)) &&
+      w > 0L && w <= 1000000000L && h > 0L && h <= 1000000000L
+  }
+
+  /** GIF: "GIF87a"/"GIF89a" magic + non-zero little-endian u16 canvas
+    * dimensions in the logical screen descriptor — mirrors
+    * [[MediaCodecs.parseGif]]. */
+  private def isGif(payload: Column): Column =
+    length(payload) >= 13 &&
+      (substring(payload, 1, 6) === lit(ascii("GIF87a")) ||
+        substring(payload, 1, 6) === lit(ascii("GIF89a"))) &&
+      leUint(payload, 7, 2) > 0L && leUint(payload, 9, 2) > 0L
+
   /** BMP with a BITMAPINFOHEADER-or-later DIB header; planes==1 and a
     * legal color depth double as the structural guard that keeps text
     * payloads (even ones starting "BM") out of this branch — mirrors
@@ -93,19 +125,25 @@ object Multimodal {
 
   /**
    * Container-header decode. Payloads carrying the canonical RIFF/WAV
-   * magic or a BMP header get a REAL parse (sample rate / channels /
-   * duration from the WAV fmt and data chunks; pixel dimensions from
-   * the BMP DIB header — little-endian field reads, all codegen'd
-   * column functions); everything else falls back to the deterministic
-   * md5 STUB (a real implementation would add JPEG SOF / MP4 moov
-   * walks; those formats' variable-offset structures need the kernel
-   * path, see [[decodeBatched]]). The column signature
-   * (binary -> struct) is the contract either way.
+   * magic, a BMP header, a PNG IHDR, or a GIF header get a REAL parse
+   * (sample rate / channels / duration from the WAV fmt and data
+   * chunks; pixel dimensions from the BMP DIB header / PNG IHDR / GIF
+   * logical screen — fixed-offset field reads, all codegen'd column
+   * functions); everything else falls back to the deterministic md5
+   * STUB (a real implementation would add MP4 moov walks; JPEG's SOF
+   * sits at a variable offset, which only the kernel path can walk —
+   * see [[decodeBatched]]). The column signature (binary -> struct) is
+   * the contract either way.
    */
   def decodeMeta(payload: Column, kind: Column): Column = {
     val h = payloadHash(payload)
     val byteRate = leUint(payload, 29, 4)
-    val dataBytes = leUint(payload, 41, 4)
+    // declared data size clamped to the bytes actually present (body
+    // starts after the canonical 44-byte header) — a truncated
+    // container degrades to the real byte count, matching the kernel
+    // parser's clamp
+    val dataBytes = least(leUint(payload, 41, 4),
+      length(payload).cast("long") - 44L)
     // integer ceil-div, exact in double up to 2^53 — matches the kernel
     // parser's (dataBytes + byteRate - 1) / byteRate
     val durationS = when(byteRate > 0,
@@ -128,6 +166,24 @@ object Multimodal {
         lit("bmp").as("format"),
         lit(0).as("sample_rate"),
         lit(0).as("channels")))
+    .when(isPng(payload),
+      struct(
+        beUint(payload, 17, 4).cast("int").as("width"),
+        beUint(payload, 21, 4).cast("int").as("height"),
+        lit(0).as("duration_s"),
+        length(payload).cast("long").as("n_bytes"),
+        lit("png").as("format"),
+        lit(0).as("sample_rate"),
+        lit(0).as("channels")))
+    .when(isGif(payload),
+      struct(
+        leUint(payload, 7, 2).cast("int").as("width"),
+        leUint(payload, 9, 2).cast("int").as("height"),
+        lit(0).as("duration_s"),
+        length(payload).cast("long").as("n_bytes"),
+        lit("gif").as("format"),
+        lit(0).as("sample_rate"),
+        lit(0).as("channels")))
     .otherwise(
       struct(
         (pmod(h, lit(1920L)) + 1L).cast("int").as("width"),
@@ -139,6 +195,16 @@ object Multimodal {
         lit(0).as("channels")))
   }
 
+  /**
+   * Adds the `meta` struct via [[decodeMeta]] — the Column decode
+   * surface. CAVEAT (API asymmetry, by construction): this path real-
+   * parses canonical WAV, BMP, PNG and GIF only; [[decodeBatched]]
+   * additionally real-parses non-canonical WAV chunk layouts and JPEG
+   * (variable-offset structures a fixed-position Column read can't
+   * express). A payload in that gap gets REAL metadata from
+   * decodeBatched but STUB metadata here — callers switching surfaces
+   * must expect different width/height/duration for such payloads.
+   */
   def withMeta(media: DataFrame): DataFrame =
     media.withColumn("meta", decodeMeta(col("payload"), col("kind")))
 
@@ -188,12 +254,15 @@ object Multimodal {
    * Batch decode via `mapPartitions` — the shape a real codec needs:
    * heavyweight per-partition init (codec context, native lib handles)
    * amortized across the partition's rows, rows streamed through an
-   * iterator (never materialized per partition), output typed. RIFF/WAV
-   * and BMP payloads get the REAL header parse ([[MediaCodecs.parseWav]]
-   * — unlike the Column path it handles non-canonical chunk layouts —
-   * and [[MediaCodecs.parseBmp]]); everything else goes through the
-   * deterministic STUB (`stubDecode`). Add real parsers for further
-   * formats here without touching the Spark plumbing.
+   * iterator (never materialized per partition), output typed.
+   * RIFF/WAV, BMP, JPEG, PNG and GIF payloads get the REAL header
+   * parse ([[MediaCodecs.parseWav]] — unlike the Column path it
+   * handles non-canonical chunk layouts — [[MediaCodecs.parseBmp]],
+   * [[MediaCodecs.parseJpeg]] which is kernel-only,
+   * [[MediaCodecs.parsePng]] and [[MediaCodecs.parseGif]]); everything
+   * else goes through the deterministic STUB (`stubDecode`). Add real
+   * parsers for further formats here without touching the Spark
+   * plumbing.
    */
   def decodeBatched(media: DataFrame): Dataset[DecodedRow] = {
     val spark = media.sparkSession
@@ -210,6 +279,12 @@ object Multimodal {
               r.payload.length.toLong, 0, 0)))
           .orElse(MediaCodecs.parseJpeg(r.payload).map(j =>
             DecodedRow(r.media_id, r.kind, j.width, j.height, 0,
+              r.payload.length.toLong, 0, 0)))
+          .orElse(MediaCodecs.parsePng(r.payload).map(p =>
+            DecodedRow(r.media_id, r.kind, p.width, p.height, 0,
+              r.payload.length.toLong, 0, 0)))
+          .orElse(MediaCodecs.parseGif(r.payload).map(g =>
+            DecodedRow(r.media_id, r.kind, g.width, g.height, 0,
               r.payload.length.toLong, 0, 0)))
           .getOrElse {
             val (wd, h, d) = stubDecode(r.payload)

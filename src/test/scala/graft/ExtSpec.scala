@@ -293,6 +293,15 @@ class ExtSpec extends SparkSpec {
       val j = MediaCodecs.parseJpeg(jpegBytes(jw, jh)).get
       j.width shouldBe jw
       j.height shouldBe jh
+      val (pw, ph) = (1 + r.nextInt(1000000), 1 + r.nextInt(1000000))
+      val p = MediaCodecs.parsePng(pngBytes(pw, ph)).get
+      p.width shouldBe pw
+      p.height shouldBe ph
+      val (gw, gh) = (1 + r.nextInt(65535), 1 + r.nextInt(65535))
+      val g = MediaCodecs.parseGif(gifBytes(gw, gh,
+        if (r.nextBoolean()) "89a" else "87a")).get
+      g.width shouldBe gw
+      g.height shouldBe gh
     }
     // fuzz: random bytes, random truncations of valid headers, and
     // magic-prefixed garbage must return None/Some — never throw
@@ -302,16 +311,23 @@ class ExtSpec extends SparkSpec {
       MediaCodecs.parseWav(junk)
       MediaCodecs.parseBmp(junk)
       MediaCodecs.parseJpeg(junk)
-      val valid = i % 3 match {
+      MediaCodecs.parsePng(junk)
+      MediaCodecs.parseGif(junk)
+      val valid = i % 5 match {
         case 0 => wavBytes(8000, 2, 16, 1000, extraChunk = true)
         case 1 => bmpBytes(64, 64)
-        case _ => jpegBytes(64, 64)
+        case 2 => jpegBytes(64, 64)
+        case 3 => pngBytes(64, 64)
+        case _ => gifBytes(64, 64)
       }
       val cut = valid.take(r.nextInt(valid.length + 1))
       MediaCodecs.parseWav(cut); MediaCodecs.parseBmp(cut); MediaCodecs.parseJpeg(cut)
-      val prefixed = ("RIFF" + "BM" + "ÿØ").getBytes("ISO-8859-1") ++ junk
+      MediaCodecs.parsePng(cut); MediaCodecs.parseGif(cut)
+      val prefixed = ("RIFF" + "BM" + "ÿØ" + "PNG" + "GIF8")
+        .getBytes("ISO-8859-1") ++ junk
       MediaCodecs.parseWav(prefixed); MediaCodecs.parseBmp(prefixed)
-      MediaCodecs.parseJpeg(prefixed)
+      MediaCodecs.parseJpeg(prefixed); MediaCodecs.parsePng(prefixed)
+      MediaCodecs.parseGif(prefixed)
     }
   }
 
@@ -327,6 +343,33 @@ class ExtSpec extends SparkSpec {
     graft.ext.MediaCodecs.parseBmp(text) shouldBe None
     // illegal depth rejected
     graft.ext.MediaCodecs.parseBmp(bmpBytes(10, 10, bpp = 7)) shouldBe None
+  }
+
+  // minimal PNG: 8-byte signature + IHDR chunk (length, type, 13-byte
+  // body, dummy crc); big-endian throughout
+  private def pngBytes(width: Int, height: Int, depth: Int = 8,
+      colorType: Int = 6): Array[Byte] = {
+    import java.nio.ByteBuffer
+    val bb = ByteBuffer.allocate(8 + 4 + 4 + 13 + 4) // big-endian by default
+    bb.put(graft.ext.MediaCodecs.PngMagic)
+    bb.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+    bb.putInt(0) // crc (unchecked)
+    bb.array()
+  }
+
+  // minimal GIF: magic + version, little-endian u16 canvas dims, packed
+  // byte, background index, aspect ratio
+  private def gifBytes(width: Int, height: Int,
+      version: String = "89a"): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(("GIF" + version).getBytes("US-ASCII"))
+      .putShort(width.toShort).putShort(height.toShort)
+      .put(0x70.toByte).put(0.toByte).put(0.toByte)
+    bb.array()
   }
 
   // minimal JPEG: SOI, APP0 shell, SOF0 frame header, EOI
@@ -361,6 +404,68 @@ class ExtSpec extends SparkSpec {
     graft.ext.MediaCodecs.parseJpeg("plain text".getBytes) shouldBe None
     graft.ext.MediaCodecs.parseJpeg(
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) shouldBe None
+  }
+
+  test("MediaCodecs.parsePng/parseGif: header facts; structural guards reject near-misses") {
+    import graft.ext.MediaCodecs
+    val p = MediaCodecs.parsePng(pngBytes(800, 600)).get
+    p.width shouldBe 800
+    p.height shouldBe 600
+    p.bitDepth shouldBe 8
+    p.colorType shouldBe 6
+    // illegal bit depth / color type rejected
+    MediaCodecs.parsePng(pngBytes(10, 10, depth = 3)) shouldBe None
+    MediaCodecs.parsePng(pngBytes(10, 10, colorType = 5)) shouldBe None
+    // zero dimensions rejected; truncation rejected
+    MediaCodecs.parsePng(pngBytes(0, 10)) shouldBe None
+    MediaCodecs.parsePng(pngBytes(800, 600).take(20)) shouldBe None
+    val g = MediaCodecs.parseGif(gifBytes(320, 200, "87a")).get
+    g.width shouldBe 320
+    g.height shouldBe 200
+    g.version shouldBe "87a"
+    MediaCodecs.parseGif(gifBytes(1, 1)).get.version shouldBe "89a"
+    // wrong version bytes / zero dims / text payloads rejected
+    MediaCodecs.parseGif("GIF90a_not_a_gif!".getBytes) shouldBe None
+    MediaCodecs.parseGif(gifBytes(0, 10)) shouldBe None
+    MediaCodecs.parseGif("GIFt text starting with those bytes".getBytes) shouldBe None
+  }
+
+  test("decodeMeta/decodeBatched: png + gif parse on both paths, identical facts") {
+    val media = Seq(
+        (1L, "image", pngBytes(1920, 1080)),
+        (2L, "image", gifBytes(640, 350)),
+        (3L, "image", "just some text".getBytes))
+      .toDF("media_id", "kind", "payload")
+    val metas = Multimodal.withMeta(media).select("media_id", "meta")
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    metas(1L).getAs[String]("format") shouldBe "png"
+    metas(1L).getAs[Int]("width") shouldBe 1920
+    metas(1L).getAs[Int]("height") shouldBe 1080
+    metas(2L).getAs[String]("format") shouldBe "gif"
+    metas(2L).getAs[Int]("width") shouldBe 640
+    metas(2L).getAs[Int]("height") shouldBe 350
+    metas(3L).getAs[String]("format") shouldBe "image" // stub path
+    val dec = Multimodal.decodeBatched(media).collect()
+      .map(d => d.media_id -> d).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      dec(id).width shouldBe metas(id).getAs[Int]("width")
+      dec(id).height shouldBe metas(id).getAs[Int]("height")
+    }
+  }
+
+  test("parseWav clamps a truncated data chunk to the bytes present, both paths") {
+    // declared 64000 data bytes but the container is cut 100 bytes in:
+    // dataBytes degrades to the real count instead of the header claim
+    val full = wavBytes(8000, 2, 16, 64000)
+    val cut = full.take(44 + 100)
+    val w = graft.ext.MediaCodecs.parseWav(cut).get
+    w.dataBytes shouldBe 100L
+    w.durationS shouldBe 1 // ceil(100 / 32000)
+    // Column path clamps identically
+    val media = Seq((1L, "audio", cut)).toDF("media_id", "kind", "payload")
+    val m = Multimodal.withMeta(media).select("meta").head().getStruct(0)
+    m.getAs[String]("format") shouldBe "wav"
+    m.getAs[Int]("duration_s") shouldBe w.durationS
   }
 
   test("decodeMeta/decodeBatched: real bmp parse, column and kernel paths agree") {
