@@ -238,32 +238,84 @@ object FakeData {
     "Sheffield", "Trenton", "Vernon", "Westfield", "York", "Zionsville")
   private val Exts = Vector("txt", "csv", "pdf", "doc", "xls", "log", "json")
 
+  // RFC 2606/6761-reserved mail domains only — realism without ever
+  // colliding with a real mailbox (the reference's Faker uses
+  // example.com/org/net plus free-mail lookalikes; we stay reserved)
+  private val MailDomains = Vector("example.com", "example.org",
+    "example.net", "mail.example.com", "corp.example.org",
+    "post.example.net")
+  // USPS state abbreviations (the reference's Faker draws real states;
+  // a random 2-letter pair reads fake immediately)
+  private val States = Vector("AL", "AK", "AZ", "AR", "CA", "CO", "CT",
+    "DE", "FL", "GA", "HI", "ID", "IL", "IN", "IA", "KS", "KY", "LA",
+    "ME", "MD", "MA", "MI", "MN", "MS", "MO", "MT", "NE", "NV", "NH",
+    "NJ", "NM", "NY", "NC", "ND", "OH", "OK", "OR", "PA", "RI", "SC",
+    "SD", "TN", "TX", "UT", "VT", "VA", "WA", "WV", "WI", "WY")
+  private val Units = Vector("Apt.", "Suite", "Unit", "Floor")
+  private val Jobs = Vector("accountant", "analyst", "architect",
+    "auditor", "consultant", "controller", "coordinator", "designer",
+    "developer", "economist", "editor", "engineer", "estimator",
+    "examiner", "inspector", "librarian", "manager", "nurse",
+    "paralegal", "pharmacist", "planner", "programmer", "researcher",
+    "scientist", "statistician", "surveyor", "teacher", "technician",
+    "translator", "underwriter")
+  private val CompanySuffixes = Vector("Group", "Holdings", "Labs",
+    "Partners", "Industries", "Associates", "Systems", "Consulting")
+  // 16-digit brands only: the 4-4-4-4 grouping is what the reference's
+  // scanner-bait corpus plants and what PiiScan's credit_card detector
+  // pins (Amex's 4-6-5 would need a second pattern)
+  private val CardBrands = Vector(("VISA", "4"), ("Mastercard", "5"),
+    ("Discover", "6"))
+
   def sentence(r: Random): String = {
     val n = randInt(r, 4, 10)
     val ws = (0 until n).map(_ => choice(r, Words))
     ws.head.capitalize + " " + ws.tail.mkString(" ") + "."
   }
   def zipcode(r: Random): String = f"${r.nextInt(100000)}%05d"
-  def email(r: Random): String =
-    s"${choice(r, FirstNames)}.${choice(r, LastNames)}${randInt(r, 1, 99)}@example.com"
-  def phoneNumber(r: Random): String =
-    f"(${randInt(r, 200, 999)}) ${randInt(r, 200, 999)}-${r.nextInt(10000)}%04d"
+  def userName(r: Random): String = {
+    val (f, l) = (choice(r, FirstNames), choice(r, LastNames))
+    r.nextInt(4) match {
+      case 0 => s"$f.$l${randInt(r, 1, 99)}"
+      case 1 => s"${f}_$l"
+      case 2 => s"${f.head}$l${randInt(r, 1, 999)}"
+      case _ => s"$f${randInt(r, 1, 99)}"
+    }
+  }
+  def email(r: Random): String = s"${userName(r)}@${choice(r, MailDomains)}"
+  /** Always carries the "(area) prefix-line" core the phone detector
+    * pins; a minority of draws append a Faker-style extension. */
+  def phoneNumber(r: Random): String = {
+    val core = f"(${randInt(r, 200, 999)}) ${randInt(r, 200, 999)}-${r.nextInt(10000)}%04d"
+    if (r.nextInt(10) < 3) s"$core x${randInt(r, 100, 9999)}" else core
+  }
   def ssn(r: Random): String =
     f"${randInt(r, 100, 899)}-${randInt(r, 10, 99)}-${r.nextInt(10000)}%04d"
-  def address(r: Random): String =
-    s"${randInt(r, 1, 9999)} ${choice(r, Streets)}, ${choice(r, Cities)}, " +
-      f"${randString(r, 2, Upper)} ${r.nextInt(100000)}%05d"
+  def address(r: Random): String = {
+    val unit =
+      if (r.nextInt(10) < 3) s" ${choice(r, Units)} ${randInt(r, 1, 999)}" else ""
+    s"${randInt(r, 1, 9999)} ${choice(r, Streets)}$unit, ${choice(r, Cities)}, " +
+      f"${choice(r, States)} ${r.nextInt(100000)}%05d"
+  }
   def bban(r: Random): String = randString(r, 4, Upper) + randString(r, 14, Digits)
   def iban(r: Random): String =
     "GB" + randString(r, 2, Digits) + randString(r, 4, Upper) + randString(r, 14, Digits)
+  def company(r: Random): String =
+    s"${choice(r, LastNames).capitalize} ${choice(r, CompanySuffixes)}"
+  def job(r: Random): String = choice(r, Jobs)
   def creditCardFull(r: Random): String = {
+    val (brand, iin) = choice(r, CardBrands)
     val name = s"${choice(r, FirstNames).capitalize} ${choice(r, LastNames).capitalize}"
-    val num = (0 until 4).map(_ => randString(r, 4, Digits)).mkString(" ")
-    s"VISA\n$name\n$num ${f"${randInt(r, 1, 12)}%02d/${randInt(r, 26, 32)}"}\nCVC: ${randString(r, 3, Digits)}\n"
+    val num = (iin + randString(r, 3, Digits)) +:
+      (0 until 3).map(_ => randString(r, 4, Digits))
+    s"$brand\n$name\n${num.mkString(" ")} ${f"${randInt(r, 1, 12)}%02d/${randInt(r, 26, 32)}"}\nCVC: ${randString(r, 3, Digits)}\n"
   }
   def profile(r: Random): String = {
     val name = s"${choice(r, FirstNames)} ${choice(r, LastNames)}"
-    s"{'name': '$name', 'mail': '${email(r)}', 'ssn': '${ssn(r)}', 'address': '${address(r)}'}"
+    val birth = f"${randInt(r, 1946, 2007)}-${randInt(r, 1, 12)}%02d-${randInt(r, 1, 28)}%02d"
+    s"{'username': '${userName(r)}', 'name': '$name', 'birthdate': '$birth', " +
+      s"'company': '${company(r)}', 'job': '${job(r)}', " +
+      s"'mail': '${email(r)}', 'ssn': '${ssn(r)}', 'address': '${address(r)}'}"
   }
   def fileName(r: Random): String =
     s"${choice(r, Words)}_${choice(r, Words)}.${choice(r, Exts)}"
@@ -282,7 +334,8 @@ object FakeData {
     "sentence" -> sentence, "zipcode" -> zipcode, "email" -> email,
     "phone_number" -> phoneNumber, "ssn" -> ssn, "address" -> address,
     "bban" -> bban, "iban" -> iban, "credit_card_full" -> creditCardFull,
-    "profile" -> profile, "file_name" -> fileName, "file_path" -> filePath)
+    "profile" -> profile, "file_name" -> fileName, "file_path" -> filePath,
+    "user_name" -> userName, "company" -> company, "job" -> job)
 
   def generate(provider: String, r: Random): String =
     registry.getOrElse(provider,

@@ -55,9 +55,45 @@ class FunctionsSpec extends SparkSpec {
     gen("rsa", 10) should endWith("-----END RSA PRIVATE KEY-----\r\n")
     gen("pgp", 11) should include("BEGIN PGP PRIVATE KEY BLOCK")
     gen("ssn", 12) should fullyMatch regex """\d{3}-\d{2}-\d{4}"""
-    gen("email", 13) should include("@example.com")
+    // mail domains are RFC-reserved (example.*), any of the pool
+    gen("email", 13) should fullyMatch regex """[A-Za-z0-9._]+@[a-z.]*example\.(com|org|net)"""
     gen("iban", 14) should startWith("GB")
     gen("zipcode", 15) should fullyMatch regex """\d{5}"""
+  }
+
+  test("widened builtins: single-line invariants, detector-pinned cores, new providers") {
+    def gen(p: String, seed: Long) = FakeData.generate(p, new java.util.Random(seed))
+    // the x_synthetic_corpus n_lines pin rests on these four providers
+    // NEVER embedding a newline, whatever the draw
+    for (seed <- 1L to 200L; p <- Seq("sentence", "email", "address", "profile")) {
+      val s = gen(p, seed)
+      withClue(s"$p seed=$seed: ") {
+        s should not include "\n"
+        s should not include "\r"
+        s.forall(_ < 0x80) shouldBe true // pure ASCII
+      }
+    }
+    for (seed <- 1L to 200L) {
+      // phone always carries the detector-pinned "(area) prefix-line"
+      // core, extension or not
+      gen("phone_number", seed) should include regex """\(\d{3}\) \d{3}-\d{4}"""
+      // card number stays 16-digit 4-groups whatever the brand, with a
+      // brand-typical IIN
+      val cc = gen("credit_card_full", seed)
+      cc should include regex """\b[456]\d{3} \d{4} \d{4} \d{4}\b"""
+      cc.linesIterator.next() should (be("VISA") or be("Mastercard") or be("Discover"))
+      // address: real state abbreviation + zip
+      gen("address", seed) should include regex """, [A-Z]{2} \d{5}$"""
+    }
+    // new builtins registered and shaped
+    gen("user_name", 1) should fullyMatch regex """[a-z0-9._]+"""
+    gen("company", 2) should fullyMatch regex """[A-Z][a-z]+ [A-Z][a-z]+"""
+    gen("job", 3) should fullyMatch regex """[a-z]+"""
+    // profile carries every simple-profile field
+    val prof = gen("profile", 4)
+    for (f <- Seq("username", "name", "birthdate", "company", "job",
+        "mail", "ssn", "address"))
+      prof should include(s"'$f':")
   }
 
   test("PEM body is 64-col wrapped base64 with MI prefix (src/main.py:279-327)") {
