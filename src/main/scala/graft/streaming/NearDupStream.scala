@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ext.Dedup
+import graft.plans.NativeFunctions
+
+/**
+ * Incremental (streaming) MinHash near-dup flagging — the streaming
+ * counterpart of the batch [[graft.ext.Dedup.minhashLshPairs]]: flag a
+ * document as it ARRIVES when it collides with an earlier document in
+ * any LSH band bucket, instead of re-running a corpus-wide self-join.
+ * The use case is dedup-at-ingest for a training-data pipeline: the
+ * verdict for each new document depends only on bounded per-bucket
+ * state, never on a scan of what came before.
+ *
+ * The reference is processing-time batch only (SURVEY §2.9); this is
+ * part of the training-pipeline extension surface.
+ */
+object NearDupStream {
+
+  /**
+   * Per-row LSH band-bucket keys, computed with NO shuffle: shingle
+   * hashes from the native one-pass kernel
+   * ([[graft.plans.NativeFunctions.hashedShingles]]), then each of the
+   * `numHashes` affine permutations (the SAME coefficient family as
+   * batch MinHash, [[Dedup.minhashCoefs]], so a streaming flag agrees
+   * with what the batch pass would pair) reduced to its min via
+   * `array_min(transform(...))`, banded `r = numHashes/bands` per
+   * bucket. Returns `array<string>` of `bands` bucket keys
+   * ("band:h_i,h_j,..."), one narrow projection per row.
+   *
+   * The per-element `transform` lambdas are interpreted — acceptable
+   * at micro-batch rates; a fused native signature kernel is the
+   * upgrade path if signatures ever dominate a profile.
+   */
+  def bandBucketKeys(text: Column, numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val (as, bs) = Dedup.minhashCoefs(numHashes)
+    val p = Dedup.MinhashPrime
+    val grams = NativeFunctions.hashedShingles(text, shingleN)
+    // xxhash64 gram values are signed; pmod maps them into [0, p) so
+    // the affine products stay below 2^62 (no overflow)
+    val sigs = (0 until numHashes).map { j =>
+      array_min(transform(grams,
+        g => (lit(as(j)) * pmod(g, lit(p)) + lit(bs(j))) % lit(p)))
+    }
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      concat_ws(",",
+        lit(s"$b:") +: (b * r until (b + 1) * r).map(j => sigs(j).cast("string")): _*)
+    }: _*)
+  }
+
+  final case class BucketHit(bucket: String, doc_id: Long, ts_us: Long)
+  /** One (canonical doc, last activity) entry per live bucket — the
+    * bounded "band-bucket → min-doc" map, sharded by group key. */
+  final case class BucketState(canonical_id: Long, last_us: Long)
+  final case class DupFlag(doc_id: Long, dup_of: Long, bucket: String)
+
+  /**
+   * Flag streaming near-dups: documents `(doc_id LONG, text STRING,
+   * ts_us LONG)` are exploded onto their band buckets; the first
+   * document seen in a bucket becomes its canonical, and every LATER
+   * distinct document hitting that bucket emits a
+   * `DupFlag(doc_id, dup_of = canonical, bucket)` — a candidate flag
+   * with the same guarantees as batch LSH banding (a flag means "agreed
+   * on a full band", verification against a threshold is a downstream
+   * join, exactly as in the batch pipeline). A document may emit one
+   * flag per shared bucket; consumers dedup on (doc_id, dup_of).
+   *
+   * State is bounded two ways: one `BucketState` per live bucket
+   * (regardless of how many documents hit it), and an EVENT-TIME
+   * timeout reclaims a bucket once the watermark passes
+   * `last activity + horizonUs` — so state tracks the active horizon,
+   * not the whole stream. Events later than `lateness` are dropped by
+   * the watermark; a late-but-within-lateness near-dup still finds the
+   * bucket state and is flagged (replay-deterministic, same rationale
+   * as [[EventTimeOps.sessionize]]).
+   */
+  def flagNearDups(docs: DataFrame, horizonUs: Long,
+      lateness: String = "10 minutes", numHashes: Int = 16, bands: Int = 4,
+      shingleN: Int = 3): Dataset[DupFlag] = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("__ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__ts", lateness)
+      .select(
+        explode(bandBucketKeys(col("text"), numHashes, bands, shingleN)).as("bucket"),
+        col("doc_id"), col("ts_us"),
+        col("__ts")) // the watermark column must stay visible to the
+                     // grouped frame for the event-time timeout
+      .as[BucketHit]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, DupFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (bucket, rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: reclaim the bucket
+            Iterator.empty
+          } else {
+            // arrival order within a batch is not meaningful; process in
+            // event-time order (ties by id) so the canonical choice is
+            // replay-deterministic
+            val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var cur = state.getOption
+            val flags = scala.collection.mutable.ListBuffer.empty[DupFlag]
+            sorted.foreach { r =>
+              cur match {
+                case None =>
+                  cur = Some(BucketState(r.doc_id, r.ts_us))
+                case Some(s) =>
+                  // redeliveries of the canonical itself are not dups
+                  if (r.doc_id != s.canonical_id)
+                    flags += DupFlag(r.doc_id, s.canonical_id, bucket)
+                  cur = Some(s.copy(last_us = math.max(s.last_us, r.ts_us)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // reclaim once the watermark passes last + horizon; clamp
+              // above the current watermark (Spark rejects timeouts at
+              // or before it)
+              state.setTimeoutTimestamp(math.max((s.last_us + horizonUs) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+            }
+            flags.iterator
+          }
+      }
+  }
+}

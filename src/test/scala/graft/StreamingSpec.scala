@@ -196,6 +196,51 @@ class StreamingSpec extends SparkSpec {
     out.foreach(s => s.s_end should be >= s.s_start)
   }
 
+  test("streaming minhash dedup: late near-dup flagged; bucket state reclaimed at horizon") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.DupFlag
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val us = 1000000L
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val nearDup = base.replace("today", "tonight") // shares most shingles
+    val unrelated = "completely different content about quarterly financial reporting standards and audit compliance procedures"
+    val mem = MemoryStream[(Long, String, Long)]
+    // batch 1: doc 1 (canonical) then doc 2, a near-dup 60 s later
+    mem.addData((1L, base, 10 * us), (2L, nearDup, 70 * us))
+    val q = NearDupStream.flagNearDups(
+        mem.toDF().toDF("doc_id", "text", "ts_us"),
+        horizonUs = 1800L * us, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    // batch 2: doc 3 arrives LATE (event time 40 s, before doc 2) but
+    // within the 10-minute lateness — must still find the bucket state
+    mem.addData((3L, base, 40 * us))
+    q.processAllAvailable()
+    val flags = spark.table("neardup_test").as[DupFlag].collect()
+      .map(f => (f.doc_id, f.dup_of)).distinct.sorted
+    flags shouldBe Seq((2L, 1L), (3L, 1L))
+    // batches 3+4: unrelated docs two hours on; batch 3 advances the
+    // watermark, batch 4's trigger fires the event-time timeouts that
+    // reclaim every bucket of docs 1-3 (last activity + 30 min horizon
+    // is far behind the watermark by then)
+    val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    mem.addData((50L, unrelated, 7200 * us))
+    q.processAllAvailable()
+    mem.addData((51L, unrelated + " appendix section", 7300 * us))
+    q.processAllAvailable()
+    val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // docs 1-3 shared buckets are gone: remaining state is only the two
+    // fresh docs' buckets (≤ 2 docs × 4 bands), strictly below the peak
+    fin should be < peak
+    fin should be <= 8L
+    // the unrelated docs were never flagged against the fox corpus
+    spark.table("neardup_test").as[DupFlag].collect()
+      .map(_.doc_id).toSet should not contain 50L
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
