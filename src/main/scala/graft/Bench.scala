@@ -56,10 +56,14 @@ object Bench {
     results.collect { case (n, (v, _)) if v < 0 => n }.foreach { n =>
       System.err.println(s"[bench] RESULT INCOMPLETE: $n recorded as -1")
     }
-    // Per-query values rounded to 1 ms: full-precision doubles made the
-    // combined line ~4.5k chars, which overflowed the driver's ~2000-char
-    // stdout tail capture in round 6 (BENCH_r06 parsed:null — the headline
-    // totals at the FRONT of the line were truncated away).
+    // Per-query values rounded to ~1 ms (math.rint = half-to-even at the
+    // .5 ulp ties): full-precision doubles made the combined line ~4.5k
+    // chars, which overflowed the driver's ~2000-char stdout tail capture
+    // in round 6 (BENCH_r06 parsed:null — the headline totals at the
+    // FRONT of the line were truncated away). NOTE: the headline totals
+    // are rounded AFTER summing full-precision values, so summing the
+    // per-query map entries can drift from "value" by a few ms — that is
+    // rounding, not a bench regression.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + r3(mn) }
       .mkString("{", ",", "}")

@@ -61,11 +61,14 @@ object Similarity {
    * throw (run [[Dedup.embeddingNearDups]] or pass a sample instead of
    * silently OOM-ing a driver with a full-corpus broadcast at 100×
    * scale). The bound check reads at most `maxRows + 1` rows (limit
-   * pushdown early-exits the scan); once it passes, the ≤maxRows input
-   * is localCheckpointed, so upstream lineage runs ONCE — not once for
-   * the guard and once per self-join branch. No broadcast hint: within
-   * the bound the planner/AQE picks the broadcast nested-loop join on
-   * its own.
+   * pushdown early-exits the scan) and is itself one execution of the
+   * upstream lineage; the eager localCheckpoint that follows is a
+   * second — what the checkpoint buys is ONE run per self-join instead
+   * of one per branch (two-plus), not a single run overall. Caveat: a
+   * localCheckpoint pins its blocks to the executors that wrote them,
+   * so losing one of those executors mid-join fails the query instead
+   * of recomputing lineage. No broadcast hint: within the bound the
+   * planner/AQE picks the broadcast nested-loop join on its own.
    */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -45,6 +45,32 @@ object SkewUtils {
   }
 
   /**
+   * Hot/cold split salted join — the production form of [[saltedJoin]]:
+   * only rows whose key is in `hotKeys` (a small frame of the skewed
+   * key values, typically from heavy-hitter stats or a sample) pay the
+   * salting machinery; the cold majority takes the plain equi-join.
+   * This bounds the small-side replication at `|hot small| × buckets`
+   * instead of `|small| × buckets` — at 100 TB, salting the whole
+   * small side for the 0.1% of keys that skew is almost all waste.
+   *
+   * `hotKeys` is broadcast for the semi/anti split (it must be small —
+   * that is what makes a key list "hot"). Semantically identical to
+   * the plain join for the same `joinType`s [[saltedJoin]] accepts:
+   * the salted branch only ever sees big rows whose keys are hot, so
+   * pre-filtering the small side to hot keys removes nothing those
+   * rows could match.
+   */
+  def saltedJoinHotCold(big: DataFrame, small: DataFrame, keys: Seq[String],
+      buckets: Int, hotKeys: DataFrame,
+      joinType: String = "inner"): DataFrame = {
+    val hotBig = big.join(broadcast(hotKeys), keys, "left_semi")
+    val coldBig = big.join(broadcast(hotKeys), keys, "left_anti")
+    val hotSmall = small.join(broadcast(hotKeys), keys, "left_semi")
+    saltedJoin(hotBig, hotSmall, keys, buckets, joinType)
+      .unionByName(coldBig.join(small, keys, joinType))
+  }
+
+  /**
    * Two-phase skew-safe `collect_list`-style aggregation: partial
    * collect per (key, salt) shard, then merge shards. Hash aggregation
    * already does map-side partial aggregation for algebraic functions

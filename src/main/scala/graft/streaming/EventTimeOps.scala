@@ -103,13 +103,18 @@ object EventTimeOps {
    * `Trigger.AvailableNow` runs never self-terminated).
    *
    * `lateness` is the watermark delay on the event-time column: events
-   * later than that are dropped; state for users idle past
-   * `lateness + gap` is reclaimed. Sessions still open when the stream
-   * ends (beyond the final watermark) remain unemitted, exactly like
-   * an unclosed window in [[windowedCounts]].
+   * later than that are DROPPED before they reach the session state —
+   * pass "0 seconds" only if the source guarantees event-time order
+   * across micro-batches, because with a zero watermark any
+   * out-of-order arrival in a later batch is silently discarded. The
+   * default is the same 30-minute horizon the other operators here
+   * use. State for users idle past `lateness + gap` is reclaimed.
+   * Sessions still open when the stream ends (beyond the final
+   * watermark) remain unemitted, exactly like an unclosed window in
+   * [[windowedCounts]].
    */
   def sessionize(events: Dataset[SessionEvent], gapUs: Long,
-      lateness: String = "0 seconds"): Dataset[SessionOut] = {
+      lateness: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withColumn("__ts", timestamp_micros(col("ts_us")))

@@ -23,6 +23,31 @@ class ScaleSpec extends SparkSpec {
     salted.collect().toSeq shouldBe plain.collect().toSeq
   }
 
+  test("hot/cold salted join ≡ plain join; replication confined to the hot slice") {
+    val big = (0L until 400L).map(i => (i % 20, s"p$i")).toDF("k", "payload")
+    val small = (0L until 25L).map(i => (i, s"t$i")).toDF("k", "tag")
+    // declare keys 0 and 7 hot; 19 appears only on the big side, 20-24
+    // only on the small side — all edges must survive the split
+    val hot = Seq(0L, 7L, 24L).toDF("k")
+    for (joinType <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), joinType)
+        .orderBy("k", "payload")
+      val split = SkewUtils.saltedJoinHotCold(big, small, Seq("k"),
+          buckets = 4, hotKeys = hot, joinType = joinType)
+        .orderBy("k", "payload")
+      withClue(joinType) {
+        split.columns.toSeq shouldBe plain.columns.toSeq
+        split.collect().toSeq shouldBe plain.collect().toSeq
+      }
+    }
+    // the hot-key split is a broadcast (never a shuffled join of the
+    // big side against the key list)
+    val plan = SkewUtils.saltedJoinHotCold(big, small, Seq("k"),
+      buckets = 4, hotKeys = hot).queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size should be >= 1
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("bloom-pruned join ≡ plain join; filter actually prunes non-keys") {
     val fact = (0L until 1000L).map(i => (i, s"p$i")).toDF("fk", "payload")
     val dim = Seq((10L, "x"), (500L, "y"), (999L, "z")).toDF("dk", "tag")
