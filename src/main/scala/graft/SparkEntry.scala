@@ -1249,6 +1249,13 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "lang"),
         "lang", SampleRates, SampleDefaultRate, Seed).orderBy("doc_id")),
 
+    // Deterministic k-sample per language: the 5 smallest md5 uniforms
+    // per stratum via the bounded TopK aggregator (map-side partials,
+    // never a full window sort).
+    "x_sample_per_group" -> ((s, dir) =>
+      Corpus.sampleKPerGroup(tbl(s, dir, "documents"), "lang", k = 5,
+        seed = Seed).orderBy("lang", "rank")),
+
     // Benchmark decontamination: every 50th doc plays the held-out
     // benchmark; corpus docs sharing any word 3-gram with it are
     // flagged with their overlap count.
@@ -1913,6 +1920,19 @@ object SparkEntry {
          |       FROM tok GROUP BY lang)
          |SELECT lang, est_distinct, n_distinct FROM est JOIN ex USING (lang)
          |ORDER BY lang""".stripMargin
+    },
+
+    // k-sample replay: rank = row_number over (u asc, id asc) per
+    // group — exactly the TopK aggregator's pruning order.
+    "x_sample_per_group" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_ksample' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH r AS (SELECT lang, doc_id,
+         |                  row_number() OVER (PARTITION BY lang
+         |                    ORDER BY $u, doc_id) AS rk
+         |           FROM documents)
+         |SELECT lang, CAST(rk AS INT) AS rank, doc_id
+         |FROM r WHERE rk <= 5 ORDER BY lang, rank""".stripMargin
     },
 
     // Histogram replay: same clamped floor(x/width) grid, cumulative

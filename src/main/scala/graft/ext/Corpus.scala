@@ -80,6 +80,37 @@ object Corpus {
   }
 
   /**
+   * Deterministic k-sample per group: the k rows with the SMALLEST md5
+   * uniforms in each stratum — "pull k curated examples per
+   * language/source" for spot-checks, eval slices, or few-shot pools.
+   * Unlike a rate-based sample ([[stratifiedSample]]) the output size
+   * is exactly `min(k, |group|)` per group; unlike `ORDER BY rand()
+   * LIMIT k` per group it is deterministic under repartitioning,
+   * retries and re-runs (the uniform is a pure function of
+   * `(seed, idCol)`). Not growth-stable by construction: a fixed-size
+   * sample must displace an old member when a smaller-u document
+   * arrives — use a rate-based sampler when growth-stability matters.
+   *
+   * Shape at scale: rides [[graft.operators.TopK.TopKAggregator]] —
+   * bounded k-entry buffers with map-side partial aggregation, so each
+   * partition forwards at most k rows per group into the shuffle where
+   * a window-rank formulation would shuffle and sort every row.
+   * Returns `(groupCol, rank, idCol)` with rank 1 = smallest uniform.
+   */
+  def sampleKPerGroup(df: DataFrame, groupCol: String, k: Int, seed: Long,
+      idCol: String = "doc_id",
+      stream: String = "corpus_ksample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // TopK keeps the LARGEST scores; negate the uniform so rank 1 is
+    // the smallest u (ties — impossible in practice — break by id asc,
+    // matching the oracle's ORDER BY u, id)
+    val scored = df.select(col(groupCol), col(idCol))
+      .withColumn("__negu", -Rng.uniform(seed, stream, col(idCol)))
+    graft.operators.TopK.perGroup(scored, groupCol, "__negu", idCol, k)
+      .select(col(groupCol), col("rank"), col(idCol))
+  }
+
+  /**
    * Benchmark decontamination: flag corpus documents sharing any word
    * `n`-gram with a held-out benchmark set — the standard guard against
    * evaluation leakage in training corpora. Returns

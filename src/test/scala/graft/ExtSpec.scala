@@ -663,6 +663,27 @@ class ExtSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet shouldBe out.map(_._1).toSet
   }
 
+  test("sampleKPerGroup: exact k per stratum, partition-independent, small groups whole") {
+    import graft.ext.Corpus
+    val df = (0L until 300L).toDF("doc_id")
+      .withColumn("g", when($"doc_id" % 100 === 0, "tiny").otherwise(
+        when($"doc_id" % 2 === 0, "even").otherwise("odd")))
+    val out = Corpus.sampleKPerGroup(df, "g", k = 10, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byG = out.groupBy(_._1).view.mapValues(_.length).toMap
+    byG("even") shouldBe 10
+    byG("odd") shouldBe 10
+    byG("tiny") shouldBe 3 // group smaller than k kept whole
+    // ranks are 1..n per group
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      rows.map(_._2).sorted shouldBe (1 to rows.length).toArray
+    }
+    // pure function of (seed, doc_id): partitioning cannot change it
+    Corpus.sampleKPerGroup(df.repartition(13), "g", k = 10, seed = 7L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sorted shouldBe out.sorted
+  }
+
   test("mixTo upsample: output hits the mix via epoch repeats, stable under repartitioning") {
     import graft.ext.Corpus
     val df = (0L until 1500L).toDF("doc_id")
