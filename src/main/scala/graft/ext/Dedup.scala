@@ -90,8 +90,16 @@ object Dedup {
   /**
    * MinHash signatures: k affine permutations of the md5 gram key,
    * signature_j = min over shingles of (a_j*key + b_j) mod p. Computed
-   * as k map-side min-aggregations over the exploded gram frame — one
-   * shuffle of (doc_id, k longs) regardless of document size.
+   * by the fused native kernel
+   * ([[graft.plans.Native.minhashSignature]]) — one codegen'd
+   * projection per row, NO gram explode and NO shuffle at all (the
+   * previous explode + k-min-aggregations formulation shuffled
+   * (doc_id, k longs); this one never leaves the scan). The kernel is
+   * bit-identical to that Column math (same md5 prefix key, same
+   * affine arithmetic; DedupSpec pins the equivalence), and the SAME
+   * kernel drives streaming near-dup flagging
+   * ([[graft.streaming.NearDupStream]]), so batch and streaming
+   * signatures agree exactly.
    *
    * Every ingredient (md5, affine arithmetic, min) evaluates
    * identically in DuckDB, so LSH candidate pairs are exact-oracle
@@ -101,11 +109,11 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
     val (as, bs) = minhashCoefs(numHashes)
-    val keyed = gramRows(docs, idCol, textCol, shingleN)
-      .select(col(idCol), md5Key(col("__g")).as("__x"))
-    val aggs = (0 until numHashes).map(j =>
-      min((lit(as(j)) * col("__x") + lit(bs(j))) % lit(MinhashPrime)).as(s"h$j"))
-    keyed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.plans.NativeFunctions.minhashSignature(
+      col(textCol), as, bs, shingleN)
+    docs.select(col(idCol), sig.as("__sig"))
+      .select(col(idCol) +: (0 until numHashes).map(j =>
+        element_at(col("__sig"), j + 1).as(s"h$j")): _*)
   }
 
   /**

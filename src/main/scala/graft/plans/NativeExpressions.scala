@@ -102,6 +102,71 @@ object Native {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Prime modulus of the MinHash affine family — must equal
+    * [[graft.ext.Dedup.MinhashPrime]] (2^31-1); duplicated as a literal
+    * here so `plans` stays free of `ext` dependencies, pinned by spec. */
+  val MinhashPrime: Long = 2147483647L
+
+  /**
+   * Fused MinHash signature over word n-gram shingles, bit-identical to
+   * the Column-math formulation it replaces (explode word n-grams →
+   * `conv(substring(md5(gram),1,15),16,10) % p` → per-permutation
+   * `min((a_j*x + b_j) % p)` group-by): lowercase, whitespace-tokenize,
+   * build each gram string once, take the md5 prefix as a 60-bit key,
+   * and fold all `k` affine mins in one pass — no explode, no shuffle,
+   * no per-element interpreted lambdas. Documents shorter than n
+   * contribute their whole token sequence as the single gram (matching
+   * [[graft.ext.Dedup.gramRows]]'s short branch, including the empty
+   * document's "" gram), so every row carries a signature.
+   *
+   * md5 (not xxhash64) so the value family stays exactly replayable in
+   * the DuckDB oracle — the same reason the Column path used it.
+   */
+  def minhashSignature(text: UTF8String, as: Array[Long], bs: Array[Long],
+      n: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = Md5Local.get()
+    def fold(gram: String): Unit = {
+      val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits = first 7 bytes + the high nibble of byte 7
+      var x = 0L
+      var i = 0
+      while (i < 7) { x = (x << 8) | (dig(i) & 0xffL); i += 1 }
+      x = ((x << 4) | ((dig(7) & 0xffL) >>> 4)) % MinhashPrime
+      var j = 0
+      while (j < k) {
+        val h = (as(j) * x + bs(j)) % MinhashPrime
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    if (toks.length < n) fold(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder
+      var start = 0
+      while (start <= toks.length - n) {
+        sb.setLength(0)
+        var j = start
+        while (j < start + n) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        fold(sb.toString)
+        start += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
   /** Sequential-fold dot product; floats widened to double per element
     * (matches `aggregate(zip_with(...))` exactly, bit for bit). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -160,6 +225,33 @@ case class HashedShinglesExpr(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** minhash_signature(string) → array<long> of `as.length` affine mins.
+  * Coefficients are plan-time constants (case-class params as Seq so
+  * equality/canonicalization stay structural), shipped into generated
+  * code as reference objects. */
+case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
+    shingleN: Int) extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty,
+    "coefficient seqs must be same-length and non-empty")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val asArr = as.toArray
+  @transient private lazy val bsArr = bs.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.minhashSignature(input.asInstanceOf[UTF8String], asArr, bsArr, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.minhashSignature($c, $asRef, $bsRef, $shingleN)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 /** dot(array<float|double>, array<float|double>) → double.
   * Length mismatch → null, matching `aggregate(zip_with(...))`
   * (zip_with null-pads the shorter side, poisoning the sum) — a
@@ -204,6 +296,10 @@ object NativeFunctions {
 
   def hashedShingles(text: Column, n: Int): Column =
     ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))
+
+  def minhashSignature(text: Column, as: Seq[Long], bs: Seq[Long],
+      shingleN: Int): Column =
+    ColumnBridge.column(MinHashSigExpr(ColumnBridge.expression(text), as, bs, shingleN))
 
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(

@@ -21,37 +21,37 @@ import graft.plans.NativeFunctions
 object NearDupStream {
 
   /**
-   * Per-row LSH band-bucket keys, computed with NO shuffle: shingle
-   * hashes from the native one-pass kernel
-   * ([[graft.plans.NativeFunctions.hashedShingles]]), then each of the
-   * `numHashes` affine permutations (the SAME coefficient family as
-   * batch MinHash, [[Dedup.minhashCoefs]], so a streaming flag agrees
-   * with what the batch pass would pair) reduced to its min via
-   * `array_min(transform(...))`, banded `r = numHashes/bands` per
-   * bucket. Returns `array<string>` of `bands` bucket keys
-   * ("band:h_i,h_j,..."), one narrow projection per row.
+   * Per-row LSH band-bucket keys, computed with NO shuffle: the full
+   * MinHash signature comes from the fused native kernel
+   * ([[graft.plans.Native.minhashSignature]]) — the SAME kernel, md5
+   * gram-key family, coefficient family ([[Dedup.minhashCoefs]]) and
+   * defaults (32 hashes / 8 bands) as batch
+   * [[Dedup.minhashSignatures]], so a streaming flag lands in exactly
+   * the band buckets the batch pass would join on: flags reconcile
+   * with batch pairs value-for-value (pinned by StreamingSpec's
+   * agreement case). Signatures are banded `r = numHashes/bands` per
+   * bucket; returns `array<string>` of `bands` bucket keys
+   * ("band:h_i,h_j,..."), one codegen'd projection per row.
    *
-   * The per-element `transform` lambdas are interpreted — acceptable
-   * at micro-batch rates; a fused native signature kernel is the
-   * upgrade path if signatures ever dominate a profile.
+   * `sig` must be the signature array column (compute it in its own
+   * projection — [[flagNearDups]] does — so the kernel runs once per
+   * row rather than once per band reference).
    */
-  def bandBucketKeys(text: Column, numHashes: Int = 16, bands: Int = 4,
-      shingleN: Int = 3): Column = {
+  def bandBucketKeys(sig: Column, numHashes: Int = 32, bands: Int = 8): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val (as, bs) = Dedup.minhashCoefs(numHashes)
-    val p = Dedup.MinhashPrime
-    val grams = NativeFunctions.hashedShingles(text, shingleN)
-    // xxhash64 gram values are signed; pmod maps them into [0, p) so
-    // the affine products stay below 2^62 (no overflow)
-    val sigs = (0 until numHashes).map { j =>
-      array_min(transform(grams,
-        g => (lit(as(j)) * pmod(g, lit(p)) + lit(bs(j))) % lit(p)))
-    }
     val r = numHashes / bands
     array((0 until bands).map { b =>
       concat_ws(",",
-        lit(s"$b:") +: (b * r until (b + 1) * r).map(j => sigs(j).cast("string")): _*)
+        lit(s"$b:") +: (b * r until (b + 1) * r).map(j =>
+          element_at(sig, j + 1).cast("string")): _*)
     }: _*)
+  }
+
+  /** The shared batch/streaming signature column — [[Dedup.minhashCoefs]]
+    * coefficients over the fused native kernel. */
+  def signature(text: Column, numHashes: Int = 32, shingleN: Int = 3): Column = {
+    val (as, bs) = Dedup.minhashCoefs(numHashes)
+    NativeFunctions.minhashSignature(text, as, bs, shingleN)
   }
 
   final case class BucketHit(bucket: String, doc_id: Long, ts_us: Long)
@@ -81,15 +81,18 @@ object NearDupStream {
    * as [[EventTimeOps.sessionize]]).
    */
   def flagNearDups(docs: DataFrame, horizonUs: Long,
-      lateness: String = "10 minutes", numHashes: Int = 16, bands: Int = 4,
+      lateness: String = "10 minutes", numHashes: Int = 32, bands: Int = 8,
       shingleN: Int = 3): Dataset[DupFlag] = {
     require(horizonUs > 0, "horizonUs must be positive")
     import docs.sparkSession.implicits._
     docs
       .withColumn("__ts", timestamp_micros(col("ts_us")))
       .withWatermark("__ts", lateness)
+      // signature in its own projection: one kernel run per row (the
+      // band columns reference it numHashes times)
+      .withColumn("__sig", signature(col("text"), numHashes, shingleN))
       .select(
-        explode(bandBucketKeys(col("text"), numHashes, bands, shingleN)).as("bucket"),
+        explode(bandBucketKeys(col("__sig"), numHashes, bands)).as("bucket"),
         col("doc_id"), col("ts_us"),
         col("__ts")) // the watermark column must stay visible to the
                      // grouped frame for the event-time timeout

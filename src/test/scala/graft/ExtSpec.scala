@@ -35,6 +35,30 @@ class ExtSpec extends SparkSpec {
     pairs should contain((0L, 1L))
   }
 
+  test("fused native minhash kernel ≡ md5 Column-math formulation") {
+    // edge rows: empty text (one "" gram), whitespace-only, shorter than
+    // n (whole-sequence gram), unicode uppercase (UTF8String lowering)
+    val edge = docs.union(Seq(
+      (5L, ""), (6L, "   "), (7L, " one two "), (8L, "ÄBC Def GHI jkl MNO pqr")
+    ).toDF("doc_id", "text"))
+    val k = 8
+    val (as, bs) = Dedup.minhashCoefs(k)
+    val native = Dedup.minhashSignatures(edge, "doc_id", "text", numHashes = k)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    // the pre-round-9 formulation: explode word 3-grams, md5 prefix key,
+    // k affine min-aggregations — the oracle's reading of the semantics
+    val aggs = (0 until k).map(j =>
+      min((lit(as(j)) * $"x" + lit(bs(j))) % lit(Dedup.MinhashPrime)).as(s"h$j"))
+    val colMath = edge
+      .select($"doc_id", explode(Dedup.shingles($"text", 3)).as("g"))
+      .select($"doc_id", Dedup.md5Key($"g").as("x"))
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    native shouldBe colMath
+    // the plans-side prime literal can't drift from the ext-side one
+    graft.plans.Native.MinhashPrime shouldBe Dedup.MinhashPrime
+  }
+
   test("simhash: identical docs at distance 0; unrelated docs far apart") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -294,6 +294,23 @@ class ScaleSpec extends SparkSpec {
     sums shouldBe 0L
   }
 
+  test("minhashSignatures: fused kernel plans a pure projection — no shuffle, no explode") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
+    val plan = out.queryExecution.executedPlan.toString
+    // pre-round-9 this was explode + 32 min-aggregations (a full gram
+    // Generate and a shuffle of (doc_id, 32 longs)); the fused native
+    // expression keeps signatures inside the scan's projection
+    plan should not include "Exchange"
+    plan should not include "Generate"
+    plan.toLowerCase should include("minhashsig")
+    // and the projection stays in whole-stage codegen (the `*(n)` span
+    // marker), evaluated ONCE in its own Project below the h0..h31
+    // element_at fan-out (CollapseProject keeps non-cheap exprs single)
+    plan should include("*(1) Project")
+  }
+
   test("kmvDistinct: sketch aggregates partially before the shuffle") {
     import graft.ext.Sketches
     val df = (0L until 500L).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")

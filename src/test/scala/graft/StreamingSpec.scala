@@ -225,20 +225,59 @@ class StreamingSpec extends SparkSpec {
     // watermark, batch 4's trigger fires the event-time timeouts that
     // reclaim every bucket of docs 1-3 (last activity + 30 min horizon
     // is far behind the watermark by then)
+    // the fox corpus holds two distinct texts sharing most (not all)
+    // buckets: strictly more than one doc's 8, so there is real state
+    // for the timeout pass to reclaim
     val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    peak should be > 8L
     mem.addData((50L, unrelated, 7200 * us))
     q.processAllAvailable()
     mem.addData((51L, unrelated + " appendix section", 7300 * us))
     q.processAllAvailable()
     val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     q.stop()
-    // docs 1-3 shared buckets are gone: remaining state is only the two
-    // fresh docs' buckets (≤ 2 docs × 4 bands), strictly below the peak
-    fin should be < peak
-    fin should be <= 8L
+    // docs 1-3's `peak` buckets are gone: were they retained, total state
+    // would exceed peak + the fresh docs' buckets; the two live docs can
+    // hold at most 2 × 8 bands on their own
+    fin should be <= 16L
     // the unrelated docs were never flagged against the fox corpus
     spark.table("neardup_test").as[DupFlag].collect()
       .map(_.doc_id).toSet should not contain 50L
+  }
+
+  test("streaming near-dup flags reconcile with batch LSH pairs (same kernel)") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.DupFlag
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val us = 1000000L
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val corpus = Seq(
+      (1L, base, 10L * us),
+      (2L, base.replace("today", "tonight"), 70L * us),   // near-dup of 1
+      (3L, base, 130L * us),                              // exact dup of 1
+      (4L, "completely different content about quarterly financial reporting standards", 190L * us),
+      (5L, "unrelated short text with no overlap whatsoever in any shingle", 250L * us))
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(corpus: _*)
+    val q = NearDupStream.flagNearDups(
+        mem.toDF().toDF("doc_id", "text", "ts_us"), horizonUs = 3600L * us)
+      .writeStream.format("memory").queryName("neardup_agree")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("neardup_agree").as[DupFlag].collect()
+      .map(f => (math.min(f.doc_id, f.dup_of), math.max(f.doc_id, f.dup_of)))
+      .distinct.sorted
+    // batch candidate pairs over the SAME corpus, default 32/8 family —
+    // identical signatures, so every streaming flag is a batch pair
+    val batch = graft.ext.Dedup.minhashLshPairs(
+        corpus.toDF("doc_id", "text", "ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flags.foreach(p => batch should contain(p))
+    // the planted exact dup shares every band bucket with its canonical
+    flags should contain((1L, 3L))
+    flags should contain((1L, 2L))
   }
 
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
