@@ -24,17 +24,22 @@ object SkewUtils {
    * distribution is skewed. Salt is derived deterministically from the
    * big side's whole row hash, so results are stable across retries.
    */
+  /** Join types whose semantics survive replicating the small side
+    * once per salt bucket: anything that never emits unmatched
+    * SMALL-side rows. A right / full outer join would emit each
+    * unmatched small row `buckets` times — rejected up front by both
+    * salted entry points, naming the entry point the caller used. */
+  private def requireSaltableJoinType(joinType: String, entryPoint: String): Unit = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
+      s"$entryPoint supports inner/left_outer/left_semi/left_anti, not '$joinType' " +
+        "(the replicated small side would duplicate unmatched rows)")
+  }
+
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    // Replicating the small side once per bucket preserves semantics only
-    // for join types that never emit unmatched SMALL-side rows; a right /
-    // full outer join would emit each unmatched small row `buckets`
-    // times. Reject those up front instead of silently multiplying rows.
-    val normalized = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")(normalized),
-      s"saltedJoin supports inner/left_outer/left_semi/left_anti, not '$joinType' " +
-        "(the replicated small side would duplicate unmatched rows)")
+    requireSaltableJoinType(joinType, "saltedJoin")
     val saltCol = "__salt"
     val bigSalted = big.withColumn(saltCol,
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(buckets)).cast("int"))
@@ -63,6 +68,8 @@ object SkewUtils {
   def saltedJoinHotCold(big: DataFrame, small: DataFrame, keys: Seq[String],
       buckets: Int, hotKeys: DataFrame,
       joinType: String = "inner"): DataFrame = {
+    // fail fast, before the semi/anti splits plan anything
+    requireSaltableJoinType(joinType, "saltedJoinHotCold")
     val hotBig = big.join(broadcast(hotKeys), keys, "left_semi")
     val coldBig = big.join(broadcast(hotKeys), keys, "left_anti")
     val hotSmall = small.join(broadcast(hotKeys), keys, "left_semi")
@@ -108,14 +115,16 @@ object SkewUtils {
       factKey: String, dimKey: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
-    val spark = fact.sparkSession
-    // Dispatch the pre-filter on the fact key's actual type: a single
-    // long-typed UDF would make Spark insert a cast-to-bigint, which
-    // under non-ANSI silently nulls (= drops) non-numeric keys before
-    // the join. `df.stat.bloomFilter` inserts integral columns as longs
-    // and strings as UTF-8 bytes, so the probe must match the build.
-    // Validate BEFORE building the filter so unsupported types fail with
-    // this contract message rather than deep inside stat.bloomFilter.
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    // The filter is built and probed over xxhash64 of the key — the
+    // same reduction Spark's own AQE runtime-filter rewrite uses — so
+    // the probe is the codegen'd BloomFilterMightContain expression
+    // (zero boxing, stays in whole-stage codegen) instead of a per-row
+    // Scala UDF. Integral keys are normalized to BIGINT on BOTH sides
+    // before hashing (xxhash64 of int 5 ≠ xxhash64 of long 5);
+    // validate up front so unsupported types fail with this contract
+    // message rather than deep inside stat.bloomFilter.
     val factType = fact.schema(factKey).dataType
     val dimType = dim.schema(dimKey).dataType
     def category(dt: DataType): String = dt match {
@@ -127,18 +136,17 @@ object SkewUtils {
     require(category(factType) == category(dimType),
       s"fact key type $factType and dim key type $dimType must be in the " +
         "same Bloom-insertion category (both integral or both string)")
-    val bf = dim.stat.bloomFilter(dimKey, expectedKeys, fpp)
-    val bfBc = spark.sparkContext.broadcast(bf)
-    val pred = category(factType) match {
-      case "integral" =>
-        val f = udf((k: java.lang.Long) =>
-          k != null && bfBc.value.mightContainLong(k))
-        f(col(factKey).cast("long"))
-      case "string" =>
-        val f = udf((k: String) =>
-          k != null && bfBc.value.mightContainString(k))
-        f(col(factKey))
-    }
+    def hashed(c: org.apache.spark.sql.Column, cat: String) =
+      xxhash64(if (cat == "integral") c.cast("long") else c)
+    val bf = dim.select(hashed(col(dimKey), category(dimType)).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
+    val bytes = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bytes)
+    // the serialized filter rides the plan as a foldable binary literal
+    // — exactly how a broadcast runtime filter reaches executors
+    val pred = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes.toByteArray, BinaryType),
+      ColumnBridge.expression(hashed(col(factKey), category(factType)))))
     fact.where(pred)
       .join(dim, col(factKey) === col(dimKey))
   }

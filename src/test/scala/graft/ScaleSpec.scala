@@ -46,20 +46,37 @@ class ScaleSpec extends SparkSpec {
       buckets = 4, hotKeys = hot).queryExecution.executedPlan.toString
     "BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size should be >= 1
     "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size shouldBe 1
+    // unsupported join types fail fast, naming THIS entry point, before
+    // the semi/anti splits plan anything
+    val err = the[IllegalArgumentException] thrownBy
+      SkewUtils.saltedJoinHotCold(big, small, Seq("k"),
+        buckets = 4, hotKeys = hot, joinType = "full_outer")
+    err.getMessage should include("saltedJoinHotCold")
   }
 
   test("bloom-pruned join ≡ plain join; filter actually prunes non-keys") {
-    val fact = (0L until 1000L).map(i => (i, s"p$i")).toDF("fk", "payload")
+    // range-backed fact side: a local Seq would let
+    // ConvertToLocalRelation fold the probe away at plan time, hiding
+    // the expression the plan assertions below pin
+    val fact = spark.range(0L, 1000L)
+      .select($"id".as("fk"), concat(lit("p"), $"id").as("payload"))
     val dim = Seq((10L, "x"), (500L, "y"), (999L, "z")).toDF("dk", "tag")
     val plain = fact.join(dim, $"fk" === $"dk").orderBy("fk")
     val bloomed = SkewUtils.bloomPrunedJoin(fact, dim, "fk", "dk",
       expectedKeys = 10L, fpp = 0.01).orderBy("fk")
     bloomed.collect().toSeq shouldBe plain.collect().toSeq
+    // the probe is the codegen'd might_contain expression, not a
+    // boxing per-row Scala UDF
+    val plan = bloomed.queryExecution.executedPlan.toString
+    plan should not include "ScalaUDF"
+    plan.toLowerCase should include("might_contain")
     // the pre-filter must cut the fact side to ~|dim| (+ fp slack),
-    // otherwise the "reduction" shuffles everything anyway
-    val bf = dim.stat.bloomFilter("dk", 10L, 0.01)
-    val mightContain = udf { (k: Long) => bf.mightContainLong(k) }
-    val kept = fact.where(mightContain($"fk")).count()
+    // otherwise the "reduction" shuffles everything anyway — probe the
+    // same hashed-key filter the operator builds
+    val bf = dim.select(xxhash64($"dk".cast("long")).as("h"))
+      .stat.bloomFilter("h", 10L, 0.01)
+    val kept = fact.where(udf { (k: Long) => bf.mightContainLong(k) }
+      .apply(xxhash64($"fk".cast("long")))).count()
     kept should be < 100L
   }
 
