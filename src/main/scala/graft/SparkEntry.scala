@@ -1365,6 +1365,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
         .orderBy("a", "b")),
 
+    // Exact-substring dedup (Lee et al.): pairs sharing a verbatim
+    // 8-token window, found via the one-pass hashed-window kernel and
+    // an 8-byte-key equi-join — the suffix-array-free formulation that
+    // stays a bucketed join at 100 TB.
+    "x_substring_dedup" -> ((s, dir) =>
+      Dedup.exactSubstringPairs(tbl(s, dir, "documents"), windowTokens = 8)
+        .orderBy("a", "b")),
+
     "x_text_quality" -> ((s, dir) =>
       TextStats.qualityFacets(tbl(s, dir, "documents"))
         .select("doc_id", "n_chars_m", "n_tokens", "n_bpeish", "n_punct",
@@ -2150,6 +2158,21 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "x_dedup_clusters" -> jaccardClustersSql(0.05),
+
+    // Exact-substring replay: same tokenizer, same distinct 8-token
+    // windows (the engine joins on their xxhash64-chain hashes; the
+    // oracle joins on the window STRINGS — counts agree modulo 2^-64
+    // collisions, the jaccard pipeline's proven equivalence), same
+    // >= windowTokens participation filter.
+    "x_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |wins AS (SELECT doc_id, unnest(list_distinct(
+         |           [array_to_string(tk[i:i+7], ' ')
+         |            for i in generate_series(1, len(tk) - 7)])) AS g
+         |         FROM toks WHERE len(tk) >= 8)
+         |SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS n_shared_windows
+         |FROM wins wa JOIN wins wb ON wa.g = wb.g AND wa.doc_id < wb.doc_id
+         |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).

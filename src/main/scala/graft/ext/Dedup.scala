@@ -259,6 +259,55 @@ object Dedup {
   }
 
   /**
+   * Exact-substring duplicate detection — the heavy-hitter of LLM
+   * training-data dedup suites (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better"): flag document pairs sharing a
+   * verbatim run of at least `windowTokens` tokens. Where the paper
+   * builds a corpus-wide suffix array (a global sort of every suffix —
+   * hostile at 100 TB), this is the suffix-array-free approximation
+   * that stays a bucketed join: every `windowTokens`-wide token window
+   * is hashed by the one-pass native shingle kernel
+   * ([[graft.plans.Native.hashedShingles]] — codegen gram
+   * construction, distinct 8-byte keys, no gram strings ever
+   * materialized), and a pair sharing any window hash shares an exact
+   * `windowTokens`-token substring (modulo 2^-64 hash collisions, the
+   * same equivalence the oracle-checked jaccard pipeline relies on).
+   *
+   * Returns `(a, b, n_shared_windows)` for pairs with at least
+   * `minShared` shared DISTINCT windows — `n_shared_windows` is a
+   * lower bound on the length of the shared text: k shared windows
+   * guarantee a common run of `windowTokens + k - 1` tokens when the
+   * windows are consecutive, and k disjoint verbatim quotes otherwise.
+   * Documents shorter than `windowTokens` tokens cannot contain a
+   * qualifying substring and are excluded up front (unlike the
+   * similarity shingles, which whole-sequence-gram short docs).
+   *
+   * Shape at scale: one codegen'd projection per doc, explode to
+   * (8-byte hash, id) rows, a self-equi-join on the hash, and a count
+   * aggregation — never all-pairs, never a string-payload shuffle.
+   * Windows held by a single document cannot pair; at corpus scale
+   * enable the same rare-gram prune as [[ngramJaccardPairs]] by
+   * pre-aggregating on the hash (the sf0.1 corpus is too small for it
+   * to pay, so it is not wired here).
+   */
+  def exactSubstringPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8,
+      minShared: Long = 1L): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minShared >= 1, "minShared must be at least 1")
+    val wins = docs
+      .where(size(tokens(col(textCol))) >= windowTokens)
+      .select(col(idCol), explode(
+        graft.plans.NativeFunctions.hashedShingles(col(textCol), windowTokens)).as("w"))
+      .localCheckpoint() // window rows feed both join sides once
+    val l = wins.select(col("w"), col(idCol).as("a"))
+    val r = wins.select(col("w"), col(idCol).as("b"))
+    l.join(r, "w").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared_windows"))
+      .where(col("n_shared_windows") >= minShared)
+  }
+
+  /**
    * The composed near-duplicate pipeline — the 100 TB shape: MinHash-LSH
    * banding proposes candidate pairs (bucketed equi-join, no cross
    * join), exact n-gram Jaccard verifies ONLY those candidates, and the

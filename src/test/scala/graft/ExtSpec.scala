@@ -82,6 +82,28 @@ class ExtSpec extends SparkSpec {
     pruned shouldBe out
   }
 
+  test("exact substring pairs: verbatim 8-token quote pairs docs, short docs excluded") {
+    val quote = "one two three four five six seven eight"
+    val d = Seq(
+      (0L, s"alpha beta $quote gamma delta"),
+      (1L, s"zeta $quote omega"),
+      (2L, "totally different words with nothing shared at all in here friend"),
+      (3L, quote.split(" ").take(7).mkString(" ")) // 7 tokens: too short
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringPairs(d, windowTokens = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // only the quote-sharing pair, with exactly the one shared window
+    out shouldBe Map((0L, 1L) -> 1L)
+    // minShared gates the count
+    Dedup.exactSubstringPairs(d, windowTokens = 8, minShared = 2)
+      .count() shouldBe 0L
+    // whole docs duplicated verbatim share every window
+    val dup = Seq((0L, s"alpha beta $quote gamma delta"),
+      (1L, s"alpha beta $quote gamma delta")).toDF("doc_id", "text")
+    Dedup.exactSubstringPairs(dup, windowTokens = 8)
+      .head().getLong(2) shouldBe 5L // 12 tokens -> 5 distinct windows
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

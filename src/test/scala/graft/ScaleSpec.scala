@@ -328,6 +328,28 @@ class ScaleSpec extends SparkSpec {
     plan should include("*(1) Project")
   }
 
+  test("exactSubstringPairs: codegen window hashing, no gram strings in the join") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Dedup.exactSubstringPairs(docs, windowTokens = 8)
+    // the self-join runs over the localCheckpointed window frame, so
+    // its plan starts at the checkpoint scan: join keys are the 8-byte
+    // window hashes (w#..L, a LONG), never the window strings
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    plan should include regex """hashjoin \[w#\d+l\], \[w#\d+l\]"""
+    // window construction (the stage feeding the checkpoint) is the
+    // one-pass native kernel, not an interpreted transform() lambda or
+    // a gram-string explode
+    val winPlan = docs
+      .where(org.apache.spark.sql.functions.size(
+        graft.ext.TextStats.tokens($"text")) >= 8)
+      .select($"doc_id",
+        explode(graft.plans.NativeFunctions.hashedShingles($"text", 8)).as("w"))
+      .queryExecution.executedPlan.toString.toLowerCase
+    winPlan should include("hashedshingles")
+    winPlan should not include "transform("
+  }
+
   test("kmvDistinct: sketch aggregates partially before the shuffle") {
     import graft.ext.Sketches
     val df = (0L until 500L).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
