@@ -4,7 +4,8 @@ package graft.ext
  * Pure-Scala media container parsers — the REAL codecs in the
  * multimodal suite (no native libraries needed for header-level
  * decode): chunk-walking RIFF/WAV, BMP, JPEG SOF marker walk, PNG
- * IHDR, and GIF logical-screen. Payloads that don't carry a magic
+ * IHDR, GIF logical-screen, and MP4/ISO-BMFF box walk
+ * (moov/mvhd/tkhd). Payloads that don't carry a magic
  * fall back to the deterministic md5 stub in [[Multimodal]], so the
  * text-backed test corpus keeps replaying exactly in the DuckDB
  * oracle.
@@ -167,6 +168,129 @@ object MediaCodecs {
     val h = leU16(payload, 8)
     if (w <= 0 || h <= 0) return None
     Some(GifMeta(w, h, hdr.substring(3)))
+  }
+
+  /** Parsed MP4/ISO-BMFF facts: movie duration (ceil of
+    * mvhd duration/timescale), number of `trak` boxes, dimensions of
+    * the first track with a non-zero tkhd width/height (the video
+    * track; audio tracks store 0×0), and the ftyp major brand. */
+  final case class Mp4Meta(durationS: Int, trackCount: Int, width: Int,
+      height: Int, brand: String)
+
+  private def beU64(b: Array[Byte], pos: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(pos + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** One ISO-BMFF box header at `pos`: (body start, box end) — size==1
+    * means a 64-bit largesize follows the type, size==0 means "to end
+    * of enclosing space". None on malformed/overrunning headers. */
+  private def boxBounds(b: Array[Byte], pos: Int, limit: Int): Option[(Int, Int)] = {
+    if (pos + 8 > limit) return None
+    val size32 = beU32(b, pos)
+    val (body, end) =
+      if (size32 == 1L) {
+        if (pos + 16 > limit) return None
+        val large = beU64(b, pos + 8)
+        if (large < 16 || large > Int.MaxValue) return None
+        (pos + 16, pos + large.toInt)
+      } else if (size32 == 0L) (pos + 8, limit)
+      else {
+        if (size32 < 8) return None
+        (pos + 8, pos + size32.toInt)
+      }
+    if (end > limit || end <= pos) None else Some((body, end))
+  }
+
+  /**
+   * MP4 / ISO-BMFF parse (box walk — variable offsets, so kernel-path
+   * only, like JPEG): requires a leading `ftyp` box (the magic at the
+   * fixed offset 4, which no text payload carries), then walks
+   * top-level boxes for `moov`, whose children yield the `mvhd` movie
+   * duration/timescale (version 0 and 1 layouts) and the `trak` count;
+   * the first track whose `tkhd` carries non-zero 16.16 fixed-point
+   * dimensions contributes width/height (audio tracks store 0×0).
+   * Returns None unless a well-formed moov+mvhd is present; corrupt or
+   * truncated boxes degrade to None, never throw (MediaCodecsSpec
+   * fuzzes this like the other containers).
+   *
+   * Reference: ISO/IEC 14496-12 §8.2.2 (mvhd), §8.3.2 (tkhd).
+   */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Meta] = {
+    if (payload == null || payload.length < 16) return None
+    if (chunkId(payload, 4) != "ftyp") return None
+    val n = payload.length
+    // the ftyp box itself must be well-formed, and its major brand
+    // printable ASCII — the structural guard against binary noise
+    val ftypEnd = boxBounds(payload, 0, n) match {
+      case Some((body, end)) if end - body >= 8 => end
+      case _ => return None
+    }
+    val brand = chunkId(payload, 8)
+    if (!brand.forall(c => c >= 0x20 && c < 0x7f)) return None
+
+    var durationS = -1
+    var tracks = 0
+    var width = 0
+    var height = 0
+    var pos = ftypEnd
+    while (pos < n) {
+      boxBounds(payload, pos, n) match {
+        case None => pos = n // malformed tail: stop walking
+        case Some((body, end)) =>
+          if (chunkId(payload, pos + 4) == "moov") {
+            var cp = body
+            while (cp < end) {
+              boxBounds(payload, cp, end) match {
+                case None => cp = end
+                case Some((cbody, cend)) =>
+                  chunkId(payload, cp + 4) match {
+                    case "mvhd" if durationS < 0 && cbody + 4 <= cend =>
+                      val v = payload(cbody) & 0xff
+                      val (tsOff, durLen) = if (v == 1) (20, 8) else (12, 4)
+                      if (cbody + tsOff + 4 + durLen <= cend) {
+                        val timescale = beU32(payload, cbody + tsOff)
+                        val dur =
+                          if (v == 1) beU64(payload, cbody + tsOff + 4)
+                          else beU32(payload, cbody + tsOff + 4)
+                        if (timescale > 0 && dur >= 0)
+                          durationS = ((dur + timescale - 1) / timescale).toInt
+                      }
+                    case "trak" =>
+                      tracks += 1
+                      // find this track's tkhd for the video dimensions
+                      var tp = cbody
+                      while (tp < cend) {
+                        boxBounds(payload, tp, cend) match {
+                          case None => tp = cend
+                          case Some((tbody, tend)) =>
+                            if (chunkId(payload, tp + 4) == "tkhd" &&
+                                width == 0 && height == 0) {
+                              val tv = payload(tbody) & 0xff
+                              val whOff = if (tv == 1) 88 else 76
+                              if (tbody + whOff + 8 <= tend) {
+                                // 16.16 fixed point: integer part only
+                                val w = (beU32(payload, tbody + whOff) >>> 16).toInt
+                                val h = (beU32(payload, tbody + whOff + 4) >>> 16).toInt
+                                if (w > 0 && h > 0) { width = w; height = h }
+                              }
+                            }
+                            tp = tend
+                        }
+                      }
+                    case _ => ()
+                  }
+                  cp = cend
+              }
+            }
+          }
+          pos = end
+      }
+    }
+    if (durationS >= 0) Some(Mp4Meta(durationS, tracks, width, height, brand))
+    else None
   }
 
   /**

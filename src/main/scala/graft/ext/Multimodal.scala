@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
  * `binary` payloads with a typed metadata struct, plus decode /
  * feature-extract / resize / frame-sample operators.
  *
- * Container-header decode is REAL for RIFF/WAV, BMP, JPEG, PNG and
- * GIF (pure-Scala parses, no native libraries — [[MediaCodecs]]; JPEG
- * is kernel-path only, its SOF marker sits at a variable offset);
+ * Container-header decode is REAL for RIFF/WAV, BMP, JPEG, PNG, GIF
+ * and MP4 (pure-Scala parses, no native libraries — [[MediaCodecs]];
+ * JPEG and MP4 are kernel-path only, their frame/movie headers sit at
+ * variable offsets);
  * pixel/sample codecs are NOT available in this environment, so the
  * remaining decode kernels are deterministic STUBS (clearly marked
  * below): they
@@ -130,10 +131,9 @@ object Multimodal {
    * chunks; pixel dimensions from the BMP DIB header / PNG IHDR / GIF
    * logical screen — fixed-offset field reads, all codegen'd column
    * functions); everything else falls back to the deterministic md5
-   * STUB (a real implementation would add MP4 moov walks; JPEG's SOF
-   * sits at a variable offset, which only the kernel path can walk —
-   * see [[decodeBatched]]). The column signature (binary -> struct) is
-   * the contract either way.
+   * STUB (JPEG's SOF and MP4's moov/mvhd sit at variable offsets,
+   * which only the kernel path can walk — see [[decodeBatched]]). The
+   * column signature (binary -> struct) is the contract either way.
    */
   def decodeMeta(payload: Column, kind: Column): Column = {
     val h = payloadHash(payload)
@@ -255,10 +255,11 @@ object Multimodal {
    * heavyweight per-partition init (codec context, native lib handles)
    * amortized across the partition's rows, rows streamed through an
    * iterator (never materialized per partition), output typed.
-   * RIFF/WAV, BMP, JPEG, PNG and GIF payloads get the REAL header
-   * parse ([[MediaCodecs.parseWav]] — unlike the Column path it
+   * RIFF/WAV, BMP, JPEG, PNG, GIF and MP4 payloads get the REAL
+   * header parse ([[MediaCodecs.parseWav]] — unlike the Column path it
    * handles non-canonical chunk layouts — [[MediaCodecs.parseBmp]],
-   * [[MediaCodecs.parseJpeg]] which is kernel-only,
+   * [[MediaCodecs.parseJpeg]] and [[MediaCodecs.parseMp4]] which are
+   * kernel-only (variable-offset structures),
    * [[MediaCodecs.parsePng]] and [[MediaCodecs.parseGif]]); everything
    * else goes through the deterministic STUB (`stubDecode`). Add real
    * parsers for further formats here without touching the Spark
@@ -286,6 +287,11 @@ object Multimodal {
           .orElse(MediaCodecs.parseGif(r.payload).map(g =>
             DecodedRow(r.media_id, r.kind, g.width, g.height, 0,
               r.payload.length.toLong, 0, 0)))
+          // mp4: channels carries the container's trak count — the
+          // closest "stream count" notion a video container has
+          .orElse(MediaCodecs.parseMp4(r.payload).map(m =>
+            DecodedRow(r.media_id, r.kind, m.width, m.height, m.durationS,
+              r.payload.length.toLong, 0, m.trackCount)))
           .getOrElse {
             val (wd, h, d) = stubDecode(r.payload)
             DecodedRow(r.media_id, r.kind, wd, h, d,
@@ -295,8 +301,10 @@ object Multimodal {
       }
   }
 
-  /** STUB codec kernel: dimensions/duration from the payload's md5 (a
-    * real implementation parses JPEG SOF / WAV fmt / MP4 moov). Computes
+  /** STUB codec kernel for payloads no real parser claims:
+    * dimensions/duration from the payload's md5 (the real parsers —
+    * WAV fmt, BMP DIB, JPEG SOF, PNG IHDR, GIF LSD, MP4 moov — run
+    * first in [[decodeBatched]]). Computes
     * the SAME 60-bit value as the Column-side [[payloadHash]], so both
     * decode paths — and the DuckDB oracle — agree exactly. */
   private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {

@@ -348,6 +348,14 @@ class ExtSpec extends SparkSpec {
         if (r.nextBoolean()) "89a" else "87a")).get
       g.width shouldBe gw
       g.height shouldBe gh
+      val (ts, du) = (1 + r.nextInt(100000), r.nextInt(1 << 30).toLong)
+      val (mw, mh, nt) = (1 + r.nextInt(4096), 1 + r.nextInt(4096), 1 + r.nextInt(5))
+      val m = MediaCodecs.parseMp4(mp4Bytes(du, ts, nt, mw, mh,
+        v1 = r.nextBoolean(), largesizeMoov = r.nextBoolean())).get
+      m.durationS shouldBe ((du + ts - 1) / ts).toInt
+      m.trackCount shouldBe nt
+      m.width shouldBe mw
+      m.height shouldBe mh
     }
     // fuzz: random bytes, random truncations of valid headers, and
     // magic-prefixed garbage must return None/Some — never throw
@@ -359,21 +367,26 @@ class ExtSpec extends SparkSpec {
       MediaCodecs.parseJpeg(junk)
       MediaCodecs.parsePng(junk)
       MediaCodecs.parseGif(junk)
-      val valid = i % 5 match {
+      MediaCodecs.parseMp4(junk)
+      val valid = i % 6 match {
         case 0 => wavBytes(8000, 2, 16, 1000, extraChunk = true)
         case 1 => bmpBytes(64, 64)
         case 2 => jpegBytes(64, 64)
         case 3 => pngBytes(64, 64)
+        case 4 => mp4Bytes(600L, 100, 2, 64, 64)
         case _ => gifBytes(64, 64)
       }
       val cut = valid.take(r.nextInt(valid.length + 1))
       MediaCodecs.parseWav(cut); MediaCodecs.parseBmp(cut); MediaCodecs.parseJpeg(cut)
-      MediaCodecs.parsePng(cut); MediaCodecs.parseGif(cut)
+      MediaCodecs.parsePng(cut); MediaCodecs.parseGif(cut); MediaCodecs.parseMp4(cut)
+      // ftyp-prefixed garbage exercises the box walk's overrun guards
+      MediaCodecs.parseMp4(
+        Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes("US-ASCII") ++ junk)
       val prefixed = ("RIFF" + "BM" + "ÿØ" + "PNG" + "GIF8")
         .getBytes("ISO-8859-1") ++ junk
       MediaCodecs.parseWav(prefixed); MediaCodecs.parseBmp(prefixed)
       MediaCodecs.parseJpeg(prefixed); MediaCodecs.parsePng(prefixed)
-      MediaCodecs.parseGif(prefixed)
+      MediaCodecs.parseGif(prefixed); MediaCodecs.parseMp4(prefixed)
     }
   }
 
@@ -430,6 +443,88 @@ class ExtSpec extends SparkSpec {
       .put(3.toByte).put(Array.fill[Byte](9)(0x11))
     bb.putShort(0xffd9.toShort)
     bb.array()
+  }
+
+  // minimal MP4/ISO-BMFF: ftyp, then moov{mvhd, trak{tkhd}...}, then a
+  // trailing free box; big-endian throughout. First track carries the
+  // video dimensions (16.16 fixed point); the rest are 0x0 audio-style.
+  private def mp4Bytes(durationUnits: Long, timescale: Int, nTracks: Int,
+      vWidth: Int = 0, vHeight: Int = 0, v1: Boolean = false,
+      largesizeMoov: Boolean = false): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(tp: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(tp.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+        "isomiso2".getBytes("US-ASCII"))
+    val mvhd = if (!v1) {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0)                 // version 0 + flags
+        .putInt(0).putInt(0)       // creation, modification
+        .putInt(timescale).putInt(durationUnits.toInt)
+      box("mvhd", bb.array())      // rest zeros (rate..next_track)
+    } else {
+      val bb = ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)        // version 1 + flags
+        .putLong(0).putLong(0)
+        .putInt(timescale).putLong(durationUnits)
+      box("mvhd", bb.array())
+    }
+    def trak(w: Int, h: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(84) // v0 tkhd body
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16)
+      box("trak", box("tkhd", bb.array()))
+    }
+    val traks = (0 until nTracks).toArray.flatMap(i =>
+      if (i == 0) trak(vWidth, vHeight) else trak(0, 0))
+    val moovBody = mvhd ++ traks
+    val moov =
+      if (!largesizeMoov) box("moov", moovBody)
+      else {
+        val bb = ByteBuffer.allocate(16 + moovBody.length)
+        bb.putInt(1).put("moov".getBytes("US-ASCII"))
+          .putLong(16L + moovBody.length).put(moovBody)
+        bb.array()
+      }
+    ftyp ++ moov ++ box("free", Array.fill[Byte](7)(0))
+  }
+
+  test("MediaCodecs.parseMp4: mvhd duration, trak count, video tkhd dims") {
+    import graft.ext.MediaCodecs
+    // 90000 units at timescale 30000 = 3 s exactly; ceil bumps partials
+    val m = MediaCodecs.parseMp4(mp4Bytes(90000L, 30000, 2, 640, 360)).get
+    m.durationS shouldBe 3
+    m.trackCount shouldBe 2
+    m.width shouldBe 640
+    m.height shouldBe 360
+    m.brand shouldBe "isom"
+    MediaCodecs.parseMp4(mp4Bytes(90001L, 30000, 1)).get.durationS shouldBe 4
+    // version-1 mvhd (64-bit duration) and a largesize moov box
+    val v1 = MediaCodecs.parseMp4(
+      mp4Bytes(5000000000L, 1000, 3, 1920, 1080, v1 = true,
+        largesizeMoov = true)).get
+    v1.durationS shouldBe 5000000
+    v1.trackCount shouldBe 3
+    v1.width shouldBe 1920
+    // audio-only: zero-dim tracks leave width/height 0
+    val audio = MediaCodecs.parseMp4(mp4Bytes(44100L, 44100, 1)).get
+    audio.width shouldBe 0
+    audio.durationS shouldBe 1
+    // structural guards: no ftyp magic, moov-less file, truncation
+    MediaCodecs.parseMp4("this is just text long enough to scan".getBytes) shouldBe None
+    MediaCodecs.parseMp4(mp4Bytes(1L, 1, 1).take(24)) shouldBe None
+    // kernel path surfaces the parsed facts (track count via channels)
+    val media = Seq((1L, "video", mp4Bytes(600L, 100, 2, 320, 240)))
+      .toDF("media_id", "kind", "payload")
+    val d = Multimodal.decodeBatched(media).collect().head
+    d.width shouldBe 320
+    d.height shouldBe 240
+    d.duration_s shouldBe 6
+    d.channels shouldBe 2
   }
 
   test("MediaCodecs.parseJpeg: SOF dimensions after marker walk; malformed -> None") {
