@@ -1189,6 +1189,12 @@ object SparkEntry {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** DuckDB fragment: BPE-ish subword token count — mirrors
+    * [[TextStats.bpeishTokenCount]] exactly (same ASCII classes in
+    * both regex engines; cross-checked by x_text_quality's n_bpeish). */
+  private val bpeishSql =
+    """len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))"""
+
   /** DuckDB fragment: occurrences of `word` via the length-difference
     * trick (mirrors TextStats.wordOccurrences exactly). */
   private def occSql(word: String): String = {
@@ -1309,18 +1315,21 @@ object SparkEntry {
     // Sequence packing: deterministic shuffle order, then assign each
     // doc its offset + pack in the concatenated token stream — a
     // two-phase bucketed prefix sum (no single-partition global sort).
+    // Counted in BPE-ish subword tokens (round 9): capacity means what
+    // a trainer's tokenizer would see, not whitespace words.
     "x_pack_chunks" -> ((s, dir) =>
       Corpus.packChunks(tbl(s, dir, "documents"), capacity = 256L,
-        seed = Seed, tokenCount = TextStats.tokenCount(col("text")),
+        seed = Seed, tokenCount = TextStats.bpeishTokenCount(col("text")),
         buckets = 64)
         .orderBy("ord")),
 
     // Pack-slice fan-out: one row per (document, pack) with half-open
     // in-pack token ranges — the frame a packing job feeds the
     // tokenizer writer; straddling docs contribute one slice per pack.
+    // Same BPE-ish counter as x_pack_chunks.
     "x_pack_slices" -> ((s, dir) =>
       Corpus.packSlices(tbl(s, dir, "documents"), capacity = 256L,
-        seed = Seed, tokenCount = TextStats.tokenCount(col("text")),
+        seed = Seed, tokenCount = TextStats.bpeishTokenCount(col("text")),
         buckets = 64)
         .orderBy("pack_id", "tok_from", "doc_id")),
 
@@ -2014,12 +2023,12 @@ object SparkEntry {
     // Sequence-packing replay: the two-phase bucketed prefix sum equals
     // a plain global window ORDER BY (u, doc_id) because the bucket id
     // floor(u*B) is monotone in u. Same 256.0-divisor double floor as
-    // the Spark side (exact below 2^52).
+    // the Spark side (exact below 2^52); same BPE-ish subword counter.
     "x_pack_chunks" -> {
       val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
       s"""WITH t AS (SELECT doc_id,
-         |                  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |                  CAST($bpeishSql AS BIGINT) AS n_tokens,
          |                  $u AS u
          |           FROM documents),
          |o AS (SELECT doc_id, n_tokens,
@@ -2037,12 +2046,12 @@ object SparkEntry {
 
     // Pack-slice replay: same packChunks CTE, then one row per pack in
     // [pack_id, pack_id + pack_span) via unnest(range(...)), ranges
-    // rebased to pack-local half-open offsets.
+    // rebased to pack-local half-open offsets. Same BPE-ish counter.
     "x_pack_slices" -> {
       val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
       s"""WITH t AS (SELECT doc_id,
-         |                  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |                  CAST($bpeishSql AS BIGINT) AS n_tokens,
          |                  $u AS u
          |           FROM documents),
          |o AS (SELECT doc_id, n_tokens,

@@ -25,9 +25,25 @@ object TextStats {
    * BPE-ish subword proxy count: word-characters runs + standalone
    * punctuation, the classic `\w+|[^\w\s]` pre-tokenizer (ASCII classes
    * for cross-engine determinism).
+   *
+   * This is the packing-grade counter: what a trainer sees is the
+   * TOKENIZER's count, and a whitespace count undercounts punctuation-
+   * heavy text badly (a real BPE emits ~1 token per word-ish piece
+   * plus one per punctuation mark — exactly this pre-tokenization,
+   * before merges shave a few percent). [[graft.ext.Corpus.packChunks]]
+   * takes the counter as a Column precisely so callers can plug a
+   * stricter one; the engine's pack queries use this proxy, exactly
+   * replayable in the oracle as `len(regexp_extract_all(...))`.
    */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Bytes-per-token proxy: ceil(utf8 bytes / 4) — the "1 token ≈ 4
+    * bytes" rule of thumb. The cheapest counter (no regex, no token
+    * array) for capacity planning at 100 TB; replayable as
+    * `ceil(strlen(text) / 4.0)`. */
+  def byteProxyTokenCount(text: Column): Column =
+    ceil(octet_length(text) / lit(4.0)).cast("long")
 
   /** Occurrences of a marker word, computed by the length-difference
     * trick — deterministic and portable to any SQL engine. */

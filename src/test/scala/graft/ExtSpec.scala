@@ -175,6 +175,19 @@ class ExtSpec extends SparkSpec {
     out(1L)._4 shouldBe "poor"
     out(2L)._4 shouldBe "poor"
     out(2L)._2 shouldBe 12       // every char of "!!! ??? ,,, ..." is punct
+    // packing-grade counters: bpeish counts punctuation a whitespace
+    // count misses ("fox," = 2 subword pieces, 1 whitespace token);
+    // the byte proxy is ceil(bytes/4)
+    val counts = df.select($"doc_id",
+        TextStats.tokenCount($"text").as("ws"),
+        TextStats.bpeishTokenCount($"text").as("bp"),
+        TextStats.byteProxyTokenCount($"text").as("by")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    counts(0L)._2 shouldBe 28          // 25 words + comma + 2 periods
+    counts(1L)._2 shouldBe 3           // no punctuation: equals whitespace
+    counts(2L)._2 shouldBe 12          // punctuation-only: 12 pieces, 4 ws tokens
+    counts(2L)._1 shouldBe 4
+    counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
   test("language id picks the dominant marker language") {
