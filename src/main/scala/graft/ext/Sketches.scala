@@ -125,7 +125,25 @@ object Sketches {
    * `percentile` shuffles every value and a global-sort approach dies
    * outright. Error is bounded by the grid: a quantile is off by at
    * most `width`.
+   *
+   * NULL and NaN values are EXCLUDED before sketching (they carry no
+   * grid position; unfiltered, floor(NaN/width).toLong would silently
+   * count NaN as bin 0 and skew low quantiles, and a null fails the
+   * non-nullable encoder with an opaque runtime error). A group whose
+   * values are all null/NaN yields no output row, like a group absent
+   * from the input.
    */
+  /** Integral-key guard shared by the `...Long` variants: a silent
+    * cast of a string key would null-and-drop rows under non-ANSI
+    * semantics, so non-integral keys are rejected up front. */
+  private def requireIntegralKey(df: DataFrame, groupCol: String,
+      entryPoint: String): Unit = {
+    import org.apache.spark.sql.types._
+    val gType = df.schema(groupCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(gType),
+      s"$entryPoint requires an integral group key, not $gType")
+  }
+
   def histQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       width: Double, maxBins: Int, probs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
@@ -133,7 +151,30 @@ object Sketches {
     val gType = df.schema(groupCol).dataType
     val ds = df.select(col(groupCol).cast("string"),
         col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       .as[(String, Double)]
+    val agg = new HistAggregator(width, maxBins, probs).toColumn.name("__qs")
+    val labeled = probs.zipWithIndex.map { case (p, i) =>
+      element_at(col("__qs"), i + 1).as(s"q_${math.round(p * 1000)}")
+    }
+    ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .toDF(groupCol, "__qs")
+      .select(col(groupCol).cast(gType).as(groupCol) +: labeled: _*)
+  }
+
+  /** Typed-key variant of [[histQuantiles]] for integral group keys —
+    * the key crosses the shuffle as a LONG instead of its string form
+    * (same rationale as [[graft.operators.TopK.perGroupLong]]). */
+  def histQuantilesLong(df: DataFrame, groupCol: String, valueCol: String,
+      width: Double, maxBins: Int, probs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralKey(df, groupCol, "histQuantilesLong")
+    val gType = df.schema(groupCol).dataType
+    val ds = df.select(col(groupCol).cast("long"),
+        col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .as[(Long, Double)]
     val agg = new HistAggregator(width, maxBins, probs).toColumn.name("__qs")
     val labeled = probs.zipWithIndex.map { case (p, i) =>
       element_at(col("__qs"), i + 1).as(s"q_${math.round(p * 1000)}")
@@ -158,6 +199,24 @@ object Sketches {
     val ds = df.select(col(groupCol).cast("string"),
         Rng.uniform(seed, stream, col(valueCol)))
       .as[(String, Double)]
+    val agg = new KmvAggregator(k).toColumn.name("est_distinct")
+    ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+      .toDF(groupCol, "est_distinct")
+      .select(col(groupCol).cast(gType).as(groupCol), col("est_distinct"))
+  }
+
+  /** Typed-key variant of [[kmvDistinct]] for integral group keys —
+    * the key crosses the shuffle as a LONG instead of its string form
+    * (same rationale as [[graft.operators.TopK.perGroupLong]]). */
+  def kmvDistinctLong(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, seed: Long, stream: String = "kmv"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    requireIntegralKey(df, groupCol, "kmvDistinctLong")
+    val gType = df.schema(groupCol).dataType
+    val ds = df.select(col(groupCol).cast("long"),
+        Rng.uniform(seed, stream, col(valueCol)))
+      .as[(Long, Double)]
     val agg = new KmvAggregator(k).toColumn.name("est_distinct")
     ds.groupByKey(_._1).mapValues(_._2).agg(agg)
       .toDF(groupCol, "est_distinct")

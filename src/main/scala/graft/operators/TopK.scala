@@ -58,11 +58,24 @@ object TopK {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] = seqEnc
   }
 
+  /** Shared tail: explode the aggregated k-entry buffers into ranked
+    * rows, restoring the group key's original type. */
+  private def explodeRanked(aggd: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String,
+      gType: org.apache.spark.sql.types.DataType): DataFrame =
+    aggd
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col(groupCol).cast(gType).as(groupCol),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e._1").as(scoreCol), col("e._2").as(idCol))
+
   /**
    * Top-k rows per group: `df` must expose `groupCol` (any atomic
    * type — grouped via its string form internally, restored to the
    * original type in the output), `scoreCol` (double) and `idCol`
    * (long). Output: one row per kept entry with a 1-based `rank`.
+   * For integral group keys prefer [[perGroupLong]], which keeps the
+   * shuffle key an 8-byte long instead of its string rendering.
    */
   def perGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
@@ -73,13 +86,40 @@ object TopK {
         col(scoreCol).cast("double"), col(idCol).cast("long"))
       .as[(String, Double, Long)]
     val agg = new TopKAggregator(k).toColumn.name("topk")
-    ds.groupByKey(_._1)
-      .mapValues { case (_, s, id) => (s, id) }
-      .agg(agg)
-      .toDF(groupCol, "topk")
-      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "e")))
-      .select(col(groupCol).cast(gType).as(groupCol),
-        (col("pos") + 1).cast("int").as("rank"),
-        col("e._1").as(scoreCol), col("e._2").as(idCol))
+    explodeRanked(
+      ds.groupByKey(_._1)
+        .mapValues { case (_, s, id) => (s, id) }
+        .agg(agg)
+        .toDF(groupCol, "topk"),
+      groupCol, scoreCol, idCol, gType)
+  }
+
+  /**
+   * Typed-key variant of [[perGroup]] for integral group keys: the
+   * key transits the shuffle as a LONG — `perGroup`'s `cast(string)`
+   * round-trips atomic keys correctly but widens the shuffle key for
+   * no semantic gain. Same aggregator, same ordering, same output
+   * shape (key restored to its input type). Rejects non-integral
+   * group columns up front; a silent cast of a string key would
+   * null-and-drop rows under non-ANSI semantics.
+   */
+  def perGroupLong(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gType = df.schema(groupCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(gType),
+      s"perGroupLong requires an integral group key, not $gType (use perGroup)")
+    val ds = df.select(col(groupCol).cast("long"),
+        col(scoreCol).cast("double"), col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+    val agg = new TopKAggregator(k).toColumn.name("topk")
+    explodeRanked(
+      ds.groupByKey(_._1)
+        .mapValues { case (_, s, id) => (s, id) }
+        .agg(agg)
+        .toDF(groupCol, "topk"),
+      groupCol, scoreCol, idCol, gType)
   }
 }

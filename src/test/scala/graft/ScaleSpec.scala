@@ -328,6 +328,45 @@ class ScaleSpec extends SparkSpec {
     plan should include("*(1) Project")
   }
 
+  test("typed-key overloads: long keys match the string path without string casts") {
+    import graft.operators.TopK
+    import graft.ext.Sketches
+    val df = (0L until 300L).map(i => (i % 7, (i % 13).toDouble, i))
+      .toDF("g", "score", "id")
+    val viaString = TopK.perGroup(df, "g", "score", "id", 3)
+      .orderBy("g", "rank").collect().toSeq
+    val viaLong = TopK.perGroupLong(df, "g", "score", "id", 3)
+      .orderBy("g", "rank").collect().toSeq
+    viaLong shouldBe viaString
+    // a string key is rejected, not silently cast-nulled
+    an[IllegalArgumentException] should be thrownBy
+      TopK.perGroupLong(df.select($"g".cast("string").as("g"), $"score", $"id"),
+        "g", "score", "id", 3)
+    // sketches: same results on integral keys, long variants en route
+    val v = (0L until 500L).map(i => (i % 5, (i % 97).toDouble)).toDF("g", "v")
+    Sketches.kmvDistinctLong(v, "g", "v", 32, 42L).orderBy("g").collect().toSeq shouldBe
+      Sketches.kmvDistinct(v, "g", "v", 32, 42L).orderBy("g").collect().toSeq
+    Sketches.histQuantilesLong(v, "g", "v", 10.0, 16, Seq(0.5, 0.9))
+      .orderBy("g").collect().toSeq shouldBe
+      Sketches.histQuantiles(v, "g", "v", 10.0, 16, Seq(0.5, 0.9))
+        .orderBy("g").collect().toSeq
+    // the long path never renders the key as a string
+    TopK.perGroupLong(df, "g", "score", "id", 3)
+      .queryExecution.executedPlan.toString should not include "as string"
+  }
+
+  test("histQuantiles excludes NULL and NaN values instead of binning them low") {
+    import graft.ext.Sketches
+    val bad = Seq(("a", Some(1.0)), ("a", None), ("a", Some(Double.NaN)),
+      ("c", None)).toDF("g", "v")
+    val out = Sketches.histQuantiles(bad, "g", "v",
+      width = 1.0, maxBins = 8, probs = Seq(0.5)).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // group a: only the real 1.0 survives (NaN would otherwise land in
+    // bin 0 and drag the median to 0.0); all-null group c vanishes
+    out shouldBe Map("a" -> 1.0)
+  }
+
   test("exactSubstringPairs: codegen window hashing, no gram strings in the join") {
     import graft.ext.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
