@@ -1228,18 +1228,32 @@ object SparkEntry {
   private val SampleRates = Map("en" -> 0.3, "zh" -> 1.0)
   private val SampleDefaultRate = 0.6
 
-  /** Target training mixture for x_mix_to (sums to 1, so
-    * normalization is the identity and the oracle can embed the raw
-    * literals). */
+  /** Target training mixture for x_mix_to — deliberately UNNORMALIZED
+    * ratio weights (sum 10), so the normalization path runs for real
+    * in both the engine and the oracle (the normalized values are the
+    * exact old mixture: 0.5/0.1/0.1/0.1/0.2). */
   private val MixWeights = Map(
-    "en" -> 0.5, "de" -> 0.1, "fr" -> 0.1, "es" -> 0.1, "zh" -> 0.2)
+    "en" -> 5.0, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 2.0)
 
-  /** Target mixture for x_mix_to_upsample: two strata at 0.5 each
-    * (exactly representable, so normalization is the identity) — the
-    * minority language gets an integer repeat factor > 1 plus a
-    * fractional remainder, the majority is thinned, and the other
-    * three languages exercise the dropped-stratum path. */
-  private val MixUpWeights = Map("en" -> 0.5, "fr" -> 0.5)
+  /** Target mixture for x_mix_to_upsample: two equal strata (ratio
+    * form, like MixWeights) — the minority language gets an integer
+    * repeat factor > 1 plus a fractional remainder, the majority is
+    * thinned, and the other three languages exercise the
+    * dropped-stratum path. */
+  private val MixUpWeights = Map("en" -> 3.0, "fr" -> 3.0)
+
+  /** Mixture-weight CASE arms for the mix oracles: the NORMALIZED
+    * weight (v / total, the exact double Corpus.mixTo computes) is
+    * emitted as a round-trip string literal, so the oracle replays the
+    * engine's arithmetic bit-for-bit for ANY weight set — not only
+    * ones whose raw sum happens to be exactly 1.0 in IEEE (previously
+    * the raw literals were embedded, which silently required that). */
+  private def mixWhensSql(weights: Map[String, Double]): String = {
+    val total = weights.values.sum
+    weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"WHEN '$k' THEN CAST('${v / total}' AS DOUBLE)" }
+      .mkString(" ")
+  }
 
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
@@ -1975,14 +1989,12 @@ object SparkEntry {
 
     // Mixture replay: same per-stratum counts, same double arithmetic
     // for scale/rates (BIGINT/DOUBLE division promotes to DOUBLE in
-    // both engines; weight literals cast explicitly so DuckDB doesn't
-    // fall into DECIMAL arithmetic), same md5 keep-decision.
+    // both engines; normalized weights injected as round-trip string
+    // literals — see mixWhensSql), same md5 keep-decision.
     "x_mix_to" -> {
       val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
-      val whens = MixWeights.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
-        .mkString(" ")
+      val whens = mixWhensSql(MixWeights)
       s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
          |                  CASE lang $whens END AS w
          |           FROM documents GROUP BY lang),
@@ -1995,15 +2007,13 @@ object SparkEntry {
     },
 
     // Upsample replay: same per-stratum counts, scale = total kept rows
-    // as DOUBLE, rate = (scale * w) / n in the same operation order;
-    // repeats = floor(rate) + (u < frac), replayed via
-    // unnest(range(1, reps + 1)).
+    // as DOUBLE, rate = (scale * w) / n in the same operation order
+    // with normalized weights (mixWhensSql); repeats = floor(rate) +
+    // (u < frac), replayed via unnest(range(1, reps + 1)).
     "x_mix_to_upsample" -> {
       val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
-      val whens = MixUpWeights.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"WHEN '$k' THEN CAST($v AS DOUBLE)" }
-        .mkString(" ")
+      val whens = mixWhensSql(MixUpWeights)
       s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
          |                  CASE lang $whens END AS w
          |           FROM documents GROUP BY lang),
