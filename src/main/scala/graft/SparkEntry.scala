@@ -1255,6 +1255,10 @@ object SparkEntry {
       .mkString(" ")
   }
 
+  /** Constant query for x_bm25_topk — high-df corpus words, so scores
+    * exercise the tf/length normalization rather than rare-term idf. */
+  private val Bm25Query = Seq("hash", "join", "vector")
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
     // (seed, doc_id) — stable under corpus growth, exactly replayable.
@@ -1352,6 +1356,20 @@ object SparkEntry {
     "x_tfidf_topk" -> ((s, dir) =>
       TextStats.tfidfTopK(tbl(s, dir, "documents"), k = 3)
         .orderBy(col("doc_id"), col("score").desc, col("term"))),
+
+    // Okapi BM25 top-15 for a constant query (retrieval-based
+    // curation): contributions snapped to the 1e-9 grid before the
+    // order-independent long sum, ties by id.
+    "x_bm25_topk" -> ((s, dir) =>
+      TextStats.bm25TopK(tbl(s, dir, "documents"), Bm25Query, k = 15)),
+
+    // Overlapping token-window chunking (RAG/embedding prep): 32-token
+    // chunks every 16 tokens, half-open offsets + rebuilt chunk text,
+    // one narrow Generate per doc.
+    "x_chunk_docs" -> ((s, dir) =>
+      Corpus.chunkDocs(tbl(s, dir, "documents"), chunkTokens = 32,
+        strideTokens = 16)
+        .orderBy("doc_id", "chunk_idx")),
 
     // Quality-weighted sampling: per-row acceptance probability from
     // the quality bucket (good kept whole, fair halved, poor decimated)
@@ -1465,6 +1483,15 @@ object SparkEntry {
     "x_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
       Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
+
+    // Apply the dedup decision: the full LSH → verify → cluster
+    // pipeline's survivors (non-representative cluster members
+    // dropped via one anti-join) — the deduplicated corpus itself.
+    "x_dedup_apply" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.applyDedup(docs, Dedup.nearDuplicates(docs, minJaccard = 0.3))
+        .select("doc_id", "lang").orderBy("doc_id")
     }),
 
     "x_sim_bruteforce" -> ((s, dir) => {
@@ -2101,6 +2128,59 @@ object SparkEntry {
          |SELECT doc_id, term, tf, df, score FROM r WHERE rk <= 3
          |ORDER BY doc_id, score DESC, term""".stripMargin
     },
+
+    // BM25 replay: identical expression tree (constants injected as
+    // round-trip string literals so DuckDB gets the exact doubles
+    // Scala computed — never DECIMAL arithmetic), contributions
+    // snapped to the 1e-9 grid before the order-independent long sum
+    // (the unigram-logprob precedent), avgdl from exact integer
+    // aggregates.
+    "x_bm25_topk" -> {
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val k1 = 1.2
+      val b = 0.75
+      s"""WITH dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |       WHERE term IN ($terms) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |             CAST(round(ln((n - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
+         |               * (tf * ${d(k1 + 1.0)}) / (tf + ${d(k1)} * (${d(1.0)} - ${d(b)}
+         |               + ${d(b)} * dl / avgdl)) * 1e9) AS BIGINT) AS u9
+         |      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+         |s AS (SELECT doc_id, CAST(sum(u9) AS BIGINT) AS score_u9 FROM c GROUP BY 1)
+         |SELECT doc_id, score_u9, score_u9 / 1e9 AS score FROM s
+         |ORDER BY score_u9 DESC, doc_id LIMIT 15""".stripMargin
+    },
+
+    // Chunking replay: same starts (multiples of stride below the
+    // token count), same half-open clamps, same 1-based inclusive
+    // token slice joined with single spaces.
+    "x_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |f AS (SELECT doc_id, tk,
+         |             unnest(generate_series(0, len(tk) - 1, 16)) AS tok_from
+         |      FROM t WHERE len(tk) > 0)
+         |SELECT doc_id, CAST(tok_from // 16 AS INT) AS chunk_idx,
+         |       CAST(tok_from AS BIGINT) AS tok_from,
+         |       CAST(least(tok_from + 32, len(tk)) AS BIGINT) AS tok_to,
+         |       CAST(least(tok_from + 32, len(tk)) - tok_from AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(tk[tok_from + 1 : least(tok_from + 32, len(tk))], ' ')
+         |         AS chunk_text
+         |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Dedup-apply replay: survivors = documents minus non-representative
+    // members of the exact transitive closure at the verify threshold
+    // (same closure CTE as x_neardup_text).
+    "x_dedup_apply" ->
+      s"""WITH cl AS (${jaccardClustersSql(0.3)})
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)
+         |ORDER BY doc_id""".stripMargin,
 
     // Unigram-LM replay: same grid snap (round half away from zero
     // agrees between engines), integer sums are order-independent, and

@@ -222,6 +222,44 @@ object Corpus {
   }
 
   /**
+   * Overlapping token-window chunking — the retrieval/embedding prep
+   * step (RAG indexing, context-window shaping) that sits beside
+   * packing in a training-data pipeline: one row per chunk of
+   * `chunkTokens` whitespace tokens, a new chunk starting every
+   * `strideTokens` (stride < chunk ⇒ overlapping windows), the last
+   * chunk(s) truncated at the document end. Every token of a document
+   * appears in at least one chunk; tokenless documents contribute no
+   * rows. Returns `(idCol, chunk_idx, tok_from, tok_to,
+   * n_chunk_tokens, chunk_text)` with half-open token offsets and the
+   * chunk text rebuilt single-space-joined (the canonical form the
+   * whitespace tokenizer reads back identically).
+   *
+   * Shape at scale: one projection + a narrow `posexplode(sequence)`
+   * Generate per document (fan-out bounded by `n/stride + 1`); no
+   * shuffle, no UDFs, fully codegen — the same posture as
+   * [[packSlices]].
+   */
+  def chunkDocs(df: DataFrame, chunkTokens: Int, strideTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      "strideTokens must be in [1, chunkTokens]")
+    val toks = TextStats.tokens(col(textCol))
+    val tokTo = least(col("tok_from") + chunkTokens,
+      size(col("__tk")).cast("long"))
+    df.select(col(idCol), toks.as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0L), (size(col("__tk")) - 1).cast("long"),
+          lit(strideTokens.toLong))).as(Seq("chunk_idx", "tok_from")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("tok_from"), tokTo.as("tok_to"),
+        (tokTo - col("tok_from")).as("n_chunk_tokens"),
+        array_join(slice(col("__tk"), (col("tok_from") + 1).cast("int"),
+          (tokTo - col("tok_from")).cast("int")), " ").as("chunk_text"))
+  }
+
+  /**
    * Sequence packing (concatenate-and-chunk): assign every document its
    * position in a deterministically shuffled global token stream and the
    * fixed-capacity training pack(s) it lands in — the GPT-style "pack

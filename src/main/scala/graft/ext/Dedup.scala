@@ -418,6 +418,24 @@ object Dedup {
   }
 
   /**
+   * Apply a dedup decision: drop every clustered document except its
+   * cluster representative — the final step of the flag → verify →
+   * cluster → APPLY pipeline. `clusters` is [[duplicateClusters]]
+   * output `(id, rep)`; documents absent from it had no near-dup and
+   * pass through untouched. The survivors ARE the deduplicated corpus.
+   *
+   * Shape at scale: one left-anti join of the corpus against the
+   * non-representative id list — narrow 8-byte keys, sized by the
+   * duplicate count (≪ corpus for natural dedup ratios), which AQE
+   * broadcasts when it fits.
+   */
+  def applyDedup(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.where(col("id") =!= col("rep")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /**
    * Embedding-cosine near-dup: pairs with cosine >= threshold, candidates
    * from hyperplane-LSH buckets (see [[Similarity.hyperplaneBuckets]]),
    * verified with exact cosine.

@@ -212,4 +212,58 @@ object TextStats {
       .where(col("__rk") <= k)
       .select(idCol, "term", "tf", "df", "score")
   }
+
+  /**
+   * Okapi BM25 relevance of a constant query against the corpus — the
+   * retrieval primitive of training-data curation (pull the documents
+   * most relevant to a benchmark topic for inspection, targeted
+   * upsampling, or decontamination review). Lucene's +1-inside-the-log
+   * idf keeps every contribution positive:
+   *
+   *   idf(t)   = ln((N − df + 0.5) / (df + 0.5) + 1)
+   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *
+   * Per-(doc, term) contributions are snapped to the 1e-9 integer grid
+   * BEFORE summing (long addition is exact and order-independent — the
+   * [[unigramLogProb]] trick), so the score replays exactly in the SQL
+   * oracle; `avgdl` is `sum(dl)/N` on exact integer aggregates (one
+   * double division), never a float `avg`. Returns the top `k` docs as
+   * `(idCol, score_u9, score)`, ties broken by id.
+   *
+   * Shape at scale: the token explode is filtered to the |Q| query
+   * terms BEFORE the shuffle, so the tf frame carries only matching
+   * rows; df re-aggregates that frame (≤ |Q| rows, broadcast back);
+   * N/avgdl are one scalar aggregate broadcast into the score
+   * projection; per-doc lengths join on the id (corpus-sized — left to
+   * AQE, never a driver-side broadcast); top-k is TakeOrdered, not a
+   * global sort.
+   */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val toks = tokens(col(textCol))
+    val dl = df.select(col(idCol), size(toks).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum("__dl") / count(lit(1))).as("__avgdl"))
+    val tf = df.select(col(idCol), explode(toks).as("term"))
+      .where(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))
+    val contribU9 = round(idf * (col("tf") * lit(k1 + 1.0)) / denom * lit(1e9))
+      .cast("long")
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), contribU9.as("__u9"))
+      .groupBy(col(idCol)).agg(sum("__u9").as("score_u9"))
+      .select(col(idCol), col("score_u9"),
+        (col("score_u9") / lit(1e9)).as("score"))
+      .orderBy(col("score_u9").desc, col(idCol))
+      .limit(k)
+  }
 }

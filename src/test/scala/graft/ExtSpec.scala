@@ -190,6 +190,55 @@ class ExtSpec extends SparkSpec {
     counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
+  test("bm25: independent scalar math reproduces scores; termless docs absent") {
+    val corpus = Seq(
+      (0L, "hash join hash"), (1L, "hash scan"), (2L, "nothing here at all"))
+      .toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(corpus, Seq("hash"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 2 never mentions the term: no row, not a zero score
+    out.keySet shouldBe Set(0L, 1L)
+    // replay the formula with plain scalar doubles (independent of the
+    // Column expression tree) — grid-snapped contributions must agree
+    // exactly
+    val (n, avgdl, df) = (3L, (3L + 2L + 4L).toDouble / 3L, 2L)
+    def u9(tf: Long, dl: Long): Long = {
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      val denom = tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+      math.round(idf * (tf * (1.2 + 1.0)) / denom * 1e9)
+    }
+    out(0L) shouldBe u9(2L, 3L)
+    out(1L) shouldBe u9(1L, 2L)
+    // higher tf at comparable length ranks first
+    out(0L) should be > out(1L)
+  }
+
+  test("chunkDocs: overlapping windows cover every token; empty docs vanish") {
+    import graft.ext.Corpus
+    val d = Seq((0L, "a b c d e"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val rows = Corpus.chunkDocs(d, chunkTokens = 3, strideTokens = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(5)))
+    rows.toSeq shouldBe Seq(
+      (0L, 0, 0L, 3L, "a b c"),
+      (0L, 1, 2L, 5L, "c d e"),
+      (0L, 2, 4L, 5L, "e"),
+      (2L, 0, 0L, 1L, "x"))
+    // stride == chunk: disjoint exact cover
+    val flat = Corpus.chunkDocs(d, chunkTokens = 2, strideTokens = 2)
+      .where($"doc_id" === 0L).orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSeq
+    flat shouldBe Seq((0L, 2L), (2L, 4L), (4L, 5L))
+  }
+
+  test("applyDedup keeps representatives and untouched docs only") {
+    import spark.implicits._
+    val corpus = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "rep")
+    Dedup.applyDedup(corpus, clusters).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 4L, 5L)
+  }
+
   test("language id picks the dominant marker language") {
     val df = Seq(
       (0L, "the cat and the dog of the house is big"),

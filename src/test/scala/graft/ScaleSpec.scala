@@ -328,6 +328,22 @@ class ScaleSpec extends SparkSpec {
     plan should include("*(1) Project")
   }
 
+  test("chunkDocs plans a narrow Generate (no shuffle); bm25 top-k is TakeOrdered") {
+    import graft.ext.{Corpus, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chunkPlan = Corpus.chunkDocs(docs, 32, 16)
+      .queryExecution.executedPlan.toString
+    chunkPlan should include("Generate posexplode")
+    chunkPlan should not include "Exchange"
+    val bm25Plan = TextStats.bm25TopK(docs, Seq("hash", "join"), k = 10)
+      .queryExecution.executedPlan.toString
+    // the final top-k never plans a global sort
+    bm25Plan should include("TakeOrderedAndProject")
+    // the token explode is filtered to the query terms BEFORE any
+    // aggregation shuffles it
+    bm25Plan.toLowerCase should include("filter")
+  }
+
   test("typed-key overloads: long keys match the string path without string casts") {
     import graft.operators.TopK
     import graft.ext.Sketches
