@@ -48,19 +48,16 @@ object Dedup {
   val MinhashPrime: Long = 2147483647L
 
   /** Seed of the affine coefficient family — a plan-time constant, so
-    * the SAME coefficients are injected into the DuckDB oracle. */
-  val MinhashCoefSeed: Long = 1234567L
+    * the SAME coefficients are injected into the DuckDB oracle.
+    * (Hosted in [[graft.plans.Native]] since round 9 so the SQL
+    * function surface shares the family without an ext dependency.) */
+  val MinhashCoefSeed: Long = graft.plans.Native.MinhashCoefSeed
 
-  /** Affine permutation coefficients h_j(x) = (a_j*x + b_j) mod p:
-    * a_j in [1, p-1], b_j in [0, p-1] — `nextInt(p)` is exclusive of
-    * its bound, so its max draw is p-1 = 2147483646, the full residue
-    * range mod p. Drawn from [[MinhashCoefSeed]]. */
-  def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
-    val r = new scala.util.Random(MinhashCoefSeed)
-    val as = Seq.fill(numHashes)(1L + r.nextInt((MinhashPrime - 1).toInt))
-    val bs = Seq.fill(numHashes)(r.nextInt(MinhashPrime.toInt).toLong)
-    (as, bs)
-  }
+  /** Affine permutation coefficients h_j(x) = (a_j*x + b_j) mod p —
+    * delegates to [[graft.plans.Native.minhashCoefs]], the one
+    * definition batch, streaming, and SQL all draw from. */
+  def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) =
+    graft.plans.Native.minhashCoefs(numHashes)
 
   /** Exploded word n-gram STRINGS (doc id, gram) — shifted-slice zip
     * with post-explode concat, never an interpreted higher-order

@@ -60,7 +60,17 @@ object GraftExtensions {
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
       ch => { val c = arity("graft_dot", 2)(ch)
-        DotProductExpr(c.head, c(1)) }))
+        DotProductExpr(c.head, c(1)) }),
+    ("graft_minhash_signature",
+      info("graft_minhash_signature",
+        "graft_minhash_signature(text, numHashes, shingleN) - MinHash " +
+          "signature array from the standard affine family"),
+      ch => { val c = arity("graft_minhash_signature", 3)(ch)
+        val k = litInt("graft_minhash_signature", c(1))
+        require(k > 0, "graft_minhash_signature: numHashes must be positive")
+        val (as, bs) = Native.minhashCoefs(k)
+        MinHashSigExpr(c.head, as, bs,
+          litInt("graft_minhash_signature", c(2))) }))
 
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit =

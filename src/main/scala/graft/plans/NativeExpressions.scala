@@ -112,6 +112,21 @@ object Native {
     * here so `plans` stays free of `ext` dependencies, pinned by spec. */
   val MinhashPrime: Long = 2147483647L
 
+  /** Seed of the standard affine coefficient family — a plan-time
+    * constant shared by batch, streaming, the SQL surface, and the
+    * DuckDB oracle ([[graft.ext.Dedup.minhashCoefs]] delegates here). */
+  val MinhashCoefSeed: Long = 1234567L
+
+  /** Affine permutation coefficients h_j(x) = (a_j*x + b_j) mod p:
+    * a_j in [1, p-1], b_j in [0, p-1] — `nextInt(p)` is exclusive of
+    * its bound, so its max draw is p-1, the full residue range mod p. */
+  def minhashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val r = new scala.util.Random(MinhashCoefSeed)
+    val as = Seq.fill(numHashes)(1L + r.nextInt((MinhashPrime - 1).toInt))
+    val bs = Seq.fill(numHashes)(r.nextInt(MinhashPrime.toInt).toLong)
+    (as, bs)
+  }
+
   /**
    * Fused MinHash signature over word n-gram shingles, bit-identical to
    * the Column-math formulation it replaces (explode word n-grams →

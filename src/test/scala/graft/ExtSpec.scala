@@ -993,6 +993,15 @@ class ExtSpec extends SparkSpec {
     row.getLong(1) shouldBe col.getLong(1)
     row.getSeq[Long](2) shouldBe col.getSeq[Long](2)
     row.getDouble(3) shouldBe 11.0 // 1*3 + 2*4
+    // the SQL minhash signature equals the engine's signature frame
+    val sqlSig = spark.sql(
+      "SELECT graft_minhash_signature(text, 8, 3) AS s FROM ext_probe")
+      .head().getSeq[Long](0)
+    val colSig = Dedup.minhashSignatures(
+      Seq((1L, "the quick brown fox")).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 8)
+      .head().toSeq.tail.map(_.asInstanceOf[Long])
+    sqlSig shouldBe colSig
     // non-literal n is rejected at plan time
     val ex = intercept[Exception] {
       spark.sql("SELECT graft_hashed_shingles(text, id + 1) FROM ext_probe").collect()
