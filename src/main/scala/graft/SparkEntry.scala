@@ -1544,6 +1544,31 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
 
+    // Int8-quantized ANN: recall@5 of brute-force ranking over
+    // quantized vectors (native one-pass symmetric quantization;
+    // per-vector scales cancel in cosine) against the float baseline —
+    // the 4×-bandwidth path, its accuracy itself oracle-checked.
+    "x_quantized_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val qc = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"), col("qvec").as("embedding"))
+      val qq = Similarity.quantizeInt8(queries)
+        .select(col("query_id"), col("qvec").as("embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = AnnK)
+        .select("query_id", "neighbor_id")
+      val qbf = Similarity.bruteForceTopK(qc, qq, k = AnnK)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(qbf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * (100 / AnnK)).as("recall_pct"))
+        .orderBy("query_id")
+    }),
+
     // ANN quality measurement: recall@5 of the LSH path against the
     // exact brute-force baseline, per query vector — the "did the
     // approximate path actually work" check, itself oracle-checked.
@@ -1908,7 +1933,51 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, rank, score_r
       |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB mirror of the int8-quantized brute-force ranking: same
+    * one-pass symmetric grid (127/max|x| scale; floor/ceil half-offset
+    * rounding — plain exact double ops in both engines), same
+    * sequential-fold dot/norm as simBruteforceSql. */
+  private val simQuantizedSql: String =
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+      |sc AS (SELECT vec_id, v,
+      |              CASE WHEN list_max([abs(x) for x in v]) = 0 THEN CAST(0.0 AS DOUBLE)
+      |                   ELSE 127 / list_max([abs(x) for x in v]) END AS s
+      |       FROM e),
+      |q8 AS (SELECT vec_id,
+      |              [CASE WHEN x * s >= 0 THEN floor(x * s + 0.5)
+      |                    ELSE ceil(x * s - 0.5) END for x in v] AS qv
+      |       FROM sc),
+      |n AS (SELECT vec_id, qv, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |             [qv[i] * qv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
+      |      FROM q8),
+      |q AS (SELECT vec_id AS query_id, qv AS uqv, nrm AS qn FROM n WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+      |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |                    [c.qv[i] * q.uqv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
+      |                  / (c.nrm * q.qn) AS score
+      |           FROM n c CROSS JOIN q),
+      |ranked AS (SELECT query_id, neighbor_id,
+      |                  row_number() OVER (PARTITION BY query_id
+      |                                     ORDER BY score DESC, neighbor_id) AS rank
+      |           FROM scored)
+      |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $AnnK""".stripMargin
+
   private val extOracles: Map[String, String] = Map(
+    // Quantized-ANN recall: both rankings replayed in full (the float
+    // baseline and the int8 ranking share the oracle CTEs verbatim),
+    // so the measured accuracy of the 4×-bandwidth path is itself
+    // exactly cross-engine-checked.
+    "x_quantized_recall" ->
+      s"""WITH bf AS ($simBruteforceSql),
+         |qbf AS ($simQuantizedSql),
+         |hits AS (SELECT bf.query_id, count(*) AS n_hit
+         |         FROM bf JOIN qbf USING (query_id, neighbor_id)
+         |         GROUP BY bf.query_id)
+         |SELECT query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(n_hit, 0) * ${100 / AnnK} AS BIGINT) AS recall_pct
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     // Split-assignment replay: the same md5 uniform and the same IEEE
     // cumulative cuts (embedded via Double.toString, which round-trips
     // exactly through DuckDB's literal parser).

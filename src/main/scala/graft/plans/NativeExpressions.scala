@@ -182,6 +182,42 @@ object Native {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
+  /**
+   * Symmetric int8 scalar quantization of a vector: q_i =
+   * roundAwayFromZero(x_i · 127 / max|x|) in one pass — the standard
+   * 4×-bandwidth-saver for embedding storage/scan at corpus scale.
+   * Values are integers in [-127, 127] RETURNED AS DOUBLES so the
+   * existing native dot/cosine path applies unchanged (a storage
+   * layer would pack them to one byte per dim); per-vector scales
+   * cancel in cosine, so similarity over quantized vectors needs no
+   * dequantization. All-zero vectors quantize to all zeros. Rounding
+   * is floor(y+0.5) / ceil(y−0.5) by sign — plain floor/ceil on
+   * doubles, so the DuckDB oracle replays it exactly.
+   */
+  def quantizeInt8(v: ArrayData, isFloat: Boolean): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val out = new Array[Double](n)
+    if (maxAbs > 0.0) {
+      val scale = 127.0 / maxAbs
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val y = x * scale
+        out(i) = if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Sequential-fold dot product; floats widened to double per element
     * (matches `aggregate(zip_with(...))` exactly, bit for bit). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -267,6 +303,26 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     copy(child = newChild)
 }
 
+/** quantize_int8(array<float|double>) → array<double> of int8-grid
+  * values (see [[Native.quantizeInt8]]). */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.quantizeInt8(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.quantizeInt8($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
 /** dot(array<float|double>, array<float|double>) → double.
   * Length mismatch → null, matching `aggregate(zip_with(...))`
   * (zip_with null-pads the shorter side, poisoning the sum) — a
@@ -319,4 +375,7 @@ object NativeFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProductExpr(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def quantizeInt8(v: Column): Column =
+    ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
 }

@@ -131,6 +131,22 @@ class ExtSpec extends SparkSpec {
     all(draws) should (be >= 0.0 and be < 2.0 * math.Pi)
   }
 
+  test("int8 quantization: symmetric grid, half-up ties, zero vector") {
+    val df = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](2))
+    // 0.5·127 = 63.5 ties away from zero to 64; max|x| maps to ±127
+    q(0) shouldBe Seq(64.0, -127.0, 32.0, 0.0)
+    // the all-zero vector stays zero instead of dividing by zero
+    q(1) shouldBe Seq(0.0, 0.0, 0.0, 0.0)
+    // double input takes the same path as float
+    val d = Seq((0L, Array(0.5, -1.0))).toDF("vec_id", "embedding")
+    Similarity.quantizeInt8(d).head().getSeq[Double](2) shouldBe Seq(64.0, -127.0)
+  }
+
   test("brute-force cosine top-k: exact ranking on known vectors") {
     val corpus = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.8f, 0.6f)),
