@@ -1661,6 +1661,14 @@ object SparkEntry {
       PiiScan.scan(piiCorpus(tbl(s, dir, "customer")), "txt")
         .drop("txt").orderBy("c_custkey")),
 
+    // Redaction (the scanner's write path): the same planted corpus
+    // with every detector match replaced — the text a pipeline would
+    // actually publish/train on after the scan.
+    "x_pii_redact" -> ((s, dir) =>
+      PiiScan.redact(piiCorpus(tbl(s, dir, "customer")), "txt")
+        .select(col("c_custkey"), col("redacted"))
+        .orderBy("c_custkey")),
+
     // Roundtrip: the engine's own fake sensitive-data corpus (SURVEY
     // §2.5 providers) fed through the scanner — every planted secret
     // class must be detected (rows-only: corpus content is seeded-RNG;
@@ -2548,6 +2556,18 @@ object SparkEntry {
          |SELECT *, $total AS pii_total,
          |       CAST(($total) > 0 AS INT) AS has_pii
          |FROM scanned ORDER BY c_custkey""".stripMargin
+    },
+
+    // Redaction replay: the identical fixed regexp_replace chain (the
+    // 'g' flag matches Spark's replace-all), innermost = first
+    // registry detector.
+    "x_pii_redact" -> {
+      val redSql = PiiScan.detectors.foldLeft("txt") { case (acc, (n, p)) =>
+        s"regexp_replace($acc, '${p.replace("'", "''")}', '[REDACTED:$n]', 'g')"
+      }
+      s"""WITH corpus AS ($piiCorpusSql)
+         |SELECT c_custkey, $redSql AS redacted
+         |FROM corpus ORDER BY c_custkey""".stripMargin
     },
 
     "x_neardup_embedding" -> neardupEmbeddingSql,

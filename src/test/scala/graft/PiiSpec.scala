@@ -87,4 +87,21 @@ class PiiSpec extends SparkSpec {
     row.getAs[Long]("pii_itin") shouldBe 1L
     row.getAs[Long]("pii_ssn") shouldBe 1L
   }
+
+  test("redact removes every detector match and leaves clean text intact") {
+    val df = Seq(
+      (1L, "ssn 123-45-6789 card 1234 5678 9012 3456 mail a.b@example.com"),
+      (2L, "perfectly clean sentence")).toDF("doc_id", "text")
+    val red = PiiScan.redact(df)
+    // re-scanning the redacted text finds nothing: redaction can never
+    // create a new match (the token has no digits), and it removed all
+    PiiScan.scan(red, "redacted")
+      .agg(sum("pii_total")).head().getLong(0) shouldBe 0L
+    val r1 = red.where($"doc_id" === 1).head().getAs[String]("redacted")
+    r1 should include("[REDACTED:ssn]")
+    r1 should include("[REDACTED:credit_card]")
+    r1 should include("[REDACTED:email]")
+    red.where($"doc_id" === 2).head()
+      .getAs[String]("redacted") shouldBe "perfectly clean sentence"
+  }
 }
