@@ -1389,6 +1389,15 @@ object SparkEntry {
       TextStats.unigramLogProb(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Bigram stupid-backoff LM (perplexity-style quality filter):
+    // counts trained on the even-id half, every doc scored — odd docs
+    // exercise the Laplace-smoothed backoff on unseen grams/words.
+    "x_bigram_logprob" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.bigramLogProb(d, d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
@@ -2258,6 +2267,42 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)
          |ORDER BY doc_id""".stripMargin,
+
+    // Bigram-LM replay: identical backoff CASE (alpha injected as a
+    // round-trip string literal), same 1e-9 grid snap before the long
+    // sum, positions via the proven list-comprehension bigram CTE.
+    "x_bigram_logprob" -> {
+      val a = "CAST('0.4' AS DOUBLE)"
+      def posCte(name: String, src: String, idSel: String) =
+        s"""$name AS (SELECT $idSel unnest([{'w1': tk[i], 'w2': tk[i+1]}
+           |            for i in generate_series(1, len(tk) - 1)]) AS z
+           |          FROM $src WHERE len(tk) >= 2)""".stripMargin
+      s"""WITH alltk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tr AS (SELECT doc_id, tk FROM alltk WHERE doc_id % 2 = 0),
+         |${posCte("tpz", "tr", "")}
+         |, tp AS (SELECT z.w1 AS w1, z.w2 AS w2 FROM tpz),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY 1, 2),
+         |ut AS (SELECT unnest(tk) AS w FROM tr),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM ut GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM ut),
+         |${posCte("posz", "alltk", "doc_id,")}
+         |, pos AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM posz),
+         |j AS (SELECT pos.doc_id,
+         |             CASE WHEN cb IS NOT NULL AND c1.cu IS NOT NULL
+         |                  THEN cb / c1.cu
+         |                  ELSE $a * (coalesce(c2.cu, 0) + 1) / (t + v) END AS p
+         |      FROM pos
+         |      LEFT JOIN big USING (w1, w2)
+         |      LEFT JOIN uni c1 ON c1.w = pos.w1
+         |      LEFT JOIN uni c2 ON c2.w = pos.w2
+         |      CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |             sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS s9
+         |      FROM j GROUP BY 1)
+         |SELECT doc_id, n_bigrams, s9 / (n_bigrams * 1e9) AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // Unigram-LM replay: same grid snap (round half away from zero
     // agrees between engines), integer sums are order-independent, and

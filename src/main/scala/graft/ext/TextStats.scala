@@ -214,6 +214,61 @@ object TextStats {
   }
 
   /**
+   * Bigram stupid-backoff language-model scoring — the
+   * perplexity-style quality filter (CCNet lineage): train bigram and
+   * unigram counts on a reference corpus `train`, then score every
+   * document of `docs` by its mean ln p over bigram positions:
+   *
+   *   p(w2|w1) = c(w1 w2) / c(w1)          when the bigram was seen
+   *            = α · (c(w2)+1) / (T+V)     otherwise — stupid backoff
+   *              into the Laplace-smoothed train unigram, so unseen
+   *              words score finitely instead of −∞
+   *
+   * Contributions snap to the 1e-9 grid before the order-independent
+   * long sum ([[unigramLogProb]]'s trick), so scores replay exactly in
+   * the SQL oracle. Documents with fewer than 2 tokens emit no row.
+   * Low mean log-prob = high perplexity = "unlike the reference
+   * corpus" — the standard filter signal.
+   *
+   * Shape at scale: two train-side aggregations (bigram/unigram
+   * counts) joined onto the scored position frame by gram/word key,
+   * the (T, V) totals broadcast as one scalar row; gram construction
+   * is the shifted-slice zip (codegen), never an interpreted lambda.
+   */
+  def bigramLogProb(docs: DataFrame, train: DataFrame, alpha: Double = 0.4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    def positions(df: DataFrame, idCols: Seq[Column]): DataFrame = {
+      val toks = tokens(col(textCol))
+      val n1 = greatest(size(toks) - 1, lit(0))
+      df.select(idCols :+ explode(arrays_zip(
+          slice(toks, lit(1), n1).as("w1"),
+          slice(toks, lit(2), n1).as("w2"))).as("z"): _*)
+        .select(idCols :+ col("z.w1").as("w1") :+ col("z.w2").as("w2"): _*)
+    }
+    val big = positions(train, Nil)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val uniToks = train.select(explode(tokens(col(textCol))).as("w"))
+    val uni = uniToks.groupBy("w").agg(count(lit(1)).as("__cu"))
+    val tot = uniToks.agg(count(lit(1)).as("__t"),
+      countDistinct("w").as("__v"))
+    val p = when(col("__cb").isNotNull && col("__c1").isNotNull,
+        col("__cb") / col("__c1"))
+      .otherwise(lit(alpha) * (coalesce(col("__c2"), lit(0L)) + lit(1L)) /
+        (col("__t") + col("__v")))
+    positions(docs, Seq(col(idCol)))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("__cu").as("__c1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("__cu").as("__c2")), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp9", round(log(p) * lit(1e9)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp9").as("__s"))
+      .withColumn("avg_logprob", col("__s") / (col("n_bigrams") * lit(1e9)))
+      .select(idCol, "n_bigrams", "avg_logprob")
+  }
+
+  /**
    * Okapi BM25 relevance of a constant query against the corpus — the
    * retrieval primitive of training-data curation (pull the documents
    * most relevant to a benchmark topic for inspection, targeted

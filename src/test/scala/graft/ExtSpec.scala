@@ -229,6 +229,22 @@ class ExtSpec extends SparkSpec {
     out(0L) should be > out(1L)
   }
 
+  test("bigram LM: seen grams use conditional counts, unseen back off smoothly") {
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b z"), (2L, "q")).toDF("doc_id", "text")
+    val out = TextStats.bigramLogProb(score, train).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(1L) // a 1-token doc has no bigram positions
+    out(1L)._1 shouldBe 2L
+    // train: bigrams (a,b),(b,a),(a,c) once each; unigrams a:2 b:1 c:1,
+    // T=4, V=3. Scored: (a,b) seen -> 1/2; (b,z) unseen -> 0.4·(0+1)/7
+    val expected = (math.round(math.log(1.0 / 2) * 1e9) +
+      math.round(math.log(0.4 * 1L / (4L + 3L)) * 1e9)) / (2L * 1e9)
+    out(1L)._2 shouldBe expected
+    // every score finite: no -Infinity leaks through the backoff
+    out.values.foreach(v => (v._2.isNaN || v._2.isInfinite) shouldBe false)
+  }
+
   test("chunkDocs: overlapping windows cover every token; empty docs vanish") {
     import graft.ext.Corpus
     val d = Seq((0L, "a b c d e"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
