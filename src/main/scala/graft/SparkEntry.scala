@@ -1401,6 +1401,13 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
+    // Heavy-hitter detection (the planning half of the hot/cold salted
+    // join): keys holding >= 15% of the table.
+    "x_hot_keys" -> ((s, dir) =>
+      graft.operators.SkewUtils.hotKeys(tbl(s, dir, "documents"),
+        Seq("lang"), minShare = 0.15)
+        .orderBy("lang")),
+
     // Corpus dedup stats: exact distincts (oracle) — the approx
     // (HLL sketch) variant lives in the rows-only x-queries since
     // sketch estimates are engine-specific by construction.
@@ -2351,6 +2358,17 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Heavy-hitter replay: same count/total share with the same
+    // double arithmetic (explicit casts; threshold as a round-trip
+    // string literal).
+    "x_hot_keys" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+        |SELECT lang FROM c CROSS JOIN t
+        |WHERE n >= 1 AND CAST(n AS DOUBLE) / total >= CAST('0.15' AS DOUBLE)
+        |ORDER BY lang""".stripMargin,
 
     "x_dedup_stats" ->
       """SELECT count(*) AS n_docs,

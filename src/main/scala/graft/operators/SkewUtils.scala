@@ -78,6 +78,31 @@ object SkewUtils {
   }
 
   /**
+   * Heavy-hitter detection — the planning half of the hot/cold salted
+   * join: keys whose row count exceeds `minShare` of the table (or
+   * `minCount` rows, whichever bound is stricter at the caller's
+   * choice of parameters). The output frame is exactly what
+   * [[saltedJoinHotCold]] takes as `hotKeys`: detect → split → salt.
+   *
+   * One map-side-combinable count aggregation + a scalar total; at
+   * 100 TB run it on a sample or reuse a prior stats pass — the
+   * contract (a small frame of skewed key values) is the same either
+   * way.
+   */
+  def hotKeys(df: DataFrame, keys: Seq[String], minShare: Double,
+      minCount: Long = 1L): DataFrame = {
+    require(minShare > 0 && minShare <= 1, "minShare must be in (0, 1]")
+    require(minCount >= 1, "minCount must be at least 1")
+    val keyCols = keys.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("__n") >= minCount &&
+        col("__n").cast("double") / col("__total") >= minShare)
+      .select(keyCols: _*)
+  }
+
+  /**
    * Two-phase skew-safe `collect_list`-style aggregation: partial
    * collect per (key, salt) shard, then merge shards. Hash aggregation
    * already does map-side partial aggregation for algebraic functions

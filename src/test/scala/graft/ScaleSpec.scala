@@ -52,6 +52,17 @@ class ScaleSpec extends SparkSpec {
       SkewUtils.saltedJoinHotCold(big, small, Seq("k"),
         buckets = 4, hotKeys = hot, joinType = "full_outer")
     err.getMessage should include("saltedJoinHotCold")
+    // detection closes the loop: hotKeys finds the planted 40% key and
+    // its output frame IS the hotKeys parameter shape
+    val skewed = (0L until 500L)
+      .map(i => (if (i < 200) 0L else i % 50 + 1, i)).toDF("k", "v")
+    val detected = SkewUtils.hotKeys(skewed, Seq("k"), minShare = 0.2)
+    detected.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    val viaDetected = SkewUtils.saltedJoinHotCold(skewed, small, Seq("k"),
+        buckets = 4, hotKeys = detected)
+      .orderBy("k", "v").collect().toSeq
+    viaDetected shouldBe skewed.join(small, Seq("k")).orderBy("k", "v")
+      .collect().toSeq
   }
 
   test("bloom-pruned join ≡ plain join; filter actually prunes non-keys") {

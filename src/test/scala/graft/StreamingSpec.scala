@@ -280,6 +280,27 @@ class StreamingSpec extends SparkSpec {
     flags should contain((1L, 2L))
   }
 
+  test("stateless text operators run unchanged on streaming frames") {
+    // redaction / quality counts / langid are pure projections — the
+    // SAME Column expressions apply to a readStream frame with no
+    // rewrite, which is the point of keeping them shuffle-free
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{PiiScan, TextStats}
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "ssn 123-45-6789 the end"), (2L, "der hund ist nicht da"))
+    val q = PiiScan.redact(mem.toDF().toDF("doc_id", "text"))
+      .withColumn("lang_pred", TextStats.langId($"text"))
+      .withColumn("n_tokens", TextStats.tokenCount($"text"))
+      .writeStream.format("memory").queryName("stateless_text")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val rows = spark.table("stateless_text").orderBy("doc_id").collect()
+    rows(0).getAs[String]("redacted") should include("[REDACTED:ssn]")
+    rows(0).getAs[String]("redacted") should not include "123-45-6789"
+    rows(1).getAs[String]("lang_pred") shouldBe "de"
+    rows(1).getAs[Int]("n_tokens") shouldBe 5
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
