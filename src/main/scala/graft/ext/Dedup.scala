@@ -158,30 +158,20 @@ object Dedup {
    * candidates come from a chunk equi-join, verified by exact Hamming
    * distance.
    *
-   * Built from md5 + integer bit arithmetic only, so signatures (and
-   * the candidate/verify pipeline) replay exactly in the DuckDB oracle.
-   * (`NativeFunctions.simhash` remains the faster xxhash64 one-pass
-   * variant for engine-side-only use.)
+   * Computed by the fused native kernel
+   * ([[graft.plans.Native.simhashMd5]]) — one codegen'd projection per
+   * row, NO token explode and NO 60-aggregation shuffle (the same
+   * round-9 surgery as [[minhashSignatures]]; ExtSpec pins
+   * bit-identity with the grouped Column math, including token-less
+   * documents' all-zero signature). Built from md5 + integer bit
+   * arithmetic only, so signatures (and the candidate/verify pipeline)
+   * replay exactly in the DuckDB oracle. (`NativeFunctions.simhash`
+   * remains the xxhash64 64-bit variant for engine-side-only use.)
    */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
-    val hashed = docs
-      .select(col(idCol), explode(array_distinct(toks)).as("__tok"))
-      .select(col(idCol),
-        conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long").as("__h"))
-    val voteAggs = (0 until SimhashBits).map(b =>
-      sum(shiftright(col("__h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b"))
-    val sigExpr = (0 until SimhashBits)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sigs = hashed.groupBy(col(idCol)).agg(voteAggs.head, voteAggs.tail: _*)
-      .select(col(idCol), sigExpr.as("sig"))
-    // token-less documents produce no vote rows — they still carry a
-    // signature (all-zero), like the one-pass native variant
-    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("sig"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      graft.plans.NativeFunctions.simhashMd5(col(textCol)).as("sig"))
 
   /** Hamming distance between two signatures. */
   def hamming(a: Column, b: Column): Column =

@@ -183,6 +183,45 @@ object Native {
   }
 
   /**
+   * Fused 60-bit md5 SimHash, bit-identical to the Column-math
+   * formulation it replaces (explode distinct lowercase whitespace
+   * tokens → 60-bit md5-prefix key → 60 per-bit ±1 vote sums → sign
+   * bits): tokenize, dedupe, hash and vote in one pass — no explode,
+   * no 60-aggregation shuffle. Token-less documents carry signature 0,
+   * like the grouped formulation's left-join coalesce. (The xxhash64
+   * [[simhash]] above remains the engine-side-only 64-bit variant;
+   * this one replays exactly in the DuckDB oracle.)
+   */
+  def simhashMd5(text: UTF8String): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    val md = Md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      val tok = toks(i)
+      if (seen.add(tok)) {
+        val dig = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex digits = first 7 bytes + high nibble of byte 7
+        var x = 0L
+        var j = 0
+        while (j < 7) { x = (x << 8) | (dig(j) & 0xffL); j += 1 }
+        x = (x << 4) | ((dig(7) & 0xffL) >>> 4)
+        var b = 0
+        while (b < 60) {
+          if (((x >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /**
    * Symmetric int8 scalar quantization of a vector: q_i =
    * roundAwayFromZero(x_i · 127 / max|x|) in one pass — the standard
    * 4×-bandwidth-saver for embedding storage/scan at corpus scale.
@@ -303,6 +342,21 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long],
     copy(child = newChild)
 }
 
+/** simhash_md5(string) → long (60-bit, oracle-replayable md5 family —
+  * see [[Native.simhashMd5]]). */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 /** quantize_int8(array<float|double>) → array<double> of int8-grid
   * values (see [[Native.quantizeInt8]]). */
 case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
@@ -378,4 +432,7 @@ object NativeFunctions {
 
   def quantizeInt8(v: Column): Column =
     ColumnBridge.column(QuantizeInt8Expr(ColumnBridge.expression(v)))
+
+  def simhashMd5(text: Column): Column =
+    ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
 }

@@ -59,6 +59,33 @@ class ExtSpec extends SparkSpec {
     graft.plans.Native.MinhashPrime shouldBe Dedup.MinhashPrime
   }
 
+  test("fused native md5 simhash ≡ grouped vote Column-math formulation") {
+    val edge = docs.union(Seq(
+      (5L, ""), (6L, "   "), (7L, "dup dup dup one"), (8L, "ÄBC abc ÄBC")
+    ).toDF("doc_id", "text"))
+    val native = Dedup.simhashSignatures(edge).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the pre-round-9 formulation: explode distinct tokens, 60 per-bit
+    // vote sums, sign bits — the oracle's reading of the semantics
+    val toks = TextStats.tokens($"text")
+    val hashed = edge
+      .select($"doc_id", explode(array_distinct(toks)).as("tok"))
+      .select($"doc_id",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long").as("h"))
+    val voteAggs = (0 until Dedup.SimhashBits).map(b =>
+      sum(shiftright($"h", b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"v$b"))
+    val sigExpr = (0 until Dedup.SimhashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val grouped = hashed.groupBy($"doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select($"doc_id", sigExpr.as("sig"))
+    val colMath = edge.select($"doc_id").join(grouped, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"sig", lit(0L)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe colMath
+    native(5L) shouldBe 0L // token-less doc carries the all-zero signature
+  }
+
   test("simhash: identical docs at distance 0; unrelated docs far apart") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

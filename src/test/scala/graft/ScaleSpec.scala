@@ -337,6 +337,13 @@ class ScaleSpec extends SparkSpec {
     // marker), evaluated ONCE in its own Project below the h0..h31
     // element_at fan-out (CollapseProject keeps non-cheap exprs single)
     plan should include("*(1) Project")
+    // the md5 simhash got the same surgery: pure projection, no
+    // explode, no 60-aggregation shuffle
+    val simPlan = Dedup.simhashSignatures(docs)
+      .queryExecution.executedPlan.toString
+    simPlan should not include "Exchange"
+    simPlan should not include "Generate"
+    simPlan.toLowerCase should include("simhashmd5")
   }
 
   test("chunkDocs plans a narrow Generate (no shuffle); bm25 top-k is TakeOrdered") {
