@@ -54,6 +54,31 @@ object NearDupStream {
     NativeFunctions.minhashSignature(text, as, bs, shingleN)
   }
 
+  /**
+   * Flag documents against a STATIC historical corpus — the
+   * "new data vs everything already ingested" half of ingest dedup
+   * ([[flagNearDups]] covers new-vs-new within the stream). The
+   * historical side is the batch band-bucket frame (computed once from
+   * the same fused kernel; persist it in practice); the incoming side
+   * — streaming or batch — explodes onto the same buckets, and a
+   * stream-static equi-join emits `(doc_id, hist_id, bucket)` per
+   * collision. Stateless (no watermark, no state store): the static
+   * side is the state. Same kernel, coefficients and defaults as
+   * [[graft.ext.Dedup.minhashLshPairs]], so a flag means exactly "the
+   * batch pass would have paired these"; a document may flag once per
+   * shared bucket — consumers dedup on (doc_id, hist_id).
+   */
+  def flagAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    def buckets(df: DataFrame, idOut: String): DataFrame = df
+      .withColumn("__sig", signature(col("text"), numHashes, shingleN))
+      .select(col("doc_id").as(idOut),
+        explode(bandBucketKeys(col("__sig"), numHashes, bands)).as("bucket"))
+    buckets(docs, "doc_id")
+      .join(buckets(corpus, "hist_id"), "bucket")
+      .select(col("doc_id"), col("hist_id"), col("bucket"))
+  }
+
   final case class BucketHit(bucket: String, doc_id: Long, ts_us: Long)
   /** One (canonical doc, last activity) entry per live bucket — the
     * bounded "band-bucket → min-doc" map, sharded by group key. */

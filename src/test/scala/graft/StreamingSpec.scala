@@ -280,6 +280,33 @@ class StreamingSpec extends SparkSpec {
     flags should contain((1L, 2L))
   }
 
+  test("stream-static near-dup flags incoming docs against a historical corpus") {
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val hist = Seq((100L, base),
+      (101L, "archived report on quarterly financial compliance and audit procedures"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, base.replace("today", "tonight")), // near-dup of 100
+      (2L, "entirely novel content with no shingles in common whatsoever"))
+    val q = NearDupStream.flagAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), hist)
+      .writeStream.format("memory").queryName("hist_flags")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val flags = spark.table("hist_flags").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("hist_id"))).distinct
+    flags should contain((1L, 100L))
+    flags.map(_._1) should not contain 2L
+    // the flag agrees with what the batch pass pairs on the union
+    val batch = graft.ext.Dedup.minhashLshPairs(
+        hist.union(Seq((1L, base.replace("today", "tonight"))).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    flags.foreach { case (d, h) => batch should contain((math.min(d, h), math.max(d, h))) }
+  }
+
   test("stateless text operators run unchanged on streaming frames") {
     // redaction / quality counts / langid are pure projections — the
     // SAME Column expressions apply to a readStream frame with no
