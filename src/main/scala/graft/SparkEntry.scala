@@ -1291,6 +1291,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Verbatim-window decontamination: same benchmark split, but only
+    // exact 8-token runs flag — the production-strength leak check
+    // (3-grams flag 257 docs here; this flags the 1 true leak).
+    "x_decontaminate_substr" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.decontaminateSubstring(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
     // KMV distinct sketch: per-language distinct-token estimate from
     // bounded mergeable state (k doubles/group), alongside the exact
     // count it approximates.
@@ -2049,6 +2060,24 @@ object SparkEntry {
          |FROM dk JOIN bg USING (k)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+
+    // Verbatim-window decontamination replay: the x_substring_dedup
+    // window CTE across the two benchmark-split sides (engine joins on
+    // window hashes, oracle on window strings — the proven 2^-64
+    // equivalence).
+    "x_decontaminate_substr" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |dw AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 <> 0),
+         |bw AS (SELECT DISTINCT unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 = 0)
+         |SELECT doc_id, count(*) AS n_overlap_windows
+         |FROM dw JOIN bw USING (w)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // KMV replay: the sketch's bounded-state answer equals the k
     // smallest DISTINCT md5 uniforms per group by construction, so the

@@ -142,6 +142,36 @@ object Corpus {
   }
 
   /**
+   * Verbatim-window decontamination — the production-strength variant
+   * of [[decontaminate]]: flag corpus documents sharing an exact run
+   * of `windowTokens` tokens with the benchmark, instead of ANY word
+   * n-gram. Short-gram overlap over-flags badly (at sf0.01 the 3-gram
+   * check flags 257 documents, the 8-token-window check flags the 1
+   * true verbatim leak); a `windowTokens`-wide match is the signal
+   * eval-leak audits act on (same Lee-et-al rationale as
+   * [[Dedup.exactSubstringPairs]], which shares the kernel).
+   *
+   * Shape at scale: identical to [[decontaminate]] — distinct hashed
+   * windows per side from the one-pass native kernel, 8-byte-key
+   * equi-join, benchmark side distinct-reduced (AQE broadcasts it).
+   * Returns `(idCol, n_overlap_windows)` for contaminated docs only.
+   */
+  def decontaminateSubstring(docs: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    def windows(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .where(size(TextStats.tokens(col(textCol))) >= windowTokens)
+      .select(cols :+ explode(graft.plans.NativeFunctions.hashedShingles(
+        col(textCol), windowTokens)).as("__w"): _*)
+    val dw = windows(docs, Seq(col(idCol)))
+    val bw = windows(benchmark, Nil).select("__w").distinct()
+    dw.join(bw, "__w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap_windows"))
+  }
+
+  /**
    * Quality-weighted sampling: keep each row with its own acceptance
    * probability `weight` (any Column in [0,1] — typically a quality
    * score mapped to a keep rate). The continuous generalization of

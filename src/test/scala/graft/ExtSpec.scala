@@ -290,6 +290,26 @@ class ExtSpec extends SparkSpec {
     flat shouldBe Seq((0L, 2L), (2L, 4L), (4L, 5L))
   }
 
+  test("windowed decontamination flags verbatim runs, not incidental n-grams") {
+    import graft.ext.Corpus
+    val quote = "one two three four five six seven eight"
+    val corpus = Seq(
+      (1L, s"prefix words then $quote and a tail"),   // verbatim leak
+      (2L, "one two three and seven eight are digits spelled out here"), // shares 3-grams only
+      (3L, "wholly unrelated content sentence with enough tokens")
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, s"benchmark question contains $quote exactly"))
+      .toDF("doc_id", "text")
+    val windowed = Corpus.decontaminateSubstring(corpus, bench, windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    windowed.keySet shouldBe Set(1L) // only the verbatim leak
+    // the 3-gram check also flags doc 2 — the over-flagging this
+    // variant exists to avoid
+    val gram3 = Corpus.decontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).toSet
+    gram3 should contain allOf (1L, 2L)
+  }
+
   test("applyDedup keeps representatives and untouched docs only") {
     import spark.implicits._
     val corpus = (1L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
