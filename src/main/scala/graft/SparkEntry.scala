@@ -1191,9 +1191,13 @@ object SparkEntry {
 
   /** DuckDB fragment: BPE-ish subword token count — mirrors
     * [[TextStats.bpeishTokenCount]] exactly (same ASCII classes in
-    * both regex engines; cross-checked by x_text_quality's n_bpeish). */
+    * both regex engines; cross-checked by x_text_quality's n_bpeish).
+    * The whitespace class is spelled out because Java's `\s` includes
+    * `\x0B` while RE2's does not — with a bare `\s` the equivalence
+    * was corpus-dependent (TextStats.BpeishPattern is the Spark twin;
+    * both regex dialects read these escapes identically). */
   private val bpeishSql =
-    """len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))"""
+    """len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0B\f\r]'))"""
 
   /** DuckDB fragment: occurrences of `word` via the length-difference
     * trick (mirrors TextStats.wordOccurrences exactly). */
@@ -2563,7 +2567,7 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(text) AS BIGINT) AS n_chars_m,
          |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST($bpeishSql AS BIGINT) AS n_bpeish,
          |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
          |  CAST(${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} AS BIGINT) AS n_stop,
          |  $qualityBucketSql AS quality_bucket

@@ -135,7 +135,10 @@ object Sketches {
    */
   /** Integral-key guard shared by the `...Long` variants: a silent
     * cast of a string key would null-and-drop rows under non-ANSI
-    * semantics, so non-integral keys are rejected up front. */
+    * semantics, so non-integral keys are rejected up front. NULL keys
+    * group as one NULL group, exactly like the string-path variants:
+    * the key is encoded boxed (`java.lang.Long`), not as a
+    * non-nullable primitive that would throw on the first null. */
   private def requireIntegralKey(df: DataFrame, groupCol: String,
       entryPoint: String): Unit = {
     import org.apache.spark.sql.types._
@@ -171,15 +174,17 @@ object Sketches {
     import spark.implicits._
     requireIntegralKey(df, groupCol, "histQuantilesLong")
     val gType = df.schema(groupCol).dataType
+    val tupleEnc: Encoder[(java.lang.Long, Double)] =
+      Encoders.tuple(Encoders.LONG, Encoders.scalaDouble)
     val ds = df.select(col(groupCol).cast("long"),
         col(valueCol).cast("double"))
       .where(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
-      .as[(Long, Double)]
+      .as[(java.lang.Long, Double)](tupleEnc)
     val agg = new HistAggregator(width, maxBins, probs).toColumn.name("__qs")
     val labeled = probs.zipWithIndex.map { case (p, i) =>
       element_at(col("__qs"), i + 1).as(s"q_${math.round(p * 1000)}")
     }
-    ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+    ds.groupByKey(_._1)(Encoders.LONG).mapValues(_._2).agg(agg)
       .toDF(groupCol, "__qs")
       .select(col(groupCol).cast(gType).as(groupCol) +: labeled: _*)
   }
@@ -214,11 +219,13 @@ object Sketches {
     import spark.implicits._
     requireIntegralKey(df, groupCol, "kmvDistinctLong")
     val gType = df.schema(groupCol).dataType
+    val tupleEnc: Encoder[(java.lang.Long, Double)] =
+      Encoders.tuple(Encoders.LONG, Encoders.scalaDouble)
     val ds = df.select(col(groupCol).cast("long"),
         Rng.uniform(seed, stream, col(valueCol)))
-      .as[(Long, Double)]
+      .as[(java.lang.Long, Double)](tupleEnc)
     val agg = new KmvAggregator(k).toColumn.name("est_distinct")
-    ds.groupByKey(_._1).mapValues(_._2).agg(agg)
+    ds.groupByKey(_._1)(Encoders.LONG).mapValues(_._2).agg(agg)
       .toDF(groupCol, "est_distinct")
       .select(col(groupCol).cast(gType).as(groupCol), col("est_distinct"))
   }

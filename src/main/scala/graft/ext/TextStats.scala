@@ -34,9 +34,15 @@ object TextStats {
    * takes the counter as a Column precisely so callers can plug a
    * stricter one; the engine's pack queries use this proxy, exactly
    * replayable in the oracle as `len(regexp_extract_all(...))`.
+   *
+   * The whitespace class is spelled explicitly ([[BpeishPattern]]):
+   * Java's `\s` includes `\x0B` (vertical tab) while RE2's does not,
+   * so a bare `\s` would make the oracle equivalence corpus-dependent.
    */
+  val BpeishPattern: String = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]"
+
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
   /** Bytes-per-token proxy: ceil(utf8 bytes / 4) — the "1 token ≈ 4
     * bytes" rule of thumb. The cheapest counter (no regex, no token

@@ -101,22 +101,28 @@ object TopK {
    * no semantic gain. Same aggregator, same ordering, same output
    * shape (key restored to its input type). Rejects non-integral
    * group columns up front; a silent cast of a string key would
-   * null-and-drop rows under non-ANSI semantics.
+   * null-and-drop rows under non-ANSI semantics. NULL keys group as
+   * one NULL group, exactly like the string path: the key is encoded
+   * boxed (`java.lang.Long`), not as a non-nullable primitive that
+   * would throw on the first null.
    */
   def perGroupLong(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Encoders
     val spark = df.sparkSession
     import spark.implicits._
     val gType = df.schema(groupCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(gType),
       s"perGroupLong requires an integral group key, not $gType (use perGroup)")
+    val tupleEnc: Encoder[(java.lang.Long, Double, Long)] =
+      Encoders.tuple(Encoders.LONG, Encoders.scalaDouble, Encoders.scalaLong)
     val ds = df.select(col(groupCol).cast("long"),
         col(scoreCol).cast("double"), col(idCol).cast("long"))
-      .as[(Long, Double, Long)]
+      .as[(java.lang.Long, Double, Long)](tupleEnc)
     val agg = new TopKAggregator(k).toColumn.name("topk")
     explodeRanked(
-      ds.groupByKey(_._1)
+      ds.groupByKey(_._1)(Encoders.LONG)
         .mapValues { case (_, s, id) => (s, id) }
         .agg(agg)
         .toDF(groupCol, "topk"),

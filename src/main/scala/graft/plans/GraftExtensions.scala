@@ -68,9 +68,10 @@ object GraftExtensions {
       ch => { val c = arity("graft_minhash_signature", 3)(ch)
         val k = litInt("graft_minhash_signature", c(1))
         require(k > 0, "graft_minhash_signature: numHashes must be positive")
+        val n = litInt("graft_minhash_signature", c(2))
+        require(n > 0, "graft_minhash_signature: shingleN must be positive")
         val (as, bs) = Native.minhashCoefs(k)
-        MinHashSigExpr(c.head, as, bs,
-          litInt("graft_minhash_signature", c(2))) }))
+        MinHashSigExpr(c.head, as, bs, n) }))
 
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit =

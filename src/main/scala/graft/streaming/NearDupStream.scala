@@ -36,16 +36,27 @@ object NearDupStream {
    * `sig` must be the signature array column (compute it in its own
    * projection — [[flagNearDups]] does — so the kernel runs once per
    * row rather than once per band reference).
+   *
+   * Keys carry the [[BucketKeyVersion]] prefix naming the signature
+   * family, so state written under an older family can never silently
+   * match (see the checkpoint-compatibility note on [[flagNearDups]]).
    */
   def bandBucketKeys(sig: Column, numHashes: Int = 32, bands: Int = 8): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     array((0 until bands).map { b =>
       concat_ws(",",
-        lit(s"$b:") +: (b * r until (b + 1) * r).map(j =>
+        lit(s"$BucketKeyVersion$b:") +: (b * r until (b + 1) * r).map(j =>
           element_at(sig, j + 1).cast("string")): _*)
     }: _*)
   }
+
+  /** Version tag of the streaming bucket-key family: "v2" = the fused
+    * md5 MinHash kernel with 32 hashes / 8 bands ("v1", never tagged,
+    * was the pre-round-9 xxhash64 16/4 family). Bump on ANY change to
+    * the signature kernel, coefficient family, or defaults — the tag
+    * is what makes stale checkpoint state detectable. */
+  val BucketKeyVersion: String = "v2|"
 
   /** The shared batch/streaming signature column — [[Dedup.minhashCoefs]]
     * coefficients over the fused native kernel. */
@@ -104,6 +115,18 @@ object NearDupStream {
    * the watermark; a late-but-within-lateness near-dup still finds the
    * bucket state and is flagged (replay-deterministic, same rationale
    * as [[EventTimeOps.sessionize]]).
+   *
+   * CHECKPOINT COMPATIBILITY: bucket keys are versioned with a
+   * `v2|` prefix naming the signature family (round 9 moved the
+   * family from xxhash64 16-hash/4-band to the fused md5 kernel at
+   * 32/8). Bucket keys are plain strings, so WITHOUT the version tag
+   * a query restarted from a checkpoint written under a different
+   * family would silently keep stale bucket state that can never
+   * match newly-signed documents — cross-upgrade near-dups would be
+   * missed with no schema error. With the tag, stale state simply
+   * times out under its own key space and any cross-family miss is
+   * diagnosable by inspecting flagged bucket strings. A future family
+   * change must bump the prefix.
    */
   def flagNearDups(docs: DataFrame, horizonUs: Long,
       lateness: String = "10 minutes", numHashes: Int = 32, bands: Int = 8,

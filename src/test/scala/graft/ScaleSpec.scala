@@ -387,6 +387,26 @@ class ScaleSpec extends SparkSpec {
     // the long path never renders the key as a string
     TopK.perGroupLong(df, "g", "score", "id", 3)
       .queryExecution.executedPlan.toString should not include "as string"
+    // NULL integral keys group as one NULL group — same output shape
+    // as the string path (boxed key encoding, not a runtime throw)
+    val withNull = Seq((Some(1L), 2.0, 10L), (None, 3.0, 11L), (None, 1.0, 12L))
+      .toDF("g", "score", "id")
+    val nullViaLong = TopK.perGroupLong(withNull, "g", "score", "id", 2)
+      .orderBy("rank").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getInt(1), r.getLong(3)))
+    val nullViaString = TopK.perGroup(withNull, "g", "score", "id", 2)
+      .orderBy("rank").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getInt(1), r.getLong(3)))
+    nullViaLong.toSeq.sorted shouldBe nullViaString.toSeq.sorted
+    nullViaLong.count(_._1 == -1L) shouldBe 2
+    val nullV = Seq((Some(1L), 5.0), (None, 7.0), (None, 7.0), (None, 9.0))
+      .toDF("g", "v")
+    Sketches.kmvDistinctLong(nullV, "g", "v", 8, 42L).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getDouble(1)))
+      .toSeq.sorted shouldBe Seq((-1L, 2.0), (1L, 1.0))
+    Sketches.histQuantilesLong(nullV, "g", "v", 1.0, 16, Seq(0.5)).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getDouble(1)))
+      .toSeq.sorted shouldBe Seq((-1L, 7.0), (1L, 5.0))
   }
 
   test("histQuantiles excludes NULL and NaN values instead of binning them low") {
