@@ -237,35 +237,48 @@ object TextStats {
    * corpus" — the standard filter signal.
    *
    * Shape at scale: two train-side aggregations (bigram/unigram
-   * counts) joined onto the scored position frame by gram/word key,
-   * the (T, V) totals broadcast as one scalar row; gram construction
-   * is the shifted-slice zip (codegen), never an interpreted lambda.
+   * counts) joined onto the scored position frame, the (T, V) totals
+   * broadcast as one scalar row; gram construction is the
+   * shifted-slice zip (codegen), never an interpreted lambda. Every
+   * count/join key is the `xxhash64` of the gram or word — 8 bytes
+   * cross each shuffle instead of one or two strings (the same trick
+   * as [[Dedup.ngramJaccardPairs]]'s hashed grams, with the same
+   * 2^-64-collision equivalence the oracle relies on: the oracle
+   * joins on the strings themselves). The word strings are dropped
+   * before any aggregation, so no string ever keys an exchange
+   * (pinned by ScaleSpec).
    */
   def bigramLogProb(docs: DataFrame, train: DataFrame, alpha: Double = 0.4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    // (w1, w2) positions reduced to hashed keys in the same projection
+    // that explodes them: __k12 keys the bigram join, __k1/__k2 the
+    // unigram joins. Seeded concatenation (xxhash64(w1, w2)) is
+    // order-sensitive, so "a b" and "b a" key differently.
     def positions(df: DataFrame, idCols: Seq[Column]): DataFrame = {
       val toks = tokens(col(textCol))
       val n1 = greatest(size(toks) - 1, lit(0))
       df.select(idCols :+ explode(arrays_zip(
           slice(toks, lit(1), n1).as("w1"),
           slice(toks, lit(2), n1).as("w2"))).as("z"): _*)
-        .select(idCols :+ col("z.w1").as("w1") :+ col("z.w2").as("w2"): _*)
+        .select(idCols ++ Seq(xxhash64(col("z.w1"), col("z.w2")).as("__k12"),
+          xxhash64(col("z.w1")).as("__k1"), xxhash64(col("z.w2")).as("__k2")): _*)
     }
     val big = positions(train, Nil)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-    val uniToks = train.select(explode(tokens(col(textCol))).as("w"))
-    val uni = uniToks.groupBy("w").agg(count(lit(1)).as("__cu"))
+      .groupBy("__k12").agg(count(lit(1)).as("__cb"))
+    val uniToks = train.select(explode(tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("__kw"))
+    val uni = uniToks.groupBy("__kw").agg(count(lit(1)).as("__cu"))
     val tot = uniToks.agg(count(lit(1)).as("__t"),
-      countDistinct("w").as("__v"))
+      countDistinct("__kw").as("__v"))
     val p = when(col("__cb").isNotNull && col("__c1").isNotNull,
         col("__cb") / col("__c1"))
       .otherwise(lit(alpha) * (coalesce(col("__c2"), lit(0L)) + lit(1L)) /
         (col("__t") + col("__v")))
     positions(docs, Seq(col(idCol)))
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni.select(col("w").as("w1"), col("__cu").as("__c1")), Seq("w1"), "left")
-      .join(uni.select(col("w").as("w2"), col("__cu").as("__c2")), Seq("w2"), "left")
+      .join(big, Seq("__k12"), "left")
+      .join(uni.select(col("__kw").as("__k1"), col("__cu").as("__c1")), Seq("__k1"), "left")
+      .join(uni.select(col("__kw").as("__k2"), col("__cu").as("__c2")), Seq("__k2"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("__lp9", round(log(p) * lit(1e9)).cast("long"))
       .groupBy(idCol)

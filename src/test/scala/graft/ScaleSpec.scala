@@ -409,6 +409,24 @@ class ScaleSpec extends SparkSpec {
       .toSeq.sorted shouldBe Seq((-1L, 7.0), (1L, 5.0))
   }
 
+  test("bigramLogProb shuffles only hashed 8-byte keys, never word strings") {
+    import graft.ext.TextStats
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextStats.bigramLogProb(docs, docs.where($"doc_id" % 2 === 0))
+      .queryExecution.executedPlan.toString
+    // every exchange partitions on a derived long key (__k12/__k1/__k2/
+    // __kw/doc_id), never on a raw word column
+    val exchanges = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    exchanges should not be empty
+    exchanges.foreach { e =>
+      withClue(e) {
+        e should not include "w1#"
+        e should not include "w2#"
+        e should not include "z."
+      }
+    }
+  }
+
   test("histQuantiles excludes NULL and NaN values instead of binning them low") {
     import graft.ext.Sketches
     val bad = Seq(("a", Some(1.0)), ("a", None), ("a", Some(Double.NaN)),
