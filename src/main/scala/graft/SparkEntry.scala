@@ -1263,6 +1263,10 @@ object SparkEntry {
     * exercise the tf/length normalization rather than rare-term idf. */
   private val Bm25Query = Seq("hash", "join", "vector")
 
+  /** Language label set of the documents table, shared by
+    * x_langid_trigram's query and oracle. */
+  private val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
+
   private val extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic corpus split: label is a pure md5 function of
     // (seed, doc_id) — stable under corpus growth, exactly replayable.
@@ -1455,6 +1459,16 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+
+    // Trigram-model language ID (CCNet/fastText lineage): per-language
+    // char-trigram profiles trained on the labeled even-id half, every
+    // doc scored by Laplace-smoothed log-prob argmax — odd docs are the
+    // held-out half (LangIdSpec pins accuracy >= the marker heuristic).
+    "x_langid_trigram" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.langIdTrigram(d, d.where(col("doc_id") % 2 === 0), LangIdLangs)
+        .orderBy("doc_id")
+    }),
 
     "x_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -2603,6 +2617,51 @@ object SparkEntry {
          |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
          |       ELSE 'de' END AS lang_pred
          |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // Trigram-langid replay: same char trigrams (code-point substr on
+    // the lowercased text), same Jelinek-Mercer-interpolated scores
+    // (λ and 1−λ as round-trip double literals, identical operation
+    // order) on the 1e-9 grid (order-independent long sums), same
+    // descending-lexicographic tie-break as the struct greatest.
+    "x_langid_trigram" -> {
+      val langs = LangIdLangs
+      val lam = s"CAST('${TextStats.LangIdLambda}' AS DOUBLE)"
+      val oneMinus = s"CAST('${1.0 - TextStats.LangIdLambda}' AS DOUBLE)"
+      val gramList = "[substr(txt, i, 3) for i in generate_series(1, len(txt) - 2)]"
+      val cCols = langs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
+      val tCols = langs.map(l =>
+        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS t_$l").mkString(", ")
+      val cTot = langs.map(l => s"coalesce(c_$l, 0)").mkString(" + ")
+      val tTot = langs.map(l => s"t_$l").mkString(" + ")
+      val bg = s"(($cTot + 1) / ($tTot + v))"
+      val lpCols = langs.map(l =>
+        s"CAST(round(ln($lam * (CASE WHEN t_$l > 0 THEN coalesce(c_$l, 0) / t_$l " +
+          s"ELSE CAST(0.0 AS DOUBLE) END) + $oneMinus * $bg) * 1e9) AS BIGINT) AS lp_$l")
+        .mkString(",\n             ")
+      val sCols = langs.map(l => s"CAST(sum(lp_$l) AS BIGINT) AS s_$l").mkString(", ")
+      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.sorted.reverse.init
+        .map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n            ")
+      s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+         |tg AS (SELECT lang, unnest($gramList) AS g
+         |       FROM lt WHERE doc_id % 2 = 0 AND len(txt) >= 3),
+         |prof AS (SELECT g, $cCols FROM tg GROUP BY g),
+         |tot AS (SELECT $tCols, count(DISTINCT g) AS v FROM tg),
+         |pos AS (SELECT doc_id, unnest($gramList) AS g
+         |        FROM lt WHERE len(txt) >= 3),
+         |j AS (SELECT pos.doc_id,
+         |             $lpCols
+         |      FROM pos LEFT JOIN prof USING (g) CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, $sCols
+         |       FROM j GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+         |       CASE WHEN sc.doc_id IS NULL THEN 'und'
+         |            $caseArms
+         |            ELSE '${langs.sorted.head}' END AS lang_pred
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "x_fingerprint" ->
       s"""SELECT doc_id,

@@ -288,6 +288,110 @@ object TextStats {
   }
 
   /**
+   * Trigram-model language identification — the production-strength
+   * upgrade of the [[langId]] marker heuristic, in the CCNet/fastText
+   * lineage: per-language CHARACTER-trigram profiles are trained on a
+   * labeled reference corpus, and each document is scored per language
+   * by its sum of Jelinek-Mercer-interpolated trigram log-probs:
+   *
+   *   score_L(d) = Σ_{g} ln(λ·c_L(g)/T_L + (1−λ)·(c(g)+1)/(T+V))
+   *
+   * with `c_L(g)` the trigram's count in language L's training text,
+   * `T_L` language L's total trigram count, `c(g)`/`T` the pooled
+   * counts across ALL languages, `V` the number of distinct training
+   * trigrams, and λ = 0.9. The interpolated background term is the
+   * crucial choice: a gram unseen in EVERY language contributes the
+   * SAME `(1−λ)·1/(T+V)` to every score, so unseen text is
+   * language-neutral — plain add-one smoothing instead scores unseen
+   * grams `1/(T_L+V)`, which systematically biases every
+   * out-of-domain document toward whichever language has the LEAST
+   * training data (measured: a corpus of held-out sentences collapsed
+   * onto the shortest-profile language). Discrimination comes only
+   * from grams a language has actually seen, as it should. A language
+   * with no training data at all takes the background term alone. The
+   * prediction is the argmax language; ties break toward the
+   * lexicographically larger code (struct `greatest`, exactly like
+   * [[langId]]); documents with fewer than 3 characters predict
+   * "und". Per-position contributions snap to the 1e-9 integer grid
+   * before the order-independent long sum ([[unigramLogProb]]'s
+   * trick), so every score — and therefore every argmax — replays
+   * exactly in the DuckDB oracle.
+   *
+   * Trigrams are built from the lowercased raw text (spaces included
+   * — word-boundary grams carry real signal) via the shifted-slice
+   * zip over the character array, never an interpreted per-element
+   * lambda; the join key is the trigram's `xxhash64`, so the shuffle
+   * carries 8-byte keys while the oracle joins the gram strings (the
+   * proven 2^-64 equivalence). Character splitting is code-point
+   * based in both engines; supplementary-plane text (outside the BMP)
+   * is the one documented divergence risk between Java's and DuckDB's
+   * splitting and does not occur in the test corpora.
+   *
+   * Returns `(idCol, n_trigrams, lang_pred)`.
+   *
+   * Shape at scale: one train-side profile aggregation (bounded by
+   * the trigram space, broadcastable — AQE decides, as with the
+   * unigram LM), a (1-row) totals frame broadcast explicitly, one
+   * hashed equi-join from the exploded position frame, one per-doc
+   * aggregate. No string shuffle keys, no windows, no driver state.
+   */
+  /** Interpolation weight of the in-language term; `1 - Lambda` of the
+    * mass goes to the pooled background model. Shared with the oracle
+    * as round-trip double literals. */
+  val LangIdLambda: Double = 0.9
+
+  def langIdTrigram(docs: DataFrame, train: DataFrame, langs: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "lang"): DataFrame = {
+    require(langs.nonEmpty, "langs must be non-empty")
+    def gramRows(df: DataFrame, idCols: Seq[Column]): DataFrame = {
+      val cs = split(lower(col(textCol)), "")
+      val n = size(cs) - 2
+      df.where(size(cs) >= 3)
+        .select(idCols :+ explode(arrays_zip(
+          slice(cs, lit(1), n).as("c0"), slice(cs, lit(2), n).as("c1"),
+          slice(cs, lit(3), n).as("c2"))).as("z"): _*)
+        .select(idCols :+
+          xxhash64(concat(col("z.c0"), col("z.c1"), col("z.c2"))).as("__kg"): _*)
+    }
+    val tg = gramRows(train, Seq(col(labelCol)))
+    def perLangCount(l: String, out: String): Column =
+      sum(when(col(labelCol) === l, 1L).otherwise(0L)).as(out)
+    val profile = tg.groupBy("__kg")
+      .agg(perLangCount(langs.head, s"__c_${langs.head}"),
+        langs.tail.map(l => perLangCount(l, s"__c_$l")): _*)
+    val tot = tg.agg(perLangCount(langs.head, s"__t_${langs.head}"),
+      langs.tail.map(l => perLangCount(l, s"__t_$l")) :+
+        countDistinct(col("__kg")).as("__v"): _*)
+    // pooled background: total count of this gram across languages and
+    // the grand trigram total, Laplace-floored so it is never zero
+    val cTot = langs.map(l => coalesce(col(s"__c_$l"), lit(0L))).reduce(_ + _)
+    val tTot = langs.map(l => col(s"__t_$l")).reduce(_ + _)
+    val background = (cTot + lit(1L)) / (tTot + col("__v"))
+    val scored = gramRows(docs, Seq(col(idCol)))
+      .join(profile, Seq("__kg"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol) +: langs.map { l =>
+        val inLang = when(col(s"__t_$l") > 0,
+          coalesce(col(s"__c_$l"), lit(0L)) / col(s"__t_$l")).otherwise(lit(0.0))
+        round(log(lit(LangIdLambda) * inLang +
+          lit(1.0 - LangIdLambda) * background) * lit(1e9))
+          .cast("long").as(s"__lp_$l")
+      }: _*)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        langs.map(l => sum(s"__lp_$l").as(s"__s_$l")): _*)
+    val best = greatest(langs.map(l =>
+      struct(col(s"__s_$l").as("score"), lit(l).as("lang"))): _*)
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        when(col("n_trigrams").isNull, lit("und"))
+          .otherwise(best.getField("lang")).as("lang_pred"))
+  }
+
+  /**
    * Okapi BM25 relevance of a constant query against the corpus — the
    * retrieval primitive of training-data curation (pull the documents
    * most relevant to a benchmark topic for inspection, targeted
