@@ -1539,6 +1539,22 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // The END-TO-END DATA RECIPE — the flagship integration proof: one
+    // composed DataFrame job chaining quality filter → near-dup apply →
+    // verbatim decontamination → mixture rebalance → sequence packing,
+    // each stage the SAME operator its standalone query oracle-checks
+    // (see ext/Recipe.scala). Every 50th doc plays the held-out
+    // benchmark; the rest are the corpus being built.
+    "x_recipe_e2e" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ext.Recipe.run(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0),
+        MixWeights, Seed, TextStats.bpeishTokenCount(col("text")),
+        buckets = 64)
+        .orderBy("ord")
+    }),
+
     "x_sim_bruteforce" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -1794,8 +1810,11 @@ object SparkEntry {
 
   /** DuckDB mirror of "exact 3-gram jaccard pairs >= threshold →
     * min-reachable-id clusters" (recursive CTE transitive closure). */
-  private def jaccardClustersSql(threshold: Double): String =
-    s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+  /** Exact transitive closure of the jaccard pair graph at `threshold`
+    * over `src` (any relation/CTE exposing doc_id + text) — the shared
+    * oracle for the cluster-resolution pipelines. */
+  private def jaccardClustersSql(threshold: Double, src: String = "documents"): String =
+    s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM $src),
        |grams AS (SELECT doc_id, unnest(list_distinct(
        |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
        |                 ELSE [array_to_string(tk[i:i+2], ' ')
@@ -2312,6 +2331,57 @@ object SparkEntry {
          |       array_to_string(tk[tok_from + 1 : least(tok_from + 32, len(tk))], ' ')
          |         AS chunk_text
          |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Recipe replay: the five stage oracles chained as CTEs in pipeline
+    // order — quality predicate on the corpus split, the x_neardup_text
+    // closure over the quality survivors (LSH recall 1.0, as pinned by
+    // x_minhash_pairs), the x_decontaminate_substr window join over the
+    // dedup survivors, the x_mix_to rate filter over the clean set, and
+    // the x_pack_chunks prefix sum over the mixed set.
+    "x_recipe_e2e" -> {
+      val uMix = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val uOrd = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val winList = """list_distinct([array_to_string(tk[i:i+7], ' ')
+                      |            for i in generate_series(1, len(tk) - 7)])""".stripMargin
+      s"""WITH q AS (SELECT doc_id, lang, text FROM documents
+         |           WHERE doc_id % 50 <> 0 AND ($qualityBucketSql) <> 'poor'),
+         |cl AS (${jaccardClustersSql(0.3, "q")}),
+         |sur AS (SELECT doc_id, lang, text FROM q
+         |        WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)),
+         |stoks AS (SELECT doc_id, $toksSql AS tk FROM sur),
+         |dw AS (SELECT doc_id, unnest($winList) AS w
+         |       FROM stoks WHERE len(tk) >= 8),
+         |btoks AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 50 = 0),
+         |bw AS (SELECT DISTINCT unnest($winList) AS w
+         |       FROM btoks WHERE len(tk) >= 8),
+         |clean AS (SELECT doc_id, lang, text FROM sur
+         |          WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dw JOIN bw USING (w))),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |             CASE lang ${mixWhensSql(MixWeights)} END AS w
+         |      FROM clean GROUP BY lang),
+         |cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+         |s AS (SELECT min(n / w) AS scale FROM cw),
+         |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), scale * w / n) AS rate
+         |      FROM cw CROSS JOIN s),
+         |mixed AS (SELECT d.doc_id, d.text FROM clean d JOIN r USING (lang)
+         |          WHERE $uMix < r.rate),
+         |t AS (SELECT doc_id, CAST($bpeishSql AS BIGINT) AS n_tokens,
+         |             $uOrd AS u
+         |      FROM mixed),
+         |o AS (SELECT doc_id, n_tokens,
+         |             CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS ord,
+         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tokens, ord, start_tok,
+         |       CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
+         |       CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+         |         - CAST(floor(start_tok / 256.0) AS BIGINT) + 1 AS pack_span
+         |FROM o ORDER BY ord""".stripMargin
+    },
 
     // Dedup-apply replay: survivors = documents minus non-representative
     // members of the exact transitive closure at the verify threshold

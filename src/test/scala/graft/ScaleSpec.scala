@@ -409,6 +409,33 @@ class ScaleSpec extends SparkSpec {
       .toSeq.sorted shouldBe Seq((-1L, 7.0), (1L, 5.0))
   }
 
+  test("recipe composition adds no redundant exchange: one bucket shuffle, stage reuse, broadcast-only corpus joins") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.ext.Recipe.run(
+      d.where($"doc_id" % 50 =!= 0), d.where($"doc_id" % 50 === 0),
+      Map("en" -> 5.0, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 2.0),
+      42L, graft.ext.TextStats.bpeishTokenCount($"text"), buckets = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    // stage boundaries are materialized once: the packing stage's plan
+    // reads ONLY the checkpointed clean corpus, never the parquet scan
+    // (without the checkpoints the measured plan re-ran the whole
+    // quality+dedup+decontaminate subtree three times)
+    plan should not include "FileScan"
+    plan should include("Scan ExistingRDD")
+    // the only corpus-wide shuffles are packChunks' own two bounded __b
+    // exchanges (phase-1 offsets aggregate + phase-2 bucket window) —
+    // no stage re-shuffles another stage's output
+    "Exchange hashpartitioning\\(__b".r.findAllIn(plan).size shouldBe 2
+    // every corpus-side join is broadcast; nothing sort-merges or
+    // cartesians the packed corpus
+    plan should not include "SortMergeJoin"
+    plan should not include "CartesianProduct"
+    // exactly the two designed windows: the partition-less one is the
+    // ≤buckets-row offsets frame, the partitioned one is per-bucket
+    "Window \\[".r.findAllIn(plan).size shouldBe 2
+    out.count() should be > 0L
+  }
+
   test("bigramLogProb shuffles only hashed 8-byte keys, never word strings") {
     import graft.ext.TextStats
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
