@@ -1196,8 +1196,9 @@ object SparkEntry {
     * `\x0B` while RE2's does not — with a bare `\s` the equivalence
     * was corpus-dependent (TextStats.BpeishPattern is the Spark twin;
     * both regex dialects read these escapes identically). */
-  private val bpeishSql =
-    """len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0B\f\r]'))"""
+  private val bpeishExtractSql =
+    """regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\x0B\f\r]')"""
+  private val bpeishSql = s"len($bpeishExtractSql)"
 
   /** DuckDB fragment: occurrences of `word` via the length-difference
     * trick (mirrors TextStats.wordOccurrences exactly). */
@@ -1357,6 +1358,17 @@ object SparkEntry {
     "x_pack_chunks" -> ((s, dir) =>
       Corpus.packChunks(tbl(s, dir, "documents"), capacity = 256L,
         seed = Seed, tokenCount = TextStats.bpeishTokenCount(col("text")),
+        buckets = 64)
+        .orderBy("ord")),
+
+    // Sequence packing under REAL merges-based subword counts: the
+    // same two-phase prefix sum, but capacity now means actual BPE
+    // tokens (200 merges trained on the embedded standard text, a
+    // plan-time constant like the LSH hyperplanes — see ext/Bpe.scala;
+    // the oracle replays the merges via a recursive replace chain).
+    "x_pack_chunks_bpe" -> ((s, dir) =>
+      Corpus.packChunks(tbl(s, dir, "documents"), capacity = 256L,
+        seed = Seed, tokenCount = graft.ext.Bpe.tokenCount(col("text")),
         buckets = 64)
         .orderBy("ord")),
 
@@ -2227,6 +2239,58 @@ object SparkEntry {
          |                  CAST($bpeishSql AS BIGINT) AS n_tokens,
          |                  $u AS u
          |           FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |             CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS ord,
+         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                  0) AS BIGINT) AS start_tok
+         |      FROM t)
+         |SELECT doc_id, n_tokens, ord, start_tok,
+         |       CAST(floor(start_tok / 256.0) AS BIGINT) AS pack_id,
+         |       CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+         |         - CAST(floor(start_tok / 256.0) AS BIGINT) + 1 AS pack_span
+         |FROM o ORDER BY ord""".stripMargin
+    },
+
+    // Merges-based packing replay: the x_pack_chunks CTE with the
+    // token counter swapped for real BPE counts. The injected merge
+    // table (the SAME Bpe.StandardMerges constants the engine plan
+    // carries) is applied by a recursive CTE over separator-wrapped
+    // symbol strings — one left-to-right `replace` per merge level,
+    // which equals the engine's sequential merge application (see
+    // ext/Bpe.scala scaladoc for the equivalence argument). Each
+    // symbol is wrapped as chr(1)||sym||chr(1), so a merge's pattern
+    // matches exactly at symbol boundaries; merge operands are always
+    // alphanumeric (only [A-Za-z0-9_]+ words have >1 symbol), and the
+    // chr(1) separator cannot collide with corpus text by the same
+    // ASCII-dataset grounds as the media oracles.
+    "x_pack_chunks_bpe" -> {
+      val merges = graft.ext.Bpe.StandardMerges
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      val mergeVals = merges.zipWithIndex.map { case ((a, b), i) =>
+        s"(${i + 1}, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), " +
+          s"chr(1) || '$a$b' || chr(1))"
+      }.mkString(",\n        ")
+      s"""WITH RECURSIVE m(lvl, pat, rep) AS (VALUES
+         |        $mergeVals),
+         |pt AS (SELECT doc_id, unnest($bpeishExtractSql) AS w FROM documents),
+         |words AS (SELECT DISTINCT w FROM pt),
+         |steps AS (
+         |  SELECT w, chr(1) || array_to_string([w[i] for i in generate_series(1, len(w))],
+         |                                      chr(1) || chr(1)) || chr(1) AS s,
+         |         0 AS lvl
+         |  FROM words
+         |  UNION ALL
+         |  SELECT st.w, replace(st.s, mm.pat, mm.rep), st.lvl + 1
+         |  FROM steps st JOIN m mm ON mm.lvl = st.lvl + 1),
+         |wc AS (SELECT w, (len(s) - len(replace(s, chr(1) || chr(1), ''))) // 2 + 1 AS n
+         |       FROM steps WHERE lvl = ${merges.length}),
+         |dc AS (SELECT pt.doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+         |       FROM pt JOIN wc USING (w) GROUP BY 1),
+         |t AS (SELECT d.doc_id, CAST(coalesce(dc.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |             $u AS u
+         |      FROM documents d LEFT JOIN dc USING (doc_id)),
          |o AS (SELECT doc_id, n_tokens,
          |             CAST(row_number() OVER (ORDER BY u, doc_id) - 1 AS BIGINT) AS ord,
          |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id

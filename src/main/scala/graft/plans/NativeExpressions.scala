@@ -257,6 +257,85 @@ object Native {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Pre-tokenizer of the BPE counting kernel — the compiled twin of
+    * `graft.ext.TextStats.BpeishPattern` (kept textually identical by
+    * BpeSpec). */
+  private val BpeishRegex =
+    java.util.regex.Pattern.compile("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]")
+
+  /** Per-thread word→count caches, one per merges table (weak-keyed on
+    * the merges array identity so dropped plans free their cache).
+    * Natural-language corpora repeat words massively; the cache turns
+    * the per-word merge loop into a hash probe for all but the first
+    * occurrence. Bounded at 2^20 entries per table. */
+  private val BpeCaches = new ThreadLocal[
+      java.util.WeakHashMap[AnyRef, java.util.HashMap[String, java.lang.Long]]] {
+    override def initialValue() = new java.util.WeakHashMap()
+  }
+
+  /**
+   * Merges-based BPE token count: pre-tokenize with the shared
+   * pattern, split each word into code points, apply the merge list
+   * sequentially (one left-to-right non-overlapping pass per merge —
+   * see `graft.ext.Bpe` for why this equals rank-priority
+   * application), count surviving symbols. `mab(k)` is the
+   * concatenation `ma(k)+mb(k)`, precomputed so a `contains` probe
+   * skips inapplicable merges (symbol adjacency implies substring
+   * presence, so the gate is sound).
+   */
+  def bpeTokenCount(text: UTF8String, ma: Array[String], mb: Array[String],
+      mab: Array[String]): Long = {
+    val caches = BpeCaches.get()
+    var cache = caches.get(ma)
+    if (cache == null) {
+      cache = new java.util.HashMap[String, java.lang.Long]()
+      caches.put(ma, cache)
+    }
+    val m = BpeishRegex.matcher(text.toString)
+    var total = 0L
+    while (m.find()) {
+      val w = m.group()
+      var c = cache.get(w)
+      if (c == null) {
+        c = java.lang.Long.valueOf(bpeCountWord(w, ma, mb, mab))
+        if (cache.size < (1 << 20)) cache.put(w, c)
+      }
+      total += c.longValue()
+    }
+    total
+  }
+
+  private def bpeCountWord(w: String, ma: Array[String], mb: Array[String],
+      mab: Array[String]): Long = {
+    var syms: java.util.ArrayList[String] = null
+    var i = 0
+    var n = 0
+    while (i < w.length) { i += Character.charCount(w.codePointAt(i)); n += 1 }
+    if (n <= 1) return 1L
+    syms = new java.util.ArrayList[String](n)
+    i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      syms.add(w.substring(i, i + cc))
+      i += cc
+    }
+    var k = 0
+    while (k < ma.length && syms.size > 1) {
+      if (w.contains(mab(k))) {
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j) == ma(k) && syms.get(j + 1) == mb(k)) {
+            out.add(mab(k)); j += 2
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        syms = out
+      }
+      k += 1
+    }
+    syms.size.toLong
+  }
+
   /** Sequential-fold dot product; floats widened to double per element
     * (matches `aggregate(zip_with(...))` exactly, bit for bit). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -377,6 +456,33 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** bpe_token_count(string) → long over a plan-time-constant merges
+  * table (case-class param as Seq of pairs so equality/
+  * canonicalization stay structural), shipped into generated code as
+  * reference arrays. */
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val maArr = merges.map(_._1).toArray
+  @transient private lazy val mbArr = merges.map(_._2).toArray
+  @transient private lazy val mabArr = merges.map(p => p._1 + p._2).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.bpeTokenCount(input.asInstanceOf[UTF8String], maArr, mbArr, mabArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maRef = ctx.addReferenceObj("bpeMa", maArr, "java.lang.String[]")
+    val mbRef = ctx.addReferenceObj("bpeMb", mbArr, "java.lang.String[]")
+    val mabRef = ctx.addReferenceObj("bpeMab", mabArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.bpeTokenCount($c, $maRef, $mbRef, $mabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
 /** dot(array<float|double>, array<float|double>) → double.
   * Length mismatch → null, matching `aggregate(zip_with(...))`
   * (zip_with null-pads the shorter side, poisoning the sum) — a
@@ -435,4 +541,7 @@ object NativeFunctions {
 
   def simhashMd5(text: Column): Column =
     ColumnBridge.column(SimHashMd5Expr(ColumnBridge.expression(text)))
+
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text), merges))
 }
