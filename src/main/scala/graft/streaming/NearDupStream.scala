@@ -90,6 +90,40 @@ object NearDupStream {
       .select(col("doc_id"), col("hist_id"), col("bucket"))
   }
 
+  /**
+   * Verbatim-leak flagging at ingest — streaming decontamination, the
+   * exact-substring counterpart of [[flagAgainstCorpus]]: an incoming
+   * document is flagged when any of its `windowTokens`-token windows
+   * appears verbatim in the static benchmark set, using the SAME
+   * one-pass hashed-window kernel as the batch
+   * [[graft.ext.Dedup.exactSubstringPairs]] /
+   * [[graft.ext.Corpus.decontaminateSubstring]] (so a streaming flag
+   * means exactly "the batch decontamination pass would drop this").
+   * The benchmark side is the distinct hashed-window frame — bounded
+   * by the benchmark (≪ corpus), computed once and broadcast into the
+   * stream-static equi-join; persist it in practice. Stateless: no
+   * watermark, no state store — the static side is the state.
+   *
+   * Emits one `(doc_id, window_hash)` row per matching distinct
+   * window; consumers dedup on doc_id to drop-or-quarantine.
+   * Documents shorter than `windowTokens` tokens cannot leak a
+   * qualifying run and pass untouched, exactly as in the batch
+   * operator.
+   */
+  def flagVerbatim(docs: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    import graft.ext.TextStats
+    def windows(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .where(size(TextStats.tokens(col("text"))) >= windowTokens)
+      .select(cols :+ explode(NativeFunctions.hashedShingles(
+        col("text"), windowTokens)).as("__w"): _*)
+    val bw = windows(benchmark, Nil).select("__w").distinct()
+    windows(docs, Seq(col("doc_id")))
+      .join(bw, "__w")
+      .select(col("doc_id"), col("__w").as("window_hash"))
+  }
+
   final case class BucketHit(bucket: String, doc_id: Long, ts_us: Long)
   /** One (canonical doc, last activity) entry per live bucket — the
     * bounded "band-bucket → min-doc" map, sharded by group key. */

@@ -307,6 +307,43 @@ class StreamingSpec extends SparkSpec {
     flags.foreach { case (d, h) => batch should contain((math.min(d, h), math.max(d, h))) }
   }
 
+  test("streaming verbatim decontamination flags a planted leak at ingest; clean docs pass") {
+    import graft.streaming.NearDupStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchText = "which of the following best describes the time complexity of a hash join over two sorted inputs"
+    val bench = Seq((900L, benchText),
+      (901L, "compute the shortest path between the two marked nodes in the weighted graph below"))
+      .toDF("doc_id", "text")
+    // doc 1 quotes an exact 9-token run from the benchmark mid-text;
+    // doc 2 is clean prose; doc 3 shares topic words but no 8-token run;
+    // doc 4 is shorter than 8 tokens (cannot leak a qualifying run)
+    val leaky = "as seen in many exams which of the following best describes the time complexity of quicksort"
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, leaky),
+      (2L, "completely unrelated prose about gardening and the weather in spring"),
+      (3L, "hash join time complexity depends on the smaller input size"),
+      (4L, "too short to ever match"))
+    val q = NearDupStream.flagVerbatim(mem.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("verbatim_flags")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val flagged = spark.table("verbatim_flags").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    flagged shouldBe Set(1L)
+    // the streaming verdict IS the batch decontamination verdict: the
+    // same docs flag under Corpus.decontaminateSubstring (same kernel)
+    val batchFlagged = graft.ext.Corpus.decontaminateSubstring(
+        Seq((1L, leaky),
+          (2L, "completely unrelated prose about gardening and the weather in spring"),
+          (3L, "hash join time complexity depends on the smaller input size"),
+          (4L, "too short to ever match")).toDF("doc_id", "text"),
+        bench)
+      .collect().map(_.getLong(0)).toSet
+    flagged shouldBe batchFlagged
+  }
+
   test("stateless text operators run unchanged on streaming frames") {
     // redaction / quality counts / langid are pure projections — the
     // SAME Column expressions apply to a readStream frame with no
