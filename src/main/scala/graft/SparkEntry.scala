@@ -1698,6 +1698,23 @@ object SparkEntry {
       Similarity.ivfTopK(emb, queries, k = AnnK).orderBy("query_id", "rank")
     }),
 
+    // IVF SERVING path: the index (centroids + cid-partitioned
+    // assignments) is built once into _SUCCESS-guarded warehouse
+    // tables and re-attached across sessions (the q_bucketed_join
+    // pattern); the query itself only probes — no k-means in its plan
+    // (ScaleSpec-pinned). Bit-identical ranking to x_sim_ivf, so it
+    // shares that oracle.
+    "x_sim_ivf_probe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val name = "ivf_" + (scala.util.hashing.MurmurHash3.stringHash(
+        s"$dir|${emb.schema.toDDL}|16|3|42") & 0x7fffffff)
+      Similarity.ensureIvfIndex(emb, name)
+      Similarity.ivfProbeTopK(s, name, queries, k = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     "x_media_meta" -> ((s, dir) =>
       Multimodal.withMeta(Multimodal.asMediaFrame(tbl(s, dir, "documents")))
         .select(col("media_id"), col("kind"), col("meta.width"),
@@ -2695,6 +2712,11 @@ object SparkEntry {
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
     "x_sim_ivf" -> simIvfSql,
+
+    // The probe-only query ranks bit-identically to the
+    // train-per-query form (same centroids persisted and reloaded as
+    // exact doubles), so it shares the same from-scratch oracle.
+    "x_sim_ivf_probe" -> simIvfSql,
 
     "x_media_features" ->
       """SELECT doc_id AS media_id, d AS dim,

@@ -140,42 +140,42 @@ object Similarity {
    * thing collected to the driver — assignment and scoring stay
    * distributed. Init is deterministic (hash-ranked corpus sample).
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3, seed: Long = 42L,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Nearest-centroid ids of `v` as a plan-time expression: squared L2
+    * via -2·v·c + ||c||² (||v||² constant per row), ascending sort →
+    * first `probes` centroid ids. Shared by training, assignment, and
+    * probing, so the three can never diverge. */
+  private def nearestCentroidCol(v: Column, cents: Array[Seq[Double]],
+      probes: Int): Column = {
+    val scored = cents.zipWithIndex.map { case (cent, i) =>
+      val centCol = array(cent.map(lit): _*)
+      val normSq = cent.map(x => x * x).sum
+      struct((lit(normSq) - lit(2.0) * dot(v, centCol)).as("d"), lit(i).as("cid"))
+    }
+    slice(transform(array_sort(array(scored: _*)), s => s.getField("cid")), 1, probes)
+  }
 
+  /**
+   * Lloyd-iterated centroid training — the index-BUILD step, factored
+   * out so [[ivfTopK]] (train-per-query, the oracle-replayable form)
+   * and [[ensureIvfIndex]] (train-once-persist, the serving form)
+   * share one definition. Deterministic: md5-ranked init (replayable
+   * in DuckDB, unlike xxhash64), exact integer-nano-unit means
+   * (order-independent long sums — a float `avg` would follow
+   * partitioning order). Centroids are the ONLY thing collected.
+   */
+  def trainIvfCentroids(corpus: DataFrame, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Seq[Double]] = {
     val c = corpus.select(col(idCol), col(vecCol))
-
-    // deterministic init: md5-rank the corpus (replayable in the DuckDB
-    // oracle, unlike xxhash64), take the first n vectors; id tiebreak
-    // makes the order total
     var centroids: Array[Seq[Double]] = c
       .orderBy(graft.functions.Rng.uniform(seed, "ivf/init", col(idCol)), col(idCol))
       .limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()))
-
-    def nearestCentroidCol(v: Column, cents: Array[Seq[Double]], probes: Int): Column = {
-      // squared L2 via -2·v·c + ||c||² (||v||² constant per row)
-      val scored = cents.zipWithIndex.map { case (cent, i) =>
-        val centCol = array(cent.map(lit): _*)
-        val normSq = cent.map(x => x * x).sum
-        struct((lit(normSq) - lit(2.0) * dot(v, centCol)).as("d"), lit(i).as("cid"))
-      }
-      // ascending sort → first `probes` centroid ids
-      slice(transform(array_sort(array(scored: _*)), s => s.getField("cid")), 1, probes)
-    }
-
     var it = 0
     while (it < iters) {
       val assigned = c.withColumn("cid",
         element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
-      // Exact mean: quantize each coordinate to integer nano-units and
-      // sum as longs (order-independent, unlike a float `avg` whose
-      // partial-sum order follows partitioning), then divide once.
-      // Deterministic under any partitioning AND replayable in DuckDB.
       val means = assigned
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
@@ -188,9 +188,16 @@ object Similarity {
       centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
       it += 1
     }
+    centroids
+  }
 
-    val assigned = c.withColumn("cid",
-      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+  /** Probe-side tail shared by [[ivfTopK]] and [[ivfProbeTopK]]:
+    * explode each query onto its `nProbe` nearest cells, broadcast
+    * onto the assigned corpus, exact cosine, per-query rank. */
+  private def probeRanked(assigned: DataFrame, queries: DataFrame,
+      centroids: Array[Seq[Double]], k: Int, nProbe: Int, idCol: String,
+      vecCol: String, queryIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probed = queries
       .select(col(queryIdCol), col(vecCol).as("__qv"))
       .withColumn("cid", explode(nearestCentroidCol(col("__qv"), centroids, nProbe)))
@@ -201,6 +208,103 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+    val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
+    val assigned = c.withColumn("cid",
+      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+    probeRanked(assigned, queries, centroids, k, nProbe, idCol, vecCol, queryIdCol)
+  }
+
+  /**
+   * Build-once IVF index persistence — real serving builds the index
+   * ONCE and probes many times; [[ivfTopK]] retrains per query. Two
+   * warehouse tables under `name`, each `_SUCCESS`-guarded and
+   * re-attachable across sessions exactly like the bucketed-join
+   * fact tables (the in-memory catalog forgets tables; complete
+   * parquet dirs survive and re-attach as external tables, partial
+   * writes are cleared and redone):
+   *
+   *  - `<name>_centroids` (cid INT, cv ARRAY<DOUBLE>) — the trained
+   *    centroids, tiny (nCentroids rows).
+   *  - `<name>_assign` — the corpus with its cell id, PARTITIONED BY
+   *    cid: at serving scale a probe reads only its `nProbe` cells'
+   *    partitions (partition pruning via the cid join), which is the
+   *    whole point of an inverted file — candidate I/O scales with
+   *    corpus/nCentroids × nProbe, not with the corpus.
+   */
+  def ensureIvfIndex(corpus: DataFrame, name: String, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val centTbl = s"${name}_centroids"
+    val assignTbl = s"${name}_assign"
+    def warehousePath(t: String): java.nio.file.Path = {
+      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir"))
+      java.nio.file.Paths.get(
+        if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString
+        else wh.getPath).resolve(t)
+    }
+    def clear(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    if (!spark.catalog.tableExists(centTbl) || !spark.catalog.tableExists(assignTbl)) {
+      val centP = warehousePath(centTbl)
+      val assignP = warehousePath(assignTbl)
+      val complete = java.nio.file.Files.exists(centP.resolve("_SUCCESS")) &&
+        java.nio.file.Files.exists(assignP.resolve("_SUCCESS"))
+      if (complete) {
+        import spark.implicits._
+        if (!spark.catalog.tableExists(centTbl)) {
+          spark.sql(s"CREATE TABLE $centTbl (cid INT, cv ARRAY<DOUBLE>) " +
+            s"USING PARQUET LOCATION '${centP.toUri}'")
+        }
+        if (!spark.catalog.tableExists(assignTbl)) {
+          val dataDdl = corpus.select(col(idCol), col(vecCol)).schema.toDDL
+          spark.sql(s"CREATE TABLE $assignTbl ($dataDdl, cid INT) USING PARQUET " +
+            s"PARTITIONED BY (cid) LOCATION '${assignP.toUri}'")
+          spark.sql(s"MSCK REPAIR TABLE $assignTbl")
+        }
+      } else {
+        clear(centP); clear(assignP)
+        import spark.implicits._
+        val centroids = trainIvfCentroids(corpus, nCentroids, iters, seed, idCol, vecCol)
+        centroids.zipWithIndex.map { case (cv, i) => (i, cv) }.toSeq
+          .toDF("cid", "cv")
+          .write.mode("overwrite").saveAsTable(centTbl)
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("cid",
+            element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+          .write.partitionBy("cid").mode("overwrite").saveAsTable(assignTbl)
+      }
+    }
+  }
+
+  /**
+   * Probe-only ANN over a persisted IVF index ([[ensureIvfIndex]]):
+   * loads the centroid table (bounded nCentroids-row collect — the
+   * same "only centroids ever reach the driver" contract as
+   * training), then probes the partitioned assignment table. NO
+   * k-means runs here — the probe plan is a scan + broadcast join +
+   * per-query rank (pinned by ScaleSpec). With identical build
+   * parameters the ranking is bit-identical to [[ivfTopK]]'s, so the
+   * probe query shares the train-per-query oracle.
+   */
+  def ivfProbeTopK(spark: org.apache.spark.sql.SparkSession, name: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame = {
+    val centroids: Array[Seq[Double]] = spark.table(s"${name}_centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
+    val assigned = spark.table(s"${name}_assign")
+    probeRanked(assigned, queries, centroids, k, nProbe, idCol, vecCol, queryIdCol)
   }
 
   /**

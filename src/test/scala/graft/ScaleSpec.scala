@@ -454,6 +454,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("persisted IVF index: probe-only path matches retrain-per-query, no k-means at probe time") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val name = "ivf_spec_" + (System.nanoTime() % 1000000)
+    Similarity.ensureIvfIndex(emb, name)
+    val probe = Similarity.ivfProbeTopK(spark, name, queries, k = 5)
+      .orderBy("query_id", "rank")
+    val retrain = Similarity.ivfTopK(emb, queries, k = 5)
+      .orderBy("query_id", "rank")
+    probe.collect().toSeq shouldBe retrain.collect().toSeq
+    // probing never re-runs Lloyd iterations: no coordinate explode /
+    // means aggregation in the plan — just the index scan, the
+    // broadcast probe join, and the per-query rank
+    val plan = probe.queryExecution.executedPlan.toString
+    plan should not include "posexplode"
+    plan should include("FileScan")
+    // re-ensure is idempotent (catalog short-circuit), probe repeats
+    Similarity.ensureIvfIndex(emb, name)
+    Similarity.ivfProbeTopK(spark, name, queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe retrain.collect().toSeq
+  }
+
   test("histQuantiles excludes NULL and NaN values instead of binning them low") {
     import graft.ext.Sketches
     val bad = Seq(("a", Some(1.0)), ("a", None), ("a", Some(Double.NaN)),
