@@ -1,0 +1,45 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scale-growth probe behind SCALING.md: times the dedup/similarity
+ * family at sf0.001 / sf0.01 / sf0.1 (min-of-3, noop sink — the same
+ * estimator as [[graft.Bench]]) and prints one JSON line per
+ * (query, sf) plus per-query input/output row counts, so the
+ * runtime-vs-rows growth ratio is measured, not argued.
+ */
+object ScalingProbe {
+  private val Queries = Seq("x_minhash_pairs", "x_substring_dedup",
+    "x_jaccard_pairs", "x_dedup_clusters", "x_recipe_e2e")
+  private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(2000000).selectExpr("sum(id * 2)").collect()
+    val runs = 3
+    for (sf <- Sfs) {
+      val dir = s"/root/testdata/$sf"
+      val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+      for (name <- Queries) {
+        val fn = graft.SparkEntry.queries(name)
+        var rows = -1L
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        rows = fn(spark, dir).count()
+        val mn = math.rint(times.min * 1000) / 1000
+        println(s"""{"probe":"scaling","query":"$name","sf":"$sf","docs":$docs,"out_rows":$rows,"sec_min":$mn}""")
+      }
+    }
+    spark.stop()
+  }
+}
