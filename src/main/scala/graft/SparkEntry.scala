@@ -1223,6 +1223,12 @@ object SparkEntry {
        |     ELSE 'poor' END""".stripMargin
   }
 
+  /** Stopword list for x_gopher_rules, shared by query and oracle: the
+    * synthetic corpus's entire function-word inventory is {the, a}
+    * (measured — no other English stopword occurs), so the published
+    * Gopher list would zero out the ">= 2 distinct stopwords" rule. */
+  private val GopherQueryStopwords = Seq("the", "a")
+
   /** Split fractions shared by the x_split_assign query and its oracle
     * (the oracle embeds the exact IEEE cut values via Corpus.splitCuts). */
   private val SplitFractions =
@@ -1514,6 +1520,14 @@ object SparkEntry {
         .groupBy("tok").agg(count(lit(1)).as("n"))
         .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_vocab"),
           sum(when(col("n") === 1, 1).otherwise(0)).as("n_hapax"))),
+
+    // Gopher rules (Rae et al. A1.1): the published pretraining filter
+    // suite as exact per-doc facets + composite verdict. The stopword
+    // list is the corpus's actual function-word inventory (see
+    // GopherQueryStopwords) so the ">= 2 kinds" rule discriminates.
+    "x_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(tbl(s, dir, "documents"),
+        stopwords = GopherQueryStopwords).orderBy("doc_id")),
 
     // Per-document repetition: duplicated-bigram fraction — the standard
     // "repetitive text" pretraining filter signal. Pure projection, no
@@ -2852,6 +2866,72 @@ object SparkEntry {
          |            ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
          |                 / CAST(len(bg) AS DOUBLE) END AS rep_ratio
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules: every facet is a ratio of exact integer counts with
+    // one double division, so comparisons replay bit-identically; the
+    // top-bigram tie-break (count DESC, gram ASC) mirrors the engine's
+    // min(struct(-c, gram)).
+    "x_gopher_rules" -> {
+      val stopKinds = GopherQueryStopwords
+        .map(w => s"CASE WHEN ${occSql(w)} > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |base AS (SELECT doc_id, text, t, len(t) AS nw,
+         |                array_to_string(t, ' ') AS norm FROM tk),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |                    i -> t[i] || ' ' || t[i+1])) AS gram
+         |       FROM tk WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+         |        FROM bg GROUP BY 1, 2),
+         |top2 AS (SELECT doc_id, c AS t2c, CAST(len(gram) AS BIGINT) AS t2l
+         |         FROM (SELECT doc_id, gram, c, row_number() OVER
+         |                 (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+         |               FROM bgc) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |                 t[i+3] || ' ' || t[i+4])) AS gram
+         |       FROM tk WHERE len(t) >= 5),
+         |g5c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+         |        FROM g5 GROUP BY 1, 2),
+         |dup5 AS (SELECT doc_id, CAST(sum(c * len(gram)) AS BIGINT) AS d5
+         |         FROM g5c WHERE c > 1 GROUP BY 1),
+         |f AS (SELECT b.doc_id,
+         |        CAST(b.nw AS BIGINT) AS n_words,
+         |        CAST(len(b.norm) AS BIGINT) AS chars,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST(len(b.norm) - (b.nw - 1) AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS mean_word_len,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST(len(regexp_extract_all(b.norm,
+         |                    '[^ ]*[a-z][^ ]*')) AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS alpha_frac,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST((len(b.norm) - len(replace(b.norm, '#', '')))
+         |                  + (len(b.norm) - len(replace(b.norm, '...', ''))) / 3
+         |                  AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS symbol_ratio,
+         |        CAST($stopKinds AS BIGINT) AS n_stop_kinds,
+         |        coalesce(t2.t2c * t2.t2l, 0) AS t2chars,
+         |        coalesce(d.d5, 0) AS d5chars
+         |      FROM base b
+         |      LEFT JOIN top2 t2 USING (doc_id)
+         |      LEFT JOIN dup5 d USING (doc_id)),
+         |f2 AS (SELECT doc_id, n_words, mean_word_len, alpha_frac,
+         |         symbol_ratio, n_stop_kinds,
+         |         CASE WHEN chars > 0 THEN CAST(t2chars AS DOUBLE) / chars
+         |              ELSE 0.0 END AS top_bigram_frac,
+         |         CASE WHEN chars > 0 THEN CAST(d5chars AS DOUBLE) / chars
+         |              ELSE 0.0 END AS dup_5gram_frac
+         |       FROM f)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+         |       n_stop_kinds, top_bigram_frac, dup_5gram_frac,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |        AND n_stop_kinds >= 2 AND top_bigram_frac <= 0.20
+         |        AND dup_5gram_frac <= 0.15) AS passes
+         |FROM f2 ORDER BY doc_id""".stripMargin
+    },
 
     // Detector regexes injected from the SAME registry the Spark query
     // uses (PiiScan.detectors) — oracle and engine cannot drift apart.

@@ -444,4 +444,137 @@ object TextStats {
       .orderBy(col("score_u9").desc, col(idCol))
       .limit(k)
   }
+
+  /** Codegen word-n-gram explode: `(idCol, gram)` rows via the
+    * arrays_zip-of-shifted-slices formulation (no interpreted
+    * `transform` lambda — the [[wordNgrams]] scaladoc's prescription,
+    * generalized from the bigram form in `x_ngram_topk`). Documents
+    * with fewer than `n` tokens contribute no rows. */
+  def gramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cnt = greatest(size(toks) - (n - 1), lit(0))
+    val zipped = arrays_zip(
+      (1 to n).map(j => slice(toks, lit(j), cnt).as(s"w$j")): _*)
+    df.select(col(idCol), explode(zipped).as("z"))
+      .select(col(idCol),
+        concat_ws(" ", (1 to n).map(j => col(s"z.w$j")): _*).as("gram"))
+  }
+
+  /** The Gopher rules' stopword list (Rae et al. 2021, table A1:
+    * "must contain at least two of ..."), distinct from the
+    * [[Stopwords]] scoring list. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style document quality rules (Rae et al. 2021, appendix
+   * A1.1 — the filter suite C4/MassiveText-lineage pipelines apply
+   * before dedup), computed per document as exact facets plus the
+   * composite `passes` verdict. The thresholds are the published
+   * defaults; all facets are ratios of exact integer counts (single
+   * double division each), so every comparison replays bit-identically
+   * in the DuckDB oracle.
+   *
+   * Facets (over the shared lowercased whitespace tokenizer; `norm` is
+   * the single-space re-joined text, the denominator for character
+   * fractions):
+   *  - `n_words`, `mean_word_len` — word count / mean word length.
+   *  - `alpha_frac` — fraction of words containing an [a-z] character
+   *    (counted on `norm` with one regex, `[^ ]*[a-z][^ ]*`: a
+   *    greedy match consumes exactly the qualifying token, so no
+   *    array lambda is needed; the class is spelled without `\S`
+   *    because Java and RE2 disagree on `\x0B`).
+   *  - `symbol_ratio` — (# of `#` + # of `...`) / words, both counted
+   *    by the length-difference trick (`...` left-to-right
+   *    non-overlapping in both engines).
+   *  - `n_stop_kinds` — how many DISTINCT `stopwords` appear
+   *    (presence via [[wordOccurrences]], the proven oracle mirror).
+   *    The list is a parameter (default [[GopherStopwords]]) because
+   *    the rule only discriminates over the corpus's actual
+   *    function-word inventory — the synthetic test corpus's is
+   *    {the, a}, under which the published "≥ 2 kinds" threshold
+   *    keeps its intent.
+   *  - `top_bigram_frac` — chars covered by the most frequent word
+   *    bigram (count × gram length, tie toward the lexicographically
+   *    smallest gram) / chars of `norm`.
+   *  - `dup_5gram_frac` — chars covered by all occurrences of
+   *    repeated 5-grams (Σ count × length over grams with count > 1)
+   *    / chars of `norm`; overlapping occurrences are each charged,
+   *    so the ratio can exceed 1 on degenerate text (documented
+   *    deviation from the paper's character-attribution, which needs
+   *    positional interval union — deliberately out of SQL reach).
+   *
+   * `passes` = words ∈ [50, 100000] ∧ mean_word_len ∈ [3, 10] ∧
+   * symbol_ratio ≤ 0.1 ∧ alpha_frac ≥ 0.8 ∧ n_stop_kinds ≥ 2 ∧
+   * top_bigram_frac ≤ 0.20 ∧ dup_5gram_frac ≤ 0.15.
+   *
+   * Shape at scale: one projection for the scalar facets, two
+   * explode→count aggregations (bigram, 5-gram) reduced per doc and
+   * joined back on the 8-byte doc id; the gram aggregations partial-
+   * aggregate map-side (per-doc gram cardinality is bounded by doc
+   * length), and nothing ever crosses a shuffle keyed on a gram
+   * string alone — the key is (doc, gram), which AQE splits fine
+   * since no single doc is 100 TB.
+   */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val norm = concat_ws(" ", toks)
+    val nWords = size(toks).cast("long")
+    val charTotal = length(norm).cast("long")
+    val wordChars = charTotal - (nWords - 1)
+    val alphaWords =
+      size(regexp_extract_all(norm, lit("[^ ]*[a-z][^ ]*"), lit(0))).cast("long")
+    val nHash = (length(norm) - length(replace(norm, lit("#"), lit("")))).cast("long")
+    val nEllipsis =
+      ((length(norm) - length(replace(norm, lit("..."), lit("")))) / 3).cast("long")
+    val nStopKinds = stopwords
+      .map(w => (wordOccurrences(t, w) > 0).cast("int"))
+      .reduce(_ + _).cast("long")
+    val base = df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      charTotal.as("__chars"),
+      when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(nWords > 0, alphaWords.cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0)).as("alpha_frac"),
+      when(nWords > 0, (nHash + nEllipsis).cast("double") / nWords.cast("double"))
+        .otherwise(lit(0.0)).as("symbol_ratio"),
+      nStopKinds.as("n_stop_kinds"))
+    val bgCounts = gramRows(df, idCol, textCol, 2)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+    val top2 = bgCounts
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__c")).as("nc"), col("gram").as("g"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).as("__t2c"),
+        length(col("m.g")).cast("long").as("__t2l"))
+    val dup5 = gramRows(df, idCol, textCol, 5)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * length(col("gram"))).as("__d5"))
+    base
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("symbol_ratio"), col("n_stop_kinds"),
+        when(col("__chars") > 0,
+          coalesce(col("__t2c") * col("__t2l"), lit(0L)).cast("double") /
+            col("__chars").cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        when(col("__chars") > 0,
+          coalesce(col("__d5"), lit(0L)).cast("double") /
+            col("__chars").cast("double"))
+          .otherwise(lit(0.0)).as("dup_5gram_frac"))
+      .withColumn("passes",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+        col("n_stop_kinds") >= 2 &&
+        col("top_bigram_frac") <= 0.20 && col("dup_5gram_frac") <= 0.15)
+  }
 }

@@ -233,6 +233,46 @@ class ExtSpec extends SparkSpec {
     counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
+  test("gopher rules: hand-computed facets and composite verdict") {
+    val longDoc = "the and " + (0 until 60).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (0L, "the cat sat on the mat with a dog and the cat sat"),
+      (1L, "spam spam spam spam spam spam"),
+      (2L, longDoc),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextStats.gopherRules(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // doc 0: 13 words, 37 word chars (norm 49 incl 12 spaces); top
+    // bigram is count-2 tie ("cat sat" vs "the cat") broken toward the
+    // lexicographically smaller gram: "cat sat" (7 chars) * 2 = 14/49.
+    out(0L).getAs[Long]("n_words") shouldBe 13L
+    out(0L).getAs[Double]("mean_word_len") shouldBe 37.0 / 13
+    out(0L).getAs[Double]("top_bigram_frac") shouldBe 14.0 / 49
+    out(0L).getAs[Double]("dup_5gram_frac") shouldBe 0.0
+    out(0L).getAs[Long]("n_stop_kinds") shouldBe 3L  // the, with, and
+    out(0L).getAs[Boolean]("passes") shouldBe false  // < 50 words
+
+    // doc 1: degenerate repetition — the 5-gram "spam spam spam spam
+    // spam" occurs twice (overlapping), each occurrence charged:
+    // 2 * 24 / 29 > 1 (the documented deviation from interval union).
+    out(1L).getAs[Double]("top_bigram_frac") shouldBe 5 * 9.0 / 29
+    out(1L).getAs[Double]("dup_5gram_frac") shouldBe 2 * 24.0 / 29
+    out(1L).getAs[Boolean]("passes") shouldBe false
+
+    // doc 2: 62 distinct-ish words, two stopword kinds, no repetition —
+    // the one that passes every published rule.
+    out(2L).getAs[Long]("n_words") shouldBe 62L
+    out(2L).getAs[Boolean]("passes") shouldBe true
+
+    // doc 3: empty — all facets defined (zero), verdict false.
+    out(3L).getAs[Long]("n_words") shouldBe 0L
+    out(3L).getAs[Double]("mean_word_len") shouldBe 0.0
+    out(3L).getAs[Double]("top_bigram_frac") shouldBe 0.0
+    out(3L).getAs[Boolean]("passes") shouldBe false
+  }
+
   test("bm25: independent scalar math reproduces scores; termless docs absent") {
     val corpus = Seq(
       (0L, "hash join hash"), (1L, "hash scan"), (2L, "nothing here at all"))
