@@ -1705,6 +1705,13 @@ object SparkEntry {
     // Exact-oracle checked with NO injected constants: the oracle
     // re-derives the same centroids (md5-ranked init, quantized exact
     // means) from the data — see simIvfSql.
+    // SemDeDup: same k-means as the IVF index, within-cell cosine
+    // neighbors, keep-first-by-id — the semantic layer of the dedup
+    // family (exact digest -> MinHash text -> embedding LSH -> this).
+    "x_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = SemDedupTau)
+        .orderBy("vec_id")),
+
     "x_sim_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -1970,13 +1977,23 @@ object SparkEntry {
    * rank. No constants are injected; the oracle derives the same
    * centroids from the data.
    */
-  private def simIvfSql: String = {
-    // sequential-fold helpers over aliased DOUBLE-list columns — the
-    // same left-to-right order as NativeFunctions.dot
-    def dotL(a: String, b: String): String =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-        s"[$a[i] * $b[i] for i in generate_series(1, 64)]), (x, y) -> x + y)"
-    def norm2(a: String): String = dotL(a, a)
+  // sequential-fold helpers over aliased DOUBLE-list columns — the
+  // same left-to-right order as NativeFunctions.dot. Shared by the
+  // IVF and SemDeDup oracles.
+  private def ivfDotL(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"[$a[i] * $b[i] for i in generate_series(1, 64)]), (x, y) -> x + y)"
+  private def ivfNorm2(a: String): String = ivfDotL(a, a)
+
+  /** The k-means replay shared by simIvfSql and semDedupSql: CTEs `e`
+    * (double-cast vectors) through `af` (assignments after 3 Lloyd
+    * iterations) — md5-ranked init, exact quantized means with
+    * empty-cluster carry-over, deterministic nearest-centroid
+    * tie-break on ascending cid. One definition so the ANN oracle and
+    * the semantic-dedup oracle can never train different clusterings. */
+  private def ivfAssignCtes: String = {
+    def dotL(a: String, b: String) = ivfDotL(a, b)
+    def norm2(a: String) = ivfNorm2(a)
     // one Lloyd iteration: assign to nearest centroid of `cent`, then
     // exact quantized means with empty-cluster carry-over
     def iterate(cent: String, next: String): String =
@@ -1995,7 +2012,7 @@ object SparkEntry {
          |         (SELECT cid, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
          |                           ORDER BY pos) AS cv
          |          FROM m_$next GROUP BY cid) m ON c.cid = m.cid)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
        |cent0 AS (SELECT row_number() OVER (ORDER BY rnk, vec_id) - 1 AS cid, v AS cv
        |          FROM (SELECT vec_id, v,
        |                  ('0x' || substr(md5('$Seed' || chr(1) || 'ivf/init' || chr(1) ||
@@ -2008,7 +2025,13 @@ object SparkEntry {
        |  SELECT e.vec_id, e.v, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |           (${norm2("c.cv")} - 2.0 * ${dotL("e.v", "c.cv")}) ASC, c.cid ASC) AS rn
-       |  FROM e CROSS JOIN cent3 c) WHERE rn = 1),
+       |  FROM e CROSS JOIN cent3 c) WHERE rn = 1)""".stripMargin
+  }
+
+  private def simIvfSql: String = {
+    def dotL(a: String, b: String) = ivfDotL(a, b)
+    def norm2(a: String) = ivfNorm2(a)
+    s"""WITH $ivfAssignCtes,
        |probed AS (SELECT query_id, qv, cid FROM (
        |  SELECT q.vec_id AS query_id, q.v AS qv, c.cid,
        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2025,6 +2048,24 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, score, rank
        |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Cosine threshold shared by the x_semdedup query and oracle. */
+  private val SemDedupTau = 0.35
+
+  /** DuckDB mirror of x_semdedup: the shared k-means assignment CTEs,
+    * then within-cell smaller-id neighbors at >= tau cosine (same
+    * sequential-fold dot/norm — the unrounded compare is the proven
+    * x_cosine_pairs equivalence). */
+  private def semDedupSql: String =
+    s"""WITH $ivfAssignCtes,
+       |dup AS (SELECT DISTINCT b.vec_id AS ib
+       |        FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |        WHERE ${ivfDotL("a.v", "b.v")} /
+       |              (sqrt(${ivfNorm2("a.v")}) * sqrt(${ivfNorm2("b.v")}))
+       |              >= CAST('${SemDedupTau.toString}' AS DOUBLE))
+       |SELECT af.vec_id, CAST(af.cid AS INTEGER) AS cid,
+       |       af.vec_id NOT IN (SELECT ib FROM dup) AS kept
+       |FROM af ORDER BY af.vec_id""".stripMargin
 
   /** DuckDB mirror of x_sim_bruteforce (exact cosine top-5 for the
     * first 5 vectors) — also reused as a CTE by x_ann_recall. */
@@ -2725,6 +2766,7 @@ object SparkEntry {
         |                    CAST((frame_ts % 16) * 2 + 1 AS INT), 32)) AS frame_hex
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
+    "x_semdedup" -> semDedupSql,
     "x_sim_ivf" -> simIvfSql,
 
     // The probe-only query ranks bit-identically to the

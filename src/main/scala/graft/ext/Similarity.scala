@@ -210,6 +210,52 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+   * the embedding space with the SAME deterministic k-means as the IVF
+   * index ([[trainIvfCentroids]] — one definition, so the ANN index
+   * and the dedup pass can share an assignment), then flag a vector as
+   * a semantic duplicate when some SMALLER-id vector in its cluster is
+   * within `threshold` cosine — the keep-first-by-id rule every exact
+   * dedup in this engine uses, applied to semantic neighbors. Returns
+   * `(idCol, cid, kept)` for every input vector.
+   *
+   * Pairwise comparison happens WITHIN a cluster only — the whole
+   * point of SemDeDup: candidates are Σ|cell|² instead of n², and a
+   * cell's pairs are an equi-join on its integer cell id, never a
+   * cross join. The assignment frame is localCheckpoint-materialized
+   * so the k-means assignment lineage runs once for both sides of the
+   * self-join (the [[cosinePairs]] argument). At 100 TB the cell
+   * self-join is the standard skew surface — cells are k-means-sized
+   * (corpus/nCentroids expected), and a pathological mega-cell is
+   * exactly what more centroids (or the hot/cold salted join) fix.
+   *
+   * Duplicate flagging is pairwise, NOT transitive closure: a chain
+   * a~b~c with cos(a,c) < threshold keeps a and drops b, c (c via its
+   * b-edge) — SemDeDup's semantics (each item compared against its
+   * cluster's kept set), not connected components. For closure
+   * semantics over an embedding graph use
+   * [[graft.ext.Dedup.embeddingNearDups]] + cluster resolution.
+   */
+  def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+    val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
+    val assigned = c.withColumn("cid",
+      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+      .localCheckpoint()
+    val l = assigned.select(col("cid"), col(idCol).as("__ia"), col(vecCol).as("__va"))
+    val r = assigned.select(col("cid"), col(idCol).as("__ib"), col(vecCol).as("__vb"))
+    val dropped = l.join(r, Seq("cid"))
+      .where(col("__ia") < col("__ib") &&
+        cosine(col("__va"), col("__vb")) >= lit(threshold))
+      .select(col("__ib").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cid"), col("__dup").isNull.as("kept"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3, seed: Long = 42L,
       idCol: String = "vec_id", vecCol: String = "embedding",

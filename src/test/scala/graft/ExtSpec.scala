@@ -233,6 +233,32 @@ class ExtSpec extends SparkSpec {
     counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
+  test("semDedup: within-cluster near-dups drop keep-first, pair join is equi") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.999, 0.01, 0.0, 0.0)),  // ~dup of 0 (cos ≈ 0.99995)
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.01, 0.999, 0.0, 0.0)),  // ~dup of 2
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))      // lone direction
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(vecs, threshold = 0.95, nCentroids = 2,
+      iters = 2)
+    // the cell self-join must be an equi-join on cid, never a cross
+    out.queryExecution.executedPlan.toString should not include "Cartesian"
+    val kept = out.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    kept should have size 5
+    // keep-first by id: the smaller id of each near-dup pair survives
+    kept(0L) shouldBe true
+    kept(2L) shouldBe true
+    kept(4L) shouldBe true
+    // a near-dup with a smaller-id neighbor in its cell is dropped —
+    // 0/1 (and 2/3) are near-identical, so every centroid assignment
+    // puts each pair in one cell
+    kept(1L) shouldBe false
+    kept(3L) shouldBe false
+  }
+
   test("gopher rules: hand-computed facets and composite verdict") {
     val longDoc = "the and " + (0 until 60).map(i => s"word$i").mkString(" ")
     val df = Seq(
