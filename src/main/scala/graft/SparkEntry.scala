@@ -1435,6 +1435,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail perplexity buckets per source stratum,
+    // scored under the same even-id-trained bigram LM as
+    // x_bigram_logprob (shared oracle CTEs).
+    "x_ppl_buckets" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.pplBuckets(d, d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
@@ -2052,6 +2061,44 @@ object SparkEntry {
   /** Cosine threshold shared by the x_semdedup query and oracle. */
   private val SemDedupTau = 0.35
 
+  /** The bigram-LM scoring chain shared by x_bigram_logprob and
+    * x_ppl_buckets (train on even doc ids, stupid-backoff alpha 0.4,
+    * 1e-9-grid sums): CTEs through `lpf` = (doc_id, n_bigrams,
+    * avg_logprob). One definition so the score a bucket is assigned
+    * from is the score the standalone query checks. */
+  private def bigramLpCtes: String = {
+    val a = "CAST('0.4' AS DOUBLE)"
+    def posCte(name: String, src: String, idSel: String) =
+      s"""$name AS (SELECT $idSel unnest([{'w1': tk[i], 'w2': tk[i+1]}
+         |            for i in generate_series(1, len(tk) - 1)]) AS z
+         |          FROM $src WHERE len(tk) >= 2)""".stripMargin
+    s"""alltk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tr AS (SELECT doc_id, tk FROM alltk WHERE doc_id % 2 = 0),
+       |${posCte("tpz", "tr", "")}
+       |, tp AS (SELECT z.w1 AS w1, z.w2 AS w2 FROM tpz),
+       |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY 1, 2),
+       |ut AS (SELECT unnest(tk) AS w FROM tr),
+       |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM ut GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+       |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM ut),
+       |${posCte("posz", "alltk", "doc_id,")}
+       |, pos AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM posz),
+       |j AS (SELECT pos.doc_id,
+       |             CASE WHEN cb IS NOT NULL AND c1.cu IS NOT NULL
+       |                  THEN cb / c1.cu
+       |                  ELSE $a * (coalesce(c2.cu, 0) + 1) / (t + v) END AS p
+       |      FROM pos
+       |      LEFT JOIN big USING (w1, w2)
+       |      LEFT JOIN uni c1 ON c1.w = pos.w1
+       |      LEFT JOIN uni c2 ON c2.w = pos.w2
+       |      CROSS JOIN tot),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |             sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS s9
+       |      FROM j GROUP BY 1),
+       |lpf AS (SELECT doc_id, n_bigrams, s9 / (n_bigrams * 1e9) AS avg_logprob
+       |        FROM s)""".stripMargin
+  }
+
   /** DuckDB mirror of x_semdedup: the shared k-means assignment CTEs,
     * then within-cell smaller-id neighbors at >= tau cosine (same
     * sequential-fold dot/norm — the unrounded compare is the proven
@@ -2531,38 +2578,27 @@ object SparkEntry {
     // Bigram-LM replay: identical backoff CASE (alpha injected as a
     // round-trip string literal), same 1e-9 grid snap before the long
     // sum, positions via the proven list-comprehension bigram CTE.
-    "x_bigram_logprob" -> {
-      val a = "CAST('0.4' AS DOUBLE)"
-      def posCte(name: String, src: String, idSel: String) =
-        s"""$name AS (SELECT $idSel unnest([{'w1': tk[i], 'w2': tk[i+1]}
-           |            for i in generate_series(1, len(tk) - 1)]) AS z
-           |          FROM $src WHERE len(tk) >= 2)""".stripMargin
-      s"""WITH alltk AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |tr AS (SELECT doc_id, tk FROM alltk WHERE doc_id % 2 = 0),
-         |${posCte("tpz", "tr", "")}
-         |, tp AS (SELECT z.w1 AS w1, z.w2 AS w2 FROM tpz),
-         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM tp GROUP BY 1, 2),
-         |ut AS (SELECT unnest(tk) AS w FROM tr),
-         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM ut GROUP BY 1),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
-         |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM ut),
-         |${posCte("posz", "alltk", "doc_id,")}
-         |, pos AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2 FROM posz),
-         |j AS (SELECT pos.doc_id,
-         |             CASE WHEN cb IS NOT NULL AND c1.cu IS NOT NULL
-         |                  THEN cb / c1.cu
-         |                  ELSE $a * (coalesce(c2.cu, 0) + 1) / (t + v) END AS p
-         |      FROM pos
-         |      LEFT JOIN big USING (w1, w2)
-         |      LEFT JOIN uni c1 ON c1.w = pos.w1
-         |      LEFT JOIN uni c2 ON c2.w = pos.w2
-         |      CROSS JOIN tot),
-         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |             sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS s9
-         |      FROM j GROUP BY 1)
-         |SELECT doc_id, n_bigrams, s9 / (n_bigrams * 1e9) AS avg_logprob
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "x_bigram_logprob" ->
+      s"""WITH $bigramLpCtes
+         |SELECT doc_id, n_bigrams, avg_logprob
+         |FROM lpf ORDER BY doc_id""".stripMargin,
+
+    // CCNet perplexity bucketing: the bigram-LM score chain (shared
+    // CTEs — the two oracles cannot train different LMs), joined to
+    // the stratum column, split by NTILE over the bit-identical score
+    // doubles. Spark and DuckDB NTILE agree (first n%b buckets take
+    // the extras), so the label replays exactly.
+    "x_ppl_buckets" ->
+      s"""WITH $bigramLpCtes,
+         |jb AS (SELECT l.doc_id, d.source, l.n_bigrams, l.avg_logprob
+         |       FROM lpf l JOIN documents d USING (doc_id)),
+         |b AS (SELECT *, ntile(3) OVER (PARTITION BY source
+         |          ORDER BY avg_logprob DESC, doc_id) AS nt FROM jb)
+         |SELECT doc_id, source, n_bigrams, avg_logprob,
+         |       CASE WHEN nt = 1 THEN 'head'
+         |            WHEN nt = 3 THEN 'tail'
+         |            ELSE 'middle' END AS bucket
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // Unigram-LM replay: same grid snap (round half away from zero
     // agrees between engines), integer sums are order-independent, and

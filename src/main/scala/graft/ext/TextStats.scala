@@ -445,6 +445,50 @@ object TextStats {
       .limit(k)
   }
 
+  /**
+   * CCNet-style perplexity bucketing: score every document under the
+   * [[bigramLogProb]] LM (trained on `train`), then split each
+   * `partitionCol` stratum into `nBuckets` equal-frequency buckets by
+   * LM fit — bucket 1 ("head") is the best-fitting (highest average
+   * log-prob = lowest perplexity) tercile, "tail" the worst, exactly
+   * the head/middle/tail split CCNet (Wenzek et al. 2020) uses to
+   * keep/downsample/drop web text. Returns
+   * `(idCol, partitionCol, n_bigrams, avg_logprob, bucket)` for every
+   * document with at least one bigram (shorter docs have no LM score,
+   * [[bigramLogProb]] semantics).
+   *
+   * The split is `ntile(nBuckets)` over (avg_logprob DESC, id ASC) —
+   * both engines implement SQL NTILE identically (first `n % buckets`
+   * buckets take the extra rows), and the score doubles are
+   * bit-identical by the 1e-9-grid argument, so the bucket label
+   * replays exactly in the oracle.
+   *
+   * Shape at scale: the window partitions by the stratum column —
+   * CCNet buckets per language for exactly this reason — so no
+   * single-partition global sort exists; each stratum sorts within
+   * its shuffle partition. A stratum is assumed executor-sized
+   * (languages/domains at 100 TB are many and individually bounded);
+   * a degenerate single-stratum corpus would need the two-phase
+   * range-partitioned rank instead.
+   */
+  def pplBuckets(docs: DataFrame, train: DataFrame, nBuckets: Int = 3,
+      partitionCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.4): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val lp = bigramLogProb(docs, train, alpha, idCol, textCol)
+    val w = Window.partitionBy(col(partitionCol))
+      .orderBy(col("avg_logprob").desc, col(idCol).asc)
+    lp.join(docs.select(col(idCol), col(partitionCol)), Seq(idCol))
+      .withColumn("__nt", ntile(nBuckets).over(w))
+      .withColumn("bucket",
+        when(col("__nt") === 1, lit("head"))
+          .when(col("__nt") === nBuckets, lit("tail"))
+          .otherwise(lit("middle")))
+      .select(col(idCol), col(partitionCol), col("n_bigrams"),
+        col("avg_logprob"), col("bucket"))
+  }
+
   /** Codegen word-n-gram explode: `(idCol, gram)` rows via the
     * arrays_zip-of-shifted-slices formulation (no interpreted
     * `transform` lambda — the [[wordNgrams]] scaladoc's prescription,

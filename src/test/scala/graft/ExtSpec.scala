@@ -233,6 +233,22 @@ class ExtSpec extends SparkSpec {
     counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
+  test("pplBuckets: LM-fit ordering drives head/middle/tail within a stratum") {
+    val docs = Seq(
+      (0L, "s", "a b a b a b"),  // all bigrams trained
+      (1L, "s", "a b a b"),
+      (2L, "s", "a b z q"),      // one trained + two backoff bigrams
+      (3L, "s", "a z b q"),      // all backoff
+      (4L, "s", "z q z q"),      // all backoff on unseen-unigram words
+      (5L, "s", "q z q z")
+    ).toDF("doc_id", "source", "text")
+    val out = TextStats.pplBuckets(docs, docs.where($"doc_id" < 2))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    out shouldBe Map(0L -> "head", 1L -> "head", 2L -> "middle",
+      3L -> "middle", 4L -> "tail", 5L -> "tail")
+  }
+
   test("semDedup: within-cluster near-dups drop keep-first, pair join is equi") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0, 0.0)),
