@@ -1476,6 +1476,13 @@ object SparkEntry {
       Dedup.exactSubstringPairs(tbl(s, dir, "documents"), windowTokens = 8)
         .orderBy("a", "b")),
 
+    // Per-doc n-gram novelty: fraction of a doc's distinct 8-token
+    // windows unique to it corpus-wide — the linear-cost diversity
+    // diagnostic (doc-frequency agg, no pair term).
+    "x_ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(tbl(s, dir, "documents"), windowTokens = 8)
+        .orderBy("doc_id")),
+
     "x_text_quality" -> ((s, dir) =>
       TextStats.qualityFacets(tbl(s, dir, "documents"))
         .select("doc_id", "n_chars_m", "n_tokens", "n_bpeish", "n_punct",
@@ -2701,6 +2708,22 @@ object SparkEntry {
          |SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS n_shared_windows
          |FROM wins wa JOIN wins wb ON wa.g = wb.g AND wa.doc_id < wb.doc_id
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Novelty replay: same window strings as x_substring_dedup, with
+    // the corpus-wide half a doc-frequency count instead of a join.
+    "x_ngram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |wins AS (SELECT doc_id, unnest(list_distinct(
+         |           [array_to_string(tk[i:i+7], ' ')
+         |            for i in generate_series(1, len(tk) - 7)])) AS g
+         |         FROM toks WHERE len(tk) >= 8),
+         |df AS (SELECT g, CAST(count(*) AS BIGINT) AS nd FROM wins GROUP BY g)
+         |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(count(*) - sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS novelty
+         |FROM wins w JOIN df USING (g)
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
 
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).

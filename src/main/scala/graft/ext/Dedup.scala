@@ -295,6 +295,44 @@ object Dedup {
   }
 
   /**
+   * Per-document n-gram novelty — the corpus-diversity diagnostic
+   * (Rae-et-al lineage: what fraction of a document's text is unique
+   * to it?): for each document with at least `windowTokens` tokens,
+   * the fraction of its DISTINCT `windowTokens`-token windows that
+   * appear in NO other document. Returns
+   * `(idCol, n_windows, n_shared, novelty)` where
+   * `novelty = 1 − n_shared / n_windows`; 1.0 = entirely novel text,
+   * 0.0 = every window also occurs elsewhere (a verbatim composite).
+   * Shorter documents are excluded, [[exactSubstringPairs]] semantics.
+   *
+   * Same one-pass hashed-window kernel and 2^-64-collision oracle
+   * equivalence as [[exactSubstringPairs]], but the corpus-wide half
+   * is a per-window DOC-FREQUENCY aggregation instead of a self-join:
+   * window rows are distinct per doc by kernel construction, so
+   * `count ≥ 2` on the 8-byte hash marks a window as shared, and the
+   * per-doc rollup is one more aggregation. Cost is linear in total
+   * windows at any corpus size — no pair term at all, which is why
+   * this is the cheap first look before running the pair finders.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val wins = docs
+      .where(size(tokens(col(textCol))) >= windowTokens)
+      .select(col(idCol), explode(
+        graft.plans.NativeFunctions.hashedShingles(col(textCol), windowTokens)).as("w"))
+      .localCheckpoint() // feeds the doc-frequency agg and the rollup once
+    val docFreq = wins.groupBy(col("w")).agg(count(lit(1)).as("__nd"))
+    wins.join(docFreq, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col(idCol), col("n_windows"), col("n_shared"),
+        ((col("n_windows") - col("n_shared")).cast("double") /
+          col("n_windows").cast("double")).as("novelty"))
+  }
+
+  /**
    * The composed near-duplicate pipeline — the 100 TB shape: MinHash-LSH
    * banding proposes candidate pairs (bucketed equi-join, no cross
    * join), exact n-gram Jaccard verifies ONLY those candidates, and the

@@ -233,6 +233,24 @@ class ExtSpec extends SparkSpec {
     counts(1L)._3 shouldBe 4L          // ceil(15 bytes / 4)
   }
 
+  test("ngramNovelty: shared windows counted corpus-wide, short docs excluded") {
+    val q = "one two three four five six seven eight"  // one 8-token window
+    val docs = Seq(
+      (0L, q + " tail0 tail1"), // 3 windows, the first shared with doc 1
+      (1L, "prefix " + q),      // 2 windows, one shared
+      (2L, "a b c d e f g h"),  // 1 window, unique
+      (3L, "short doc")         // < 8 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_windows"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("novelty"))).toMap
+    out should have size 3
+    out(0L) shouldBe ((3L, 1L, 2.0 / 3))
+    out(1L) shouldBe ((2L, 1L, 0.5))
+    out(2L) shouldBe ((1L, 0L, 1.0))
+  }
+
   test("pplBuckets: LM-fit ordering drives head/middle/tail within a stratum") {
     val docs = Seq(
       (0L, "s", "a b a b a b"),  // all bigrams trained
