@@ -124,6 +124,44 @@ object NearDupStream {
       .select(col("doc_id"), col("__w").as("window_hash"))
   }
 
+  /**
+   * The DROP side of streaming decontamination: admit only documents
+   * with NO verbatim `windowTokens`-token overlap with the benchmark
+   * set. [[flagVerbatim]] emits flag rows (quarantine workflows);
+   * this returns the clean complement — which an append-mode stream
+   * cannot derive from the flags (doc-level "no window matched" is an
+   * aggregation over the exploded frame, and a stream cannot
+   * anti-join its own derivative without watermark state). Instead
+   * the benchmark's distinct window hashes — bounded by the
+   * benchmark, ≪ corpus, the same bounded-collect posture as the IVF
+   * centroids and LSH hyperplanes — ride the plan as an array
+   * literal, and admission is ONE codegen predicate over the same
+   * one-pass window kernel: no join, no shuffle, no state. Documents
+   * shorter than the window pass untouched (batch semantics). For a
+   * benchmark too big to literal-ize, swap the exact array for the
+   * [[graft.operators.SkewUtils]] bloom-literal probe and accept its
+   * false-positive drop rate; `maxWindows` makes the exact path's
+   * bound explicit instead of silently inflating plans.
+   */
+  def admitVerbatim(docs: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 8, maxWindows: Int = 1 << 20): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    import graft.ext.TextStats
+    val hashes = benchmark
+      .where(size(TextStats.tokens(col("text"))) >= windowTokens)
+      .select(explode(NativeFunctions.hashedShingles(
+        col("text"), windowTokens)).as("__w"))
+      .distinct().collect().map(_.getLong(0))
+    require(hashes.length <= maxWindows,
+      s"benchmark has ${hashes.length} distinct windows (> $maxWindows): " +
+        "use the bloom-literal probe instead of the exact array literal")
+    docs.where(
+      size(TextStats.tokens(col("text"))) < windowTokens ||
+        !arrays_overlap(
+          NativeFunctions.hashedShingles(col("text"), windowTokens),
+          typedLit(hashes.toSeq)))
+  }
+
   final case class BucketHit(bucket: String, doc_id: Long, ts_us: Long)
   /** One (canonical doc, last activity) entry per live bucket — the
     * bounded "band-bucket → min-doc" map, sharded by group key. */

@@ -344,6 +344,53 @@ class StreamingSpec extends SparkSpec {
     flagged shouldBe batchFlagged
   }
 
+  test("streaming ingest gate: quality filter → verbatim drop → redact → archive flags, one graph") {
+    // the ingest half of the batch recipe composed on a readStream
+    // frame: every stage is stateless (projection or stream-static
+    // join), so the whole gate runs in append mode with no state store
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{PiiScan, TextStats}
+    import graft.streaming.NearDupStream
+    val histText = "the archive already holds this exact document about query " +
+      "planning and join ordering in distributed engines today"
+    val corpus = Seq((800L, histText)).toDF("doc_id", "text")
+    val benchText = "which of the following best describes the time complexity " +
+      "of a hash join over two sorted inputs"
+    val bench = Seq((900L, benchText)).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "a perfectly ordinary document with ssn 123-45-6789 inside " +
+        "it and plenty of other words to pass the quality gate"),
+      (2L, "too short"),                                  // poor → dropped
+      (3L, "students often ask which of the following best describes " +
+        "the time complexity of merge sort"),             // verbatim leak → dropped
+      (4L, histText))                                     // admitted, flagged vs archive
+    val admitted = NearDupStream.admitVerbatim(
+      TextStats.qualityFacets(mem.toDF().toDF("doc_id", "text"))
+        .where($"quality_bucket" =!= "poor")
+        .select("doc_id", "text"),
+      bench)
+    val gated = PiiScan.redact(admitted)
+    val q1 = gated.writeStream.format("memory").queryName("ingest_admitted")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(60000) shouldBe true
+    // archive near-dup flags computed downstream of the same gate
+    val q2 = NearDupStream.flagAgainstCorpus(gated.select("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("ingest_flags")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000) shouldBe true
+
+    val rows = spark.table("ingest_admitted").collect()
+    rows.map(_.getAs[Long]("doc_id")).toSet shouldBe Set(1L, 4L)
+    val doc1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    doc1.getAs[String]("redacted") should include("[REDACTED:ssn]")
+    doc1.getAs[String]("redacted") should not include "123-45-6789"
+    val flags = spark.table("ingest_flags").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hist_id")).distinct
+    flags shouldBe Array(4L -> 800L)
+  }
+
   test("stateless text operators run unchanged on streaming frames") {
     // redaction / quality counts / langid are pure projections — the
     // SAME Column expressions apply to a readStream frame with no
