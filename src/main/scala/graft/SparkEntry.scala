@@ -1468,6 +1468,26 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
         .orderBy("a", "b")),
 
+    // LSH candidate recall/precision against exact Jaccard truth at
+    // the near-dup operating point — measures the banding quality the
+    // whole near-dup family rests on (x_ann_recall's dedup sibling).
+    "x_lsh_recall" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(d, minJaccard = 0.7).select("a", "b")
+      val cand = Dedup.minhashLshPairs(d).select("a", "b")
+      val hit = truth.join(cand, Seq("a", "b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_true_pairs"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true_pairs"), col("n_candidates"), col("n_hit"),
+          when(col("n_true_pairs") > 0,
+            col("n_hit").cast("double") / col("n_true_pairs").cast("double"))
+            .otherwise(lit(1.0)).as("recall"),
+          when(col("n_candidates") > 0,
+            col("n_hit").cast("double") / col("n_candidates").cast("double"))
+            .otherwise(lit(1.0)).as("cand_precision"))
+    }),
+
     // Exact-substring dedup (Lee et al.): pairs sharing a verbatim
     // 8-token window, found via the one-pass hashed-window kernel and
     // an 8-byte-key equi-join — the suffix-array-free formulation that
@@ -1879,6 +1899,52 @@ object SparkEntry {
   /** Exact transitive closure of the jaccard pair graph at `threshold`
     * over `src` (any relation/CTE exposing doc_id + text) — the shared
     * oracle for the cluster-resolution pipelines. */
+  /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
+    * the x_minhash_pairs oracle, also embedded as the candidate set of
+    * x_lsh_recall (one definition, the sets cannot drift). */
+  private def minhashPairsSql: String = {
+    val (as, bs) = Dedup.minhashCoefs(32)
+    val aList = as.mkString("[", ", ", "]")
+    val bList = bs.mkString("[", ", ", "]")
+    val p = Dedup.MinhashPrime
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |grams AS (SELECT doc_id, unnest(list_distinct(
+       |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |                 ELSE [array_to_string(tk[i:i+2], ' ')
+       |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+       |          FROM toks),
+       |xs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS x
+       |       FROM grams),
+       |sig AS (SELECT doc_id, j,
+       |               min(($aList[j+1] * x + $bList[j+1]) % $p) AS h
+       |        FROM xs CROSS JOIN generate_series(0, 31) s(j) GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, j // 4 AS band,
+       |                 string_agg(h::VARCHAR, ',' ORDER BY j) AS bucket
+       |          FROM sig GROUP BY 1, 2),
+       |pairs AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+       |          FROM bands la JOIN bands lb ON la.band = lb.band
+       |           AND la.bucket = lb.bucket AND la.doc_id < lb.doc_id)
+       |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
+  }
+
+  /** DuckDB replay of the exact Jaccard pair set at the near-dup
+    * operating threshold (0.7) — x_lsh_recall's ground truth. */
+  private def jaccardTruthSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |grams AS (SELECT doc_id, unnest(list_distinct(
+       |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |                 ELSE [array_to_string(tk[i:i+2], ' ')
+       |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+       |          FROM toks),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+       |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+       |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a, b FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7""".stripMargin
+
   private def jaccardClustersSql(threshold: Double, src: String = "documents"): String =
     s"""WITH RECURSIVE toks AS (SELECT doc_id, $toksSql AS tk FROM $src),
        |grams AS (SELECT doc_id, unnest(list_distinct(
@@ -2727,30 +2793,26 @@ object SparkEntry {
 
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).
-    "x_minhash_pairs" -> {
-      val (as, bs) = Dedup.minhashCoefs(32)
-      val aList = as.mkString("[", ", ", "]")
-      val bList = bs.mkString("[", ", ", "]")
-      val p = Dedup.MinhashPrime
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |grams AS (SELECT doc_id, unnest(list_distinct(
-         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-         |                 ELSE [array_to_string(tk[i:i+2], ' ')
-         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
-         |          FROM toks),
-         |xs AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS x
-         |       FROM grams),
-         |sig AS (SELECT doc_id, j,
-         |               min(($aList[j+1] * x + $bList[j+1]) % $p) AS h
-         |        FROM xs CROSS JOIN generate_series(0, 31) s(j) GROUP BY 1, 2),
-         |bands AS (SELECT doc_id, j // 4 AS band,
-         |                 string_agg(h::VARCHAR, ',' ORDER BY j) AS bucket
-         |          FROM sig GROUP BY 1, 2),
-         |pairs AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
-         |          FROM bands la JOIN bands lb ON la.band = lb.band
-         |           AND la.bucket = lb.bucket AND la.doc_id < lb.doc_id)
-         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
-    },
+    "x_minhash_pairs" -> minhashPairsSql,
+
+    // LSH recall/precision against exact Jaccard ground truth at the
+    // near-dup operating point (0.7) — the dedup analogue of
+    // x_ann_recall, from the same replayed pair sets.
+    "x_lsh_recall" ->
+      s"""WITH truth AS (SELECT a, b FROM ($jaccardTruthSql)),
+         |cand AS (SELECT a, b FROM ($minhashPairsSql)),
+         |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM truth t JOIN cand c ON t.a = c.a AND t.b = c.b),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs FROM truth),
+         |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+         |SELECT n_true_pairs, n_candidates, n_hit,
+         |       CASE WHEN n_true_pairs > 0
+         |            THEN CAST(n_hit AS DOUBLE) / n_true_pairs
+         |            ELSE 1.0 END AS recall,
+         |       CASE WHEN n_candidates > 0
+         |            THEN CAST(n_hit AS DOUBLE) / n_candidates
+         |            ELSE 1.0 END AS cand_precision
+         |FROM h, tt, cc""".stripMargin,
 
     // SimHash replay: 60-bit signature from per-bit ±1 votes of each
     // distinct token's md5 key; 4×15-bit chunk banding; exact Hamming
