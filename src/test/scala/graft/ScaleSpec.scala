@@ -454,6 +454,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("round-10 operators keep their scale shapes: novelty has no pair join, ppl window is partitioned, semDedup joins on cid") {
+    import graft.ext.{Dedup, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // ngramNovelty is doc-frequency + rollup: two aggregations over the
+    // window rows, one hash-key join back, and NO self-join pair term —
+    // the plan must not contain a join of wins against wins on doc
+    // inequality (the exactSubstringPairs shape)
+    val novPlan = Dedup.ngramNovelty(docs).queryExecution.executedPlan.toString
+    novPlan should not include "Cartesian"
+    novPlan should not include ("a#")
+    // pplBuckets windows per stratum: every window spec carries the
+    // source partition — no empty-partition global window anywhere
+    val pplPlan = TextStats.pplBuckets(docs, docs.where($"doc_id" % 2 === 0))
+      .queryExecution.executedPlan.toString
+    val winLines = pplPlan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winLines should not be empty
+    winLines.foreach { w =>
+      // windowspecdefinition(partitionSpec, orderSpec, frame): the
+      // stratum column must lead the spec — an unpartitioned global
+      // window would start with the ordering expression instead
+      withClue(w) { w should include regex "windowspecdefinition\\(source#" }
+    }
+    // gopherRules: gram aggregations key on (doc id, gram) — never on
+    // the gram string alone (a gram-only shuffle key is the corpus-wide
+    // hot-key surface; with the doc id in the key, skew is bounded by
+    // the longest single document)
+    val gPlan = TextStats.gopherRules(docs).queryExecution.executedPlan.toString
+    val gramParts = "hashpartitioning\\([^)]*gram[^)]*\\)".r.findAllIn(gPlan).toSeq
+    gramParts.foreach { e => withClue(e) { e should include("doc_id") } }
+  }
+
   test("persisted IVF index: probe-only path matches retrain-per-query, no k-means at probe time") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 5)
