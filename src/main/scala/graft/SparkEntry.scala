@@ -1223,6 +1223,36 @@ object SparkEntry {
        |     ELSE 'poor' END""".stripMargin
   }
 
+  /** The merges-applied per-document BPE token count, as DuckDB CTEs
+    * `m` (the injected Bpe.StandardMerges ladder) through `dc` =
+    * (doc_id, n_tokens) — the separator-wrapped recursive replace
+    * replay of the native BpeTokenCountExpr. Callers prepend
+    * `WITH RECURSIVE`. Shared by x_pack_chunks_bpe and
+    * x_bpe_compression so the two count under one merges table. */
+  private def bpeDocCountCtes: String = {
+    val merges = graft.ext.Bpe.StandardMerges
+    val mergeVals = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"(${i + 1}, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), " +
+        s"chr(1) || '$a$b' || chr(1))"
+    }.mkString(",\n        ")
+    s"""m(lvl, pat, rep) AS (VALUES
+       |        $mergeVals),
+       |pt AS (SELECT doc_id, unnest($bpeishExtractSql) AS w FROM documents),
+       |words AS (SELECT DISTINCT w FROM pt),
+       |steps AS (
+       |  SELECT w, chr(1) || array_to_string([w[i] for i in generate_series(1, len(w))],
+       |                                      chr(1) || chr(1)) || chr(1) AS s,
+       |         0 AS lvl
+       |  FROM words
+       |  UNION ALL
+       |  SELECT st.w, replace(st.s, mm.pat, mm.rep), st.lvl + 1
+       |  FROM steps st JOIN m mm ON mm.lvl = st.lvl + 1),
+       |wc AS (SELECT w, (len(s) - len(replace(s, chr(1) || chr(1), ''))) // 2 + 1 AS n
+       |       FROM steps WHERE lvl = ${merges.length}),
+       |dc AS (SELECT pt.doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+       |       FROM pt JOIN wc USING (w) GROUP BY 1)""".stripMargin
+  }
+
   /** Stopword list for x_gopher_rules, shared by query and oracle: the
     * synthetic corpus's entire function-word inventory is {the, a}
     * (measured — no other English stopword occurs), so the published
@@ -1377,6 +1407,31 @@ object SparkEntry {
         seed = Seed, tokenCount = graft.ext.Bpe.tokenCount(col("text")),
         buckets = 64)
         .orderBy("ord")),
+
+    // Tokenizer-efficiency report: every counter tier side by side
+    // (bytes, whitespace, pre-tokenizer pieces, character symbols,
+    // merges-applied BPE) plus the two planning ratios — all in one
+    // shuffle-free projection over the native BPE kernel. BPE starts
+    // from CHARACTER symbols, so merge_savings is measured against
+    // n_symbols (n_bpe is always within [n_bpeish, n_symbols]).
+    "x_bpe_compression" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextStats.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", ""))
+          .cast("long").as("n_symbols"),
+        graft.ext.Bpe.tokenCount(col("text")).cast("long").as("n_bpe"))
+        .withColumn("bytes_per_token",
+          when(col("n_bpe") > 0,
+            col("n_bytes").cast("double") / col("n_bpe").cast("double"))
+            .otherwise(lit(0.0)))
+        .withColumn("merge_savings",
+          when(col("n_symbols") > 0,
+            lit(1.0) - col("n_bpe").cast("double") / col("n_symbols").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy("doc_id")),
 
     // Pack-slice fan-out: one row per (document, pack) with half-open
     // in-pack token ranges — the frame a packing job feeds the
@@ -2456,30 +2511,31 @@ object SparkEntry {
     // alphanumeric (only [A-Za-z0-9_]+ words have >1 symbol), and the
     // chr(1) separator cannot collide with corpus text by the same
     // ASCII-dataset grounds as the media oracles.
+    // Tokenizer-efficiency replay: same merges CTEs as
+    // x_pack_chunks_bpe (shared bpeDocCountCtes), joined to the other
+    // counter tiers; ratios are single double ops on exact integers.
+    "x_bpe_compression" ->
+      s"""WITH RECURSIVE $bpeDocCountCtes,
+         |f AS (SELECT d.doc_id,
+         |        CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+         |        CAST(len($toksSql) AS BIGINT) AS n_ws,
+         |        CAST($bpeishSql AS BIGINT) AS n_bpeish,
+         |        CAST(len(regexp_replace(d.text, '[ \\t\\n\\x0B\\f\\r]', '', 'g'))
+         |          AS BIGINT) AS n_symbols,
+         |        CAST(coalesce(dc.n_tokens, 0) AS BIGINT) AS n_bpe
+         |      FROM documents d LEFT JOIN dc USING (doc_id))
+         |SELECT doc_id, n_bytes, n_ws, n_bpeish, n_symbols, n_bpe,
+         |       CASE WHEN n_bpe > 0 THEN CAST(n_bytes AS DOUBLE) / n_bpe
+         |            ELSE 0.0 END AS bytes_per_token,
+         |       CASE WHEN n_symbols > 0
+         |            THEN 1.0 - CAST(n_bpe AS DOUBLE) / n_symbols
+         |            ELSE 0.0 END AS merge_savings
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     "x_pack_chunks_bpe" -> {
-      val merges = graft.ext.Bpe.StandardMerges
       val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
-      val mergeVals = merges.zipWithIndex.map { case ((a, b), i) =>
-        s"(${i + 1}, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), " +
-          s"chr(1) || '$a$b' || chr(1))"
-      }.mkString(",\n        ")
-      s"""WITH RECURSIVE m(lvl, pat, rep) AS (VALUES
-         |        $mergeVals),
-         |pt AS (SELECT doc_id, unnest($bpeishExtractSql) AS w FROM documents),
-         |words AS (SELECT DISTINCT w FROM pt),
-         |steps AS (
-         |  SELECT w, chr(1) || array_to_string([w[i] for i in generate_series(1, len(w))],
-         |                                      chr(1) || chr(1)) || chr(1) AS s,
-         |         0 AS lvl
-         |  FROM words
-         |  UNION ALL
-         |  SELECT st.w, replace(st.s, mm.pat, mm.rep), st.lvl + 1
-         |  FROM steps st JOIN m mm ON mm.lvl = st.lvl + 1),
-         |wc AS (SELECT w, (len(s) - len(replace(s, chr(1) || chr(1), ''))) // 2 + 1 AS n
-         |       FROM steps WHERE lvl = ${merges.length}),
-         |dc AS (SELECT pt.doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
-         |       FROM pt JOIN wc USING (w) GROUP BY 1),
+      s"""WITH RECURSIVE $bpeDocCountCtes,
          |t AS (SELECT d.doc_id, CAST(coalesce(dc.n_tokens, 0) AS BIGINT) AS n_tokens,
          |             $u AS u
          |      FROM documents d LEFT JOIN dc USING (doc_id)),
