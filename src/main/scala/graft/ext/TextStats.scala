@@ -553,13 +553,13 @@ object TextStats {
    * symbol_ratio ≤ 0.1 ∧ alpha_frac ≥ 0.8 ∧ n_stop_kinds ≥ 2 ∧
    * top_bigram_frac ≤ 0.20 ∧ dup_5gram_frac ≤ 0.15.
    *
-   * Shape at scale: one projection for the scalar facets, two
-   * explode→count aggregations (bigram, 5-gram) reduced per doc and
-   * joined back on the 8-byte doc id; the gram aggregations partial-
-   * aggregate map-side (per-doc gram cardinality is bounded by doc
-   * length), and nothing ever crosses a shuffle keyed on a gram
-   * string alone — the key is (doc, gram), which AQE splits fine
-   * since no single doc is 100 TB.
+   * Shape at scale: ONE shuffle-free projection. Every facet is
+   * per-document, so the original explode→group formulation's two
+   * shuffles were pure overhead; the gram statistics now come from the
+   * fused native kernel ([[graft.plans.Native.gopherGramStats]] — one
+   * pass, doc-local hash maps, codegen call), equivalence spec-pinned
+   * against the [[gramRows]] aggregation it replaced. The whole rule
+   * suite runs at scan speed at any corpus size.
    */
   def gopherRules(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
@@ -578,40 +578,26 @@ object TextStats {
     val nStopKinds = stopwords
       .map(w => (wordOccurrences(t, w) > 0).cast("int"))
       .reduce(_ + _).cast("long")
-    val base = df.select(
-      col(idCol),
-      nWords.as("n_words"),
-      charTotal.as("__chars"),
-      when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
-        .otherwise(lit(0.0)).as("mean_word_len"),
-      when(nWords > 0, alphaWords.cast("double") / nWords.cast("double"))
-        .otherwise(lit(0.0)).as("alpha_frac"),
-      when(nWords > 0, (nHash + nEllipsis).cast("double") / nWords.cast("double"))
-        .otherwise(lit(0.0)).as("symbol_ratio"),
-      nStopKinds.as("n_stop_kinds"))
-    val bgCounts = gramRows(df, idCol, textCol, 2)
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
-    val top2 = bgCounts
-      .groupBy(col(idCol))
-      .agg(min(struct((-col("__c")).as("nc"), col("gram").as("g"))).as("m"))
-      .select(col(idCol), (-col("m.nc")).as("__t2c"),
-        length(col("m.g")).cast("long").as("__t2l"))
-    val dup5 = gramRows(df, idCol, textCol, 5)
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1)
-      .groupBy(col(idCol))
-      .agg(sum(col("__c") * length(col("gram"))).as("__d5"))
-    base
-      .join(top2, Seq(idCol), "left")
-      .join(dup5, Seq(idCol), "left")
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        charTotal.as("__chars"),
+        when(nWords > 0, wordChars.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("mean_word_len"),
+        when(nWords > 0, alphaWords.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("alpha_frac"),
+        when(nWords > 0, (nHash + nEllipsis).cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)).as("symbol_ratio"),
+        nStopKinds.as("n_stop_kinds"),
+        graft.plans.NativeFunctions.gopherGramStats(t).as("__gs"))
       .select(col(idCol), col("n_words"), col("mean_word_len"),
         col("alpha_frac"), col("symbol_ratio"), col("n_stop_kinds"),
         when(col("__chars") > 0,
-          coalesce(col("__t2c") * col("__t2l"), lit(0L)).cast("double") /
+          (col("__gs.top2_cnt") * col("__gs.top2_len")).cast("double") /
             col("__chars").cast("double"))
           .otherwise(lit(0.0)).as("top_bigram_frac"),
         when(col("__chars") > 0,
-          coalesce(col("__d5"), lit(0L)).cast("double") /
+          col("__gs.dup5_chars").cast("double") /
             col("__chars").cast("double"))
           .otherwise(lit(0.0)).as("dup_5gram_frac"))
       .withColumn("passes",

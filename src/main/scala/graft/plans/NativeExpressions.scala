@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -336,6 +337,78 @@ object Native {
     syms.size.toLong
   }
 
+  /**
+   * Per-document Gopher gram statistics in ONE pass — the fused
+   * replacement for [[graft.ext.TextStats.gopherRules]]' two
+   * explode→group aggregations (per-doc stats need no cross-row state,
+   * so the shuffles were pure overhead): lowercase whitespace tokens,
+   * count word bigrams and 5-grams in doc-local hash maps, and return
+   * `(top2_cnt, top2_len, dup5_chars)` — the most frequent bigram's
+   * count and character length (ties toward the binary-smallest gram,
+   * matching `min(struct(-c, gram))` and the oracle's
+   * `ORDER BY c DESC, gram`; byte-wise UTF-8 comparison, which is
+   * code-point order — Java String compareTo would differ on
+   * supplementary planes), and Σ count × length over repeated
+   * 5-grams. Lengths are code-point counts, matching `length()` in
+   * both engines. Fewer than 2 tokens → (0, 0, 0); the zero count
+   * replays the old left-join's NULL-coalesce exactly.
+   */
+  def gopherGramStats(text: UTF8String): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    var top2Cnt = 0L
+    var top2Gram: String = null
+    var dup5 = 0L
+    def binaryLt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def gramCounts(n: Int): java.util.HashMap[String, Long] = {
+      val m = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+        val g = sb.toString
+        m.put(g, m.getOrDefault(g, 0L) + 1L)
+        i += 1
+      }
+      m
+    }
+    if (toks.length >= 2) {
+      val it = gramCounts(2).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > top2Cnt ||
+            (e.getValue == top2Cnt && top2Gram != null &&
+              binaryLt(e.getKey, top2Gram))) {
+          top2Cnt = e.getValue
+          top2Gram = e.getKey
+        }
+      }
+    }
+    if (toks.length >= 5) {
+      val it = gramCounts(5).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > 1L)
+          dup5 += e.getValue * UTF8String.fromString(e.getKey).numChars()
+      }
+    }
+    val top2Len =
+      if (top2Gram == null) 0L
+      else UTF8String.fromString(top2Gram).numChars().toLong
+    new GenericInternalRow(Array[Any](top2Cnt, top2Len, dup5))
+  }
+
   /** Sequential-fold dot product; floats widened to double per element
     * (matches `aggregate(zip_with(...))` exactly, bit for bit). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
@@ -363,6 +436,23 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.Native.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** gopher_gram_stats(string) → struct(top2_cnt, top2_len, dup5_chars). */
+case class GopherGramStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("top2_cnt", LongType, nullable = false),
+    StructField("top2_len", LongType, nullable = false),
+    StructField("dup5_chars", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.gopherGramStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.gopherGramStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherGramStatsExpr =
     copy(child = newChild)
 }
 
@@ -544,4 +634,7 @@ object NativeFunctions {
 
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeTokenCountExpr(ColumnBridge.expression(text), merges))
+
+  def gopherGramStats(text: Column): Column =
+    ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
 }

@@ -293,6 +293,44 @@ class ExtSpec extends SparkSpec {
     kept(3L) shouldBe false
   }
 
+  test("gopher rules: fused gram kernel ≡ explode-group reference on corpus + edges") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val edges = Seq((9001L, ""), (9002L, "one"), (9003L, "a a a a a a"),
+      (9004L, "x y x y x y x y x y")).toDF("doc_id", "text")
+    val docs = base.union(edges)
+    val fused = TextStats.gopherRules(docs)
+      .select("doc_id", "top_bigram_frac", "dup_5gram_frac")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // the pre-fusion explode→group formulation, rebuilt from gramRows
+    // (ScalaTest Matchers shadows the length function — alias it)
+    val strLen = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.length(c)
+    val chars = docs.select($"doc_id",
+      strLen(concat_ws(" ", TextStats.tokens($"text"))).cast("long").as("chars"))
+    val top2 = TextStats.gramRows(docs, "doc_id", "text", 2)
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"c").as("nc"), $"gram".as("g"))).as("m"))
+      .select($"doc_id", (-$"m.nc").as("t2c"),
+        strLen($"m.g").cast("long").as("t2l"))
+    val dup5 = TextStats.gramRows(docs, "doc_id", "text", 5)
+      .groupBy($"doc_id", $"gram").agg(count(lit(1)).as("c"))
+      .where($"c" > 1)
+      .groupBy($"doc_id").agg(sum($"c" * strLen($"gram")).as("d5"))
+    val ref = chars
+      .join(top2, Seq("doc_id"), "left").join(dup5, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"chars" > 0, coalesce($"t2c" * $"t2l", lit(0L)).cast("double") /
+          $"chars".cast("double")).otherwise(lit(0.0)),
+        when($"chars" > 0, coalesce($"d5", lit(0L)).cast("double") /
+          $"chars".cast("double")).otherwise(lit(0.0)))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    fused shouldBe ref
+  }
+
   test("gopher rules: hand-computed facets and composite verdict") {
     val longDoc = "the and " + (0 until 60).map(i => s"word$i").mkString(" ")
     val df = Seq(

@@ -477,13 +477,14 @@ class ScaleSpec extends SparkSpec {
       // window would start with the ordering expression instead
       withClue(w) { w should include regex "windowspecdefinition\\(source#" }
     }
-    // gopherRules: gram aggregations key on (doc id, gram) — never on
-    // the gram string alone (a gram-only shuffle key is the corpus-wide
-    // hot-key surface; with the doc id in the key, skew is bounded by
-    // the longest single document)
+    // gopherRules: every facet is per-document, so the whole rule
+    // suite must plan as ONE shuffle-free projection (the fused native
+    // gram kernel) — no Exchange, no Generate, no join anywhere
     val gPlan = TextStats.gopherRules(docs).queryExecution.executedPlan.toString
-    val gramParts = "hashpartitioning\\([^)]*gram[^)]*\\)".r.findAllIn(gPlan).toSeq
-    gramParts.foreach { e => withClue(e) { e should include("doc_id") } }
+    gPlan should not include "Exchange"
+    gPlan should not include "Generate"
+    gPlan should not include "Join"
+    gPlan should include("gophergramstats")
   }
 
   test("persisted IVF index: probe-only path matches retrain-per-query, no k-means at probe time") {
