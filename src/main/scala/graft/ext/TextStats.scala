@@ -344,32 +344,45 @@ object TextStats {
       idCol: String = "doc_id", textCol: String = "text",
       labelCol: String = "lang"): DataFrame = {
     require(langs.nonEmpty, "langs must be non-empty")
-    def gramRows(df: DataFrame, idCols: Seq[Column]): DataFrame = {
-      val cs = split(lower(col(textCol)), "")
-      val n = size(cs) - 2
-      df.where(size(cs) >= 3)
-        .select(idCols :+ explode(arrays_zip(
-          slice(cs, lit(1), n).as("c0"), slice(cs, lit(2), n).as("c1"),
-          slice(cs, lit(3), n).as("c2"))).as("z"): _*)
-        .select(idCols :+
-          xxhash64(concat(col("z.c0"), col("z.c1"), col("z.c2"))).as("__kg"): _*)
-    }
+    // positional trigram hashes from the fused native kernel — one
+    // pass per row, no per-char array/slice/zip allocation; hash
+    // family identical to the xxhash64(concat(c0,c1,c2)) formulation
+    // it replaced (same bytes, same seed — LangIdSpec pins the
+    // equivalence), so profiles and scores are unchanged. Documents
+    // with fewer than 3 code points yield an empty array, which
+    // explode drops — the old `where(size >= 3)` gate, for free.
+    def gramRows(df: DataFrame, idCols: Seq[Column]): DataFrame =
+      df.select(idCols :+ explode(
+        graft.plans.NativeFunctions.charTrigramHashes(col(textCol))).as("__kg"): _*)
     val tg = gramRows(train, Seq(col(labelCol)))
     def perLangCount(l: String, out: String): Column =
       sum(when(col(labelCol) === l, 1L).otherwise(0L)).as(out)
+    // (no checkpoint: the profile's shuffle exchange is REUSED by its
+    // two consumers — Spark's ReusedExchange already runs the train
+    // explode once, and an eager materialization measured slower)
     val profile = tg.groupBy("__kg")
       .agg(perLangCount(langs.head, s"__c_${langs.head}"),
         langs.tail.map(l => perLangCount(l, s"__c_$l")): _*)
-    val tot = tg.agg(perLangCount(langs.head, s"__t_${langs.head}"),
-      langs.tail.map(l => perLangCount(l, s"__t_$l")) :+
-        countDistinct(col("__kg")).as("__v"): _*)
+    // totals roll up from the PROFILE (one row per distinct gram, so
+    // count(*) is the vocabulary and the per-language sums are the
+    // training totals) — aggregating ~|trigram space| rows instead of
+    // re-running the corpus-sized train explode a second time
+    val tot = profile.agg(
+      sum(col(s"__c_${langs.head}")).as(s"__t_${langs.head}"),
+      langs.tail.map(l => sum(col(s"__c_$l")).as(s"__t_$l")) :+
+        count(lit(1)).as("__v"): _*)
     // pooled background: total count of this gram across languages and
     // the grand trigram total, Laplace-floored so it is never zero
     val cTot = langs.map(l => coalesce(col(s"__c_$l"), lit(0L))).reduce(_ + _)
     val tTot = langs.map(l => col(s"__t_$l")).reduce(_ + _)
     val background = (cTot + lit(1L)) / (tTot + col("__v"))
+    // the profile's cardinality is bounded by the TRIGRAM SPACE
+    // (|charset|³ — a constant independent of corpus size), so
+    // broadcasting it is scale-correct and spares the scored explode
+    // (corpus-sized) its join shuffle; only the per-doc rollup
+    // shuffles, and that partial-aggregates map-side
     val scored = gramRows(docs, Seq(col(idCol)))
-      .join(profile, Seq("__kg"), "left")
+      .join(broadcast(profile), Seq("__kg"), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol) +: langs.map { l =>
         val inLang = when(col(s"__t_$l") > 0,

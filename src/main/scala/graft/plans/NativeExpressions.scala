@@ -338,6 +338,43 @@ object Native {
   }
 
   /**
+   * Positional (non-distinct) character-trigram hashes of the
+   * lowercased text in one pass — the fused replacement for
+   * `langIdTrigram`'s split("")-slice-zip-concat formulation, which
+   * allocated a per-character array plus three slice copies per row.
+   * Hash family is IDENTICAL to `xxhash64(concat(c0, c1, c2))`: the
+   * UTF-8 bytes of the 3-code-point window, seed 42 (spec-pinned
+   * equivalence), so profiles, scores, and the oracle argument are
+   * unchanged. Fewer than 3 code points → empty array (explode then
+   * drops the row — the old `where(size >= 3)` gate).
+   */
+  def charTrigramHashes(text: UTF8String): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val s = text.toLowerCase.toString
+    // code point start offsets (UTF-16 indices)
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < s.length) {
+      starts.add(i)
+      i += Character.charCount(s.codePointAt(i))
+    }
+    val n = starts.size()
+    if (n < 3) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](n - 2)
+    var k = 0
+    while (k < n - 2) {
+      val from: Int = starts.get(k)
+      val until: Int = if (k + 3 < n) starts.get(k + 3) else s.length
+      val b = s.substring(from, until)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(k) = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
    * Per-document Gopher gram statistics in ONE pass — the fused
    * replacement for [[graft.ext.TextStats.gopherRules]]' two
    * explode→group aggregations (per-doc stats need no cross-row state,
@@ -436,6 +473,20 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.Native.simhash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** char_trigram_hashes(string) → array<long> (positional, seed 42). */
+case class CharTrigramHashesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.charTrigramHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.charTrigramHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramHashesExpr =
     copy(child = newChild)
 }
 
@@ -637,4 +688,7 @@ object NativeFunctions {
 
   def gopherGramStats(text: Column): Column =
     ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
+
+  def charTrigramHashes(text: Column): Column =
+    ColumnBridge.column(CharTrigramHashesExpr(ColumnBridge.expression(text)))
 }

@@ -70,6 +70,34 @@ class LangIdSpec extends SparkSpec {
     rows.toDF("doc_id", "lang", "text")
   }
 
+  test("native trigram hashes ≡ xxhash64(concat(c0,c1,c2)) over split-slice-zip") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "The quick brown Fox!"),
+      (1L, "ab"),            // < 3 code points: empty
+      (2L, ""),
+      (3L, "der hund läuft über die straße"),  // non-ASCII BMP chars
+      (4L, "aaa")
+    ).toDF("doc_id", "text")
+    val fused = docs.select($"doc_id", graft.plans.NativeFunctions
+        .charTrigramHashes($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sqlSize = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(c)
+    val cs = split(lower($"text"), "")
+    val n = sqlSize(cs) - 2
+    val ref = docs.where(sqlSize(cs) >= 3)
+      .select($"doc_id", explode(arrays_zip(
+        slice(cs, lit(1), n).as("c0"), slice(cs, lit(2), n).as("c1"),
+        slice(cs, lit(3), n).as("c2"))).as("z"))
+      .select($"doc_id", xxhash64(concat($"z.c0", $"z.c1", $"z.c2")).as("h"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(1)).toSeq }
+    fused(1L) shouldBe empty
+    fused(2L) shouldBe empty
+    Seq(0L, 3L, 4L).foreach { id => fused(id) shouldBe ref(id) }
+  }
+
   test("trigram langid beats the marker heuristic on a real multilingual held-out half") {
     val docs = corpus
     val train = docs.where($"doc_id" % 2 === 0)
