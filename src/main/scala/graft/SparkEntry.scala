@@ -1647,6 +1647,18 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
 
+    // Cluster-size histogram over the same resolved clusters — the
+    // dedup run report (how much mass sits in how-big duplicate
+    // groups): two cheap aggregations on top of the cluster frame.
+    "x_dedup_sizes" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
+      Dedup.duplicateClusters(pairs)
+        .groupBy("rep").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+        .orderBy("cluster_size")
+    }),
+
     // Apply the dedup decision: the full LSH → verify → cluster
     // pipeline's survivors (non-representative cluster members
     // dropped via one anti-join) — the deduplicated corpus itself.
@@ -2815,6 +2827,13 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin,
 
     "x_dedup_clusters" -> jaccardClustersSql(0.05),
+
+    // Cluster-size histogram: same recursive cluster replay, rolled up.
+    "x_dedup_sizes" ->
+      s"""WITH c AS (${jaccardClustersSql(0.05)}),
+         |s AS (SELECT rep, CAST(count(*) AS BIGINT) AS sz FROM c GROUP BY rep)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM s GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     // Exact-substring replay: same tokenizer, same distinct 8-token
     // windows (the engine joins on their xxhash64-chain hashes; the
