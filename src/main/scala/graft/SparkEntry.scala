@@ -1253,6 +1253,39 @@ object SparkEntry {
        |       FROM pt JOIN wc USING (w) GROUP BY 1)""".stripMargin
   }
 
+  /** Pack-slice replay (bpeish counter, capacity 256): same packChunks
+    * CTE, then one row per pack in [pack_id, pack_id + pack_span) via
+    * unnest(range(...)), ranges rebased to pack-local half-open
+    * offsets. Shared by x_pack_slices and the x_pack_stats rollup. */
+  private def packSlicesSql: String = {
+    val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
+      s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    s"""WITH t AS (SELECT doc_id,
+       |                  CAST($bpeishSql AS BIGINT) AS n_tokens,
+       |                  $u AS u
+       |           FROM documents),
+       |o AS (SELECT doc_id, n_tokens,
+       |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                  0) AS BIGINT) AS start_tok
+       |      FROM t),
+       |c AS (SELECT doc_id, n_tokens, start_tok,
+       |             CAST(floor(start_tok / 256.0) AS BIGINT) AS pack0,
+       |             CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
+       |               AS pack1
+       |      FROM o),
+       |f AS (SELECT doc_id, n_tokens, start_tok, pack0,
+       |             unnest(range(pack0, pack1 + 1)) AS pack_id
+       |      FROM c)
+       |SELECT doc_id, pack_id,
+       |       CAST(pack_id - pack0 AS INT) AS slice_idx,
+       |       greatest(start_tok, pack_id * 256) - pack_id * 256 AS tok_from,
+       |       least(start_tok + n_tokens, (pack_id + 1) * 256) - pack_id * 256 AS tok_to,
+       |       least(start_tok + n_tokens, (pack_id + 1) * 256)
+       |         - greatest(start_tok, pack_id * 256) AS n_slice_tokens
+       |FROM f ORDER BY pack_id, tok_from, doc_id""".stripMargin
+  }
+
   /** Stopword list for x_gopher_rules, shared by query and oracle: the
     * synthetic corpus's entire function-word inventory is {the, a}
     * (measured — no other English stopword occurs), so the published
@@ -1442,6 +1475,20 @@ object SparkEntry {
         seed = Seed, tokenCount = TextStats.bpeishTokenCount(col("text")),
         buckets = 64)
         .orderBy("pack_id", "tok_from", "doc_id")),
+
+    // Pack utilization report: slices rolled up per pack — how full
+    // every training sequence is (the tail pack trails off, all
+    // interior packs sit at exactly capacity by construction).
+    "x_pack_stats" -> ((s, dir) =>
+      Corpus.packSlices(tbl(s, dir, "documents"), capacity = 256L,
+        seed = Seed, tokenCount = TextStats.bpeishTokenCount(col("text")),
+        buckets = 64)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_slices"),
+          sum("n_slice_tokens").as("pack_tokens"))
+        .select(col("pack_id"), col("n_slices"), col("pack_tokens"),
+          (col("pack_tokens").cast("double") / lit(256.0)).as("utilization"))
+        .orderBy("pack_id")),
 
     // TF-IDF top-3 terms per doc (quantized ln per the Rng.gaussian
     // trick; ties broken by term).
@@ -1814,6 +1861,13 @@ object SparkEntry {
     "x_semdedup" -> ((s, dir) =>
       Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = SemDedupTau)
         .orderBy("vec_id")),
+
+    // IVF cell balance: vectors per k-means cell — the skew
+    // diagnostic both the ANN probe and SemDeDup pair costs scale by.
+    "x_ivf_cells" -> ((s, dir) =>
+      Similarity.assignCells(tbl(s, dir, "embeddings"))
+        .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cid")),
 
     "x_sim_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -2567,34 +2621,15 @@ object SparkEntry {
     // Pack-slice replay: same packChunks CTE, then one row per pack in
     // [pack_id, pack_id + pack_span) via unnest(range(...)), ranges
     // rebased to pack-local half-open offsets. Same BPE-ish counter.
-    "x_pack_slices" -> {
-      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_order' || " +
-        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
-      s"""WITH t AS (SELECT doc_id,
-         |                  CAST($bpeishSql AS BIGINT) AS n_tokens,
-         |                  $u AS u
-         |           FROM documents),
-         |o AS (SELECT doc_id, n_tokens,
-         |             CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
-         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |                  0) AS BIGINT) AS start_tok
-         |      FROM t),
-         |c AS (SELECT doc_id, n_tokens, start_tok,
-         |             CAST(floor(start_tok / 256.0) AS BIGINT) AS pack0,
-         |             CAST(floor((start_tok + greatest(n_tokens, 1) - 1) / 256.0) AS BIGINT)
-         |               AS pack1
-         |      FROM o),
-         |f AS (SELECT doc_id, n_tokens, start_tok, pack0,
-         |             unnest(range(pack0, pack1 + 1)) AS pack_id
-         |      FROM c)
-         |SELECT doc_id, pack_id,
-         |       CAST(pack_id - pack0 AS INT) AS slice_idx,
-         |       greatest(start_tok, pack_id * 256) - pack_id * 256 AS tok_from,
-         |       least(start_tok + n_tokens, (pack_id + 1) * 256) - pack_id * 256 AS tok_to,
-         |       least(start_tok + n_tokens, (pack_id + 1) * 256)
-         |         - greatest(start_tok, pack_id * 256) AS n_slice_tokens
-         |FROM f ORDER BY pack_id, tok_from, doc_id""".stripMargin
-    },
+    "x_pack_slices" -> packSlicesSql,
+
+    // Pack utilization report: the slice replay rolled up per pack.
+    "x_pack_stats" ->
+      s"""WITH ps AS ($packSlicesSql)
+         |SELECT pack_id, CAST(count(*) AS BIGINT) AS n_slices,
+         |       CAST(sum(n_slice_tokens) AS BIGINT) AS pack_tokens,
+         |       CAST(sum(n_slice_tokens) AS DOUBLE) / 256.0 AS utilization
+         |FROM ps GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     // TF-IDF replay: same tokenizer, same round(tf*ln(N/df), 9)
     // quantization, same (score desc, term) tie-break.
@@ -2963,6 +2998,11 @@ object SparkEntry {
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
     "x_semdedup" -> semDedupSql,
+    "x_ivf_cells" ->
+      s"""WITH $ivfAssignCtes
+         |SELECT CAST(cid AS INTEGER) AS cid,
+         |       CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM af GROUP BY cid ORDER BY cid""".stripMargin,
     "x_sim_ivf" -> simIvfSql,
 
     // The probe-only query ranks bit-identically to the

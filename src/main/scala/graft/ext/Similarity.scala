@@ -210,6 +210,22 @@ object Similarity {
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Cell assignment of every corpus vector under the deterministic
+    * k-means — the shared substrate of [[ivfTopK]], [[ensureIvfIndex]]
+    * and [[semDedup]], exposed for cell-balance diagnostics: IVF probe
+    * cost and SemDeDup pair cost both scale with cell sizes, so a
+    * skewed assignment is the first thing to check before either runs
+    * at scale. Returns `(idCol, cid)`. */
+  def assignCells(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 3,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+    val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
+    c.withColumn("cid",
+        element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+      .select(col(idCol), col("cid"))
+  }
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
    * the embedding space with the SAME deterministic k-means as the IVF
