@@ -1667,6 +1667,29 @@ object SparkEntry {
       TextStats.gopherRules(tbl(s, dir, "documents"),
         stopwords = GopherQueryStopwords).orderBy("doc_id")),
 
+    // Per-source quality report: the Gopher verdicts rolled up with
+    // per-rule failure counts — the corpus curation dashboard row.
+    "x_quality_report" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      TextStats.gopherRules(d, stopwords = GopherQueryStopwords)
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          cnt(col("passes")).as("n_pass"),
+          (cnt(col("passes")).cast("double") /
+            count(lit(1)).cast("double")).as("pass_rate"),
+          cnt(col("n_words") < 50 || col("n_words") > 100000).as("fail_words"),
+          cnt(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0)
+            .as("fail_word_len"),
+          cnt(col("symbol_ratio") > 0.1).as("fail_symbol"),
+          cnt(col("alpha_frac") < 0.8).as("fail_alpha"),
+          cnt(col("n_stop_kinds") < 2).as("fail_stop"),
+          cnt(col("top_bigram_frac") > 0.20).as("fail_top2"),
+          cnt(col("dup_5gram_frac") > 0.15).as("fail_dup5"))
+        .orderBy("source")
+    }),
+
     // Per-document repetition: duplicated-bigram fraction — the standard
     // "repetitive text" pretraining filter signal. Pure projection, no
     // shuffle. Counts avoid materializing gram strings entirely:
@@ -2020,6 +2043,72 @@ object SparkEntry {
   /** Exact transitive closure of the jaccard pair graph at `threshold`
     * over `src` (any relation/CTE exposing doc_id + text) — the shared
     * oracle for the cluster-resolution pipelines. */
+
+  /** DuckDB replay of TextStats.gopherRules (x_gopher_rules oracle,
+    * also embedded by the x_quality_report rollup — one definition so
+    * the report and the per-doc verdicts cannot drift). */
+  private def gopherRulesSql: String = {
+    val stopKinds = GopherQueryStopwords
+      .map(w => s"CASE WHEN ${occSql(w)} > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |base AS (SELECT doc_id, text, t, len(t) AS nw,
+         |                array_to_string(t, ' ') AS norm FROM tk),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |                    i -> t[i] || ' ' || t[i+1])) AS gram
+         |       FROM tk WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+         |        FROM bg GROUP BY 1, 2),
+         |top2 AS (SELECT doc_id, c AS t2c, CAST(len(gram) AS BIGINT) AS t2l
+         |         FROM (SELECT doc_id, gram, c, row_number() OVER
+         |                 (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+         |               FROM bgc) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+         |                 t[i+3] || ' ' || t[i+4])) AS gram
+         |       FROM tk WHERE len(t) >= 5),
+         |g5c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+         |        FROM g5 GROUP BY 1, 2),
+         |dup5 AS (SELECT doc_id, CAST(sum(c * len(gram)) AS BIGINT) AS d5
+         |         FROM g5c WHERE c > 1 GROUP BY 1),
+         |f AS (SELECT b.doc_id,
+         |        CAST(b.nw AS BIGINT) AS n_words,
+         |        CAST(len(b.norm) AS BIGINT) AS chars,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST(len(b.norm) - (b.nw - 1) AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS mean_word_len,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST(len(regexp_extract_all(b.norm,
+         |                    '[^ ]*[a-z][^ ]*')) AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS alpha_frac,
+         |        CASE WHEN b.nw > 0
+         |             THEN CAST((len(b.norm) - len(replace(b.norm, '#', '')))
+         |                  + (len(b.norm) - len(replace(b.norm, '...', ''))) / 3
+         |                  AS DOUBLE) / b.nw
+         |             ELSE 0.0 END AS symbol_ratio,
+         |        CAST($stopKinds AS BIGINT) AS n_stop_kinds,
+         |        coalesce(t2.t2c * t2.t2l, 0) AS t2chars,
+         |        coalesce(d.d5, 0) AS d5chars
+         |      FROM base b
+         |      LEFT JOIN top2 t2 USING (doc_id)
+         |      LEFT JOIN dup5 d USING (doc_id)),
+         |f2 AS (SELECT doc_id, n_words, mean_word_len, alpha_frac,
+         |         symbol_ratio, n_stop_kinds,
+         |         CASE WHEN chars > 0 THEN CAST(t2chars AS DOUBLE) / chars
+         |              ELSE 0.0 END AS top_bigram_frac,
+         |         CASE WHEN chars > 0 THEN CAST(d5chars AS DOUBLE) / chars
+         |              ELSE 0.0 END AS dup_5gram_frac
+         |       FROM f)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+         |       n_stop_kinds, top_bigram_frac, dup_5gram_frac,
+         |       (n_words >= 50 AND n_words <= 100000
+         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |        AND n_stop_kinds >= 2 AND top_bigram_frac <= 0.20
+         |        AND dup_5gram_frac <= 0.15) AS passes
+         |FROM f2 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
     * the x_minhash_pairs oracle, also embedded as the candidate set of
     * x_lsh_recall (one definition, the sets cannot drift). */
@@ -3149,67 +3238,35 @@ object SparkEntry {
     // one double division, so comparisons replay bit-identically; the
     // top-bigram tie-break (count DESC, gram ASC) mirrors the engine's
     // min(struct(-c, gram)).
-    "x_gopher_rules" -> {
-      val stopKinds = GopherQueryStopwords
-        .map(w => s"CASE WHEN ${occSql(w)} > 0 THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH tk AS (SELECT doc_id, text, $toksSql AS t FROM documents),
-         |base AS (SELECT doc_id, text, t, len(t) AS nw,
-         |                array_to_string(t, ' ') AS norm FROM tk),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-         |                    i -> t[i] || ' ' || t[i+1])) AS gram
-         |       FROM tk WHERE len(t) >= 2),
-         |bgc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
-         |        FROM bg GROUP BY 1, 2),
-         |top2 AS (SELECT doc_id, c AS t2c, CAST(len(gram) AS BIGINT) AS t2l
-         |         FROM (SELECT doc_id, gram, c, row_number() OVER
-         |                 (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
-         |               FROM bgc) WHERE rn = 1),
-         |g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
-         |            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
-         |                 t[i+3] || ' ' || t[i+4])) AS gram
-         |       FROM tk WHERE len(t) >= 5),
-         |g5c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
-         |        FROM g5 GROUP BY 1, 2),
-         |dup5 AS (SELECT doc_id, CAST(sum(c * len(gram)) AS BIGINT) AS d5
-         |         FROM g5c WHERE c > 1 GROUP BY 1),
-         |f AS (SELECT b.doc_id,
-         |        CAST(b.nw AS BIGINT) AS n_words,
-         |        CAST(len(b.norm) AS BIGINT) AS chars,
-         |        CASE WHEN b.nw > 0
-         |             THEN CAST(len(b.norm) - (b.nw - 1) AS DOUBLE) / b.nw
-         |             ELSE 0.0 END AS mean_word_len,
-         |        CASE WHEN b.nw > 0
-         |             THEN CAST(len(regexp_extract_all(b.norm,
-         |                    '[^ ]*[a-z][^ ]*')) AS DOUBLE) / b.nw
-         |             ELSE 0.0 END AS alpha_frac,
-         |        CASE WHEN b.nw > 0
-         |             THEN CAST((len(b.norm) - len(replace(b.norm, '#', '')))
-         |                  + (len(b.norm) - len(replace(b.norm, '...', ''))) / 3
-         |                  AS DOUBLE) / b.nw
-         |             ELSE 0.0 END AS symbol_ratio,
-         |        CAST($stopKinds AS BIGINT) AS n_stop_kinds,
-         |        coalesce(t2.t2c * t2.t2l, 0) AS t2chars,
-         |        coalesce(d.d5, 0) AS d5chars
-         |      FROM base b
-         |      LEFT JOIN top2 t2 USING (doc_id)
-         |      LEFT JOIN dup5 d USING (doc_id)),
-         |f2 AS (SELECT doc_id, n_words, mean_word_len, alpha_frac,
-         |         symbol_ratio, n_stop_kinds,
-         |         CASE WHEN chars > 0 THEN CAST(t2chars AS DOUBLE) / chars
-         |              ELSE 0.0 END AS top_bigram_frac,
-         |         CASE WHEN chars > 0 THEN CAST(d5chars AS DOUBLE) / chars
-         |              ELSE 0.0 END AS dup_5gram_frac
-         |       FROM f)
-         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
-         |       n_stop_kinds, top_bigram_frac, dup_5gram_frac,
-         |       (n_words >= 50 AND n_words <= 100000
-         |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-         |        AND n_stop_kinds >= 2 AND top_bigram_frac <= 0.20
-         |        AND dup_5gram_frac <= 0.15) AS passes
-         |FROM f2 ORDER BY doc_id""".stripMargin
-    },
+    "x_gopher_rules" -> gopherRulesSql,
+
+    // Quality report: the per-doc verdicts joined to their stratum and
+    // rolled up — counts only, so every column is exact by construction
+    // (the one double is a single division per row).
+    "x_quality_report" ->
+      s"""WITH g AS ($gopherRulesSql),
+         |j AS (SELECT g.*, d.source FROM g JOIN documents d USING (doc_id))
+         |SELECT source,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / count(*) AS pass_rate,
+         |       CAST(sum(CASE WHEN n_words < 50 OR n_words > 100000
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+         |       CAST(sum(CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+         |       CAST(sum(CASE WHEN symbol_ratio > 0.1
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+         |       CAST(sum(CASE WHEN alpha_frac < 0.8
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+         |       CAST(sum(CASE WHEN n_stop_kinds < 2
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+         |       CAST(sum(CASE WHEN top_bigram_frac > 0.20
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_top2,
+         |       CAST(sum(CASE WHEN dup_5gram_frac > 0.15
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS fail_dup5
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
 
     // Detector regexes injected from the SAME registry the Spark query
     // uses (PiiScan.detectors) — oracle and engine cannot drift apart.
