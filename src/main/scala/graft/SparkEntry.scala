@@ -1885,6 +1885,17 @@ object SparkEntry {
       Similarity.semDedup(tbl(s, dir, "embeddings"), threshold = SemDedupTau)
         .orderBy("vec_id")),
 
+    // SemDeDup APPLICATION: keep only the semantic representatives —
+    // flag -> apply closed for the embedding layer exactly as
+    // x_dedup_apply closes it for text (semi-join on the verdict).
+    "x_semdedup_apply" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val verdict = Similarity.semDedup(emb, threshold = SemDedupTau)
+      emb.join(verdict.where(col("kept")).select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // IVF cell balance: vectors per k-means cell — the skew
     // diagnostic both the ANN probe and SemDeDup pair costs scale by.
     "x_ivf_cells" -> ((s, dir) =>
@@ -3087,6 +3098,11 @@ object SparkEntry {
         |FROM fr ORDER BY media_id, frame_ts""".stripMargin,
 
     "x_semdedup" -> semDedupSql,
+    "x_semdedup_apply" ->
+      s"""WITH sd AS ($semDedupSql)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |JOIN sd ON e.vec_id = sd.vec_id AND sd.kept
+         |ORDER BY e.vec_id""".stripMargin,
     "x_ivf_cells" ->
       s"""WITH $ivfAssignCtes
          |SELECT CAST(cid AS INTEGER) AS cid,
