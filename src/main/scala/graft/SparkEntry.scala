@@ -1333,6 +1333,23 @@ object SparkEntry {
     * exercise the tf/length normalization rather than rare-term idf. */
   private val Bm25Query = Seq("hash", "join", "vector")
 
+  /** DuckDB replay of Corpus.mixTo under MixWeights (the x_mix_to
+    * oracle, also embedded by the x_mix_report rollup). */
+  private def mixToSql: String = {
+    val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
+      s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    val whens = mixWhensSql(MixWeights)
+    s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       |                  CASE lang $whens END AS w
+       |           FROM documents GROUP BY lang),
+       |cw AS (SELECT * FROM c WHERE w IS NOT NULL),
+       |s AS (SELECT min(n / w) AS scale FROM cw),
+       |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), scale * w / n) AS rate
+       |      FROM cw CROSS JOIN s)
+       |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+       |WHERE $u < r.rate ORDER BY doc_id""".stripMargin
+  }
+
   /** Language label set of the documents table, shared by
     * x_langid_trigram's query and oracle. */
   private val LangIdLangs = Seq("de", "en", "es", "fr", "zh")
@@ -1408,6 +1425,26 @@ object SparkEntry {
       Corpus.mixTo(tbl(s, dir, "documents").select("doc_id", "lang"),
         "lang", MixWeights, Seed)
         .select("doc_id", "lang").orderBy("doc_id")),
+
+    // Mixture-achievement report: kept rows per stratum vs the
+    // normalized target — achieved fraction, target, deviation (the
+    // sampling noise a production mix job alerts on).
+    "x_mix_report" -> ((s, dir) => {
+      val total = MixWeights.values.sum
+      val target = coalesce(MixWeights.toSeq.sortBy(_._1)
+        .map { case (k, v) => when(col("lang") === k, lit(v / total)) }: _*)
+      val mixed = Corpus.mixTo(
+        tbl(s, dir, "documents").select("doc_id", "lang"),
+        "lang", MixWeights, Seed)
+      val kept = mixed.groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      kept.crossJoin(broadcast(mixed.agg(count(lit(1)).as("__n_total"))))
+        .select(col("lang"), col("n_kept"),
+          (col("n_kept").cast("double") / col("__n_total")).as("achieved"),
+          target.as("target"),
+          (col("n_kept").cast("double") / col("__n_total") - target)
+            .as("deviation"))
+        .orderBy("lang")
+    }),
 
     // Mixture rebalance with upsampling: input-sized output ON the
     // requested mix — underweight strata get epoch repeats
@@ -2602,19 +2639,24 @@ object SparkEntry {
     // for scale/rates (BIGINT/DOUBLE division promotes to DOUBLE in
     // both engines; normalized weights injected as round-trip string
     // literals — see mixWhensSql), same md5 keep-decision.
-    "x_mix_to" -> {
-      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
-        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    "x_mix_to" -> mixToSql,
+
+    // Mixture-achievement report: the kept rows rolled up per stratum
+    // against the normalized targets — how close the downsample
+    // landed. Shares mixToSql (one replay) and mixWhensSql (one
+    // normalization) with the mix queries.
+    "x_mix_report" -> {
       val whens = mixWhensSql(MixWeights)
-      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
-         |                  CASE lang $whens END AS w
-         |           FROM documents GROUP BY lang),
-         |cw AS (SELECT * FROM c WHERE w IS NOT NULL),
-         |s AS (SELECT min(n / w) AS scale FROM cw),
-         |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), scale * w / n) AS rate
-         |      FROM cw CROSS JOIN s)
-         |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
-         |WHERE $u < r.rate ORDER BY doc_id""".stripMargin
+      s"""WITH m AS ($mixToSql),
+         |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         |      FROM m GROUP BY lang),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM m)
+         |SELECT lang, n_kept,
+         |       CAST(n_kept AS DOUBLE) / n_total AS achieved,
+         |       CASE lang $whens END AS target,
+         |       CAST(n_kept AS DOUBLE) / n_total
+         |         - (CASE lang $whens END) AS deviation
+         |FROM k CROSS JOIN t ORDER BY lang""".stripMargin
     },
 
     // Upsample replay: same per-stratum counts, scale = total kept rows
