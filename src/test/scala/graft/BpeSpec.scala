@@ -104,4 +104,24 @@ class BpeSpec extends SparkSpec {
     // pin fails if either side edits the pattern without the other
     TextStats.BpeishPattern shouldBe "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]"
   }
+
+  test("counter-tier invariants hold corpus-wide: pieces <= bpe <= symbols") {
+    // BPE starts from character symbols and merges only within
+    // pre-tokenizer pieces, so for every document the merges-applied
+    // count is bounded below by the piece count (a piece never
+    // vanishes) and above by the symbol count (a merge only shrinks) —
+    // the invariant x_bpe_compression's merge_savings denominator
+    // rests on
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(
+        TextStats.bpeishTokenCount($"text").cast("long").as("pieces"),
+        Bpe.tokenCount($"text").cast("long").as("bpe"),
+        org.apache.spark.sql.functions.length(
+          regexp_replace($"text", "[ \\t\\n\\x0B\\f\\r]", ""))
+          .cast("long").as("symbols"))
+      .where($"bpe" < $"pieces" || $"bpe" > $"symbols")
+      .count()
+    bad shouldBe 0L
+  }
 }
