@@ -1607,6 +1607,20 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
         .orderBy("a", "b")),
 
+    // Cross-corpus (snapshot-vs-snapshot) near-dup candidates: the
+    // incremental-ingest dedup shape — new docs (odd ids) flagged
+    // against the archived snapshot (even ids) via the SAME band
+    // kernel batch and streaming use (flagAgainstCorpus is frame-
+    // agnostic: the static side is the state).
+    "x_crosscorpus_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.streaming.NearDupStream.flagAgainstCorpus(
+          d.where(col("doc_id") % 2 === 1),
+          d.where(col("doc_id") % 2 === 0))
+        .select("doc_id", "hist_id").distinct()
+        .orderBy("doc_id", "hist_id")
+    }),
+
     // LSH candidate recall/precision against exact Jaccard truth at
     // the near-dup operating point — measures the banding quality the
     // whole near-dup family rests on (x_ann_recall's dedup sibling).
@@ -2157,15 +2171,15 @@ object SparkEntry {
          |FROM f2 ORDER BY doc_id""".stripMargin
   }
 
-  /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
-    * the x_minhash_pairs oracle, also embedded as the candidate set of
-    * x_lsh_recall (one definition, the sets cannot drift). */
-  private def minhashPairsSql: String = {
+  /** The MinHash band-bucket replay (32/8/3 defaults): CTEs `toks`
+    * through `bands` = (doc_id, band, bucket), shared by the pair,
+    * recall, and cross-corpus oracles. */
+  private def minhashBandsCtes: String = {
     val (as, bs) = Dedup.minhashCoefs(32)
     val aList = as.mkString("[", ", ", "]")
     val bList = bs.mkString("[", ", ", "]")
     val p = Dedup.MinhashPrime
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |grams AS (SELECT doc_id, unnest(list_distinct(
        |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
        |                 ELSE [array_to_string(tk[i:i+2], ' ')
@@ -2178,12 +2192,18 @@ object SparkEntry {
        |        FROM xs CROSS JOIN generate_series(0, 31) s(j) GROUP BY 1, 2),
        |bands AS (SELECT doc_id, j // 4 AS band,
        |                 string_agg(h::VARCHAR, ',' ORDER BY j) AS bucket
-       |          FROM sig GROUP BY 1, 2),
+       |          FROM sig GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
+    * the x_minhash_pairs oracle, also embedded as the candidate set of
+    * x_lsh_recall (one definition, the sets cannot drift). */
+  private def minhashPairsSql: String =
+    s"""WITH $minhashBandsCtes,
        |pairs AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
        |          FROM bands la JOIN bands lb ON la.band = lb.band
        |           AND la.bucket = lb.bucket AND la.doc_id < lb.doc_id)
        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin
-  }
 
   /** DuckDB replay of the exact Jaccard pair set at the near-dup
     * operating threshold (0.7) — x_lsh_recall's ground truth. */
@@ -3046,6 +3066,16 @@ object SparkEntry {
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).
     "x_minhash_pairs" -> minhashPairsSql,
+
+    // Cross-corpus replay: bands over ALL docs (signatures depend only
+    // on text), collisions filtered to new (odd) × archive (even).
+    "x_crosscorpus_dedup" ->
+      s"""WITH $minhashBandsCtes
+         |SELECT DISTINCT ln.doc_id AS doc_id, lh.doc_id AS hist_id
+         |FROM bands ln JOIN bands lh
+         |  ON ln.band = lh.band AND ln.bucket = lh.bucket
+         |WHERE ln.doc_id % 2 = 1 AND lh.doc_id % 2 = 0
+         |ORDER BY doc_id, hist_id""".stripMargin,
 
     // LSH recall/precision against exact Jaccard ground truth at the
     // near-dup operating point (0.7) — the dedup analogue of
