@@ -1229,7 +1229,11 @@ object SparkEntry {
     * replay of the native BpeTokenCountExpr. Callers prepend
     * `WITH RECURSIVE`. Shared by x_pack_chunks_bpe and
     * x_bpe_compression so the two count under one merges table. */
-  private def bpeDocCountCtes: String = {
+  /** The injected Bpe.StandardMerges ladder as VALUES rows, plus the
+    * recursive separator-wrapped replace CTEs (`m`, `steps`) over a
+    * caller-supplied distinct-words CTE named `words` — the shared
+    * replay core of every merges-based oracle. */
+  private def bpeStepsCtes: String = {
     val merges = graft.ext.Bpe.StandardMerges
     val mergeVals = merges.zipWithIndex.map { case ((a, b), i) =>
       s"(${i + 1}, chr(1) || '$a' || chr(1) || chr(1) || '$b' || chr(1), " +
@@ -1237,8 +1241,6 @@ object SparkEntry {
     }.mkString(",\n        ")
     s"""m(lvl, pat, rep) AS (VALUES
        |        $mergeVals),
-       |pt AS (SELECT doc_id, unnest($bpeishExtractSql) AS w FROM documents),
-       |words AS (SELECT DISTINCT w FROM pt),
        |steps AS (
        |  SELECT w, chr(1) || array_to_string([w[i] for i in generate_series(1, len(w))],
        |                                      chr(1) || chr(1)) || chr(1) AS s,
@@ -1246,12 +1248,20 @@ object SparkEntry {
        |  FROM words
        |  UNION ALL
        |  SELECT st.w, replace(st.s, mm.pat, mm.rep), st.lvl + 1
-       |  FROM steps st JOIN m mm ON mm.lvl = st.lvl + 1),
+       |  FROM steps st JOIN m mm ON mm.lvl = st.lvl + 1)""".stripMargin
+  }
+
+  /** Number of merges in the ladder (the final `steps` level). */
+  private def bpeNumMerges: Int = graft.ext.Bpe.StandardMerges.length
+
+  private def bpeDocCountCtes: String =
+    s"""pt AS (SELECT doc_id, unnest($bpeishExtractSql) AS w FROM documents),
+       |words AS (SELECT DISTINCT w FROM pt),
+       |$bpeStepsCtes,
        |wc AS (SELECT w, (len(s) - len(replace(s, chr(1) || chr(1), ''))) // 2 + 1 AS n
-       |       FROM steps WHERE lvl = ${merges.length}),
+       |       FROM steps WHERE lvl = $bpeNumMerges),
        |dc AS (SELECT pt.doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
        |       FROM pt JOIN wc USING (w) GROUP BY 1)""".stripMargin
-  }
 
   /** Pack-slice replay (bpeish counter, capacity 256): same packChunks
     * CTE, then one row per pack in [pack_id, pack_id + pack_span) via
@@ -1477,6 +1487,20 @@ object SparkEntry {
         seed = Seed, tokenCount = graft.ext.Bpe.tokenCount(col("text")),
         buckets = 64)
         .orderBy("ord")),
+
+    // Tokenizer ENCODE: the actual subword pieces per document, in
+    // order — (doc, pre-token index, piece index, piece); ids are a
+    // vocab-dictionary lookup away. Two narrow posexplodes over the
+    // native pieces kernel (same merge application as the count
+    // kernel by construction).
+    "x_bpe_encode" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), posexplode(regexp_extract_all(col("text"),
+          lit(TextStats.BpeishPattern), lit(0))).as(Seq("w_idx", "w")))
+        .select(col("doc_id"), col("w_idx"),
+          posexplode(graft.plans.NativeFunctions.bpePieces(col("w"),
+            graft.ext.Bpe.StandardMerges)).as(Seq("p_idx", "piece")))
+        .orderBy("doc_id", "w_idx", "p_idx")),
 
     // Tokenizer-efficiency report: every counter tier side by side
     // (bytes, whitespace, pre-tokenizer pieces, character symbols,
@@ -2739,6 +2763,29 @@ object SparkEntry {
     // alphanumeric (only [A-Za-z0-9_]+ words have >1 symbol), and the
     // chr(1) separator cannot collide with corpus text by the same
     // ASCII-dataset grounds as the media oracles.
+    // ENCODE replay: the same recursive replace ladder, with the final
+    // separator-wrapped form split back into pieces and both indices
+    // rebuilt positionally (driver compare is order-insensitive, the
+    // (doc, w_idx, p_idx) key makes rows unambiguous anyway).
+    "x_bpe_encode" ->
+      s"""WITH RECURSIVE pw0 AS (
+         |  SELECT doc_id, unnest([{'wi': i, 'w': arr[i]}
+         |           for i in generate_series(1, len(arr))]) AS z
+         |  FROM (SELECT doc_id, $bpeishExtractSql AS arr FROM documents)),
+         |pw AS (SELECT doc_id, CAST(z.wi - 1 AS INT) AS w_idx, z.w AS w
+         |       FROM pw0),
+         |words AS (SELECT DISTINCT w FROM pw),
+         |$bpeStepsCtes,
+         |pieces AS (SELECT w, string_split(substr(s, 2, len(s) - 2),
+         |                                  chr(1) || chr(1)) AS ps
+         |           FROM steps WHERE lvl = $bpeNumMerges),
+         |px0 AS (SELECT pw.doc_id, pw.w_idx,
+         |               unnest([{'pj': j, 'p': ps[j]}
+         |                 for j in generate_series(1, len(ps))]) AS z
+         |        FROM pw JOIN pieces USING (w))
+         |SELECT doc_id, w_idx, CAST(z.pj - 1 AS INT) AS p_idx, z.p AS piece
+         |FROM px0 ORDER BY doc_id, w_idx, p_idx""".stripMargin,
+
     // Tokenizer-efficiency replay: same merges CTEs as
     // x_pack_chunks_bpe (shared bpeDocCountCtes), joined to the other
     // counter tiers; ratios are single double ops on exact integers.

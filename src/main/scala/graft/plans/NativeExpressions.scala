@@ -307,13 +307,19 @@ object Native {
   }
 
   private def bpeCountWord(w: String, ma: Array[String], mb: Array[String],
-      mab: Array[String]): Long = {
-    var syms: java.util.ArrayList[String] = null
+      mab: Array[String]): Long =
+    bpeSymbolsWord(w, ma, mb, mab).size.toLong
+
+  /** The merges-applied symbol sequence of one pre-token — the count
+    * kernel's inner loop factored out so [[bpePieces]] can emit the
+    * actual pieces (tokenizer ENCODE output) from the same pass. */
+  private def bpeSymbolsWord(w: String, ma: Array[String], mb: Array[String],
+      mab: Array[String]): java.util.ArrayList[String] = {
     var i = 0
     var n = 0
     while (i < w.length) { i += Character.charCount(w.codePointAt(i)); n += 1 }
-    if (n <= 1) return 1L
-    syms = new java.util.ArrayList[String](n)
+    var syms = new java.util.ArrayList[String](math.max(n, 1))
+    if (n <= 1) { syms.add(w); return syms }
     i = 0
     while (i < w.length) {
       val cc = Character.charCount(w.codePointAt(i))
@@ -334,7 +340,19 @@ object Native {
       }
       k += 1
     }
-    syms.size.toLong
+    syms
+  }
+
+  /** Merges-applied subword pieces of a single pre-token (ENCODE
+    * output as strings; ids are a dictionary lookup away). Same merge
+    * application as the count kernel by construction. */
+  def bpePieces(word: UTF8String, ma: Array[String], mb: Array[String],
+      mab: Array[String]): ArrayData = {
+    val syms = bpeSymbolsWord(word.toString, ma, mb, mab)
+    val out = new Array[AnyRef](syms.size)
+    var j = 0
+    while (j < syms.size) { out(j) = UTF8String.fromString(syms.get(j)); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /**
@@ -624,6 +642,30 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** bpe_pieces(word) → array<string> of merges-applied subword pieces. */
+case class BpePiecesExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val maArr = merges.map(_._1).toArray
+  @transient private lazy val mbArr = merges.map(_._2).toArray
+  @transient private lazy val mabArr = merges.map(p => p._1 + p._2).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.bpePieces(input.asInstanceOf[UTF8String], maArr, mbArr, mabArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val maRef = ctx.addReferenceObj("bpeMa", maArr, "java.lang.String[]")
+    val mbRef = ctx.addReferenceObj("bpeMb", mbArr, "java.lang.String[]")
+    val mabRef = ctx.addReferenceObj("bpeMab", mabArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.bpePieces($c, $maRef, $mbRef, $mabRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePiecesExpr =
+    copy(child = newChild)
+}
+
 /** dot(array<float|double>, array<float|double>) → double.
   * Length mismatch → null, matching `aggregate(zip_with(...))`
   * (zip_with null-pads the shorter side, poisoning the sum) — a
@@ -691,4 +733,7 @@ object NativeFunctions {
 
   def charTrigramHashes(text: Column): Column =
     ColumnBridge.column(CharTrigramHashesExpr(ColumnBridge.expression(text)))
+
+  def bpePieces(word: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpePiecesExpr(ColumnBridge.expression(word), merges))
 }

@@ -105,6 +105,23 @@ class BpeSpec extends SparkSpec {
     TextStats.BpeishPattern shouldBe "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]"
   }
 
+  test("encode: pieces rejoin to their pre-token and total equals the count kernel") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pieces = docs
+      .select($"doc_id", posexplode(regexp_extract_all($"text",
+        lit(TextStats.BpeishPattern), lit(0))).as(Seq("w_idx", "w")))
+      .select($"doc_id", $"w_idx", $"w",
+        graft.plans.NativeFunctions.bpePieces($"w", Bpe.StandardMerges).as("ps"))
+    // lossless: concatenating a word's pieces rebuilds the word
+    pieces.where(concat_ws("", $"ps") =!= $"w").count() shouldBe 0L
+    // consistent: piece totals equal the count kernel corpus-wide
+    val viaPieces = pieces
+      .agg(sum(org.apache.spark.sql.functions.size($"ps"))).head().getLong(0)
+    val viaCount = docs.agg(sum(Bpe.tokenCount($"text"))).head().getLong(0)
+    viaPieces shouldBe viaCount
+  }
+
   test("counter-tier invariants hold corpus-wide: pieces <= bpe <= symbols") {
     // BPE starts from character symbols and merges only within
     // pre-tokenizer pieces, so for every document the merges-applied
