@@ -391,6 +391,43 @@ class StreamingSpec extends SparkSpec {
     flags shouldBe Array(4L -> 800L)
   }
 
+  test("full ingest graph: the stateless gate feeds the stateful new-vs-new flagger") {
+    // the complete ingest story in ONE streaming query: quality filter
+    // and verbatim drop (stateless projections) upstream of the
+    // STATEFUL intra-stream near-dup flagger — a doc dropped by the
+    // gate must never reach the bucket state
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.DupFlag
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val leakRun = "which of the following best describes the time complexity"
+    val bench = Seq((900L, leakRun)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(
+      (1L, base, 10 * us),
+      // near-dup of 1 AND verbatim leak: the gate drops it, so no
+      // (2, 1) flag may appear even though it would band-collide
+      (2L, base + " " + leakRun, 40 * us),
+      // clean near-dup of 1: passes the gate, flags against 1's state
+      (3L, base.replace("today", "tonight"), 70 * us),
+      (4L, "tiny", 80 * us)) // poor quality → dropped pre-state
+    val gated = NearDupStream.admitVerbatim(
+      graft.ext.TextStats.qualityFacets(
+          mem.toDF().toDF("doc_id", "text", "ts_us"))
+        .where($"quality_bucket" =!= "poor")
+        .select("doc_id", "text", "ts_us"),
+      bench)
+    val q = NearDupStream.flagNearDups(gated,
+        horizonUs = 1800L * us, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("ingest_full")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val flags = spark.table("ingest_full").as[DupFlag].collect()
+      .map(f => (f.doc_id, f.dup_of)).distinct
+    flags shouldBe Array((3L, 1L))
+  }
+
   test("stateless text operators run unchanged on streaming frames") {
     // redaction / quality counts / langid are pure projections — the
     // SAME Column expressions apply to a readStream frame with no
