@@ -1598,6 +1598,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights: non-English pool scored against the
+    // English target domain under the hashed bag-of-n-grams model.
+    "x_dsir_weights" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.dsirWeights(d.where(col("lang") =!= "en"),
+          d.where(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR Gumbel-top-k resample: 50 of the pool docs drawn
+    // proportionally to their importance weights, deterministically.
+    "x_dsir_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.dsirResample(d.where(col("lang") =!= "en"),
+        d.where(col("lang") === "en"), k = 50, seed = Seed)
+    }),
+
     // CCNet head/middle/tail perplexity buckets per source stratum,
     // scored under the same even-id-trained bigram LM as
     // x_bigram_logprob (shared oracle CTEs).
@@ -2474,6 +2491,38 @@ object SparkEntry {
        |        FROM s)""".stripMargin
   }
 
+  /** DuckDB mirror of the DSIR hashed bag-of-n-grams importance model
+    * (buckets = [[Corpus.DsirBuckets]], target = lang 'en', raw = the
+    * rest): unigram + bigram feature occurrences, 60-bit-md5-prefix
+    * bucketed, add-one-smoothed per-bucket log ratios snapped to the
+    * 1e-9 grid, per-doc long sums. Shared by x_dsir_weights and
+    * x_dsir_select so report and selection can't drift. */
+  private def dsirCtes: String = {
+    val b = Corpus.DsirBuckets
+    s"""alltk AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+       |uf AS (SELECT doc_id, lang, unnest(tk) AS g FROM alltk),
+       |bgf AS (SELECT doc_id, lang, unnest([tk[i] || ' ' || tk[i+1]
+       |           for i in generate_series(1, len(tk) - 1)]) AS g
+       |        FROM alltk WHERE len(tk) >= 2),
+       |fb AS (SELECT doc_id, lang,
+       |              ('0x' || substr(md5(g), 1, 15))::BIGINT % $b AS b
+       |       FROM (SELECT * FROM uf UNION ALL SELECT * FROM bgf)),
+       |tgtp AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |         FROM fb WHERE lang = 'en' GROUP BY 1),
+       |rawf AS (SELECT doc_id, b FROM fb WHERE lang <> 'en'),
+       |rawp AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM rawf GROUP BY 1),
+       |tots AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgtp) AS tt,
+       |                (SELECT CAST(sum(cr) AS BIGINT) FROM rawp) AS tr),
+       |ratio AS (SELECT b,
+       |                 CAST(round((ln((coalesce(ct, 0) + 1) / (tt + $b)) -
+       |                             ln((cr + 1) / (tr + $b))) * 1e9)
+       |                      AS BIGINT) AS lr9
+       |          FROM rawp LEFT JOIN tgtp USING (b) CROSS JOIN tots),
+       |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |              CAST(sum(lr9) AS BIGINT) AS s9
+       |       FROM rawf JOIN ratio USING (b) GROUP BY 1)""".stripMargin
+  }
+
   /** DuckDB mirror of x_semdedup: the shared k-means assignment CTEs,
     * then within-cell smaller-id neighbors at >= tau cosine (same
     * sequential-fold dot/norm — the unrounded compare is the proven
@@ -2970,6 +3019,31 @@ object SparkEntry {
 
     // CCNet perplexity bucketing: the bigram-LM score chain (shared
     // CTEs — the two oracles cannot train different LMs), joined to
+    // DSIR weights replay: same md5 bucket hash, same add-one-smoothed
+    // log ratios on the 1e-9 grid (ln and round half-away-from-zero
+    // agree between engines), order-independent long sums.
+    "x_dsir_weights" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_feats, s9 / 1e9 AS logratio
+         |FROM dw ORDER BY doc_id""".stripMargin,
+
+    // DSIR Gumbel-top-k replay: the same md5 uniform, the same clamped
+    // double ladder to the Gumbel draw, both ranking addends on the
+    // 1e-9 long grid — the top-50 cut is an exact integer compare with
+    // doc_id as tie-break, so the selected SET replays exactly.
+    "x_dsir_select" -> {
+      val u = s"(1 - (('0x' || substr(md5('$Seed' || chr(1) || 'corpus_dsir' || " +
+        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52}))"
+      s"""WITH $dsirCtes,
+         |gk AS (SELECT doc_id, n_feats, s9,
+         |              s9 + CAST(round(-ln(greatest(-ln($u),
+         |                     CAST('${(1e-26).toString}' AS DOUBLE))) * 1e9)
+         |                   AS BIGINT) AS key9
+         |       FROM dw)
+         |SELECT doc_id, n_feats, s9 / 1e9 AS logratio, key9 / 1e9 AS gumbel_key
+         |FROM gk ORDER BY key9 DESC, doc_id LIMIT 50""".stripMargin
+    },
+
     // the stratum column, split by NTILE over the bit-identical score
     // doubles. Spark and DuckDB NTILE agree (first n%b buckets take
     // the extras), so the label replays exactly.

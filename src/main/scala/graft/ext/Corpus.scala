@@ -397,4 +397,129 @@ object Corpus {
         col("tok_from"), col("tok_to"),
         (col("tok_to") - col("tok_from")).as("n_slice_tokens"))
   }
+
+  // === DSIR importance resampling =======================================
+
+  /** Feature-space size of the DSIR hashed bag-of-n-grams model (the
+    * paper uses 10k; 1k keeps the sf0.01 profiles dense enough to
+    * discriminate while staying trivially broadcastable). */
+  val DsirBuckets: Int = 1024
+
+  /** Hashed unigram+bigram feature buckets of every token position:
+    * one row per feature OCCURRENCE (the model is a bag, not a set),
+    * bucketed by the shared 60-bit md5 prefix key mod `buckets` so the
+    * oracle replays the hash exactly. Unigrams and bigrams are two
+    * codegen explodes unioned — the bigram side reuses the shifted
+    * slice/zip from [[TextStats.bigramLogProb]] rather than a
+    * higher-order `zip_with` lambda (HOF lambdas evaluate interpreted;
+    * the recurring hot-path bug). */
+  private def dsirFeatures(df: DataFrame, idCols: Seq[Column],
+      textCol: String, buckets: Int): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val uni = df.select(idCols :+ explode(toks).as("__g"): _*)
+    val big = df
+      .select(idCols :+ explode(arrays_zip(
+        slice(toks, lit(1), n1).as("w1"),
+        slice(toks, lit(2), n1).as("w2"))).as("__z"): _*)
+      .select(idCols :+ concat(col("__z.w1"), lit(" "), col("__z.w2")).as("__g"): _*)
+    uni.unionByName(big)
+      .select(idCols :+ (conv(substring(md5(col("__g")), 1, 15), 16, 10)
+        .cast("long") % buckets).as("__b"): _*)
+  }
+
+  /** Shared scoring core: `(idCol, n_feats, __s9)` with `__s9` the
+    * doc's total log-likelihood ratio on the 1e-9 integer grid. */
+  private def dsirScored(raw: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String, textCol: String): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val rawFeats = dsirFeatures(raw, Seq(col(idCol)), textCol, buckets)
+    val tgtProf = dsirFeatures(target, Nil, textCol, buckets)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val rawProf = rawFeats.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    // Totals roll up from the ≤buckets-row profiles, never by
+    // re-exploding the corpus; both are 1-row frames.
+    val tgtTot = tgtProf.agg(sum("__ct").as("__tt"))
+    val rawTot = rawProf.agg(sum("__cr").as("__tr"))
+    // Add-one-smoothed per-bucket log ratio, snapped to the 1e-9 grid
+    // (round half-away-from-zero agrees across engines) so the per-doc
+    // sum is an order-independent long add.
+    val lr = log((coalesce(col("__ct"), lit(0L)) + lit(1L)) /
+                 (col("__tt") + lit(buckets))) -
+             log((col("__cr") + lit(1L)) / (col("__tr") + lit(buckets)))
+    val ratio = rawProf.join(tgtProf, Seq("__b"), "left")
+      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
+      .select(col("__b"), round(lr * lit(1e9)).cast("long").as("__lr9"))
+    // The ratio frame is bounded by the bucket SPACE (≤`buckets` rows),
+    // so the per-occurrence join is a broadcast probe — the trigram-
+    // profile posture. rawFeats is consumed twice (profile + scoring);
+    // the recompute is one extra column-pruned scan, deliberately
+    // cheaper at any scale than materializing the exploded feature
+    // stream (ReusedExchange does not apply across the two shapes).
+    rawFeats.join(broadcast(ratio), Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"), sum("__lr9").as("__s9"))
+  }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): each candidate
+   * document in `raw` is scored by the log-likelihood ratio of a
+   * hashed bag-of-n-grams (unigram+bigram) model of the TARGET domain
+   * versus the raw pool itself:
+   *
+   *   log w(d) = Σ_{feature occurrences f∈d} ln(p_tgt[b(f)] / p_raw[b(f)])
+   *
+   * with add-one smoothing over `buckets` hash buckets. Documents with
+   * zero features (empty text) carry no evidence and are absent from
+   * the output.
+   *
+   * Shape at scale: two bounded profile aggregations (≤`buckets` rows
+   * each, totals rolled up from them), one broadcast probe per feature
+   * occurrence, one per-doc aggregate with map-side combine — no
+   * string shuffle keys, no windows, no driver state.
+   *
+   * Returns `(idCol, n_feats, logratio)` — `logratio` is the TOTAL
+   * (not averaged) log ratio, the paper's importance weight: longer
+   * on-domain documents accumulate more evidence.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = DsirBuckets, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    dsirScored(raw, target, buckets, idCol, textCol)
+      .select(col(idCol), col("n_feats"),
+        (col("__s9") / lit(1e9)).as("logratio"))
+
+  /**
+   * DSIR Gumbel-top-k resampling: sample `k` documents without
+   * replacement, proportionally to their importance weights, by
+   * ranking on `log w(d) + G(d)` with `G(d)` a Gumbel(0,1) draw — the
+   * standard Gumbel-max reduction of weighted sampling to a top-k.
+   * The Gumbel is derived from the partition-independent md5 RNG
+   * (`-ln(-ln(U))`, `U = uniformPos`), so selection is deterministic,
+   * stable under repartitioning, and replays exactly in the DuckDB
+   * oracle; the inner `-ln(U)` is floored at 1e-26 (probability 2^-52
+   * edge where U = 1) so no infinity ever reaches the grid. Both
+   * addends live on the 1e-9 long grid, making the ranking key an
+   * exact integer compare with `idCol` as the deterministic
+   * tie-break. Top-k is a `TakeOrderedAndProject` — per-partition
+   * heaps, no global sort.
+   *
+   * Returns `(idCol, n_feats, logratio, gumbel_key)` for the `k`
+   * selected documents.
+   */
+  def dsirResample(raw: DataFrame, target: DataFrame, k: Int, seed: Long,
+      buckets: Int = DsirBuckets, idCol: String = "doc_id",
+      textCol: String = "text", stream: String = "corpus_dsir"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = Rng.uniformPos(seed, stream, col(idCol))
+    val g = -log(greatest(-log(u), lit(1e-26)))
+    dsirScored(raw, target, buckets, idCol, textCol)
+      .withColumn("__key9", col("__s9") + round(g * lit(1e9)).cast("long"))
+      .orderBy(col("__key9").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("n_feats"),
+        (col("__s9") / lit(1e9)).as("logratio"),
+        (col("__key9") / lit(1e9)).as("gumbel_key"))
+  }
 }

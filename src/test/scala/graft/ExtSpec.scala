@@ -1141,6 +1141,52 @@ class ExtSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("dsirWeights: on-domain docs outscore off-domain, stable under repartitioning") {
+    import graft.ext.Corpus
+    val target = Seq(
+      (100L, "model training data quality tokens corpus filter"),
+      (101L, "training corpus tokens model data quality scale"),
+      (102L, "data tokens corpus model quality training batch"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "model training data quality tokens corpus batch"), // on-domain
+      (1L, "zebra walrus quokka lemur gecko iguana ocelot"),   // off-domain
+      (2L, "corpus tokens zebra walrus model gecko data"))     // mixed
+      .toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w(0L) should be > w(2L)
+    w(2L) should be > w(1L)
+    w(0L) should be > 0.0   // likelihood ratio favors the target model
+    w(1L) should be < 0.0
+    // partition-independent: md5 buckets, no per-partition state
+    val again = Corpus.dsirWeights(raw.repartition(7), target.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    again shouldBe w
+  }
+
+  test("dsirResample: exactly k rows, weight-consistent, deterministic") {
+    import graft.ext.Corpus
+    val target = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val raw = (0L until 40L).toDF("doc_id")
+      .withColumn("text",
+        when($"doc_id" < 20, lit("alpha beta gamma delta epsilon zeta"))
+          .otherwise(lit("one two three four five six")))
+    val sel = Corpus.dsirResample(raw, target, k = 10, seed = 7L).collect()
+    sel.length shouldBe 10
+    // selection is consistent with the weights frame (same s9 grid)
+    val w = Corpus.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sel.foreach(r => r.getDouble(2) shouldBe w(r.getLong(0)))
+    // on-domain docs carry overwhelmingly larger weights, so the
+    // Gumbel perturbation (O(1)-scale) cannot promote off-domain ones
+    all(sel.map(_.getLong(0))) should be < 20L
+    // deterministic: the md5 Gumbel keys replay run-over-run
+    val again = Corpus.dsirResample(raw.repartition(11), target, k = 10, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    again shouldBe sel.map(_.getLong(0)).toSet
+  }
+
   test("packChunks: contiguous global stream, bucket-count invariant, pack math") {
     import graft.ext.Corpus
     val docs = (0L until 200L).toDF("doc_id")

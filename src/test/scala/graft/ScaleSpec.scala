@@ -487,6 +487,30 @@ class ScaleSpec extends SparkSpec {
     gPlan should include("gophergramstats")
   }
 
+  test("dsirWeights: ratio probe is broadcast, exchanges carry only bucket/doc long keys") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Corpus.dsirWeights(docs.where($"lang" =!= "en"),
+        docs.where($"lang" === "en"))
+      .queryExecution.executedPlan.toString
+    // the ≤buckets-row log-ratio frame joins the per-occurrence feature
+    // stream as a broadcast probe — never a shuffled join against the
+    // exploded corpus
+    plan should include("BroadcastHashJoin")
+    // every exchange partitions on the derived long bucket key or the
+    // doc id — feature STRINGS never cross a shuffle
+    val exchanges = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    exchanges should not be empty
+    exchanges.foreach { e =>
+      withClue(e) { e should not include "__g#" }
+    }
+    // top-k selection is a per-partition heap, not a global sort
+    val selPlan = Corpus.dsirResample(docs.where($"lang" =!= "en"),
+        docs.where($"lang" === "en"), k = 10, seed = 42L)
+      .queryExecution.executedPlan.toString
+    selPlan should include("TakeOrderedAndProject")
+  }
+
   test("persisted IVF index: probe-only path matches retrain-per-query, no k-means at probe time") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where($"vec_id" < 5)
