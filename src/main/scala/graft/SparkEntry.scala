@@ -1598,6 +1598,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic sharded training-order shuffle: the dataloader
+    // manifest — (shard, pos) per document, md5-keyed permutation.
+    "x_shuffle_shards" -> ((s, dir) =>
+      Corpus.shuffleShards(tbl(s, dir, "documents"), nShards = 16, seed = Seed)
+        .orderBy("doc_id")),
+
+    // Shard-balance rollup over the SAME assignment (shared code path
+    // and shared oracle CTE, so report and manifest can't drift):
+    // docs, BPE-ish token mass, and the max position per shard.
+    "x_shard_balance" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("n_tok", TextStats.bpeishTokenCount(col("text")))
+      Corpus.shuffleShards(d, nShards = 16, seed = Seed, payload = Seq("n_tok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+          max("pos").as("max_pos"))
+        .orderBy("shard")
+    }),
+
     // DSIR importance weights: non-English pool scored against the
     // English target domain under the hashed bag-of-n-grams model.
     "x_dsir_weights" -> ((s, dir) => {
@@ -2491,6 +2510,23 @@ object SparkEntry {
        |        FROM s)""".stripMargin
   }
 
+  /** DuckDB mirror of the deterministic sharded shuffle (16 shards,
+    * stream `corpus_shuffle`): md5 uniform, floor bucketing, 0-based
+    * row_number per shard ordered by (u, doc_id). Shared by
+    * x_shuffle_shards and the x_shard_balance rollup. */
+  private def shardCtes: String = {
+    val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_shuffle' || " +
+      s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    s"""sh AS (SELECT doc_id, $u AS u,
+       |              CAST(floor($u * 16) AS INTEGER) AS shard,
+       |              CAST(len($bpeishExtractSql) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |sp AS (SELECT doc_id, shard, n_tok,
+       |              CAST(row_number() OVER (PARTITION BY shard
+       |                     ORDER BY u, doc_id) AS BIGINT) - 1 AS pos
+       |       FROM sh)""".stripMargin
+  }
+
   /** DuckDB mirror of the DSIR hashed bag-of-n-grams importance model
     * (buckets = [[Corpus.DsirBuckets]], target = lang 'en', raw = the
     * rest): unigram + bigram feature occurrences, 60-bit-md5-prefix
@@ -3019,6 +3055,21 @@ object SparkEntry {
 
     // CCNet perplexity bucketing: the bigram-LM score chain (shared
     // CTEs — the two oracles cannot train different LMs), joined to
+    // Sharded-shuffle replay: same md5 uniform, same floor bucketing,
+    // same (u, doc_id) within-shard order — row_number agrees because
+    // the order keys are bit-identical doubles.
+    "x_shuffle_shards" ->
+      s"""WITH $shardCtes
+         |SELECT doc_id, shard, pos FROM sp ORDER BY doc_id""".stripMargin,
+
+    // Shard-balance rollup over the SAME shared CTE as the manifest.
+    "x_shard_balance" ->
+      s"""WITH $shardCtes
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       max(pos) AS max_pos
+         |FROM sp GROUP BY 1 ORDER BY shard""".stripMargin,
+
     // DSIR weights replay: same md5 bucket hash, same add-one-smoothed
     // log ratios on the 1e-9 grid (ln and round half-away-from-zero
     // agree between engines), order-independent long sums.

@@ -398,6 +398,43 @@ object Corpus {
         (col("tok_to") - col("tok_from")).as("n_slice_tokens"))
   }
 
+  /**
+   * Deterministic global training-order shuffle into `nShards` shards —
+   * the manifest a dataloader consumes: every document gets a
+   * `(shard, pos)` coordinate, shards are balanced in expectation, and
+   * the within-shard order is a uniform random permutation. The shuffle
+   * key is the partition-independent md5 uniform, so the ORDER is a
+   * pure function of `(seed, idCol)`: stable under repartitioning,
+   * retries, and re-runs, and adding documents never reorders a
+   * shard's existing prefix relative to a fractional `orderBy(rand())`
+   * (which reshuffles everything on every change).
+   *
+   * `payload` columns are carried through untouched (for rollups that
+   * must share this exact assignment rather than re-derive it).
+   *
+   * Returns `(idCol, payload*, shard, pos)` with `pos` 0-based within
+   * the shard.
+   *
+   * Shape at scale: one projection (md5 + floor bucketing), then one
+   * window PARTITIONED BY shard — per-shard sort only, parallel across
+   * shards; `nShards` is chosen so a shard fits an executor (at 100 TB
+   * you run thousands of shards). No global sort, no driver state.
+   */
+  def shuffleShards(df: DataFrame, nShards: Int, seed: Long,
+      idCol: String = "doc_id", payload: Seq[String] = Nil,
+      stream: String = "corpus_shuffle"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val base = df
+      .select(col(idCol) +: payload.map(col): _*)
+      .withColumn("__u", Rng.uniform(seed, stream, col(idCol)))
+      .withColumn("shard", floor(col("__u") * nShards).cast("int"))
+    base
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("__u"), col(idCol)))
+        .cast("long") - lit(1L))
+      .select(col(idCol) +: payload.map(col) :+ col("shard") :+ col("pos"): _*)
+  }
+
   // === DSIR importance resampling =======================================
 
   /** Feature-space size of the DSIR hashed bag-of-n-grams model (the

@@ -1141,6 +1141,27 @@ class ExtSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("shuffleShards: per-shard 0..n-1 positions, full cover, repartition-stable") {
+    import graft.ext.Corpus
+    val df = (0L until 500L).toDF("doc_id")
+    val out = Corpus.shuffleShards(df, nShards = 8, seed = 7L).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    out.length shouldBe 500
+    out.map(_._1).toSet shouldBe (0L until 500L).toSet  // every doc placed once
+    // within each shard, pos is exactly 0..n-1
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq shouldBe rows.indices.map(_.toLong)
+    }
+    // shards are balanced in expectation (uniform md5 bucketing):
+    // with 500 docs over 8 shards no shard collapses or hogs
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    all(sizes.values.toSeq) should (be > 30 and be < 100)
+    // the coordinate is a pure function of (seed, doc_id)
+    val again = Corpus.shuffleShards(df.repartition(13), nShards = 8, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    again.sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
+  }
+
   test("dsirWeights: on-domain docs outscore off-domain, stable under repartitioning") {
     import graft.ext.Corpus
     val target = Seq(

@@ -487,6 +487,20 @@ class ScaleSpec extends SparkSpec {
     gPlan should include("gophergramstats")
   }
 
+  test("shuffleShards: every window is shard-partitioned — no global sort anywhere") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Corpus.shuffleShards(docs, nShards = 16, seed = 42L)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winLines should not be empty
+    winLines.foreach { w =>
+      withClue(w) { w should include regex "windowspecdefinition\\(shard#" }
+    }
+    plan should not include "rangepartitioning"  // no global ORDER BY
+  }
+
   test("dsirWeights: ratio probe is broadcast, exchanges carry only bucket/doc long keys") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
