@@ -1598,6 +1598,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Count-min sketch validation: exact top-20 token frequencies next
+    // to their CM estimates from a 4×256 grid — one-sided error, the
+    // grid being the only aggregate a production caller would run.
+    "x_cms_heavy" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+      Sketches.cmsHeavyHitters(toks, "token", k = 20, seed = Seed)
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // Deterministic sharded training-order shuffle: the dataloader
     // manifest — (shard, pos) per document, md5-keyed permutation.
     "x_shuffle_shards" -> ((s, dir) =>
@@ -3055,6 +3065,26 @@ object SparkEntry {
 
     // CCNet perplexity bucketing: the bigram-LM score chain (shared
     // CTEs — the two oracles cannot train different LMs), joined to
+    // CMS replay: same md5-salted row hashes, same 4×256 grid counts,
+    // same min-over-rows estimate; the top-20 cut is fully ordered
+    // (n_exact DESC, token) so the probe SET replays exactly.
+    "x_cms_heavy" ->
+      s"""WITH toku AS (SELECT unnest($toksSql) AS token FROM documents),
+         |ga AS (SELECT token, i FROM toku, generate_series(0, 3) AS t(i)),
+         |grid AS (SELECT i, ('0x' || substr(md5('$Seed' || chr(1) || 'cms' ||
+         |                i::VARCHAR || chr(1) || token), 1, 15))::BIGINT % 256 AS b,
+         |                CAST(count(*) AS BIGINT) AS c
+         |         FROM ga GROUP BY 1, 2),
+         |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS n_exact FROM toku
+         |          GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 20),
+         |pb AS (SELECT e.token, e.n_exact, t.i,
+         |              ('0x' || substr(md5('$Seed' || chr(1) || 'cms' ||
+         |                t.i::VARCHAR || chr(1) || e.token), 1, 15))::BIGINT % 256 AS b
+         |       FROM exact e, generate_series(0, 3) AS t(i))
+         |SELECT pb.token, pb.n_exact, min(g.c) AS cms_est
+         |FROM pb JOIN grid g ON g.i = pb.i AND g.b = pb.b
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, token""".stripMargin,
+
     // Sharded-shuffle replay: same md5 uniform, same floor bucketing,
     // same (u, doc_id) within-shard order — row_number agrees because
     // the order keys are bit-identical doubles.

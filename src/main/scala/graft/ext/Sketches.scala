@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import graft.functions.Rng
@@ -228,5 +228,80 @@ object Sketches {
     ds.groupByKey(_._1)(Encoders.LONG).mapValues(_._2).agg(agg)
       .toDF(groupCol, "est_distinct")
       .select(col(groupCol).cast(gType).as(groupCol), col("est_distinct"))
+  }
+
+  // === Count-min sketch (frequency estimation) ==========================
+
+  /** Row-`i` bucket of a value: 60-bit md5 prefix of the
+    * `(seed, "cms<i>", v)` payload mod `width` — the same digest
+    * convention as every oracle-replayable hash in the engine. */
+  private def cmsBucket(seed: Long, i: Int, v: Column, width: Int): Column =
+    conv(substring(Rng.digest(seed, s"cms$i", v), 1, 15), 16, 10)
+      .cast("long") % width
+
+  /**
+   * Count-min sketch build: collapse a value-occurrence stream into a
+   * `depth × width` count grid — the third sketch family next to KMV
+   * (distinct) and the histogram (quantiles), covering FREQUENCY.
+   * Each occurrence increments one bucket per row (`depth`
+   * md5-salted hashes); a point estimate is the MIN over its `depth`
+   * buckets, always ≥ the true count, and ≤ true + ε·N with
+   * ε = e/width at probability 1 − e^-depth — the classic CM bound.
+   *
+   * Why this shape at 100 TB: the grid is the ONLY aggregate, its key
+   * space is bounded (`depth·width` cells) regardless of corpus size,
+   * so the shuffle carries at most `depth·width` partial counts per
+   * partition (map-side combine over a constant key space) and the
+   * result broadcasts anywhere — where an exact `groupBy(value)`
+   * shuffles every distinct value. Grids built on disjoint corpus
+   * slices merge by cell-wise addition (same keys), which is what
+   * makes the sketch incremental across snapshots.
+   *
+   * Returns `(__i, __b, __c)` — one row per non-empty cell.
+   */
+  def cmsGrid(df: DataFrame, valueCol: String, seed: Long,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    val buckets = array((0 until depth)
+      .map(i => cmsBucket(seed, i, col(valueCol), width)): _*)
+    df.select(posexplode(buckets).as(Seq("__i", "__b")))
+      .groupBy("__i", "__b").agg(count(lit(1)).as("__c"))
+  }
+
+  /** Point estimates for `probes` (any frame carrying `valueCol`,
+    * other columns pass through): min over the `depth` grid cells the
+    * value hashes to. The grid is bounded by `depth·width` cells, so
+    * the probe join is a broadcast — never a shuffle of the probe
+    * frame. Hash parameters must match the [[cmsGrid]] call. */
+  def cmsEstimate(grid: DataFrame, probes: DataFrame, valueCol: String,
+      seed: Long, depth: Int = 4, width: Int = 256): DataFrame = {
+    val passThrough = probes.columns.filter(_ != valueCol).map(col).toSeq
+    val buckets = array((0 until depth)
+      .map(i => cmsBucket(seed, i, col(valueCol), width)): _*)
+    probes
+      .select(col(valueCol) +: passThrough :+ posexplode(buckets): _*)
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__b")
+      .join(broadcast(grid), Seq("__i", "__b"))
+      .groupBy(col(valueCol) +: passThrough: _*)
+      .agg(min("__c").as("cms_est"))
+  }
+
+  /**
+   * Validation composition: the `k` most frequent values (exact, with
+   * deterministic ties) next to their CM estimates — the query that
+   * PROVES the estimate's one-sided error on real data. A production
+   * caller uses [[cmsGrid]]/[[cmsEstimate]] alone (bounded state);
+   * the exact side exists here because the point of the query is the
+   * comparison.
+   */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int, seed: Long,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val exactTop = df.groupBy(valueCol).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(valueCol)).limit(k)
+    cmsEstimate(cmsGrid(df, valueCol, seed, depth, width),
+        exactTop, valueCol, seed, depth, width)
+      .select(col(valueCol), col("n_exact"), col("cms_est"))
   }
 }

@@ -1141,6 +1141,36 @@ class ExtSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("cms: estimates one-sided, tight on heavy hitters, grids merge cell-wise") {
+    import graft.ext.Sketches
+    // skewed stream: value v occurs (500 - v) times, v in 0..99
+    val occ = (0 until 100).flatMap(v => Seq.fill(500 - v)(v.toLong))
+    val df = occ.toDF("v").select($"v".cast("string").as("v"))
+    val out = Sketches.cmsHeavyHitters(df, "v", k = 10, seed = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.length shouldBe 10
+    out.map(_._2).toSet shouldBe (491L to 500L).toSet // exact top-10 counts
+    out.foreach { case (_, exact, est) =>
+      est should be >= exact                   // CM error is one-sided
+      est should be <= exact + occ.length / 64L // and small at width=256
+    }
+    // grid built on a repartitioned stream is identical (md5 hashing,
+    // constant key space, order-free counts)
+    val g1 = Sketches.cmsGrid(df, "v", 7L).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val g2 = Sketches.cmsGrid(df.repartition(13), "v", 7L).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    g2 shouldBe g1
+    // sketches of disjoint slices merge by cell-wise addition
+    val even = df.where($"v".cast("long") % 2 === 0)
+    val odd = df.where($"v".cast("long") % 2 === 1)
+    val merged = Sketches.cmsGrid(even, "v", 7L)
+      .unionByName(Sketches.cmsGrid(odd, "v", 7L))
+      .groupBy("__i", "__b").agg(sum("__c").as("__c")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    merged shouldBe g1
+  }
+
   test("shuffleShards: per-shard 0..n-1 positions, full cover, repartition-stable") {
     import graft.ext.Corpus
     val df = (0L until 500L).toDF("doc_id")

@@ -487,6 +487,23 @@ class ScaleSpec extends SparkSpec {
     gPlan should include("gophergramstats")
   }
 
+  test("cms: grid aggregates partially over a constant key space; probe join is broadcast") {
+    import graft.ext.Sketches
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(explode(graft.ext.TextStats.tokens($"text")).as("token"))
+    // build side: partial count below the exchange — at most
+    // depth·width cells per partition cross the shuffle
+    val gridPlan = Sketches.cmsGrid(docs, "token", 42L)
+      .queryExecution.executedPlan.toString
+    gridPlan should include("partial_count")
+    // probe side: the bounded grid broadcasts; the probe frame is
+    // never shuffled into a sort-merge join
+    val hh = Sketches.cmsHeavyHitters(docs, "token", k = 10, seed = 42L)
+    val plan = hh.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
   test("shuffleShards: every window is shard-partitioned — no global sort anywhere") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -196,6 +196,33 @@ class StreamingSpec extends SparkSpec {
     out.foreach(s => s.s_end should be >= s.s_start)
   }
 
+  test("streaming CMS: the batch grid kernel runs unchanged on a stream, state bounded by the cell space") {
+    import graft.ext.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // cmsGrid is a projection + groupBy over a CONSTANT key space, so
+    // it is a legal streaming aggregation whose state is ≤ depth·width
+    // rows forever — the same code path as batch, no streaming twin
+    val q = Sketches.cmsGrid(mem.toDF().toDF("token"), "token", seed = 7L)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    val b1 = Seq.fill(30)("alpha") ++ Seq.fill(10)("beta") ++ Seq("gamma")
+    val b2 = Seq.fill(20)("alpha") ++ Seq.fill(5)("delta")
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // exact agreement with the batch grid over the union of batches —
+    // same kernel, same hashes, same cells
+    val batch = Sketches.cmsGrid((b1 ++ b2).toDF("token"), "token", seed = 7L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    streamed shouldBe batch
+    streamed.size should be <= 4 * 256
+  }
+
   test("streaming minhash dedup: late near-dup flagged; bucket state reclaimed at horizon") {
     import graft.streaming.NearDupStream
     import graft.streaming.NearDupStream.DupFlag
