@@ -470,10 +470,16 @@ object Corpus {
   private def dsirScored(raw: DataFrame, target: DataFrame, buckets: Int,
       idCol: String, textCol: String): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val rawFeats = dsirFeatures(raw, Seq(col(idCol)), textCol, buckets)
+    // Collapse the pool's feature stream ONCE to per-(doc, bucket)
+    // counts. Both the raw profile and the scoring pass consume this
+    // same aggregate, so its exchange is planned once (ReusedExchange)
+    // and everything downstream shuffles compressed counts instead of
+    // raw occurrences.
+    val docBuckets = dsirFeatures(raw, Seq(col(idCol)), textCol, buckets)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
     val tgtProf = dsirFeatures(target, Nil, textCol, buckets)
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val rawProf = rawFeats.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val rawProf = docBuckets.groupBy("__b").agg(sum("__c").as("__cr"))
     // Totals roll up from the ≤buckets-row profiles, never by
     // re-exploding the corpus; both are 1-row frames.
     val tgtTot = tgtProf.agg(sum("__ct").as("__tt"))
@@ -488,14 +494,13 @@ object Corpus {
       .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
       .select(col("__b"), round(lr * lit(1e9)).cast("long").as("__lr9"))
     // The ratio frame is bounded by the bucket SPACE (≤`buckets` rows),
-    // so the per-occurrence join is a broadcast probe — the trigram-
-    // profile posture. rawFeats is consumed twice (profile + scoring);
-    // the recompute is one extra column-pruned scan, deliberately
-    // cheaper at any scale than materializing the exploded feature
-    // stream (ReusedExchange does not apply across the two shapes).
-    rawFeats.join(broadcast(ratio), Seq("__b"))
+    // so scoring is a broadcast probe of the per-doc counts — the
+    // trigram-profile posture — and Σ c·lr9 over buckets equals the
+    // per-occurrence sum exactly (long arithmetic).
+    docBuckets.join(broadcast(ratio), Seq("__b"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"), sum("__lr9").as("__s9"))
+      .agg(sum("__c").as("n_feats"),
+        sum(col("__c") * col("__lr9")).as("__s9"))
   }
 
   /**

@@ -524,10 +524,20 @@ class ScaleSpec extends SparkSpec {
     val plan = Corpus.dsirWeights(docs.where($"lang" =!= "en"),
         docs.where($"lang" === "en"))
       .queryExecution.executedPlan.toString
-    // the ≤buckets-row log-ratio frame joins the per-occurrence feature
-    // stream as a broadcast probe — never a shuffled join against the
+    // the ≤buckets-row log-ratio frame joins the per-doc bucket counts
+    // as a broadcast probe — never a shuffled join against the
     // exploded corpus
     plan should include("BroadcastHashJoin")
+    // the per-(doc, bucket) count aggregate feeds BOTH the raw profile
+    // and the scoring pass through ONE exchange — the feature explode
+    // runs once, not once per consumer. AQE materializes the reuse at
+    // runtime, so execute this query execution and read the final plan
+    val q = Corpus.dsirWeights(docs.where($"lang" =!= "en"),
+      docs.where($"lang" === "en"))
+    q.collect()
+    val finalPlan = q.queryExecution.executedPlan.toString
+    finalPlan should include("isFinalPlan=true")
+    finalPlan should include("ReusedExchange")
     // every exchange partitions on the derived long bucket key or the
     // doc id — feature STRINGS never cross a shuffle
     val exchanges = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
