@@ -1953,6 +1953,30 @@ object SparkEntry {
     // ANN quality measurement: recall@5 of the LSH path against the
     // exact brute-force baseline, per query vector — the "did the
     // approximate path actually work" check, itself oracle-checked.
+    // JL-projection recall: the 64→16-dim random projection's top-5
+    // against the full-dim float baseline — the dimensionality half of
+    // embedding compression, measured exactly like the int8 half.
+    "x_jl_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val jc = Similarity.jlProject(emb, outDims = JlDims, seed = Seed + 9)
+        .select(col("vec_id"), col("jvec").as("embedding"))
+      val jq = Similarity.jlProject(queries, outDims = JlDims, seed = Seed + 9)
+        .select(col("query_id"), col("jvec").as("embedding"))
+      val bf = Similarity.bruteForceTopK(emb, queries, k = AnnK)
+        .select("query_id", "neighbor_id")
+      val jbf = Similarity.bruteForceTopK(jc, jq, k = AnnK)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(jbf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * (100 / AnnK)).as("recall_pct"))
+        .orderBy("query_id")
+    }),
+
     "x_ann_recall" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -2321,6 +2345,9 @@ object SparkEntry {
     * `rank <= k` bounds cannot drift apart. Must divide 100. */
   private val AnnK = 5
 
+  /** Output dimensionality of the JL random projection (x_jl_recall). */
+  private val JlDims = 16
+
   /** DuckDB fragment: sequential-fold self dot product of `v` (matches
     * the engine's left-to-right fold in NativeFunctions.dot). */
   private val selfDotSql =
@@ -2635,7 +2662,53 @@ object SparkEntry {
       |           FROM scored)
       |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $AnnK""".stripMargin
 
+  /** DuckDB mirror of the JL-projected brute-force top-5: the same 16
+    * Gaussian direction arrays injected as literals, the same
+    * sequential-fold projection and scoring, row_number ties broken by
+    * neighbor id — shared shape with [[simQuantizedSql]]. */
+  private def simJlSql: String = {
+    val planes = Similarity.planeLiterals(dims = 64, planes = JlDims,
+      seed = Seed + 9)
+    def proj(p: Seq[Double]): String = {
+      val lst = p.mkString("[", ", ", "]")
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * ($lst)[i] for i in generate_series(1, 64)]), (a, b) -> a + b)"
+    }
+    val jvExpr = planes.map(proj).mkString("[", ",\n         ", "]")
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |jp AS (SELECT vec_id, $jvExpr AS jv FROM e),
+       |n AS (SELECT vec_id, jv, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        [jv[i] * jv[i] for i in generate_series(1, $JlDims)]), (a, b) -> a + b)) AS nrm
+       |      FROM jp),
+       |q AS (SELECT vec_id AS query_id, jv AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                    [c.jv[i] * q.qv[i] for i in generate_series(1, $JlDims)]), (a, b) -> a + b)
+       |                  / (c.nrm * q.qn) AS score
+       |           FROM n c CROSS JOIN q),
+       |ranked AS (SELECT query_id, neighbor_id,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY score DESC, neighbor_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, neighbor_id FROM ranked WHERE rank <= $AnnK""".stripMargin
+  }
+
   private val extOracles: Map[String, String] = Map(
+    // JL-projection recall: the float baseline and the 16-dim ranking
+    // share their oracle CTEs verbatim, so the measured distortion of
+    // the 4×-dimensionality-reduction path is exactly cross-checked.
+    "x_jl_recall" ->
+      s"""WITH bf AS ($simBruteforceSql),
+         |jbf AS ($simJlSql),
+         |hits AS (SELECT bf.query_id, count(*) AS n_hit
+         |         FROM bf JOIN jbf USING (query_id, neighbor_id)
+         |         GROUP BY bf.query_id)
+         |SELECT query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |       CAST(coalesce(n_hit, 0) * ${100 / AnnK} AS BIGINT) AS recall_pct
+         |FROM (SELECT DISTINCT query_id FROM bf) q
+         |LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
     // Quantized-ANN recall: both rankings replayed in full (the float
     // baseline and the int8 ranking share the oracle CTEs verbatim),
     // so the measured accuracy of the 4×-bandwidth path is itself

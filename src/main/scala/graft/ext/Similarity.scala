@@ -107,6 +107,29 @@ object Similarity {
     df.withColumn(outCol, graft.plans.NativeFunctions.quantizeInt8(col(vecCol)))
 
   /**
+   * Johnson–Lindenstrauss random projection of the embedding column to
+   * `outDims` dimensions — the DIMENSIONALITY half of embedding
+   * compression, next to [[quantizeInt8]]'s precision half: project
+   * once, then every downstream dot/cosine costs `outDims` multiplies
+   * instead of `dims`, and the frame is `dims/outDims`× smaller to
+   * shuffle or broadcast. Directions are the plan-time Gaussian
+   * literals of [[planeLiterals]] (same constants on every executor
+   * and in the oracle); the JL lemma gives cosine distortion
+   * O(1/√outDims), measured as recall by `x_jl_recall` exactly like
+   * the quantized path. No scaling term: cosine is invariant to the
+   * uniform 1/√outDims factor. One projection of `outDims` codegen'd
+   * dot products per row; no shuffle.
+   */
+  def jlProject(df: DataFrame, outDims: Int, seed: Long,
+      vecCol: String = "embedding", outCol: String = "jvec",
+      dims: Int = 64): DataFrame = {
+    require(outDims > 0, "outDims must be positive")
+    val ps = planeLiterals(dims, outDims, seed)
+    val comps: Seq[Column] = ps.map(p => dot(col(vecCol), array(p.map(lit): _*)))
+    df.withColumn(outCol, array(comps: _*))
+  }
+
+  /**
    * Deterministic pseudo-random hyperplanes: plane p, dim i ~ N(0,1)
    * derived from `java.util.Random(seed*31 + p)` at plan time — literal
    * arrays, broadcast implicitly with the plan, identical on every

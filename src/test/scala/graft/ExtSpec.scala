@@ -1141,6 +1141,37 @@ class ExtSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("jlProject: plan-time constants, cosine approximately preserved, no shuffle") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.jlProject(emb, outDims = 16, seed = 51L)
+    // one shuffle-free projection: 16 codegen'd dot products per row
+    out.queryExecution.executedPlan.toString should not include "Exchange"
+    val rows = out.select($"vec_id", $"embedding", $"jvec").limit(50).collect()
+    rows.foreach(r => r.getSeq[Double](2).length shouldBe 16)
+    // identical inputs project identically (pure function of the
+    // plan-time Gaussian literals), regardless of partitioning
+    val again = Similarity.jlProject(emb.repartition(7), outDims = 16, seed = 51L)
+      .select($"vec_id", $"jvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val first = out.select($"vec_id", $"jvec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    again shouldBe first
+    // JL preserves pairwise cosine to O(1/sqrt(16)) ≈ 0.25 PER PAIR —
+    // individual pairs can land 2-3σ out, so the right assertion is
+    // the MEAN absolute error over many pairs (deterministic: fixed
+    // seed, fixed corpus), well under one σ
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val full = rows.map(r => r.getSeq[Float](1).map(_.toDouble))
+    val proj = rows.map(r => r.getSeq[Double](2))
+    val errs = for (i <- 0 until 50; j <- (i + 1) until 50)
+      yield math.abs(cos(full(i), full(j)) - cos(proj(i), proj(j)))
+    errs.sum / errs.length should be < 0.3
+  }
+
   test("cms: estimates one-sided, tight on heavy hitters, grids merge cell-wise") {
     import graft.ext.Sketches
     // skewed stream: value v occurs (500 - v) times, v in 0..99
