@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
 object ScalingProbe {
   private val Queries = Seq("x_minhash_pairs", "x_substring_dedup",
     "x_jaccard_pairs", "x_dedup_clusters", "x_recipe_e2e",
-    "x_gopher_rules", "x_langid_trigram", "x_ngram_novelty")
+    "x_gopher_rules", "x_langid_trigram", "x_ngram_novelty",
+    "x_dsir_weights", "x_cms_heavy")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
