@@ -465,43 +465,73 @@ object Corpus {
         .cast("long") % buckets).as("__b"): _*)
   }
 
-  /** Shared scoring core: `(idCol, n_feats, __s9)` with `__s9` the
-    * doc's total log-likelihood ratio on the 1e-9 integer grid. */
-  private def dsirScored(raw: DataFrame, target: DataFrame, buckets: Int,
-      idCol: String, textCol: String): DataFrame = {
+  /**
+   * Dense per-bucket DSIR log-ratio table, trained on the driver:
+   * `lr9(b) = round((ln((ct_b+1)/(T_t+B)) − ln((cr_b+1)/(T_r+B)))·1e9)`
+   * with add-one smoothing, for EVERY bucket `b` (cells absent from
+   * both profiles get the all-zero-count default). The two profile
+   * aggregations stay distributed; only the ≤`buckets`-row joined
+   * profile is collected — the IVF-centroid posture, bounded by the
+   * bucket SPACE, never the corpus. The rounding is half-away-from-
+   * zero (BigDecimal HALF_UP), matching Spark's `round` and DuckDB's
+   * `round` exactly, so kernel scores replay in the oracle.
+   */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame,
+      buckets: Int = DsirBuckets, textCol: String = "text"): Array[Long] = {
     require(buckets > 0, "buckets must be positive")
-    // Collapse the pool's feature stream ONCE to per-(doc, bucket)
-    // counts. Both the raw profile and the scoring pass consume this
-    // same aggregate, so its exchange is planned once (ReusedExchange)
-    // and everything downstream shuffles compressed counts instead of
-    // raw occurrences.
-    val docBuckets = dsirFeatures(raw, Seq(col(idCol)), textCol, buckets)
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
     val tgtProf = dsirFeatures(target, Nil, textCol, buckets)
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val rawProf = docBuckets.groupBy("__b").agg(sum("__c").as("__cr"))
-    // Totals roll up from the ≤buckets-row profiles, never by
-    // re-exploding the corpus; both are 1-row frames.
-    val tgtTot = tgtProf.agg(sum("__ct").as("__tt"))
-    val rawTot = rawProf.agg(sum("__cr").as("__tr"))
-    // Add-one-smoothed per-bucket log ratio, snapped to the 1e-9 grid
-    // (round half-away-from-zero agrees across engines) so the per-doc
-    // sum is an order-independent long add.
-    val lr = log((coalesce(col("__ct"), lit(0L)) + lit(1L)) /
-                 (col("__tt") + lit(buckets))) -
-             log((col("__cr") + lit(1L)) / (col("__tr") + lit(buckets)))
-    val ratio = rawProf.join(tgtProf, Seq("__b"), "left")
-      .crossJoin(broadcast(tgtTot)).crossJoin(broadcast(rawTot))
-      .select(col("__b"), round(lr * lit(1e9)).cast("long").as("__lr9"))
-    // The ratio frame is bounded by the bucket SPACE (≤`buckets` rows),
-    // so scoring is a broadcast probe of the per-doc counts — the
-    // trigram-profile posture — and Σ c·lr9 over buckets equals the
-    // per-occurrence sum exactly (long arithmetic).
-    docBuckets.join(broadcast(ratio), Seq("__b"))
-      .groupBy(idCol)
-      .agg(sum("__c").as("n_feats"),
-        sum(col("__c") * col("__lr9")).as("__s9"))
+    val rawProf = dsirFeatures(raw, Nil, textCol, buckets)
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val cells = tgtProf.join(rawProf, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        coalesce(col("__ct"), lit(0L)), coalesce(col("__cr"), lit(0L)))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2)))
+    val tt = cells.map(_._2).sum
+    val tr = cells.map(_._3).sum
+    def lr9(ct: Long, cr: Long): Long = {
+      val lr = math.log((ct + 1L).toDouble / (tt + buckets).toDouble) -
+        math.log((cr + 1L).toDouble / (tr + buckets).toDouble)
+      // BigDecimal.valueOf (Double.toString form) + HALF_UP is exactly
+      // Spark's Round(double) path — the form the oracle equivalence
+      // is proven against; the exact-binary constructor can disagree
+      // at a grid boundary.
+      java.math.BigDecimal.valueOf(lr * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    }
+    val table = Array.fill(buckets)(lr9(0L, 0L))
+    cells.foreach { case (b, ct, cr) => table(b) = lr9(ct, cr) }
+    table
   }
+
+  /**
+   * Stateless DSIR scoring under a trained [[dsirRatioTable]]: ONE
+   * fused codegen projection per row ([[graft.plans.Native.dsirScore]]
+   * — tokenize, hash every unigram/bigram, accumulate the bucket's
+   * grid ratio), bit-identical to the explode → broadcast-probe →
+   * per-doc-sum formulation it replaces. No explode, no join, no
+   * shuffle — which is why the SAME call scores a readStream frame at
+   * ingest (train-batch / score-stream, the production quality-filter
+   * shape). Token-less documents are dropped, matching the exploded
+   * formulation's inner semantics.
+   */
+  def dsirScoreWith(df: DataFrame, lr9: Seq[Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        graft.plans.NativeFunctions.dsirScore(col(textCol), lr9).as("__sc"))
+      .select(col(idCol), col("__sc.n_feats").as("n_feats"),
+        col("__sc.s9").as("s9"))
+      .where(col("n_feats") > 0)
+
+  /** Shared scoring core: `(idCol, n_feats, __s9)` with `__s9` the
+    * doc's total log-likelihood ratio on the 1e-9 integer grid —
+    * trains the dense table (bounded driver collect at plan-build
+    * time), then scores with the fused kernel. */
+  private def dsirScored(raw: DataFrame, target: DataFrame, buckets: Int,
+      idCol: String, textCol: String): DataFrame =
+    dsirScoreWith(raw,
+      dsirRatioTable(raw, target, buckets, textCol).toSeq, idCol, textCol)
+      .withColumnRenamed("s9", "__s9")
 
   /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for

@@ -408,6 +408,47 @@ object Native {
    * both engines. Fewer than 2 tokens → (0, 0, 0); the zero count
    * replays the old left-join's NULL-coalesce exactly.
    */
+  /**
+   * Fused DSIR hashed bag-of-n-grams scoring, bit-identical to the
+   * DataFrame formulation it replaces (explode unigrams+bigrams →
+   * 60-bit md5 prefix % buckets → broadcast-join the per-bucket 1e-9
+   * grid log ratios → per-doc long sum): lowercase, whitespace-
+   * tokenize, hash every unigram and space-joined bigram, and
+   * accumulate `lr9(bucket)` in one pass — no explode, no join, no
+   * shuffle, which is what makes the scorer a STATELESS projection
+   * usable unchanged on a stream at ingest. `lr9` is the dense
+   * per-bucket table ([[graft.ext.Corpus.dsirRatioTable]]); its length
+   * is the bucket count. Returns (n_feats, s9); token-less documents
+   * return (0, 0).
+   *
+   * md5 (not xxhash64) so the bucket family replays exactly in the
+   * DuckDB oracle — same rationale as [[minhashSignature]].
+   */
+  def dsirScore(text: UTF8String, lr9: Array[Long]): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val buckets = lr9.length
+    var n = 0L
+    var s9 = 0L
+    val md = Md5Local.get()
+    def add(gram: String): Unit = {
+      val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var x = 0L
+      var i = 0
+      while (i < 7) { x = (x << 8) | (dig(i) & 0xffL); i += 1 }
+      x = ((x << 4) | ((dig(7) & 0xffL) >>> 4)) % buckets
+      s9 += lr9(x.toInt)
+      n += 1L
+    }
+    var i = 0
+    while (i < toks.length) {
+      add(toks(i))
+      if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, s9))
+  }
+
   def gopherGramStats(text: UTF8String): InternalRow = {
     val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     var top2Cnt = 0L
@@ -670,6 +711,29 @@ case class BpePiecesExpr(child: Expression, merges: Seq[(String, String)])
   * Length mismatch → null, matching `aggregate(zip_with(...))`
   * (zip_with null-pads the shorter side, poisoning the sum) — a
   * silently truncated dot product would hide data corruption. */
+/** dsir_score(text) → struct(n_feats, s9) under a plan-time dense
+  * per-bucket 1e-9-grid log-ratio table (length = bucket count). */
+case class DsirScoreExpr(child: Expression, lr9: Seq[Long])
+    extends UnaryExpression {
+  require(lr9.nonEmpty, "ratio table must be non-empty")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_feats", LongType, nullable = false),
+    StructField("s9", LongType, nullable = false)))
+
+  @transient private lazy val lrArr = lr9.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.dsirScore(input.asInstanceOf[UTF8String], lrArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lrRef = ctx.addReferenceObj("dsirLr9", lrArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.dsirScore($c, $lrRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreExpr =
+    copy(child = newChild)
+}
+
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -736,4 +800,7 @@ object NativeFunctions {
 
   def bpePieces(word: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpePiecesExpr(ColumnBridge.expression(word), merges))
+
+  def dsirScore(text: Column, lr9: Seq[Long]): Column =
+    ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(text), lr9))
 }

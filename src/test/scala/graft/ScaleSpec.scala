@@ -518,33 +518,20 @@ class ScaleSpec extends SparkSpec {
     plan should not include "rangepartitioning"  // no global ORDER BY
   }
 
-  test("dsirWeights: ratio probe is broadcast, exchanges carry only bucket/doc long keys") {
+  test("dsirWeights: fused-kernel scoring plans a pure projection — no explode, no join, no shuffle") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = Corpus.dsirWeights(docs.where($"lang" =!= "en"),
         docs.where($"lang" === "en"))
       .queryExecution.executedPlan.toString
-    // the ≤buckets-row log-ratio frame joins the per-doc bucket counts
-    // as a broadcast probe — never a shuffled join against the
-    // exploded corpus
-    plan should include("BroadcastHashJoin")
-    // the per-(doc, bucket) count aggregate feeds BOTH the raw profile
-    // and the scoring pass through ONE exchange — the feature explode
-    // runs once, not once per consumer. AQE materializes the reuse at
-    // runtime, so execute this query execution and read the final plan
-    val q = Corpus.dsirWeights(docs.where($"lang" =!= "en"),
-      docs.where($"lang" === "en"))
-    q.collect()
-    val finalPlan = q.queryExecution.executedPlan.toString
-    finalPlan should include("isFinalPlan=true")
-    finalPlan should include("ReusedExchange")
-    // every exchange partitions on the derived long bucket key or the
-    // doc id — feature STRINGS never cross a shuffle
-    val exchanges = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
-    exchanges should not be empty
-    exchanges.foreach { e =>
-      withClue(e) { e should not include "__g#" }
-    }
+    // the ratio table is trained at plan-build time (bounded driver
+    // collect over the ≤buckets-row joined profiles — the IVF-centroid
+    // posture); the QUERY is then one stateless codegen projection,
+    // which is also what makes the same call legal on a readStream
+    plan should include("dsirscore")
+    plan should not include "Exchange"
+    plan should not include "Generate"
+    plan should not include "Join"
     // top-k selection is a per-partition heap, not a global sort
     val selPlan = Corpus.dsirResample(docs.where($"lang" =!= "en"),
         docs.where($"lang" === "en"), k = 10, seed = 42L)

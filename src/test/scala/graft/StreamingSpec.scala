@@ -196,6 +196,35 @@ class StreamingSpec extends SparkSpec {
     out.foreach(s => s.s_end should be >= s.s_start)
   }
 
+  test("streaming DSIR: batch-trained ratio scores a stream statelessly, equal to batch weights") {
+    import graft.ext.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val raw = docs.where($"lang" =!= "en")
+    val target = docs.where($"lang" === "en")
+    // train in batch: the dense table is plan-time data, so scoring a
+    // stream is ONE stateless projection — append mode with no
+    // watermark proves no stateful operator is involved
+    val lr9 = Corpus.dsirRatioTable(raw, target).toSeq
+    val batch = Corpus.dsirScoreWith(raw, lr9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = Corpus.dsirScoreWith(mem.toDF().toDF("doc_id", "text"), lr9)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val pool = raw.select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    mem.addData(pool.take(50): _*)
+    q.processAllAvailable()
+    mem.addData(pool.slice(50, 100): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed.size shouldBe 100
+    streamed.foreach { case (id, v) => v shouldBe batch(id) }
+  }
+
   test("streaming CMS: the batch grid kernel runs unchanged on a stream, state bounded by the cell space") {
     import graft.ext.Sketches
     implicit val sqlCtx = spark.sqlContext
