@@ -546,10 +546,11 @@ object Corpus {
    * zero features (empty text) carry no evidence and are absent from
    * the output.
    *
-   * Shape at scale: two bounded profile aggregations (≤`buckets` rows
-   * each, totals rolled up from them), one broadcast probe per feature
-   * occurrence, one per-doc aggregate with map-side combine — no
-   * string shuffle keys, no windows, no driver state.
+   * Shape at scale: two bounded profile aggregations train the dense
+   * ratio table ([[dsirRatioTable]] — ≤`buckets` rows collected, the
+   * IVF-centroid posture); scoring is then ONE stateless fused-kernel
+   * projection ([[dsirScoreWith]]) — no explode, no join, no shuffle,
+   * no string keys anywhere.
    *
    * Returns `(idCol, n_feats, logratio)` — `logratio` is the TOTAL
    * (not averaged) log ratio, the paper's importance weight: longer
