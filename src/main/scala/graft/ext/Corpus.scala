@@ -424,6 +424,9 @@ object Corpus {
       idCol: String = "doc_id", payload: Seq[String] = Nil,
       stream: String = "corpus_shuffle"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    val reserved = Set("shard", "pos", "__u")
+    require(!(payload :+ idCol).exists(reserved),
+      s"payload/id columns may not use reserved names $reserved")
     val base = df
       .select(col(idCol) +: payload.map(col): _*)
       .withColumn("__u", Rng.uniform(seed, stream, col(idCol)))

@@ -276,6 +276,9 @@ object Sketches {
     * frame. Hash parameters must match the [[cmsGrid]] call. */
   def cmsEstimate(grid: DataFrame, probes: DataFrame, valueCol: String,
       seed: Long, depth: Int = 4, width: Int = 256): DataFrame = {
+    val reserved = Set("__i", "__b", "pos", "col")
+    require(!probes.columns.exists(reserved),
+      s"probe columns may not use reserved names $reserved")
     val passThrough = probes.columns.filter(_ != valueCol).map(col).toSeq
     val buckets = array((0 until depth)
       .map(i => cmsBucket(seed, i, col(valueCol), width)): _*)
