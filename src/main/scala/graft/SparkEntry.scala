@@ -1644,6 +1644,24 @@ object SparkEntry {
         d.where(col("lang") === "en"), k = 50, seed = Seed)
     }),
 
+    // Budget-constrained greedy selection: the best 5000 BPE-ish
+    // tokens from the non-English pool, prioritized by the fused DSIR
+    // kernel score — the terminal "build me an N-token dataset" step.
+    "x_budget_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val raw = d.where(col("lang") =!= "en")
+      val lr9 = Corpus.dsirRatioTable(raw, d.where(col("lang") === "en")).toSeq
+      val base = raw.select(col("doc_id"),
+          graft.plans.NativeFunctions.dsirScore(col("text"), lr9).as("__sc"),
+          TextStats.bpeishTokenCount(col("text")).as("__n"))
+        .select(col("doc_id"), col("__sc.n_feats").as("__nf"),
+          col("__sc.s9").as("__p9"), col("__n"))
+        .where(col("__nf") > 0)
+      Corpus.selectToBudget(base, col("__p9"), col("__n"),
+          budget = 5000L, bandWidth = 1000000000L)
+        .orderBy("doc_id")
+    }),
+
     // CCNet head/middle/tail perplexity buckets per source stratum,
     // scored under the same even-id-trained bigram LM as
     // x_bigram_logprob (shared oracle CTEs).
@@ -3197,6 +3215,34 @@ object SparkEntry {
          |SELECT doc_id, n_feats, s9 / 1e9 AS logratio, key9 / 1e9 AS gumbel_key
          |FROM gk ORDER BY key9 DESC, doc_id LIMIT 50""".stripMargin
     },
+
+    // Budget-selection replay: the same dsirCtes s9 priorities, the
+    // same banded two-phase prefix sum — all sums are exact longs and
+    // the order keys are grid integers, so the kept SET replays
+    // exactly. floor(s9/1e9): BIGINT/BIGINT is true division in
+    // DuckDB, matching Spark's double division before floor.
+    "x_budget_select" ->
+      s"""WITH $dsirCtes,
+         |sb AS (SELECT dw.doc_id, dw.s9,
+         |              CAST(len($bpeishExtractSql) AS BIGINT) AS n
+         |       FROM dw JOIN documents USING (doc_id)),
+         |bd AS (SELECT doc_id, s9, n,
+         |              CAST(least(greatest(floor(s9 / 1000000000), -1000), 1000)
+         |                   AS BIGINT) AS band
+         |       FROM sb),
+         |offs AS (SELECT band,
+         |                CAST(coalesce(sum(bn) OVER (ORDER BY band DESC
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                     0) AS BIGINT) AS excl
+         |         FROM (SELECT band, sum(n) AS bn FROM bd GROUP BY 1)),
+         |w AS (SELECT bd.doc_id, bd.band, bd.n, offs.excl,
+         |             CAST(sum(bd.n) OVER (PARTITION BY bd.band
+         |                    ORDER BY bd.s9 DESC, bd.doc_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  AS BIGINT) AS incl
+         |      FROM bd JOIN offs USING (band))
+         |SELECT doc_id, band, n AS n_tokens FROM w
+         |WHERE excl + incl <= 5000 ORDER BY doc_id""".stripMargin,
 
     // the stratum column, split by NTILE over the bit-identical score
     // doubles. Spark and DuckDB NTILE agree (first n%b buckets take

@@ -438,6 +438,53 @@ object Corpus {
       .select(col(idCol) +: payload.map(col) :+ col("shard") :+ col("pos"): _*)
   }
 
+  /**
+   * Budget-constrained greedy selection: keep documents in descending
+   * priority order until a token budget is exhausted — "build the best
+   * `budget`-token dataset from this pool", the terminal step of a
+   * curation pipeline. A document is kept iff the total token mass of
+   * all strictly-higher-priority documents plus its own fits the
+   * budget (inclusive rule: the output NEVER overshoots; ties break by
+   * `idCol`). `priority` must be an integer-grid column (e.g. the DSIR
+   * `s9` score) so the order is exact in both engines.
+   *
+   * The global ordered prefix sum is computed WITHOUT a global sort,
+   * via the [[packChunks]] two-phase shape over priority BANDS
+   * (`floor(p/bandWidth)` clamped to ±`maxBands` — monotone in `p`):
+   * phase 1 aggregates per-band token mass and takes exclusive
+   * higher-band offsets with a window over the ≤`2·maxBands+1`-row
+   * band frame (single-partition but bounded by construction); phase 2
+   * ranks within each band in parallel. Keep decision =
+   * `band_offset + within_band_inclusive_sum ≤ budget` — one formula,
+   * exact global greedy.
+   *
+   * Returns `(idCol, band, n_tokens)` for selected documents.
+   */
+  def selectToBudget(df: DataFrame, priority: Column, tokenCount: Column,
+      budget: Long, bandWidth: Long, maxBands: Int = 1000,
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(bandWidth > 0, "bandWidth must be positive")
+    require(maxBands > 0, "maxBands must be positive")
+    val base = df.select(col(idCol), priority.cast("long").as("__p9"),
+      tokenCount.cast("long").as("__n"))
+    val banded = base.withColumn("__band",
+      least(greatest(floor(col("__p9") / lit(bandWidth.toDouble)),
+        lit(-maxBands.toLong)), lit(maxBands.toLong)).cast("long"))
+    val wOff = Window.orderBy(col("__band").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = banded.groupBy("__band").agg(sum("__n").as("__bn"))
+      .select(col("__band"),
+        coalesce(sum("__bn").over(wOff), lit(0L)).as("__excl"))
+    val wIn = Window.partitionBy("__band")
+      .orderBy(col("__p9").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offs), "__band")
+      .withColumn("__incl", sum("__n").over(wIn))
+      .where(col("__excl") + col("__incl") <= budget)
+      .select(col(idCol), col("__band").as("band"), col("__n").as("n_tokens"))
+  }
+
   // === DSIR importance resampling =======================================
 
   /** Feature-space size of the DSIR hashed bag-of-n-grams model (the

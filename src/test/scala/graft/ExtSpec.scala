@@ -1141,6 +1141,33 @@ class ExtSpec extends SparkSpec {
     again.sorted shouldBe out.sorted
   }
 
+  test("selectToBudget: exact global greedy under the cap, never overshoots, repartition-stable") {
+    import graft.ext.Corpus
+    // priority = doc_id*1e9 (higher id = higher priority), tokens vary
+    val df = (0L until 200L).toDF("doc_id")
+      .withColumn("p", $"doc_id" * 1000000000L)
+      .withColumn("n", ($"doc_id" % 7) + 3)
+    val budget = 500L
+    val out = Corpus.selectToBudget(df, $"p", $"n", budget,
+        bandWidth = 5000000000L).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // reference: the maximal descending-priority PREFIX whose total
+    // fits (the documented inclusive prefix-cut rule — not first-fit:
+    // once a document overflows, everything below it is out too)
+    var acc = 0L
+    val expect = (199L to 0L by -1).flatMap { id =>
+      val n = id % 7 + 3
+      acc += n
+      if (acc <= budget) Some(id -> n) else None
+    }.toSet
+    out.toSet shouldBe expect
+    out.map(_._2).sum should be <= budget // inclusive rule: never overshoots
+    // bands are a pure function of p: stable under repartitioning
+    val again = Corpus.selectToBudget(df.repartition(13), $"p", $"n", budget,
+        bandWidth = 5000000000L).collect().map(r => (r.getLong(0), r.getLong(2)))
+    again.toSet shouldBe out.toSet
+  }
+
   test("jlProject: plan-time constants, cosine approximately preserved, no shuffle") {
     import graft.ext.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

@@ -504,6 +504,28 @@ class ScaleSpec extends SparkSpec {
     plan should not include "SortMergeJoin"
   }
 
+  test("selectToBudget: banded two-phase prefix sum — bounded offsets window, per-band ranking, no global sort") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", (xxhash64($"doc_id") % 1000).as("p"),
+        (($"doc_id" % 50) + 1).as("n"))
+    val plan = Corpus.selectToBudget(docs, $"p", $"n", budget = 1000L,
+        bandWidth = 100L).queryExecution.executedPlan.toString
+    // exactly two windows: the partition-less one runs over the
+    // ≤2·maxBands+1-row band-offsets frame (bounded by construction,
+    // the packChunks phase-1 posture); the data-sized one is
+    // partitioned by band and parallel across bands
+    val winSpecs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winSpecs should not be empty
+    winSpecs.count(_.contains("windowspecdefinition(__band#")) should be >= 1
+    // the offsets frame joins back as a broadcast; nothing sort-merges
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+    // no global ORDER BY over the data-sized frame
+    "rangepartitioning\\([^)]*__p9".r.findAllIn(plan).toSeq shouldBe empty
+  }
+
   test("shuffleShards: every window is shard-partitioned — no global sort anywhere") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
