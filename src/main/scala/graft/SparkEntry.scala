@@ -1662,6 +1662,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Rollup over the SAME selection (shared code path and oracle
+    // CTE): how full the budget ran and which priority bands made the
+    // cut — the report a curation job prints.
+    "x_budget_stats" -> ((s, dir) => {
+      val sel = queries("x_budget_select")(s, dir)
+      sel.agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        max("band").as("top_band"), min("band").as("cut_band"))
+    }),
+
     // CCNet head/middle/tail perplexity buckets per source stratum,
     // scored under the same even-id-trained bigram LM as
     // x_bigram_logprob (shared oracle CTEs).
@@ -2582,6 +2592,33 @@ object SparkEntry {
        |       FROM sh)""".stripMargin
   }
 
+  /** DuckDB mirror of the budget-constrained greedy selection (budget
+    * 5000 BPE-ish tokens, priority = DSIR s9, bandWidth 1e9, clamp
+    * ±1000): [[dsirCtes]] scores, banded two-phase prefix sum, the
+    * inclusive prefix-cut keep rule — `bsel` is the kept set. Shared
+    * by x_budget_select and the x_budget_stats rollup. */
+  private def budgetCtes: String =
+    s"""$dsirCtes,
+       |sb AS (SELECT dw.doc_id, dw.s9,
+       |              CAST(len($bpeishExtractSql) AS BIGINT) AS n
+       |       FROM dw JOIN documents USING (doc_id)),
+       |bd AS (SELECT doc_id, s9, n,
+       |              CAST(least(greatest(floor(s9 / 1000000000), -1000), 1000)
+       |                   AS BIGINT) AS band
+       |       FROM sb),
+       |offs AS (SELECT band,
+       |                CAST(coalesce(sum(bn) OVER (ORDER BY band DESC
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |                     0) AS BIGINT) AS excl
+       |         FROM (SELECT band, sum(n) AS bn FROM bd GROUP BY 1)),
+       |w AS (SELECT bd.doc_id, bd.band, bd.n, offs.excl,
+       |             CAST(sum(bd.n) OVER (PARTITION BY bd.band
+       |                    ORDER BY bd.s9 DESC, bd.doc_id
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |                  AS BIGINT) AS incl
+       |      FROM bd JOIN offs USING (band)),
+       |bsel AS (SELECT doc_id, band, n FROM w WHERE excl + incl <= 5000)""".stripMargin
+
   /** DuckDB mirror of the DSIR hashed bag-of-n-grams importance model
     * (buckets = [[Corpus.DsirBuckets]], target = lang 'en', raw = the
     * rest): unigram + bigram feature occurrences, 60-bit-md5-prefix
@@ -3222,27 +3259,19 @@ object SparkEntry {
     // exactly. floor(s9/1e9): BIGINT/BIGINT is true division in
     // DuckDB, matching Spark's double division before floor.
     "x_budget_select" ->
-      s"""WITH $dsirCtes,
-         |sb AS (SELECT dw.doc_id, dw.s9,
-         |              CAST(len($bpeishExtractSql) AS BIGINT) AS n
-         |       FROM dw JOIN documents USING (doc_id)),
-         |bd AS (SELECT doc_id, s9, n,
-         |              CAST(least(greatest(floor(s9 / 1000000000), -1000), 1000)
-         |                   AS BIGINT) AS band
-         |       FROM sb),
-         |offs AS (SELECT band,
-         |                CAST(coalesce(sum(bn) OVER (ORDER BY band DESC
-         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |                     0) AS BIGINT) AS excl
-         |         FROM (SELECT band, sum(n) AS bn FROM bd GROUP BY 1)),
-         |w AS (SELECT bd.doc_id, bd.band, bd.n, offs.excl,
-         |             CAST(sum(bd.n) OVER (PARTITION BY bd.band
-         |                    ORDER BY bd.s9 DESC, bd.doc_id
-         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |                  AS BIGINT) AS incl
-         |      FROM bd JOIN offs USING (band))
-         |SELECT doc_id, band, n AS n_tokens FROM w
-         |WHERE excl + incl <= 5000 ORDER BY doc_id""".stripMargin,
+      s"""WITH $budgetCtes
+         |SELECT doc_id, band, n AS n_tokens FROM bsel
+         |ORDER BY doc_id""".stripMargin,
+
+    // Rollup over the budget selection through the SAME banded CTEs —
+    // only the final SELECT differs, so report and selection can't
+    // drift.
+    "x_budget_stats" ->
+      s"""WITH $budgetCtes
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens_total,
+         |       max(band) AS top_band, min(band) AS cut_band
+         |FROM bsel""".stripMargin,
 
     // the stratum column, split by NTILE over the bit-identical score
     // doubles. Spark and DuckDB NTILE agree (first n%b buckets take
