@@ -1250,6 +1250,40 @@ class ExtSpec extends SparkSpec {
     again.sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
   }
 
+  test("fused dsirScore kernel ≡ md5 Column-math formulation on edge rows") {
+    import graft.ext.Corpus
+    // edge rows: empty text, whitespace-only, single token (no
+    // bigram), unicode uppercase (UTF8String lowering), control-char
+    // whitespace runs
+    val docs = Seq((0L, ""), (1L, " \t "), (2L, "one"),
+      (3L, "ÄÖÜ Straße ÄÖÜ"), (4L, "a b c d"), (5L, "x \t\n y"))
+      .toDF("doc_id", "text")
+    val buckets = 64
+    val lr9 = (0 until buckets).map(i => (i * 1234567L) % 997L - 498L)
+    val kernel = Corpus.dsirScoreWith(docs, lr9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: the explode → md5-bucket → table-lookup → per-doc-sum
+    // Column formulation the kernel replaced
+    val toks = graft.ext.TextStats.tokens(col("text"))
+    val n1 = greatest(org.apache.spark.sql.functions.size(toks) - 1, lit(0))
+    val uni = docs.select(col("doc_id"), explode(toks).as("__g"))
+    val big = docs.select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), n1).as("w1"),
+        slice(toks, lit(2), n1).as("w2"))).as("__z"))
+      .select(col("doc_id"),
+        concat(col("__z.w1"), lit(" "), col("__z.w2")).as("__g"))
+    val table = array(lr9.map(lit): _*)
+    val ref = uni.unionByName(big)
+      .select(col("doc_id"), (conv(substring(md5(col("__g")), 1, 15), 16, 10)
+        .cast("long") % buckets).as("__b"))
+      .select(col("doc_id"),
+        element_at(table, (col("__b") + 1).cast("int")).as("__lr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("__lr").as("s9"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kernel shouldBe ref // token-less docs absent from BOTH formulations
+  }
+
   test("dsirWeights: on-domain docs outscore off-domain, stable under repartitioning") {
     import graft.ext.Corpus
     val target = Seq(
