@@ -113,15 +113,24 @@ object Dedup {
         element_at(col("__sig"), j + 1).as(s"h$j")): _*)
   }
 
-  /**
-   * MinHash + LSH banding: b bands of r rows (b*r = numHashes); documents
-   * agreeing on all r hashes of any band land in the same bucket.
-   * Candidate pairs come from a groupBy on (band, bucket) — the canonical
-   * shuffle-on-short-key near-dup join. Pairs are emitted once (a < b).
-   */
-  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
-      shingleN: Int = 3): DataFrame = {
+  /** Default bucket-size cap of the LSH/SimHash pair finders: a
+    * (band, bucket) cell holding more members than this is excluded
+    * from pair generation (it would contribute O(cap²)+ candidate
+    * pairs) and surfaced through the bucket-stats diagnostics instead.
+    * 4096² ≈ 16.8M pairs is the most one runaway cell may cost; the
+    * bench corpora never come near the cap (largest sf0.1 bucket ≈
+    * tens), so every oracle-checked result is cap-invariant there. */
+  val MaxBucketSize: Int = 4096
+
+  /** Band/bucket membership rows `(idCol, band, bucket)` of the
+    * MinHash-LSH banding — the shared substrate of [[minhashLshPairs]]
+    * and its overflow diagnostic. Checkpointed: signatures are
+    * expensive relative to their narrow rows, and the frame feeds both
+    * sides of the candidate self-join (at scale this is the standard
+    * persist-the-signatures step). */
+  private[ext] def minhashBuckets(docs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
@@ -132,18 +141,68 @@ object Dedup {
       val slice = (0 until r).map(j => col(s"h${b * r + j}").cast("string"))
       struct(lit(b).as("band"), concat_ws(",", slice: _*).as("bucket"))
     }
-    // Signatures are expensive relative to their size (narrow rows);
-    // materialize once so the self-join doesn't recompute them per side.
-    // At scale this is the standard persist-the-signatures step.
-    val buckets = sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
       .localCheckpoint()
+  }
+
+  /** Drop members of buckets larger than `maxBucketSize` before a
+    * pair-generating self-join. The hot-bucket frame contains ONLY
+    * overflowing keys — empty in healthy corpora — so the guard is a
+    * broadcast anti-join (the [[graft.operators.SkewUtils.hotKeys]]
+    * split posture), and the sizing aggregation runs over the already
+    * checkpointed narrow bucket rows. */
+  private def dropOverflowBuckets(buckets: DataFrame, keys: Seq[String],
+      maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) buckets
+    else {
+      val hot = buckets.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__bn"))
+        .where(col("__bn") > maxBucketSize)
+        .select(keys.map(col): _*)
+      buckets.join(broadcast(hot), keys, "left_anti")
+    }
+
+  /**
+   * MinHash + LSH banding: b bands of r rows (b*r = numHashes); documents
+   * agreeing on all r hashes of any band land in the same bucket.
+   * Candidate pairs come from a groupBy on (band, bucket) — the canonical
+   * shuffle-on-short-key near-dup join. Pairs are emitted once (a < b).
+   *
+   * Buckets larger than `maxBucketSize` are EXCLUDED from pair
+   * generation (quadratic-cell guard): k docs agreeing on a whole band
+   * produce k² candidates, and in web-scale corpora the k-large cells
+   * are overwhelmingly identical/boilerplate documents — the job of
+   * the EXACT pre-pass ([[nearDuplicates]] collapses identical texts
+   * before any signature is computed), not the LSH join. Audit dropped
+   * cells with [[minhashBucketOverflow]]; pass `Int.MaxValue` to
+   * disable the cap.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val buckets = dropOverflowBuckets(
+      minhashBuckets(docs, idCol, textCol, numHashes, bands, shingleN),
+      Seq("band", "bucket"), maxBucketSize)
     val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
     val rgt = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
     l.join(rgt, Seq("band", "bucket"))
       .where(col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Overflow diagnostic of [[minhashLshPairs]]'s cap: the (band,
+    * bucket, n) cells whose membership exceeds `maxBucketSize` — the
+    * cells the capped pair join skipped. Run it whenever the cap might
+    * bite (it is one aggregation over the narrow bucket rows); a
+    * non-empty result on an exact-deduplicated corpus means true
+    * boilerplate clusters that deserve their own handling. */
+  def minhashBucketOverflow(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, maxBucketSize: Int = MaxBucketSize): DataFrame =
+    minhashBuckets(docs, idCol, textCol, numHashes, bands, shingleN)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
 
   /** SimHash signature width. 60 (not 64) so the whole signature fits
     * the 15-hex-digit md5 prefix that both engines parse into a
@@ -177,17 +236,32 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
-  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
-    val sig = simhashSignatures(docs, idCol, textCol)
-      .localCheckpoint() // one signature pass feeds both join sides
+  /** (chunk, key) membership rows of the SimHash banding — shared by
+    * [[simhashPairs]] and its overflow diagnostic. Checkpointed: one
+    * signature pass feeds both join sides. */
+  private[ext] def simhashChunks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol).localCheckpoint()
     val chunkBits = SimhashBits / 4
-    val chunks = sig.select(col(idCol), col("sig"),
+    sig.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftrightunsigned(col("sig"), c * chunkBits)
             .bitwiseAND(lit((1L << chunkBits) - 1)).as("key"))): _*)).as("ck"))
       .select(col(idCol), col("sig"), col("ck.chunk"), col("ck.key"))
+  }
+
+  /** SimHash near-dup pairs via 4×15-bit chunk banding (pigeonhole-
+    * complete at Hamming ≤ 3). Chunk cells larger than `maxBucketSize`
+    * are excluded from pair generation — the same quadratic-cell guard
+    * (and the same "exact-dedup first" expectation) as
+    * [[minhashLshPairs]]; audit with [[simhashBucketOverflow]], pass
+    * `Int.MaxValue` to disable. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val chunks = dropOverflowBuckets(simhashChunks(docs, idCol, textCol),
+      Seq("chunk", "key"), maxBucketSize)
     val l = chunks.select(col("chunk"), col("key"), col(idCol).as("a"), col("sig").as("sig_a"))
     val r = chunks.select(col("chunk"), col("key"), col(idCol).as("b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
@@ -196,6 +270,15 @@ object Dedup {
       .where(col("dist") <= maxHamming)
       .distinct()
   }
+
+  /** Overflow diagnostic of [[simhashPairs]]'s cap: (chunk, key, n)
+    * cells exceeding `maxBucketSize`. */
+  def simhashBucketOverflow(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
+    simhashChunks(docs, idCol, textCol)
+      .groupBy("chunk", "key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
 
   /**
    * Exact n-gram Jaccard similarity for pairs sharing at least one
@@ -333,11 +416,31 @@ object Dedup {
   }
 
   /**
-   * The composed near-duplicate pipeline — the 100 TB shape: MinHash-LSH
-   * banding proposes candidate pairs (bucketed equi-join, no cross
-   * join), exact n-gram Jaccard verifies ONLY those candidates, and the
-   * survivors resolve to duplicate clusters. Exact verification cost
-   * scales with candidates, not with corpus².
+   * The composed near-duplicate pipeline — the 100 TB shape, in the
+   * production stage order:
+   *
+   *   1. EXACT pre-pass: identical texts collapse to their minimum-id
+   *      representative (narrow `xxhash64(text)` group — the
+   *      [[exactByDigest]] shape). Web-scale corpora are dominated by
+   *      byte-identical and empty documents; those are exactly the
+   *      inputs that share EVERY band bucket and would otherwise form
+   *      O(k²) candidate cells inside the LSH join. After this pass
+   *      each distinct text enters LSH exactly once.
+   *   2. MinHash-LSH banding over the representatives proposes
+   *      candidate pairs (bucketed equi-join, no cross join; residual
+   *      mega-cells capped per [[minhashLshPairs]]).
+   *   3. Exact n-gram Jaccard verifies ONLY those candidates —
+   *      verification cost scales with candidates, not corpus².
+   *   4. Cluster resolution over verified pairs PLUS the exact-group
+   *      star edges (member → group representative).
+   *
+   * The result is IDENTICAL to running LSH + verify over the full
+   * corpus (DedupSpec proves it on planted duplicate groups): LSH
+   * candidacy and Jaccard are functions of the text alone, identical
+   * texts always verify (Jaccard 1 ≥ any threshold), so every
+   * text-group is a clique whose contraction to its min-id member
+   * preserves both the connected components and each component's
+   * minimum id — the cluster representative.
    *
    * Returns (doc id → cluster representative) for every doc that has at
    * least one verified near-duplicate.
@@ -345,8 +448,26 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", minJaccard: Double = 0.7,
       numHashes: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
-    val cand = minhashLshPairs(docs, idCol, textCol, numHashes, bands, shingleN)
-    val grams = docs.select(col(idCol),
+    // Exact pre-pass. The digest group carries 8-byte (digest, id)
+    // rows; membership is checkpointed because it feeds the exact
+    // star edges AND the representative filter.
+    val src = docs.select(col(idCol), col(textCol))
+    val membership = src
+      .select(col(idCol), xxhash64(col(textCol)).as("__dg"))
+      .withColumn("__grp",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__dg"))))
+      .select(col(idCol), col("__grp"))
+      .localCheckpoint()
+    val exactEdges = membership.where(col(idCol) =!= col("__grp"))
+      .select(col("__grp").as("a"), col(idCol).as("b"))
+    // Representatives re-join the text by id — a narrow semi-join
+    // against the scan, cheaper than shuffling text through the group.
+    val reps = src.join(
+      membership.where(col(idCol) === col("__grp")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val cand = minhashLshPairs(reps, idCol, textCol, numHashes, bands, shingleN)
+    val grams = reps.select(col(idCol),
         explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
       .localCheckpoint()
     val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
@@ -362,7 +483,11 @@ object Dedup {
       .where(col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")) >= minJaccard)
       .select("a", "b")
-    duplicateClusters(verified)
+    // Verified edges link representatives only; exact edges link each
+    // group member to its representative — disjoint by construction,
+    // so the union stays producer-deduplicated (the duplicateClusters
+    // contract).
+    duplicateClusters(verified.unionByName(exactEdges))
   }
 
   /**
@@ -459,6 +584,28 @@ object Dedup {
     docs.join(
       clusters.where(col("id") =!= col("rep")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /**
+   * Build-once persistence of a resolved cluster frame `(id, rep)` —
+   * the serving posture for dedup REPORTS: a curation run resolves
+   * clusters ONCE ([[duplicateClusters]] output, or [[nearDuplicates]]
+   * for the full pipeline), persists them, and every downstream
+   * consumer (size histograms, apply steps, audits) probes the
+   * persisted table instead of re-running the flag → verify → cluster
+   * pipeline per query. `_SUCCESS`-guarded and session-survivable via
+   * [[Warehouse.ensureTable]]; fingerprint `name` with the source dir
+   * and every pipeline parameter so parameter changes rebuild.
+   *
+   * `build` is by-name: it runs only when no complete persisted table
+   * exists (cluster resolution executes eagerly, so passing the frame
+   * directly would defeat the point).
+   */
+  def ensureClusters(spark: org.apache.spark.sql.SparkSession, name: String)(
+      build: => DataFrame): DataFrame = {
+    Warehouse.ensureTable(spark, name, "id BIGINT, rep BIGINT")(
+      build.select(col("id").cast("long"), col("rep").cast("long")))
+    spark.table(name)
+  }
 
   /**
    * Embedding-cosine near-dup: pairs with cosine >= threshold, candidates

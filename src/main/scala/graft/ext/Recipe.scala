@@ -57,8 +57,12 @@ object Recipe {
       .where(col("quality_bucket") =!= "poor")
       .select(col(idCol), col(strataCol), col(textCol))
 
-    // 2. near-dup apply: flag → verify → cluster on the quality
-    // survivors, then drop non-representatives by anti-join. The
+    // 2. near-dup apply: EXACT dedup → flag → verify → cluster on the
+    // quality survivors (nearDuplicates collapses identical texts
+    // before any signature is computed — the production stage order:
+    // byte-identical boilerplate never reaches the LSH join, so no
+    // quadratic candidate cell can form), then drop
+    // non-representatives by anti-join. The
     // result is CHECKPOINTED: it feeds both sides of the
     // decontamination (as window source and as anti-join left), and
     // without the materialization each consumer would re-run the

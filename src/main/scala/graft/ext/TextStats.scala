@@ -340,29 +340,62 @@ object TextStats {
     * as round-trip double literals. */
   val LangIdLambda: Double = 0.9
 
-  def langIdTrigram(docs: DataFrame, train: DataFrame, langs: Seq[String],
-      idCol: String = "doc_id", textCol: String = "text",
-      labelCol: String = "lang"): DataFrame = {
+  /** Positional trigram hash rows — the fused native kernel, one pass
+    * per row, no per-char array/slice/zip allocation; hash family
+    * identical to the xxhash64(concat(c0,c1,c2)) formulation it
+    * replaced (same bytes, same seed — LangIdSpec pins the
+    * equivalence). Documents with fewer than 3 code points yield an
+    * empty array, which explode drops — the `where(size >= 3)` gate,
+    * for free. */
+  private def trigramRows(df: DataFrame, idCols: Seq[Column],
+      textCol: String): DataFrame =
+    df.select(idCols :+ explode(
+      graft.plans.NativeFunctions.charTrigramHashes(col(textCol))).as("__kg"): _*)
+
+  /**
+   * Per-language trigram-count profile `(__kg, __c_<lang>…)` — the
+   * TRAINED half of [[langIdTrigram]], exposed so serving paths train
+   * once and score many times ([[ensureLangIdProfile]]). Cardinality
+   * is bounded by the trigram SPACE (|charset|³ — constant in corpus
+   * size), so the profile is always persistable and broadcastable.
+   */
+  def langIdProfile(train: DataFrame, langs: Seq[String],
+      textCol: String = "text", labelCol: String = "lang"): DataFrame = {
     require(langs.nonEmpty, "langs must be non-empty")
-    // positional trigram hashes from the fused native kernel — one
-    // pass per row, no per-char array/slice/zip allocation; hash
-    // family identical to the xxhash64(concat(c0,c1,c2)) formulation
-    // it replaced (same bytes, same seed — LangIdSpec pins the
-    // equivalence), so profiles and scores are unchanged. Documents
-    // with fewer than 3 code points yield an empty array, which
-    // explode drops — the old `where(size >= 3)` gate, for free.
-    def gramRows(df: DataFrame, idCols: Seq[Column]): DataFrame =
-      df.select(idCols :+ explode(
-        graft.plans.NativeFunctions.charTrigramHashes(col(textCol))).as("__kg"): _*)
-    val tg = gramRows(train, Seq(col(labelCol)))
     def perLangCount(l: String, out: String): Column =
       sum(when(col(labelCol) === l, 1L).otherwise(0L)).as(out)
-    // (no checkpoint: the profile's shuffle exchange is REUSED by its
-    // two consumers — Spark's ReusedExchange already runs the train
-    // explode once, and an eager materialization measured slower)
-    val profile = tg.groupBy("__kg")
+    trigramRows(train, Seq(col(labelCol)), textCol).groupBy("__kg")
       .agg(perLangCount(langs.head, s"__c_${langs.head}"),
         langs.tail.map(l => perLangCount(l, s"__c_$l")): _*)
+  }
+
+  /**
+   * Build-once persistence of the language-ID profile — the
+   * [[graft.ext.Warehouse]] serving posture: the train-side explode +
+   * aggregation runs ONCE per (corpus, langs) fingerprint and lands in
+   * a `_SUCCESS`-guarded warehouse table; every subsequent scoring
+   * query probes the persisted counts (exact longs — parquet
+   * round-trips them bit-identically, so scores are unchanged vs
+   * training inline). Fingerprint `name` with the training source and
+   * the language set.
+   */
+  def ensureLangIdProfile(spark: org.apache.spark.sql.SparkSession,
+      name: String, langs: Seq[String])(train: => DataFrame): DataFrame = {
+    val ddl = ("__kg BIGINT" +: langs.map(l => s"__c_$l BIGINT")).mkString(", ")
+    Warehouse.ensureTable(spark, name, ddl)(train)
+    spark.table(name)
+  }
+
+  /**
+   * Score `docs` against a trained trigram `profile`
+   * ([[langIdProfile]] output or its persisted table) — the PROBE half
+   * of [[langIdTrigram]]: no train-side explode anywhere in this plan
+   * (ScaleSpec pins it); the profile broadcasts (trigram-space
+   * bounded) and only the per-doc rollup shuffles.
+   */
+  def scoreLangId(docs: DataFrame, profile: DataFrame, langs: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(langs.nonEmpty, "langs must be non-empty")
     // totals roll up from the PROFILE (one row per distinct gram, so
     // count(*) is the vocabulary and the per-language sums are the
     // training totals) — aggregating ~|trigram space| rows instead of
@@ -381,7 +414,7 @@ object TextStats {
     // broadcasting it is scale-correct and spares the scored explode
     // (corpus-sized) its join shuffle; only the per-doc rollup
     // shuffles, and that partial-aggregates map-side
-    val scored = gramRows(docs, Seq(col(idCol)))
+    val scored = trigramRows(docs, Seq(col(idCol)), textCol)
       .join(broadcast(profile), Seq("__kg"), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol) +: langs.map { l =>
@@ -403,6 +436,15 @@ object TextStats {
         when(col("n_trigrams").isNull, lit("und"))
           .otherwise(best.getField("lang")).as("lang_pred"))
   }
+
+  /** Train-and-score in one call: [[langIdProfile]] + [[scoreLangId]].
+    * The one-shot convenience; serving paths use
+    * [[ensureLangIdProfile]] so training runs once, not per query. */
+  def langIdTrigram(docs: DataFrame, train: DataFrame, langs: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "lang"): DataFrame =
+    scoreLangId(docs, langIdProfile(train, langs, textCol, labelCol),
+      langs, idCol, textCol)
 
   /**
    * Okapi BM25 relevance of a constant query against the corpus — the

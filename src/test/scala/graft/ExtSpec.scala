@@ -500,6 +500,94 @@ class ExtSpec extends SparkSpec {
     clusters.contains(4L) shouldBe false
   }
 
+  test("exact pre-pass preserves the full-corpus near-dup clusters") {
+    // planted shape: two multi-copy identical groups, a near-dup link
+    // BETWEEN groups (via each group's text), a singleton near-dup, and
+    // unrelated docs — exercises inter-group edges surviving rep
+    // contraction, star edges, and singleton-vs-group pairing
+    val base = "the quick brown fox jumps over the lazy dog near the red"
+    val corpus = Seq(
+      (0L, s"$base barn"), (1L, s"$base barn"), (2L, s"$base barn"),  // group A ×3
+      (3L, s"$base fence"), (4L, s"$base fence"),                     // group B ×2 (near-dup of A)
+      (5L, s"$base gate"),                                            // singleton near-dup of A/B
+      (6L, "completely unrelated text about spark query engines and columnar formats"),
+      (7L, "another unrelated document mentioning streams and watermarks only"),
+      (8L, ""), (9L, "")                                              // empty-doc group
+    ).toDF("doc_id", "text")
+    // the pre-round-11 direct formulation: LSH + verify over EVERY doc
+    val cand = Dedup.minhashLshPairs(corpus, maxBucketSize = Int.MaxValue)
+    val grams = corpus.select($"doc_id",
+      explode(graft.plans.NativeFunctions.hashedShingles($"text", 3)).as("g"))
+    val sizes = grams.groupBy("doc_id").agg(count("*").as("n"))
+    val direct = Dedup.duplicateClusters(cand
+      .join(grams.select($"doc_id".as("a"), $"g"), "a")
+      .join(grams.select($"doc_id".as("b"), $"g"), Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("nc"))
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .where($"nc".cast("double") / ($"na" + $"nb" - $"nc") >= 0.5)
+      .select("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prePass = Dedup.nearDuplicates(corpus, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    prePass shouldBe direct
+    // sanity on the planted shape itself
+    prePass(1L) shouldBe 0L
+    prePass(4L) shouldBe prePass(3L)
+    prePass(8L) shouldBe 8L; prePass(9L) shouldBe 8L
+  }
+
+  test("identical-doc flood: representatives, not members, reach the LSH join") {
+    // 1000 byte-identical docs — the input shape that made the
+    // pre-cap pipeline quadratic (one k²/2-pair cell in EVERY band)
+    val flood = (0L until 1000L).map(i =>
+      (i, "boilerplate cookie banner text repeated verbatim across the whole crawl"))
+    val distinctTail = Seq(
+      (2000L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (2001L, "the quick brown fox jumps over the lazy dog near the red fence"))
+    val corpus = (flood ++ distinctTail).toDF("doc_id", "text")
+    val clusters = Dedup.nearDuplicates(corpus, minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all 1000 collapse to the min id; the near-dup tail pairs normally
+    (0L until 1000L).foreach(i => clusters(i) shouldBe 0L)
+    clusters(2001L) shouldBe 2000L
+    // the LSH stage saw 3 distinct texts — its candidate set is the
+    // tail pair plus nothing from the flood (1 representative cannot
+    // self-pair); the uncapped full-corpus banding would have produced
+    // 1000·999/2 flood pairs
+    val reps = corpus.where($"doc_id".isin(0L, 2000L, 2001L))
+    Dedup.minhashLshPairs(reps).count() should be <= 1L
+  }
+
+  test("bucket cap drops only overflowing cells; overflow diagnostic reports them") {
+    val flood = (0L until 10L).map(i => (i, "identical boilerplate banner text row"))
+    val pair = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the red barn"),
+      (101L, "the quick brown fox jumps over the lazy dog near the red barn"))
+    val corpus = (flood ++ pair).toDF("doc_id", "text")
+    // cap below the flood size: the 10-doc cells vanish from pair
+    // generation, the 2-doc cells survive
+    val capped = Dedup.minhashLshPairs(corpus, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped shouldBe Set((100L, 101L))
+    // diagnostic names the dropped cells: the flood fills one bucket in
+    // each of the 8 bands
+    val over = Dedup.minhashBucketOverflow(corpus, maxBucketSize = 5)
+      .collect().map(r => r.getAs[Long]("n"))
+    over.length shouldBe 8
+    all(over) shouldBe 10L
+    // same guard on the simhash side (4 chunk cells of 10)
+    Dedup.simhashPairs(corpus, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((100L, 101L))
+    val simOver = Dedup.simhashBucketOverflow(corpus, maxBucketSize = 5)
+      .collect().map(r => r.getAs[Long]("n"))
+    simOver.length shouldBe 4
+    all(simOver) shouldBe 10L
+    // cap disabled reproduces the uncapped pair set (flood clique included)
+    Dedup.minhashLshPairs(corpus, maxBucketSize = Int.MaxValue)
+      .count() shouldBe (10L * 9L / 2L + 1L)
+  }
+
   test("duplicate clusters: min-label propagation resolves chains and cliques") {
     // components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (chain of 4)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))

@@ -596,6 +596,75 @@ class ScaleSpec extends SparkSpec {
     out shouldBe Map("a" -> 1.0)
   }
 
+  test("ensureClusters: reports probe the persisted table — the pipeline never re-runs") {
+    import graft.ext.Dedup
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val name = "clusters_spec_" + (System.nanoTime() % 1000000)
+    var builds = 0
+    Dedup.ensureClusters(spark, name) {
+      builds += 1; Dedup.duplicateClusters(pairs)
+    }
+    builds shouldBe 1
+    val probe = Dedup.ensureClusters(spark, name) {
+      builds += 1; Dedup.duplicateClusters(pairs)
+    }
+    // the by-name builder was never evaluated on the second ensure —
+    // reports pay a table scan, not a cluster resolution
+    builds shouldBe 1
+    probe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    // probe plan: bare parquet scan of the persisted clusters — no
+    // joins, no checkpoint scans, no pointer-doubling anywhere
+    val plan = probe.queryExecution.executedPlan.toString
+    plan should include("FileScan")
+    plan should not include "Join"
+  }
+
+  test("persisted langid profile: probe scoring matches inline training, no train explode in the plan") {
+    import graft.ext.TextStats
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.where($"doc_id" % 2 === 0)
+    val langs = Seq("de", "en", "fr")
+    val name = "langid_spec_" + (System.nanoTime() % 1000000)
+    var builds = 0
+    val profile = TextStats.ensureLangIdProfile(spark, name, langs) {
+      builds += 1; TextStats.langIdProfile(train, langs)
+    }
+    builds shouldBe 1
+    val probe = TextStats.scoreLangId(docs, profile, langs).orderBy("doc_id")
+    val inline = TextStats.langIdTrigram(docs, train, langs).orderBy("doc_id")
+    probe.collect().toSeq shouldBe inline.collect().toSeq
+    // probe plan: ONE trigram explode (the docs being scored) — the
+    // train-side explode+aggregate is replaced by the profile scan
+    // (take the final-plan section only: AQE's toString repeats the
+    // initial plan below it)
+    val plan = probe.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "chartrigramhashes".r.findAllIn(plan.toLowerCase).size shouldBe 1
+    plan should include(s"spark_catalog.default.$name")
+    // re-ensure never retrains
+    TextStats.ensureLangIdProfile(spark, name, langs) {
+      builds += 1; TextStats.langIdProfile(train, langs)
+    }
+    builds shouldBe 1
+  }
+
+  test("capped pair finders plan the quadratic-cell guard as a broadcast anti-join") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the bucket-size guard: hot cells (an aggregation over the narrow
+    // checkpointed bucket rows) anti-joined back by broadcast — the
+    // hotKeys split posture, never a shuffled join against the corpus
+    val plan = Dedup.minhashLshPairs(docs).queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size should be >= 1
+    val splan = Dedup.simhashPairs(docs).queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(splan).size should be >= 1
+    // disabling the cap removes the guard entirely (no anti-join)
+    val un = Dedup.minhashLshPairs(docs, maxBucketSize = Int.MaxValue)
+      .queryExecution.executedPlan.toString
+    un should not include "LeftAnti"
+  }
+
   test("exactSubstringPairs: codegen window hashing, no gram strings in the join") {
     import graft.ext.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
