@@ -451,38 +451,121 @@ object Corpus {
    * The global ordered prefix sum is computed WITHOUT a global sort,
    * via the [[packChunks]] two-phase shape over priority BANDS
    * (`floor(p/bandWidth)` clamped to ±`maxBands` — monotone in `p`):
-   * phase 1 aggregates per-band token mass and takes exclusive
-   * higher-band offsets with a window over the ≤`2·maxBands+1`-row
-   * band frame (single-partition but bounded by construction); phase 2
-   * ranks within each band in parallel. Keep decision =
+   * phase 1 aggregates per-band token mass and occupancy and takes
+   * exclusive higher-band offsets driver-side over the
+   * ≤`2·maxBands+1`-row band frame (bounded BY CONSTRUCTION — the
+   * DSIR-ratio-table posture, never corpus-sized); phase 2 ranks
+   * within each band in parallel. Keep decision =
    * `band_offset + within_band_inclusive_sum ≤ budget` — one formula,
    * exact global greedy.
+   *
+   * Band-skew guard: phase 1's occupancy doubles as a skew detector.
+   * When any band holds more than `splitBandRows` rows (the
+   * DSIR-scored corpus whose scores pile up near the mode), phase 2
+   * automatically decomposes once more — exact sub-band offsets over
+   * (priority value, `id div idBandWidth`) groups, contiguous in the
+   * in-band order by construction — so the rank stays
+   * partition-parallel even when one band swallows the corpus (see
+   * the in-body comment for the decomposition argument, and
+   * [[bandOccupancy]] for the pre-flight report).
    *
    * Returns `(idCol, band, n_tokens)` for selected documents.
    */
   def selectToBudget(df: DataFrame, priority: Column, tokenCount: Column,
       budget: Long, bandWidth: Long, maxBands: Int = 1000,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", splitBandRows: Long = 4194304L,
+      idBandWidth: Long = 65536L): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     require(bandWidth > 0, "bandWidth must be positive")
     require(maxBands > 0, "maxBands must be positive")
+    require(splitBandRows > 0, "splitBandRows must be positive")
+    require(idBandWidth > 0, "idBandWidth must be positive")
+    val spark = df.sparkSession
     val base = df.select(col(idCol), priority.cast("long").as("__p9"),
       tokenCount.cast("long").as("__n"))
     val banded = base.withColumn("__band",
       least(greatest(floor(col("__p9") / lit(bandWidth.toDouble)),
         lit(-maxBands.toLong)), lit(maxBands.toLong)).cast("long"))
-    val wOff = Window.orderBy(col("__band").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = banded.groupBy("__band").agg(sum("__n").as("__bn"))
-      .select(col("__band"),
-        coalesce(sum("__bn").over(wOff), lit(0L)).as("__excl"))
-    val wIn = Window.partitionBy("__band")
-      .orderBy(col("__p9").desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    banded.join(broadcast(offs), "__band")
-      .withColumn("__incl", sum("__n").over(wIn))
-      .where(col("__excl") + col("__incl") <= budget)
-      .select(col(idCol), col("__band").as("band"), col("__n").as("n_tokens"))
+    // Phase 1: per-band totals AND occupancy, collected — the band
+    // frame is ≤2·maxBands+1 rows BY CONSTRUCTION (the bounded-space
+    // posture of the DSIR ratio table), so the driver round-trip is
+    // constant-size; exclusive higher-band offsets are a running sum
+    // over it, and the occupancy numbers double as the skew guard.
+    val bandTotals = banded.groupBy("__band")
+      .agg(sum("__n").as("__bn"), count(lit(1)).as("__bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    var acc = 0L
+    val offRows = bandTotals.map { case (b, bn, bc) =>
+      val excl = acc; acc += bn; (b, excl, bc)
+    }
+    import spark.implicits._
+    val offs = broadcast(
+      offRows.map { case (b, e, _) => (b, e) }.toSeq.toDF("__band", "__excl"))
+    if (!offRows.exists(_._3 > splitBandRows)) {
+      // Healthy occupancy: rank within each band in parallel.
+      val wIn = Window.partitionBy("__band")
+        .orderBy(col("__p9").desc, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      banded.join(offs, "__band")
+        .withColumn("__incl", sum("__n").over(wIn))
+        .where(col("__excl") + col("__incl") <= budget)
+        .select(col(idCol), col("__band").as("band"), col("__n").as("n_tokens"))
+    } else {
+      // Band-skew guard: some band holds > splitBandRows rows — the
+      // DSIR-scored worst case (most documents score near the mode,
+      // one band swallows the corpus) would otherwise single-partition
+      // the in-band sort. Decompose once more, EXACTLY: within a band
+      // the order is (__p9 desc, id asc), and grouping by the exact
+      // priority value plus an id GRID (`id div idBandWidth` — ids
+      // ascend within equal __p9, so each (value, id-band) group is
+      // contiguous in the in-band order) splits the rank into
+      //   band offset + sub-band exclusive offset + in-sub-band
+      //   inclusive sum,
+      // with the in-sub-band window partitioned by (band, value,
+      // id-band) — parallel even when ONE priority value floods one
+      // band. The sub-band offsets window is partitioned by band over
+      // one row per (value, id-band): bounded by #id-bands for the
+      // tie-flood case this guard targets. (A band fat with DISTINCT
+      // priority values keeps one sub-band per value — for that shape
+      // the right knob remains a finer `bandWidth`.)
+      val sub = banded.withColumn("__idb",
+        expr(s"CAST(`$idCol` AS BIGINT) DIV $idBandWidth"))
+      val wSub = Window.partitionBy("__band")
+        .orderBy(col("__p9").desc, col("__idb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val subOffs = sub.groupBy("__band", "__p9", "__idb")
+        .agg(sum("__n").as("__sn"))
+        .select(col("__band"), col("__p9"), col("__idb"),
+          coalesce(sum("__sn").over(wSub), lit(0L)).as("__sexcl"))
+      val wIn = Window.partitionBy("__band", "__p9", "__idb")
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sub.join(offs, "__band")
+        .join(subOffs, Seq("__band", "__p9", "__idb"))
+        .withColumn("__incl", sum("__n").over(wIn))
+        .where(col("__excl") + col("__sexcl") + col("__incl") <= budget)
+        .select(col(idCol), col("__band").as("band"), col("__n").as("n_tokens"))
+    }
+  }
+
+  /** Band-occupancy diagnostic of [[selectToBudget]] — the
+    * x_shard_balance-style pre-flight: `(band, n_rows, n_tokens)` per
+    * occupied priority band. A band holding most of the corpus means
+    * the in-band rank would degrade to one partition without the
+    * automatic sub-band split; prefer re-running with a finer
+    * `bandWidth` when the fat band spans many distinct priorities. */
+  def bandOccupancy(df: DataFrame, priority: Column, tokenCount: Column,
+      bandWidth: Long, maxBands: Int = 1000,
+      idCol: String = "doc_id"): DataFrame = {
+    require(bandWidth > 0, "bandWidth must be positive")
+    df.select(col(idCol), priority.cast("long").as("__p9"),
+        tokenCount.cast("long").as("__n"))
+      .withColumn("__band",
+        least(greatest(floor(col("__p9") / lit(bandWidth.toDouble)),
+          lit(-maxBands.toLong)), lit(maxBands.toLong)).cast("long"))
+      .groupBy(col("__band").as("band"))
+      .agg(count(lit(1)).as("n_rows"), sum("__n").as("n_tokens"))
   }
 
   // === DSIR importance resampling =======================================

@@ -249,43 +249,78 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
+  /** Default per-cell membership cap of [[semDedup]]'s pairwise stage
+    * (cells over the cap contribute no pairs — all members kept — and
+    * are surfaced by the pre-flight [[assignCells]] rollup). A cell at
+    * the cap costs ≤ cap² ≈ 1.07e9 comparisons; anything larger means
+    * the centroid count is undersized for the corpus — fix the sizing
+    * ([[semDedupCentroids]]), don't raise the cap. */
+  val MaxCellSize: Int = 32768
+
+  /** Centroid-count sizing rule for [[semDedup]] at scale: pair cost
+    * is Σ|cell|² ≈ n·targetCellSize when cells hold ≈targetCellSize
+    * members, i.e. LINEAR in corpus size only if the cell count GROWS
+    * with the corpus — `k = ceil(n / targetCellSize)` (the paper-scale
+    * deployments use O(√n)–O(n/k) clusters for exactly this reason).
+    * A constant default k would make pair cost O(n²/k); always size k
+    * from the corpus count when the corpus is not bench-sized. */
+  def semDedupCentroids(nRows: Long, targetCellSize: Int = 1024): Int = {
+    require(targetCellSize > 0, "targetCellSize must be positive")
+    math.max(1L, (nRows + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue).toInt
+  }
+
   /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
    * the embedding space with the SAME deterministic k-means as the IVF
    * index ([[trainIvfCentroids]] — one definition, so the ANN index
    * and the dedup pass can share an assignment), then flag a vector as
-   * a semantic duplicate when some SMALLER-id vector in its cluster is
-   * within `threshold` cosine — the keep-first-by-id rule every exact
-   * dedup in this engine uses, applied to semantic neighbors. Returns
-   * `(idCol, cid, kept)` for every input vector.
+   * a semantic duplicate when ANY smaller-id vector in its cluster is
+   * within `threshold` cosine. Returns `(idCol, cid, kept)` for every
+   * input vector.
+   *
+   * The drop rule is exactly "has any smaller-id neighbor within
+   * threshold", evaluated over ALL cluster members — kept or not: in
+   * a chain a~b~c with cos(a,c) < threshold, a is kept, b drops (its
+   * a-edge), and c ALSO drops via its edge to the already-dropped b.
+   * (An iterative compare-against-the-kept-set-only variant would
+   * keep c; this engine implements the one-pass any-edge rule, which
+   * is order-free and join-shaped.) For transitive-closure semantics
+   * over an embedding graph use
+   * [[graft.ext.Dedup.embeddingNearDups]] + cluster resolution.
    *
    * Pairwise comparison happens WITHIN a cluster only — the whole
    * point of SemDeDup: candidates are Σ|cell|² instead of n², and a
    * cell's pairs are an equi-join on its integer cell id, never a
    * cross join. The assignment frame is localCheckpoint-materialized
    * so the k-means assignment lineage runs once for both sides of the
-   * self-join (the [[cosinePairs]] argument). At 100 TB the cell
-   * self-join is the standard skew surface — cells are k-means-sized
-   * (corpus/nCentroids expected), and a pathological mega-cell is
-   * exactly what more centroids (or the hot/cold salted join) fix.
-   *
-   * Duplicate flagging is pairwise, NOT transitive closure: a chain
-   * a~b~c with cos(a,c) < threshold keeps a and drops b, c (c via its
-   * b-edge) — SemDeDup's semantics (each item compared against its
-   * cluster's kept set), not connected components. For closure
-   * semantics over an embedding graph use
-   * [[graft.ext.Dedup.embeddingNearDups]] + cluster resolution.
+   * self-join (the [[cosinePairs]] argument). SIZE `nCentroids` with
+   * [[semDedupCentroids]] (|cell| ≈ const target) — the default 16 is
+   * bench-scale only; pre-flight a new corpus with [[assignCells]]'s
+   * size rollup. Cells larger than `maxCellSize` are excluded from
+   * pair generation entirely (members kept, cells broadcast-anti-
+   * joined away — the [[graft.ext.Dedup.minhashLshPairs]] guard), so
+   * an undersized centroid count degrades to under-deduping with a
+   * visible diagnostic instead of a quadratic join.
    */
   def semDedup(corpus: DataFrame, threshold: Double, nCentroids: Int = 16,
       iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxCellSize: Int = MaxCellSize): DataFrame = {
     val c = corpus.select(col(idCol), col(vecCol))
     val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
     val assigned = c.withColumn("cid",
       element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
       .localCheckpoint()
-    val l = assigned.select(col("cid"), col(idCol).as("__ia"), col(vecCol).as("__va"))
-    val r = assigned.select(col("cid"), col(idCol).as("__ib"), col(vecCol).as("__vb"))
+    val paired =
+      if (maxCellSize == Int.MaxValue) assigned
+      else {
+        val hot = assigned.groupBy("cid").agg(count(lit(1)).as("__cn"))
+          .where(col("__cn") > maxCellSize).select("cid")
+        assigned.join(broadcast(hot), Seq("cid"), "left_anti")
+      }
+    val l = paired.select(col("cid"), col(idCol).as("__ia"), col(vecCol).as("__va"))
+    val r = paired.select(col("cid"), col(idCol).as("__ib"), col(vecCol).as("__vb"))
     val dropped = l.join(r, Seq("cid"))
       .where(col("__ia") < col("__ib") &&
         cosine(col("__va"), col("__vb")) >= lit(threshold))
@@ -294,6 +329,19 @@ object Similarity {
     assigned.join(dropped, Seq(idCol), "left")
       .select(col(idCol), col("cid"), col("__dup").isNull.as("kept"))
   }
+
+  /** Overflow diagnostic of [[semDedup]]'s cell cap: the (cid, n)
+    * cells whose membership exceeds `maxCellSize` — the cells the
+    * capped pairwise stage skipped. Non-empty output means
+    * `nCentroids` is undersized for this corpus
+    * ([[semDedupCentroids]]). */
+  def semDedupCellOverflow(corpus: DataFrame, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCellSize: Int = MaxCellSize): DataFrame =
+    assignCells(corpus, nCentroids, iters, seed, idCol, vecCol)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCellSize)
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3, seed: Long = 42L,

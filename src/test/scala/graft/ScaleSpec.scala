@@ -511,19 +511,75 @@ class ScaleSpec extends SparkSpec {
         (($"doc_id" % 50) + 1).as("n"))
     val plan = Corpus.selectToBudget(docs, $"p", $"n", budget = 1000L,
         bandWidth = 100L).queryExecution.executedPlan.toString
-    // exactly two windows: the partition-less one runs over the
-    // ≤2·maxBands+1-row band-offsets frame (bounded by construction,
-    // the packChunks phase-1 posture); the data-sized one is
-    // partitioned by band and parallel across bands
+    // ONE window, and it is partitioned by band (parallel across
+    // bands); the band-offsets frame is computed driver-side over the
+    // ≤2·maxBands+1-row band aggregate (bounded by construction) and
+    // joins back as a broadcast local relation — no partition-less
+    // window anywhere in the plan
     val winSpecs = plan.linesIterator
       .filter(_.contains("windowspecdefinition")).toSeq
     winSpecs should not be empty
-    winSpecs.count(_.contains("windowspecdefinition(__band#")) should be >= 1
+    winSpecs.count(_.contains("windowspecdefinition(__band#")) shouldBe winSpecs.size
     // the offsets frame joins back as a broadcast; nothing sort-merges
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
     // no global ORDER BY over the data-sized frame
     "rangepartitioning\\([^)]*__p9".r.findAllIn(plan).toSeq shouldBe empty
+  }
+
+  test("selectToBudget band-skew guard: a one-band tie flood ranks in parallel sub-bands, exactly") {
+    import graft.ext.Corpus
+    // pathological occupancy: 4000 docs, ALL the same priority (one
+    // band, one value) plus a handful of outliers — the shape that
+    // would single-partition the in-band sort without the guard
+    val flood = (0L until 4000L).map(i => (i, 500L, (i % 7) + 1))
+    val outliers = Seq((9000L, 2500L, 10L), (9001L, -300L, 10L))
+    val docs = (flood ++ outliers).toDF("doc_id", "p", "n")
+    val out = Corpus.selectToBudget(docs, $"p", $"n", budget = 600L,
+      bandWidth = 100L, splitBandRows = 256L, idBandWidth = 64L)
+    // exact reference: global greedy by (p desc, id) with inclusive sum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"p".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = docs.withColumn("cum", sum($"n").over(w))
+      .where($"cum" <= 600L).select("doc_id").collect().map(_.getLong(0)).toSet
+    out.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe ref
+    // the ranking window is partitioned by (band, value, id-band) —
+    // the flood's 4000 rows rank across ~63 parallel sub-band groups,
+    // and no window in the plan is partition-less over the data frame
+    val plan = out.queryExecution.executedPlan.toString
+    plan.linesIterator.filter(_.contains("windowspecdefinition(__band#"))
+      .exists(_.contains("__idb#")) shouldBe true
+    // occupancy diagnostic reports the flood band
+    val occ = Corpus.bandOccupancy(docs, $"p", $"n", bandWidth = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    occ(5L) shouldBe 4000L
+  }
+
+  test("semDedup cell cap: overflowing cells keep all members; sizing rule scales centroids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // cap below every cell size (16 cells over the corpus): no pairs
+    // can generate, so EVERY vector is kept — under-dedup, never a
+    // quadratic join
+    val capped = Similarity.semDedup(emb, threshold = 0.2, maxCellSize = 1)
+    capped.where(!$"kept").count() shouldBe 0L
+    // ... and the guard plans as a broadcast anti-join
+    val plan = capped.queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size should be >= 1
+    // with the cap above the cell sizes the result equals the uncapped run
+    val un = Similarity.semDedup(emb, threshold = 0.2,
+        maxCellSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    Similarity.semDedup(emb, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet shouldBe un
+    // overflow diagnostic names every cell at cap 1; empty at the default
+    Similarity.semDedupCellOverflow(emb, maxCellSize = 1)
+      .count() should be > 0L
+    Similarity.semDedupCellOverflow(emb).count() shouldBe 0L
+    // the sizing rule: cells ≈ targetCellSize members each
+    Similarity.semDedupCentroids(1000000L, 1024) shouldBe 977
+    Similarity.semDedupCentroids(100L, 1024) shouldBe 1
   }
 
   test("shuffleShards: every window is shard-partitioned — no global sort anywhere") {
