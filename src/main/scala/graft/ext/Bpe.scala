@@ -15,18 +15,29 @@ import org.apache.spark.sql.functions._
  * pair. Counting applies the learned merges to each pre-token and
  * counts the surviving symbols.
  *
- * APPLICATION ORDER — the property the oracle leans on: applying the
- * merge list SEQUENTIALLY, one left-to-right pass per merge in
- * training order, is equivalent to the rank-priority loop GPT-2-style
- * tokenizers run. A merge's operand symbols can only be created by
- * strictly-earlier merges (that is how the pair got counted during
- * training), and merging never makes an already-processed pair
- * adjacent again (adjacency only changes by consuming one of its
- * operands). Sequential application is what a chain of string
- * `replace`s computes — which is exactly how the DuckDB oracle
- * replays it (a recursive CTE over separator-wrapped symbol strings,
- * one replace per merge level; SQL `replace` is left-to-right
- * non-overlapping, same as the in-pass scan here).
+ * APPLICATION ORDER — the property the oracle leans on: engine,
+ * Scala reference, and DuckDB oracle all apply the merge list
+ * SEQUENTIALLY, one left-to-right pass per merge in training order,
+ * so the three are consistent BY CONSTRUCTION. Sequential application
+ * is what a chain of string `replace`s computes — which is exactly
+ * how the DuckDB oracle replays it (a recursive CTE over
+ * separator-wrapped symbol strings, one replace per merge level; SQL
+ * `replace` is left-to-right non-overlapping, same as the in-pass
+ * scan here).
+ *
+ * Equivalence to the rank-priority loop GPT-2-style tokenizers run
+ * holds for the USUAL reason — a merge's operand symbols can only be
+ * created by strictly-earlier merges (that is how the pair got
+ * counted during training), and merging normally cannot make an
+ * already-processed pair adjacent again — but it is NOT exact in one
+ * corner: the same symbol string can be derivable by two DISTINCT
+ * merges (e.g. (a,bc) and (ab,c) both yield "abc"), in which case a
+ * later merge can re-create an operand of an earlier one that a
+ * rank-priority loop would then re-apply and a single sequential
+ * pass will not. Treat external-tokenizer parity as approximate
+ * unless the merge table is duplicate-derivation-free; internal and
+ * oracle results are unaffected either way (all three sides share
+ * the sequential semantics).
  *
  * Merges are PLAN-TIME CONSTANTS, like the LSH hyperplanes: the
  * engine's packing query uses [[StandardMerges]] (trained at class
@@ -114,8 +125,12 @@ object Bpe {
    * pre-token count aggregation (map-side combinable), then a
    * driver-side collect of the top `maxVocab` words by frequency
    * (TakeOrdered, never a full sort): bounded like the IVF centroid
-   * collect, and the frequency cutoff is exactly the right truncation
-   * for BPE (rare words contribute nothing to top pair counts).
+   * collect. The frequency cutoff is the STANDARD PRACTICAL
+   * APPROXIMATION for BPE training, not an exact truncation: a long
+   * tail of individually-rare words sharing a common pair can sum to
+   * a pair count that would have won a merge round, so truncation can
+   * change the learned merges on heavily skewed vocabularies — size
+   * `maxVocab` generously there.
    */
   def trainMergesFromCorpus(df: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 65536): Seq[(String, String)] = {

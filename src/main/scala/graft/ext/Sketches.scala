@@ -285,7 +285,14 @@ object Sketches {
     probes
       .select(col(valueCol) +: passThrough :+ posexplode(buckets): _*)
       .withColumnRenamed("pos", "__i").withColumnRenamed("col", "__b")
-      .join(broadcast(grid), Seq("__i", "__b"))
+      // LEFT join + zero-coalesce: the grid stores only NON-EMPTY
+      // cells, and an empty cell means an exact count of zero — an
+      // inner join would instead inflate (or entirely drop) the
+      // estimate for a probe value never seen by the build stream,
+      // breaking the CMS one-sided-error guarantee for arbitrary
+      // probe frames.
+      .join(broadcast(grid), Seq("__i", "__b"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
       .groupBy(col(valueCol) +: passThrough: _*)
       .agg(min("__c").as("cms_est"))
   }

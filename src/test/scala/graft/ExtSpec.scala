@@ -1315,6 +1315,15 @@ class ExtSpec extends SparkSpec {
       .groupBy("__i", "__b").agg(sum("__c").as("__c")).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     merged shouldBe g1
+    // probing values the build stream NEVER saw: a sparse build leaves
+    // most grid cells absent, absent cells count zero, and the min
+    // across depth cells makes unseen estimates exactly 0 (the left
+    // join + zero-coalesce — an inner join would inflate or drop them)
+    val sparse = Seq("only-value").toDF("v")
+    val unseen = Sketches.cmsEstimate(Sketches.cmsGrid(sparse, "v", 7L),
+        Seq("never-seen-a", "never-seen-b").toDF("v"), "v", seed = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    unseen shouldBe Map("never-seen-a" -> 0L, "never-seen-b" -> 0L)
   }
 
   test("shuffleShards: per-shard 0..n-1 positions, full cover, repartition-stable") {
