@@ -150,6 +150,19 @@ object SparkEntry {
         Config.of("""{"num_points":400,"formula":"(t % 50) + 3 * (t % 7)","signal_min":1,"signal_max":20}""")))
         .orderBy("t")),
 
+    // Custom-shape formula referencing the ACCUMULATING series — the
+    // reference's growing-datapoints eval scope (main.py:464-477), the
+    // last custom-formula semantic: each point reads max/min/len of
+    // the points generated before it (guarded at t=0 exactly as a
+    // Python formula must guard max([])). A true recurrence, so the
+    // oracle replays it with a DuckDB RECURSIVE CTE carrying the
+    // running extremes — exact, since every value is integer-valued
+    // double arithmetic.
+    "g_custom_prefix" -> ((s, _) =>
+      Transforms.intCast(Generators.custom(s, "ts5p",
+        Config.of("""{"num_points":300,"formula":"1 if t == 0 else (max(datapoints) % 17) + (min(datapoints) % 5) + (len(datapoints) % 3) + (t % 7)","signal_min":1,"signal_max":20}""")))
+        .orderBy("t")),
+
     // Replay (S3 "real" shape) driven from the events table: line N ≡
     // event_id N. Zero-pad/truncate to 2000 slots, scale to [1,100].
     "g_replay" -> ((s, dir) => {
@@ -387,6 +400,24 @@ object SparkEntry {
          |              FROM generate_series(0, 399) AS g(t)),
          |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
          |SELECT 'ts5' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    // the accumulating-series recurrence replayed step-by-step: rec
+    // carries (slot, value, running max, running min); the recursive
+    // arm computes slot t+1 FROM the extremes of slots 0..t (lateral
+    // alias nv), exactly the reference's growing-datapoints eval
+    "g_custom_prefix" ->
+      s"""WITH RECURSIVE rec(t, v, mx, mn) AS (
+         |  SELECT 0, CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE)
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         (mx % 17) + (mn % 5) + CAST((t + 1) % 3 AS DOUBLE)
+         |           + CAST((t + 1) % 7 AS DOUBLE) AS nv,
+         |         greatest(mx, nv), least(mn, nv)
+         |  FROM rec WHERE t < 299),
+         |base AS (SELECT t, v FROM rec),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'ts5p' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
          |FROM base, stats ORDER BY t""".stripMargin,
 
     "g_replay" ->

@@ -9,7 +9,12 @@ import org.apache.spark.sql.functions._
  *
  * Grammar (Python-expression-compatible subset):
  * {{{
- *   expr    := add
+ *   expr    := ternary
+ *   ternary := or ('if' or 'else' ternary)?   // Python conditional, lazy
+ *   or      := and ('or' and)*
+ *   and     := not ('and' not)*
+ *   not     := 'not' not | cmp
+ *   cmp     := add (('<'|'<='|'>'|'>='|'=='|'!=') add)?
  *   add     := mul (('+'|'-') mul)*
  *   mul     := unary (('*'|'/'|'%') unary)*
  *   unary   := '-' unary | power
@@ -20,9 +25,17 @@ import org.apache.spark.sql.functions._
  * Identifiers: `t` (slot index), `datapoint_max` (reference anomaly scope,
  * src/main.py:628). Aggregate refs `max(datapoints)` / `min(datapoints)` /
  * `len(datapoints)` compile to the columns `__dp_max`/`__dp_min`/`__dp_len`
- * that the anomaly applier provides as precomputed scalars (SURVEY §7.4).
- * Math functions: min, max, abs, sin, cos, tan, exp, log, sqrt, floor,
- * ceil, pow.
+ * that the anomaly applier provides as precomputed scalars (SURVEY §7.4) —
+ * OR, in a custom-SHAPE formula evaluated through [[evalPrefix]], to the
+ * aggregates of the series prefix generated so far (the reference's
+ * accumulating `datapoints` list, src/main.py:464-477). Math functions:
+ * min, max, abs, sin, cos, tan, exp, log, sqrt, floor, ceil, pow.
+ *
+ * Conditionals follow Python semantics exactly: `X if C else Y` evaluates
+ * only the taken branch (so `0 if t == 0 else max(datapoints)` guards the
+ * empty-prefix error the way a Python formula must), comparisons yield
+ * 1.0/0.0 in numeric context, and any numeric condition is truthy iff
+ * non-zero.
  *
  * Deviation from Python 2 (documented): `/` is IEEE double division, never
  * floor division — the reference's formulas run on float datapoints where
@@ -30,12 +43,16 @@ import org.apache.spark.sql.functions._
  */
 object Formula {
 
-  sealed trait Ast
+  sealed trait Ast extends Serializable
   final case class Num(v: Double) extends Ast
   final case class Ref(name: String) extends Ast
   final case class Neg(e: Ast) extends Ast
   final case class Bin(op: String, l: Ast, r: Ast) extends Ast
   final case class Call(fn: String, args: List[Ast]) extends Ast
+  final case class Cond(cond: Ast, ifTrue: Ast, ifFalse: Ast) extends Ast
+  final case class Cmp(op: String, l: Ast, r: Ast) extends Ast
+  final case class BoolOp(op: String, l: Ast, r: Ast) extends Ast
+  final case class Not(e: Ast) extends Ast
 
   /** Column refs a compiled formula may use; caller binds them. */
   val SlotCol = "t"
@@ -80,9 +97,132 @@ object Formula {
     case Call("floor", List(a)) => floor(compileAst(a)).cast("double")
     case Call("ceil", List(a))  => ceil(compileAst(a)).cast("double")
     case Call("pow", List(a, b)) => pow(compileAst(a), compileAst(b))
+    case Cond(c, a, b) => when(boolCol(c), compileAst(a)).otherwise(compileAst(b))
+    // comparisons/booleans in NUMERIC position are Python's 1.0/0.0
+    case b @ (Cmp(_, _, _) | BoolOp(_, _, _) | Not(_)) =>
+      when(boolCol(b), lit(1.0)).otherwise(lit(0.0))
     case Call(fn, args) =>
       throw new IllegalArgumentException(
         s"unknown function '$fn'/${args.size} in formula")
+  }
+
+  /** Boolean compile of a condition position: comparisons and boolean
+    * connectives directly; any numeric expression is truthy iff
+    * non-zero (Python truthiness for the numeric domain). */
+  private def boolCol(ast: Ast): Column = ast match {
+    case Cmp("<", l, r)  => compileAst(l) < compileAst(r)
+    case Cmp("<=", l, r) => compileAst(l) <= compileAst(r)
+    case Cmp(">", l, r)  => compileAst(l) > compileAst(r)
+    case Cmp(">=", l, r) => compileAst(l) >= compileAst(r)
+    case Cmp("==", l, r) => compileAst(l) === compileAst(r)
+    case Cmp("!=", l, r) => compileAst(l) =!= compileAst(r)
+    case Cmp(op, _, _) =>
+      throw new IllegalArgumentException(s"unknown comparison '$op'")
+    case BoolOp("and", l, r) => boolCol(l) && boolCol(r)
+    case BoolOp("or", l, r)  => boolCol(l) || boolCol(r)
+    case BoolOp(op, _, _) =>
+      throw new IllegalArgumentException(s"unknown boolean op '$op'")
+    case Not(e) => !boolCol(e)
+    case other  => compileAst(other) =!= lit(0.0)
+  }
+
+  /** Does the formula reference the accumulating series
+    * (`max/min/len(datapoints)`)? Custom-shape generation dispatches
+    * on this: prefix-free formulas stay on the pure-Column codegen
+    * path; prefix-referencing ones take the per-generator sequential
+    * fold ([[evalPrefix]]). */
+  def usesPrefix(ast: Ast): Boolean = ast match {
+    case Call("max" | "min" | "len", List(Ref("datapoints"))) => true
+    case Num(_) | Ref(_)    => false
+    case Neg(e)             => usesPrefix(e)
+    case Not(e)             => usesPrefix(e)
+    case Bin(_, l, r)       => usesPrefix(l) || usesPrefix(r)
+    case Cmp(_, l, r)       => usesPrefix(l) || usesPrefix(r)
+    case BoolOp(_, l, r)    => usesPrefix(l) || usesPrefix(r)
+    case Cond(c, a, b)      => usesPrefix(c) || usesPrefix(a) || usesPrefix(b)
+    case Call(_, args)      => args.exists(usesPrefix)
+  }
+
+  /**
+   * Evaluate a custom-SHAPE formula at slot `t` against the prefix of
+   * the series generated so far — the reference's accumulating
+   * `datapoints` scope (src/main.py:464-477: each point is
+   * `eval(formula, locals())` with the list of PRIOR points in
+   * scope). `prefixLen` is the number of prior points; `prefixMax` /
+   * `prefixMin` their extremes, only touched when the formula's taken
+   * branch references them — `max(datapoints)` over an EMPTY prefix
+   * throws exactly like Python's `max([])`, so formulas guard with a
+   * conditional (`0 if t == 0 else …`), same as they must under the
+   * reference's eval.
+   *
+   * Arithmetic matches the Column compile: IEEE doubles, `%` with the
+   * divisor's sign (Python), `**`/functions via java.lang.Math — the
+   * semantics FormulaSpec pins against the Column path on shared
+   * inputs.
+   */
+  def evalPrefix(ast: Ast, t: Long, prefixLen: Long,
+      prefixMax: => Double, prefixMin: => Double): Double = {
+    def num(a: Ast): Double = a match {
+      case Num(v)   => v
+      case Ref("t") => t.toDouble
+      case Ref(other) => throw new IllegalArgumentException(
+        s"identifier '$other' is not in custom-shape scope")
+      case Neg(e) => -num(e)
+      case Bin("+", l, r) => num(l) + num(r)
+      case Bin("-", l, r) => num(l) - num(r)
+      case Bin("*", l, r) => num(l) * num(r)
+      case Bin("/", l, r) => num(l) / num(r)
+      case Bin("%", l, r) =>
+        // Python %: result carries the divisor's sign
+        val a0 = num(l); val b0 = num(r); val m = a0 % b0
+        if (m != 0.0 && ((m < 0.0) != (b0 < 0.0))) m + b0 else m
+      case Bin("**", l, r) => math.pow(num(l), num(r))
+      case Bin(op, _, _) =>
+        throw new IllegalArgumentException(s"unknown operator '$op'")
+      case Call("max", List(Ref("datapoints"))) =>
+        if (prefixLen == 0) throw new IllegalArgumentException(
+          "max(datapoints) on an empty prefix (guard with 'if t == 0')")
+        else prefixMax
+      case Call("min", List(Ref("datapoints"))) =>
+        if (prefixLen == 0) throw new IllegalArgumentException(
+          "min(datapoints) on an empty prefix (guard with 'if t == 0')")
+        else prefixMin
+      case Call("len", List(Ref("datapoints"))) => prefixLen.toDouble
+      case Call("min", List(a0, b0)) => math.min(num(a0), num(b0))
+      case Call("max", List(a0, b0)) => math.max(num(a0), num(b0))
+      case Call("abs", List(a0))   => math.abs(num(a0))
+      case Call("sin", List(a0))   => math.sin(num(a0))
+      case Call("cos", List(a0))   => math.cos(num(a0))
+      case Call("tan", List(a0))   => math.tan(num(a0))
+      case Call("exp", List(a0))   => math.exp(num(a0))
+      case Call("log", List(a0))   => math.log(num(a0))
+      case Call("sqrt", List(a0))  => math.sqrt(num(a0))
+      case Call("floor", List(a0)) => math.floor(num(a0))
+      case Call("ceil", List(a0))  => math.ceil(num(a0))
+      case Call("pow", List(a0, b0)) => math.pow(num(a0), num(b0))
+      case Cond(c, a0, b0) => if (bool(c)) num(a0) else num(b0) // lazy branch
+      case b0 @ (Cmp(_, _, _) | BoolOp(_, _, _) | Not(_)) =>
+        if (bool(b0)) 1.0 else 0.0
+      case Call(fn, args) => throw new IllegalArgumentException(
+        s"unknown function '$fn'/${args.size} in formula")
+    }
+    def bool(a: Ast): Boolean = a match {
+      case Cmp("<", l, r)  => num(l) < num(r)
+      case Cmp("<=", l, r) => num(l) <= num(r)
+      case Cmp(">", l, r)  => num(l) > num(r)
+      case Cmp(">=", l, r) => num(l) >= num(r)
+      case Cmp("==", l, r) => num(l) == num(r)
+      case Cmp("!=", l, r) => num(l) != num(r)
+      case Cmp(op, _, _) =>
+        throw new IllegalArgumentException(s"unknown comparison '$op'")
+      case BoolOp("and", l, r) => bool(l) && bool(r)
+      case BoolOp("or", l, r)  => bool(l) || bool(r)
+      case BoolOp(op, _, _) =>
+        throw new IllegalArgumentException(s"unknown boolean op '$op'")
+      case Not(e) => !bool(e)
+      case other  => num(other) != 0.0
+    }
+    num(ast)
   }
 
   // Python's % has the sign of the divisor; Spark's % has the sign of the
@@ -93,11 +233,50 @@ object Formula {
     private var pos = 0
 
     def parseAll(): Ast = {
-      val e = parseAdd()
+      val e = parseTernary()
       skipWs()
       if (pos < src.length)
         fail(s"unexpected trailing input at $pos: '${src.substring(pos)}'")
       e
+    }
+
+    // X if C else Y — Python conditional-expression precedence (the
+    // whole expression level; right-associative via the recursive else)
+    private def parseTernary(): Ast = {
+      val e = parseOr()
+      if (peekKeyword("if")) {
+        consumeKeyword("if")
+        val c = parseOr()
+        if (!peekKeyword("else")) fail(s"expected 'else' at $pos")
+        consumeKeyword("else")
+        Cond(c, e, parseTernary())
+      } else e
+    }
+
+    private def parseOr(): Ast = {
+      var l = parseAnd()
+      while (peekKeyword("or")) { consumeKeyword("or"); l = BoolOp("or", l, parseAnd()) }
+      l
+    }
+
+    private def parseAnd(): Ast = {
+      var l = parseNot()
+      while (peekKeyword("and")) { consumeKeyword("and"); l = BoolOp("and", l, parseNot()) }
+      l
+    }
+
+    private def parseNot(): Ast = {
+      if (peekKeyword("not")) { consumeKeyword("not"); Not(parseNot()) }
+      else parseCmp()
+    }
+
+    // single comparison (no Python chaining — a < b < c fails to parse
+    // rather than silently meaning something else)
+    private def parseCmp(): Ast = {
+      val l = parseAdd()
+      val op = peekCmpOp()
+      if (op.isEmpty) l
+      else { consume(op); Cmp(op, l, parseAdd()) }
     }
 
     private def parseAdd(): Ast = {
@@ -129,7 +308,7 @@ object Formula {
       val c = peek
       if (c == '(') {
         pos += 1
-        val e = parseAdd(); skipWs()
+        val e = parseTernary(); skipWs()
         if (peek != ')') fail(s"expected ')' at $pos"); pos += 1
         e
       } else if (c.isDigit || c == '.') {
@@ -149,8 +328,8 @@ object Formula {
           val args = scala.collection.mutable.ListBuffer.empty[Ast]
           skipWs()
           if (peek != ')') {
-            args += parseAdd(); skipWs()
-            while (peek == ',') { pos += 1; args += parseAdd(); skipWs() }
+            args += parseTernary(); skipWs()
+            while (peek == ',') { pos += 1; args += parseTernary(); skipWs() }
           }
           if (peek != ')') fail(s"expected ')' at $pos"); pos += 1
           Call(name, args.toList)
@@ -165,6 +344,23 @@ object Formula {
       else if (pos < src.length && "+-*/%".contains(src(pos))) src(pos).toString
       else ""
     }
+
+    // two-char comparison ops before their one-char prefixes
+    private def peekCmpOp(): String = {
+      skipWs()
+      val two = if (pos + 1 < src.length) src.substring(pos, pos + 2) else ""
+      if (Set("<=", ">=", "==", "!=")(two)) two
+      else if (pos < src.length && (src(pos) == '<' || src(pos) == '>')) src(pos).toString
+      else ""
+    }
+
+    private def peekKeyword(kw: String): Boolean = {
+      skipWs()
+      src.startsWith(kw, pos) &&
+        (pos + kw.length >= src.length ||
+          { val c = src(pos + kw.length); !c.isLetterOrDigit && c != '_' })
+    }
+    private def consumeKeyword(kw: String): Unit = { skipWs(); pos += kw.length }
     private def consume(op: String): Unit = { skipWs(); pos += op.length }
     private def peek: Char = if (pos < src.length) src(pos) else '\u0000'
     private def skipWs(): Unit = while (pos < src.length && src(pos).isWhitespace) pos += 1

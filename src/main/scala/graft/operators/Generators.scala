@@ -106,17 +106,57 @@ object Generators {
 
   /**
    * S6 — custom formula (src/main.py:464-477): per-slot `eval(formula)`
-   * with `t` in scope, then scale+ceil. Compiled through the closed DSL
-   * ([[graft.dsl.Formula]]) instead of eval. The reference also exposes the
-   * *accumulating* datapoints list to custom-shape formulas; practical
-   * blueprints only use `t` — series self-references are unsupported here
-   * (documented deviation, SURVEY §7.4).
+   * with `t` AND the accumulating `datapoints` list in scope, then
+   * scale+ceil. Compiled through the closed DSL ([[graft.dsl.Formula]])
+   * instead of eval.
+   *
+   * Two evaluation paths, dispatched on what the formula references:
+   *  - prefix-FREE formulas (only `t` — every shipped blueprint)
+   *    compile to a pure Catalyst Column: codegen'd projection over
+   *    the slot grid, no shuffle, no state.
+   *  - prefix-REFERENCING formulas (`max/min/len(datapoints)` — the
+   *    reference's growing-list scope) are a genuine recurrence:
+   *    point `t` depends on aggregates of points `0..t-1`, which no
+   *    stateless window can express. They run as a per-generator
+   *    sequential fold ([[Formula.evalPrefix]]) inside
+   *    `flatMapGroups` — sequential WITHIN one generator's series
+   *    (bounded by `num_points`, a blueprint constant — the same
+   *    bounded-by-config posture as blueprint resolution), parallel
+   *    ACROSS generators, which is where a blueprint's scale lives.
+   *    This closes SURVEY §7.4.2's documented gap for the aggregate
+   *    surface; arbitrary self-indexing (`datapoints[-1]`) stays out
+   *    of scope — the closed grammar has no list indexing, exactly as
+   *    it has no eval.
    */
   def custom(spark: SparkSession, id: String, cfg: Config): DataFrame = {
     val formula = cfg.stringOpt("formula")
       .getOrElse(throw new IllegalArgumentException(s"custom generator '$id' needs a formula"))
-    val raw = base(spark, id, cfg.numPoints)
-      .withColumn("value", Formula.compile(formula).cast("double"))
+    val ast = Formula.parse(formula)
+    val raw =
+      if (!Formula.usesPrefix(ast))
+        base(spark, id, cfg.numPoints)
+          .withColumn("value", Formula.compileAst(ast).cast("double"))
+      else {
+        import spark.implicits._
+        base(spark, id, cfg.numPoints)
+          .select(col(Gid).as[String], col("t").as[Long])
+          .groupByKey(_._1)
+          .flatMapGroups { (gid: String, rows: Iterator[(String, Long)]) =>
+            val ts = rows.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            var mx = Double.NaN
+            var mn = Double.NaN
+            var len = 0L
+            ts.iterator.map { t =>
+              val v = Formula.evalPrefix(ast, t, len, mx, mn)
+              mx = if (len == 0) v else math.max(mx, v)
+              mn = if (len == 0) v else math.min(mn, v)
+              len += 1
+              (gid, t, v)
+            }
+          }
+          .toDF(Gid, "t", "value")
+      }
     Transforms.scaleRange(raw, cfg.signalMin, cfg.signalMax)
   }
 

@@ -57,4 +57,75 @@ class FormulaSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy Formula.compile("open(1)")
     an[IllegalArgumentException] should be thrownBy Formula.parse("1 +")
   }
+
+  test("Python conditional expressions: precedence, laziness shape, numeric booleans") {
+    eval("1 if t == 0 else 2", 3) shouldBe Seq(1.0, 2.0, 2.0)
+    // conditional spans the whole expression: `a + 1 if c else b` is
+    // `(a + 1) if c else b`, as in Python
+    eval("t + 10 if t < 2 else t - 1", 4) shouldBe Seq(10.0, 11.0, 1.0, 2.0)
+    // right-associative else-chain
+    eval("0 if t == 0 else 1 if t == 1 else 2", 4) shouldBe Seq(0.0, 1.0, 2.0, 2.0)
+    // booleans in numeric position are 1.0/0.0; and/or/not compose
+    eval("(t >= 2) * 10 + (t != 1)", 4) shouldBe Seq(1.0, 0.0, 11.0, 11.0)
+    eval("1 if t > 0 and t < 3 else 0", 5) shouldBe Seq(0.0, 1.0, 1.0, 0.0, 0.0)
+    eval("1 if not t == 1 or t == 1 else 9", 2) shouldBe Seq(1.0, 1.0)
+    // numeric condition: truthy iff non-zero (Python truthiness)
+    eval("5 if t % 2 else 7", 4) shouldBe Seq(7.0, 5.0, 7.0, 5.0)
+    // chained comparisons are rejected, not silently reinterpreted
+    an[IllegalArgumentException] should be thrownBy Formula.parse("1 < t < 3")
+  }
+
+  test("prefix evaluation replays the reference's accumulating-datapoints loop") {
+    // the reference (main.py:464-477): datapoints.append(eval(formula))
+    // with the PRIOR points in scope — replicate its loop literally
+    val ast = Formula.parse(
+      "1 if t == 0 else (max(datapoints) % 17) + (min(datapoints) % 5) + (len(datapoints) % 3) + (t % 7)")
+    Formula.usesPrefix(ast) shouldBe true
+    val dps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val expected = (0L until 40L).map { t =>
+      val v =
+        if (t == 0) 1.0
+        else (dps.max % 17) + (dps.min % 5) + (dps.length % 3) + (t % 7)
+      dps += v
+      v
+    }
+    var mx = Double.NaN; var mn = Double.NaN
+    val got = (0L until 40L).map { t =>
+      val v = Formula.evalPrefix(ast, t, t, mx, mn)
+      mx = if (t == 0) v else math.max(mx, v)
+      mn = if (t == 0) v else math.min(mn, v)
+      v
+    }
+    got shouldBe expected
+    // prefix-free formulas are not routed to the fold
+    Formula.usesPrefix(Formula.parse("(t % 50) + 3 * (t % 7)")) shouldBe false
+    // max(2,3)-style calls are plain math, not prefix refs
+    Formula.usesPrefix(Formula.parse("max(t, 3)")) shouldBe false
+    // unguarded empty-prefix aggregate throws exactly like Python max([])
+    val bare = Formula.parse("max(datapoints) + 1")
+    an[IllegalArgumentException] should be thrownBy
+      Formula.evalPrefix(bare, 0L, 0L, Double.NaN, Double.NaN)
+    // ... but the guarded branch never touches it at t=0 (lazy if/else)
+    Formula.evalPrefix(Formula.parse("7 if t == 0 else max(datapoints)"),
+      0L, 0L, sys.error("must not evaluate"), 0.0) shouldBe 7.0
+  }
+
+  test("custom-shape generator runs prefix formulas as a per-generator fold") {
+    import graft.blueprint.Config
+    import graft.operators.{Generators, Transforms}
+    val out = Generators.custom(spark, "gp",
+      Config.of("""{"num_points":50,"formula":"2 if t == 0 else max(datapoints) + 1 if t % 2 == 0 else min(datapoints) - 1","signal_min":1,"signal_max":10}"""))
+    // reference loop: v0=2; even t: max+1, odd t: min-1 — alternating
+    // growth of both extremes; replicate and scale the same way
+    val dps = scala.collection.mutable.ArrayBuffer(2.0)
+    (1 until 50).foreach { t =>
+      dps += (if (t % 2 == 0) dps.max + 1 else dps.min - 1)
+    }
+    val mn = dps.min; val mx = dps.max
+    val expected = dps.map(v =>
+      math.ceil(BigDecimal((v - mn) / (mx - mn) * 9.0 + 1.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    val got = seriesOf(out).map(_._2)
+    got shouldBe expected.toSeq
+  }
 }
