@@ -2003,6 +2003,62 @@ object SparkEntry {
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
 
+    // Token-stutter removal: the intra-document repetition cleaner
+    // (drop tokens equal to their predecessor, rebuild the text) —
+    // a TRANSFORM, so the oracle compares the rebuilt text itself.
+    "x_squeeze_repeats" -> ((s, dir) =>
+      TextStats.squeezeRepeats(tbl(s, dir, "documents")).orderBy("doc_id")),
+
+    // Winnowing (MOSS) fingerprints — md5-keyed gram hashes, sliding
+    // min-window selection; the SELECTED hash set replays exactly in
+    // DuckDB (same md5-prefix key both sides).
+    "x_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(tbl(s, dir, "documents"))
+        .orderBy("doc_id", "fp")),
+
+    // ... and the fingerprint-sharing candidate pairs over the same
+    // selection (shared winnowCtes oracle — pair set can't drift from
+    // the fingerprint set).
+    "x_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(tbl(s, dir, "documents"), minShared = 2L)
+        .orderBy("a", "b")),
+
+    // LSH bucket-occupancy histogram — the pre-flight report for the
+    // round-11 bucket caps: how corpus mass distributes over band
+    // buckets BEFORE paying the pair join (bucket_size → n_buckets).
+    "x_lsh_occupancy" -> ((s, dir) =>
+      Dedup.minhashBucketStats(tbl(s, dir, "documents"))
+        .groupBy("n").agg(count(lit(1)).as("n_buckets"))
+        .select(col("n").as("bucket_size"), col("n_buckets"))
+        .orderBy("bucket_size")),
+
+    // Budget-selection band occupancy — the selectToBudget skew
+    // pre-flight over the SAME DSIR priority x_budget_select ranks by
+    // (shared dsir/banded CTEs, so report and selection can't drift).
+    "x_band_occupancy" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val raw = d.where(col("lang") =!= "en")
+      val lr9 = Corpus.dsirRatioTable(raw, d.where(col("lang") === "en")).toSeq
+      val base = raw.select(col("doc_id"),
+          graft.plans.NativeFunctions.dsirScore(col("text"), lr9).as("__sc"),
+          TextStats.bpeishTokenCount(col("text")).as("__n"))
+        .select(col("doc_id"), col("__sc.n_feats").as("__nf"),
+          col("__sc.s9").as("__p9"), col("__n"))
+        .where(col("__nf") > 0)
+      Corpus.bandOccupancy(base, col("__p9"), col("__n"),
+          bandWidth = 1000000000L)
+        .orderBy("band")
+    }),
+
+    // Embedding-space outliers: bottom-3 per k-means cell by cosine to
+    // the own centroid — the data-quality sweep before ANN/SemDeDup
+    // decisions; shares the IVF k-means replay (ivfAssignCtes).
+    "x_embedding_outliers" -> ((s, dir) =>
+      Similarity.cellOutliers(tbl(s, dir, "embeddings"), k = 3)
+        .select(col("vec_id"), col("cid"), col("rank"),
+          round(col("cos_centroid"), 6).as("cos_r"))
+        .orderBy("cid", "rank")),
+
     // Threshold tuned to the synthetic corpus (random vectors: max
     // pairwise cosine ≈ 0.51) so the candidate-verify path yields rows.
     // Oracle-checked despite the LSH step: the hyperplanes are
@@ -2387,6 +2443,33 @@ object SparkEntry {
        |          FROM sig GROUP BY 1, 2)""".stripMargin
   }
 
+  /** DuckDB replay of Dedup.winnowFingerprints at the 3-gram/4-window
+    * defaults — positional (NON-distinct) grams, md5-prefix 60-bit
+    * keys, sliding min windows, full-window filter with the
+    * short-document single-window fallback. Shared by x_winnow and
+    * x_winnow_pairs so the pair set can't drift from the selection. */
+  private def winnowCtes: String = {
+    val p = Dedup.MinhashPrime
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |gl AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE [array_to_string(tk[i:i+2], ' ')
+       |               for i in generate_series(1, len(tk) - 2)] END AS gs
+       |       FROM toks),
+       |grams AS (SELECT doc_id, unnest(gs) AS g,
+       |                 generate_subscripts(gs, 1) - 1 AS pos FROM gl),
+       |hs AS (SELECT doc_id, pos,
+       |              ('0x' || substr(md5(g), 1, 15))::BIGINT % $p AS h
+       |       FROM grams),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+       |wins AS (SELECT doc_id, pos,
+       |                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |         FROM hs),
+       |fps AS (SELECT DISTINCT w.doc_id, w.fp
+       |        FROM wins w JOIN cnts c USING (doc_id)
+       |        WHERE w.pos <= greatest(c.n - 4, 0))""".stripMargin
+  }
+
   /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
     * the x_minhash_pairs oracle, also embedded as the candidate set of
     * x_lsh_recall (one definition, the sets cannot drift). */
@@ -2667,7 +2750,10 @@ object SparkEntry {
     * ±1000): [[dsirCtes]] scores, banded two-phase prefix sum, the
     * inclusive prefix-cut keep rule — `bsel` is the kept set. Shared
     * by x_budget_select and the x_budget_stats rollup. */
-  private def budgetCtes: String =
+  /** The dsir-scored, token-counted, priority-banded frame (CTE `bd`)
+    * shared by the budget selection, its stats rollup, and the
+    * band-occupancy pre-flight. */
+  private def budgetBandedCtes: String =
     s"""$dsirCtes,
        |sb AS (SELECT dw.doc_id, dw.s9,
        |              CAST(len($bpeishExtractSql) AS BIGINT) AS n
@@ -2675,7 +2761,10 @@ object SparkEntry {
        |bd AS (SELECT doc_id, s9, n,
        |              CAST(least(greatest(floor(s9 / 1000000000), -1000), 1000)
        |                   AS BIGINT) AS band
-       |       FROM sb),
+       |       FROM sb)""".stripMargin
+
+  private def budgetCtes: String =
+    s"""$budgetBandedCtes,
        |offs AS (SELECT band,
        |                CAST(coalesce(sum(bn) OVER (ORDER BY band DESC
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -3537,6 +3626,53 @@ object SparkEntry {
          |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS dist
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY a, b""".stripMargin,
 
+    // token-stutter removal: case-sensitive single-space split, lag
+    // window per doc, ordered string_agg rebuild — a transform, so the
+    // rebuilt TEXT is compared, not just counts
+    "x_squeeze_repeats" ->
+      """WITH parts AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |                      generate_subscripts(string_split(text, ' '), 1) AS pos
+        |               FROM documents),
+        |k AS (SELECT doc_id, pos, w,
+        |             lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS pw
+        |      FROM parts),
+        |kk AS (SELECT doc_id, pos, w FROM k WHERE pw IS NULL OR w <> pw),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_clean,
+        |               count(*) AS n_kept
+        |        FROM kk GROUP BY 1)
+        |SELECT d.doc_id, a.text_clean, a.n_kept,
+        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) - a.n_kept AS n_dropped
+        |FROM documents d JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "x_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+
+    "x_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |shared AS (SELECT fa.doc_id AS a, fb.doc_id AS b, count(*) AS n_shared
+         |           FROM fps fa JOIN fps fb
+         |             ON fa.fp = fb.fp AND fa.doc_id < fb.doc_id
+         |           GROUP BY 1, 2)
+         |SELECT a, b, n_shared FROM shared WHERE n_shared >= 2
+         |ORDER BY a, b""".stripMargin,
+
+    // bucket-size histogram over the SAME band/bucket construction as
+    // x_minhash_pairs (shared minhashBandsCtes)
+    "x_lsh_occupancy" ->
+      s"""WITH $minhashBandsCtes,
+         |sizes AS (SELECT band, bucket, count(*) AS n
+         |          FROM bands GROUP BY 1, 2)
+         |SELECT n AS bucket_size, count(*) AS n_buckets
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // band occupancy over the SAME dsir-banded frame as
+    // x_budget_select (shared budgetBandedCtes)
+    "x_band_occupancy" ->
+      s"""WITH $budgetBandedCtes
+         |SELECT band, count(*) AS n_rows, CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Stub media codecs replay in DuckDB: documents.text IS the payload
     // byte-for-byte (Spark casts the string to binary = its UTF-8 bytes;
     // DuckDB md5/strlen also operate on UTF-8 bytes), and the stub's
@@ -3600,6 +3736,22 @@ object SparkEntry {
          |SELECT CAST(cid AS INTEGER) AS cid,
          |       CAST(count(*) AS BIGINT) AS n_vectors
          |FROM af GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // bottom-3 per cell by cosine to the own centroid — same k-means
+    // replay (ivfAssignCtes), same sequential-fold dot arithmetic as
+    // the ranked sim queries
+    "x_embedding_outliers" ->
+      s"""WITH $ivfAssignCtes,
+         |cc AS (SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cid,
+         |              ${ivfDotL("a.v", "c.cv")} /
+         |                (sqrt(${ivfNorm2("a.v")}) * sqrt(${ivfNorm2("c.cv")})) AS cos
+         |       FROM af a JOIN cent3 c ON a.cid = c.cid),
+         |rk AS (SELECT vec_id, cid, cos,
+         |              row_number() OVER (PARTITION BY cid
+         |                ORDER BY cos ASC, vec_id ASC) AS rank
+         |       FROM cc)
+         |SELECT vec_id, cid, CAST(rank AS INTEGER) AS rank, round(cos, 6) AS cos_r
+         |FROM rk WHERE rank <= 3 ORDER BY cid, rank""".stripMargin,
     "x_sim_ivf" -> simIvfSql,
 
     // The probe-only query ranks bit-identically to the

@@ -204,6 +204,17 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucketSize)
 
+  /** Full bucket-size frame `(band, bucket, n)` — the LSH occupancy
+    * pre-flight ([[minhashBucketOverflow]] with the cap at 0, i.e.
+    * every non-empty cell): roll it up to a size histogram to see how
+    * the corpus distributes over band buckets BEFORE paying the pair
+    * join. */
+  def minhashBucketStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3): DataFrame =
+    minhashBucketOverflow(docs, idCol, textCol, numHashes, bands, shingleN,
+      maxBucketSize = 0)
+
   /** SimHash signature width. 60 (not 64) so the whole signature fits
     * the 15-hex-digit md5 prefix that both engines parse into a
     * non-negative BIGINT. */
@@ -413,6 +424,86 @@ object Dedup {
       .select(col(idCol), col("n_windows"), col("n_shared"),
         ((col("n_windows") - col("n_shared")).cast("double") /
           col("n_windows").cast("double")).as("novelty"))
+  }
+
+  /** Positional (non-distinct) word n-gram rows `(idCol, pos, __g)` —
+    * winnowing operates on the gram SEQUENCE, unlike the signature
+    * kernels' gram sets; documents shorter than n contribute their
+    * whole token sequence at pos 0 (the gramRows short branch). */
+  private def positionalGramRows(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val cnt = size(toks) - (n - 1)
+    val slices = (0 until n).map(j => slice(toks, lit(j + 1), cnt).as(s"g$j"))
+    val long = docs.where(size(toks) >= n)
+      .select(col(idCol), posexplode(arrays_zip(slices: _*)).as(Seq("pos", "z")))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", (0 until n).map(j => col(s"z.g$j")): _*).as("__g"))
+    val short = docs.where(size(toks) < n)
+      .select(col(idCol), lit(0).as("pos"), array_join(toks, " ").as("__g"))
+    long.unionByName(short)
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer et al., "Winnowing: Local
+   * Algorithms for Document Fingerprinting" — the MOSS scheme): hash
+   * every word `gramN`-gram, slide a window of `window` consecutive
+   * gram hashes, keep each window's MINIMUM hash; the distinct kept
+   * hashes are the document's fingerprints. Guarantees every shared
+   * run of `gramN + window − 1` tokens contributes at least one
+   * SHARED fingerprint, at a fingerprint density of ~2/(window+1) —
+   * the storage/recall dial [[exactSubstringPairs]] lacks (that
+   * keeps every window).
+   *
+   * Hashes are the md5-prefix 60-bit keys ([[md5Key]]) so the
+   * SELECTION — not just the counts — replays exactly in the DuckDB
+   * oracle. Documents shorter than `gramN` tokens fingerprint their
+   * whole token sequence; a document with fewer grams than `window`
+   * yields the min over what exists (both engines' bounded window
+   * frames agree on this).
+   *
+   * Shape at scale: narrow positional gram Generate, ONE per-document
+   * sliding-window min (hash-partitioned by id — parallel across
+   * documents), distinct on (id, 8-byte fp). Linear in total tokens;
+   * no pair term, no corpus-wide state.
+   */
+  def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramN: Int = 3,
+      window: Int = 4): DataFrame = {
+    require(gramN > 0, "gramN must be positive")
+    require(window > 0, "window must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = positionalGramRows(docs, idCol, textCol, gramN)
+      .select(col(idCol), col("pos"), md5Key(col("__g")).as("__h"))
+    val wcnt = Window.partitionBy(col(idCol))
+    val wmin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    hashed
+      .withColumn("__n", count(lit(1)).over(wcnt))
+      .withColumn("fp", min(col("__h")).over(wmin))
+      // one fingerprint per FULL window; short documents (fewer grams
+      // than the window) keep their single all-grams minimum at pos 0
+      .where(col("pos") <= greatest(col("__n") - window, lit(0)))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /**
+   * Fingerprint-sharing candidate pairs over [[winnowFingerprints]]:
+   * `(a, b, n_shared)` for pairs sharing at least `minShared`
+   * fingerprints — the sparse alternative to [[exactSubstringPairs]]
+   * (≈2/(window+1) of the join input for the same guarantee horizon).
+   * Same bucketed 8-byte-key self-join shape.
+   */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", gramN: Int = 3, window: Int = 4,
+      minShared: Long = 1L): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, gramN, window)
+      .localCheckpoint() // fingerprint rows feed both join sides once
+    val l = fps.select(col("fp"), col(idCol).as("a"))
+    val r = fps.select(col("fp"), col(idCol).as("b"))
+    l.join(r, "fp").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
   }
 
   /**

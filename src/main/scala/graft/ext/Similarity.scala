@@ -330,6 +330,41 @@ object Similarity {
       .select(col(idCol), col("cid"), col("__dup").isNull.as("kept"))
   }
 
+  /**
+   * Embedding-space outlier report: the `k` vectors per k-means cell
+   * LEAST similar to their own centroid — the data-quality sweep an
+   * embedding pipeline runs before trusting ANN/SemDeDup decisions
+   * (mis-encoded, corrupt, or off-manifold vectors sit far from every
+   * centroid, so they surface at the bottom of their cell's cosine
+   * ranking). Shares [[trainIvfCentroids]]'s deterministic k-means, so
+   * the report describes exactly the clustering IVF and SemDeDup use.
+   * Returns `(idCol, cid, rank, cos_centroid)`, rank 1 = farthest.
+   *
+   * Shape at scale: centroid cosines are a 16-branch codegen CASE over
+   * plan-time literals (no join), ranking is a per-cell window —
+   * parallel across cells, the [[semDedup]] partitioning.
+   */
+  def cellOutliers(corpus: DataFrame, k: Int, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = corpus.select(col(idCol), col(vecCol))
+    val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
+    val assigned = c.withColumn("cid",
+      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+    val centCos = centroids.zipWithIndex.map { case (cv, i) =>
+      when(col("cid") === i, cosine(col(vecCol), array(cv.map(lit): _*)))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+      .orderBy(col("__cc").asc, col(idCol).asc)
+    assigned
+      .withColumn("__cc", coalesce(centCos: _*))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("cid"), col("rank"),
+        col("__cc").as("cos_centroid"))
+  }
+
   /** Overflow diagnostic of [[semDedup]]'s cell cap: the (cid, n)
     * cells whose membership exceeds `maxCellSize` — the cells the
     * capped pairwise stage skipped. Non-empty output means

@@ -22,6 +22,48 @@ object TextStats {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
+   * Token-stutter removal — the intra-document half of repetition
+   * cleaning (Rae-et-al lineage: generated/boilerplate text stutters,
+   * "the the", "a a"): drop every token equal to its immediate
+   * predecessor and rebuild the text. CASE-SENSITIVE single-space
+   * tokenization (split on ' ', not [[tokens]]) — this operator
+   * REWRITES the text, so it must not lowercase or re-space what it
+   * keeps; corpora with other whitespace conventions normalize first.
+   *
+   * Returns `(idCol, text_clean, n_kept, n_dropped)`.
+   *
+   * Shape at scale: one narrow posexplode, one per-document lag
+   * window (hash-partitioned by id — parallel across documents,
+   * bounded by document length within), one ordered re-aggregation.
+   * No corpus-wide anything; cost is linear in total tokens. The
+   * rebuild's `transform` over the per-doc sorted struct array is an
+   * interpreted HOF, but it runs once per DOCUMENT on the already
+   * aggregated array — not per token in a hot loop (the distinction
+   * the fused-kernel rule is about).
+   */
+  def squeezeRepeats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val kept = parts
+      .withColumn("__pw", lag(col("w"), 1).over(w))
+      .where(col("__pw").isNull || col("w") =!= col("__pw"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ").as("text_clean"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__nt"))
+      .join(rebuilt, Seq(idCol))
+      .select(col(idCol), col("text_clean"), col("n_kept"),
+        (col("__nt") - col("n_kept")).as("n_dropped"))
+  }
+
+  /**
    * BPE-ish subword proxy count: word-characters runs + standalone
    * punctuation, the classic `\w+|[^\w\s]` pre-tokenizer (ASCII classes
    * for cross-engine determinism).

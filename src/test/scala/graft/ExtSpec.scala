@@ -588,6 +588,71 @@ class ExtSpec extends SparkSpec {
       .count() shouldBe (10L * 9L / 2L + 1L)
   }
 
+  test("squeezeRepeats drops consecutive duplicate tokens, case-sensitively, idempotently") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      (0L, "a a b b b c a"),
+      (1L, "The the THE the"),          // case-sensitive: only exact repeats drop
+      (2L, "no repeats here at all"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val out = TextStats.squeezeRepeats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    out(0L) shouldBe (("a b c a", 4L, 3L))
+    out(1L) shouldBe (("The the THE the", 4L, 0L))
+    out(2L) shouldBe (("no repeats here at all", 5L, 0L))
+    out(3L) shouldBe (("x", 1L, 0L))
+    // idempotent: squeezing the cleaned text drops nothing further
+    val again = TextStats.squeezeRepeats(
+      TextStats.squeezeRepeats(docs).select($"doc_id", $"text_clean".as("text")))
+    again.agg(sum("n_dropped")).head().getLong(0) shouldBe 0L
+  }
+
+  test("winnowing: shared 6-token run guarantees a shared fingerprint; short docs fingerprint once") {
+    import graft.ext.Dedup
+    // gramN=3, window=4 ⇒ any shared run of 3+4-1 = 6 tokens must
+    // contribute at least one shared fingerprint (the winnowing
+    // guarantee); plant one such run inside otherwise-different docs
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, s"one two three $run four five six"),
+      (1L, s"seven eight nine ten $run eleven"),
+      (2L, "completely different words entirely here now with nothing shared"),
+      (3L, "tiny doc") // < gramN tokens: whole-sequence gram, one fingerprint
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (byDoc(0L) intersect byDoc(1L)) should not be empty
+    (byDoc(0L) intersect byDoc(2L)) shouldBe empty
+    byDoc(3L).size shouldBe 1
+    // density: winnowing keeps a strict subset of the full window set
+    byDoc(0L).size should be < 13 // doc 0 has 15 tokens → 13 grams
+    // the pair finder surfaces exactly the planted pair at minShared=1
+    Dedup.winnowPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((0L, 1L))
+  }
+
+  test("cellOutliers: bottom-k per cell, farthest first, within-cell ranks complete") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.cellOutliers(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    // per cell: ranks are exactly 1..min(k, |cell|), cosine ascending
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.map(_._3).toSeq shouldBe (1 to sorted.length)
+      sorted.map(_._4).toSeq shouldBe sorted.map(_._4).sorted.toSeq
+    }
+    // rank 1 really is the cell's minimum centroid cosine: check one
+    // cell against the full assignment
+    val cells = Similarity.assignCells(emb)
+    val cid0 = out.head._2
+    val idsInCell = cells.where($"cid" === cid0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val worst = out.filter(o => o._2 == cid0 && o._3 == 1).head
+    idsInCell should contain(worst._1)
+  }
+
   test("duplicate clusters: min-label propagation resolves chains and cliques") {
     // components: {1,2,3} (chain), {10,11} (pair), {20,21,22,23} (chain of 4)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 23L))
