@@ -1467,6 +1467,18 @@ object SparkEntry {
       est.join(exact, "lang").orderBy("lang")
     }),
 
+    // HyperLogLog distinct: the register-bounded estimate next to the
+    // exact count — the fourth sketch family (KMV=distinct-values,
+    // histogram=quantiles, CMS=frequency, HLL=distinct-registers); see
+    // Sketches.hllDistinct for the state-bound comparison vs KMV.
+    "x_hll_distinct" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(col("lang"), explode(TextStats.tokens(col("text"))).as("term"))
+      val est = Sketches.hllDistinct(toks, "lang", "term", p = 8, seed = Seed)
+      val exact = toks.groupBy("lang").agg(countDistinct("term").as("n_distinct"))
+      est.join(exact, "lang").orderBy("lang")
+    }),
+
     // Fixed-grid histogram sketch: per-language token-count quantiles
     // from bounded mergeable bin counts (≤64 bins/group map-side) —
     // quartiles + p90 read off as bin lower edges.
@@ -1754,6 +1766,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
         .orderBy("a", "b")),
 
+    // Directional containment (Broder): |grams(a)∩grams(b)| / |grams(a)|
+    // — catches the short-doc-quoted-whole-inside-long-doc shape whose
+    // Jaccard is arbitrarily small; both directions emitted when both
+    // clear the threshold.
+    "x_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), minContainment = 0.6)
+        .orderBy("a", "b")),
+
     // Cross-corpus (snapshot-vs-snapshot) near-dup candidates: the
     // incremental-ingest dedup shape — new docs (odd ids) flagged
     // against the archived snapshot (even ids) via the SAME band
@@ -1830,7 +1850,10 @@ object SparkEntry {
         LangIdLangs) {
         TextStats.langIdProfile(d.where(col("doc_id") % 2 === 0), LangIdLangs)
       }
-      TextStats.scoreLangId(d, profile, LangIdLangs)
+      // fused serving form: per-gram contributions precomputed from the
+      // persisted profile (bit-identical to scoreLangId — spec-pinned),
+      // scored by a one-pass kernel with no explode/join/rollup
+      TextStats.scoreLangIdFused(d, profile, LangIdLangs)
         .orderBy("doc_id")
     }),
 
@@ -2078,6 +2101,17 @@ object SparkEntry {
       Similarity.cosinePairs(tbl(s, dir, "embeddings"), threshold = 0.35)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
+
+    // Inter-label similarity matrix: nano-grid-exact per-label mean
+    // vectors, then all label-pair cosines — the corpus "data map"
+    // (which slices cover the same embedding region). Both stages are
+    // bounded: |labels|·dims aggregation keys, |labels|² pairs.
+    "x_centroid_cosine" -> ((s, dir) => {
+      val cents = Similarity.groupCentroids(tbl(s, dir, "embeddings"), "label")
+      Similarity.centroidCosines(cents, "label")
+        .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("a", "b")
+    }),
 
     // Int8-quantized ANN: recall@5 of brute-force ranking over
     // quantized vectors (native one-pass symmetric quantization;
@@ -3027,6 +3061,36 @@ object SparkEntry {
          |ORDER BY lang""".stripMargin
     },
 
+    // HLL replay: register = 60-bit md5 mod 256, rho = 61 - len(bin(h))
+    // (integer-exact — bin drops leading zeros in both engines), the
+    // harmonic sum on the 1e-9 grid (floor(1e9·2^-M) is an exact
+    // product: 1e9 = 5^9·2^9), linear-counting correction under 2.5m
+    // with ln rounded at 4 decimals (Box–Muller ln precedent).
+    "x_hll_distinct" -> {
+      def h(stream: String) =
+        s"('0x' || substr(md5('$Seed' || chr(1) || '$stream' || chr(1) || term), 1, 15))::BIGINT"
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS term FROM documents),
+         |r AS (SELECT lang, ${h("hll/reg")} % 256 AS reg, ${h("hll/rho")} AS hv
+         |      FROM tok),
+         |mr AS (SELECT lang, reg,
+         |         max(CASE WHEN hv = 0 THEN 61 ELSE 61 - len(bin(hv)) END) AS m_reg
+         |       FROM r GROUP BY 1, 2),
+         |ag AS (SELECT lang, count(*) AS nr,
+         |          sum(CAST(floor(1000000000.0 * power(2.0, -m_reg)) AS BIGINT)) AS sp
+         |       FROM mr GROUP BY 1),
+         |e AS (SELECT lang, CAST(256 - nr AS BIGINT) AS n_zero_regs,
+         |         CAST('${Sketches.hllAlphaM2E9(8)}' AS DOUBLE)
+         |           / (sp + (256 - nr) * 1000000000) AS raw
+         |      FROM ag),
+         |ex AS (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct
+         |       FROM tok GROUP BY lang)
+         |SELECT lang, n_zero_regs,
+         |       round(CASE WHEN raw <= 640.0 AND n_zero_regs > 0
+         |             THEN 256.0 * ln(256.0 / n_zero_regs) ELSE raw END, 4) AS hll_est,
+         |       n_distinct
+         |FROM e JOIN ex USING (lang) ORDER BY lang""".stripMargin
+    },
+
     // k-sample replay: rank = row_number over (u asc, id asc) per
     // group — exactly the TopK aggregator's pruning order.
     "x_sample_per_group" -> {
@@ -3532,6 +3596,25 @@ object SparkEntry {
          |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.05
          |ORDER BY a, b""".stripMargin,
 
+    // Containment replay: gram-string equality stands in for the
+    // engine's 64-bit gram hashes (same equivalence as x_jaccard_pairs);
+    // directional denominator = the LEFT doc's distinct-gram count.
+    "x_containment_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |                 ELSE [array_to_string(tk[i:i+2], ' ')
+         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id <> gb.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b, CAST(n_common AS DOUBLE) / sa.n AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = a
+         |WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.6
+         |ORDER BY a, b""".stripMargin,
+
     "x_dedup_clusters" -> jaccardClustersSql(0.05),
 
     // Cluster-size histogram: same recursive cluster replay, rolled up.
@@ -3968,6 +4051,24 @@ object SparkEntry {
          |      FROM n l JOIN n r ON l.vec_id < r.vec_id)
          |SELECT a, b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // Centroid replay: per-(label, dim) nano-grid means (the
+    // trainIvfCentroids mean construction — order-independent long
+    // sums), centroids assembled in dim order, then the same
+    // fold-ordered dot/norm fragments as x_cosine_pairs.
+    "x_centroid_cosine" ->
+      s"""WITH x AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |                  unnest(embedding) AS xv FROM embeddings),
+         |m AS (SELECT label, pos,
+         |        CAST(sum(CAST(round(CAST(xv AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mv
+         |      FROM x GROUP BY 1, 2),
+         |c AS (SELECT label, list(mv ORDER BY pos) AS v FROM m GROUP BY 1),
+         |n AS (SELECT label, v, sqrt($selfDotSql) AS nrm FROM c),
+         |p AS (SELECT l.label AS a, r.label AS b,
+         |        $pairDotSql / (l.nrm * r.nrm) AS cosine
+         |      FROM n l JOIN n r ON l.label < r.label)
+         |SELECT a, b, round(cosine, 6) AS cosine_r FROM p ORDER BY a, b""".stripMargin,
 
     "x_embed_stats" ->
       s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

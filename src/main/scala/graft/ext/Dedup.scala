@@ -340,6 +340,44 @@ object Dedup {
   }
 
   /**
+   * DIRECTIONAL containment pairs: `containment(a ⊆ b) =
+   * |grams(a) ∩ grams(b)| / |grams(a)|` — the asymmetric companion to
+   * [[ngramJaccardPairs]] for the duplicate shape Jaccard misses: a
+   * short document quoted whole inside a much longer one has
+   * containment ≈ 1 but Jaccard ≈ |a|/|b| (arbitrarily small). The
+   * standard web-dedup measure (Broder's containment) for
+   * page-inside-page and quote detection.
+   *
+   * Same bucketed-equi-join shape as [[ngramJaccardPairs]] (distinct
+   * 8-byte hashed shingles, never all-pairs), emitting BOTH directions
+   * of a pair when both clear `minContainment`. At corpus scale the
+   * same guards apply: run [[exact]] first so identical docs collapse,
+   * enable the rare-gram prune, and cap hot gram buckets — a gram
+   * shared by k docs contributes O(k²) candidate pairs here exactly as
+   * in the Jaccard finder.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      minContainment: Double = 0.6): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
+      .localCheckpoint()
+    val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
+    val l = grams.select(col("g"), col(idCol).as("a"))
+    val r = grams.select(col("g"), col(idCol).as("b"))
+    val inter = l.join(r, "g").where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count("*").as("n_common"))
+    // per-doc gram counts are one narrow row per document — shuffle
+    // join, not broadcast, for the same driver-memory reason as
+    // ngramJaccardPairs
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("n").as("n_a")), "a")
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .where(col("containment") >= minContainment)
+      .select("a", "b", "containment")
+  }
+
+  /**
    * Exact-substring duplicate detection — the heavy-hitter of LLM
    * training-data dedup suites (Lee et al., "Deduplicating Training
    * Data Makes Language Models Better"): flag document pairs sharing a

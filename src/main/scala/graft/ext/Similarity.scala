@@ -511,4 +511,45 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"), col("rank"))
   }
+
+  /**
+   * Per-group mean vectors on the 1e-9 integer grid — the
+   * [[trainIvfCentroids]] mean construction (order-independent long
+   * sums; a float `avg` would follow partitioning order) as a
+   * DataFrame operator: `(groupCol, centroid)` with the mean restored
+   * to doubles in dimension order. The corpus "data map" primitive:
+   * one centroid per label/source/language summarizes a slice's
+   * embedding mass.
+   *
+   * Shape at scale: explode to (group, dim) partial long sums —
+   * map-side combined, key space = |groups| · dims regardless of
+   * corpus size — then one bounded `collect_list` per group (dims
+   * entries). No vector ever crosses the shuffle whole.
+   */
+  def groupCentroids(df: DataFrame, groupCol: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(groupCol, "__pos")
+      .agg((sum(round(col("__x").cast("double") * lit(1e9)).cast("long")).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e9))).as("__m"))
+      .groupBy(groupCol)
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("centroid"))
+
+  /**
+   * Pairwise cosine between group centroids ([[groupCentroids]]
+   * output): `(a, b, cosine)` for every unordered group pair — the
+   * inter-slice similarity matrix (which sources/labels cover the same
+   * embedding region, which are disjoint). Both sides are
+   * |groups|-row frames, so the pair join broadcasts; cost is
+   * |groups|²/2 dimension-ordered dot products, never a function of
+   * corpus size.
+   */
+  def centroidCosines(cents: DataFrame, groupCol: String,
+      vecCol: String = "centroid"): DataFrame = {
+    val l = cents.select(col(groupCol).as("a"), col(vecCol).as("__va"))
+    val r = cents.select(col(groupCol).as("b"), col(vecCol).as("__vb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("__va"), col("__vb")).as("cosine"))
+  }
 }

@@ -314,4 +314,88 @@ object Sketches {
         exactTop, valueCol, seed, depth, width)
       .select(col(valueCol), col("n_exact"), col("cms_est"))
   }
+
+  // === HyperLogLog (distinct counting, register-bounded) ================
+
+  /**
+   * Per-(group, register) max rank — the HLL sketch STATE, exposed so
+   * mergeability is a provable property: registers of a corpus union
+   * are the cell-wise MAX of the parts' registers (same keys), exactly
+   * like [[cmsGrid]] merges by cell-wise addition. Register index and
+   * rank come from two independent md5 streams (the engine's
+   * oracle-replayable hash convention): `reg = 60-bit digest mod m`,
+   * `rho = leading zeros of the 60-bit rank digest + 1` — computed
+   * integer-exactly as `61 - length(bin(h))` (`bin` drops leading
+   * zeros in both engines; h = 0 ⇒ all 60 bits zero ⇒ 61), never via
+   * float log2.
+   *
+   * The fourth sketch family next to KMV (distinct, k-values state),
+   * the histogram (quantiles) and CMS (frequency): where KMV keeps k
+   * hash VALUES per group, HLL keeps `m = 2^p` six-bit-ish register
+   * maxima — at p=8 a 256-entry map per (group, partition) crossing
+   * the shuffle with map-side combine, the classic
+   * Flajolet–Fusy–Gandouet–Meunier construction.
+   */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int, seed: Long, stream: String = "hll"): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val reg = conv(substring(Rng.digest(seed, s"$stream/reg", col(valueCol)), 1, 15), 16, 10)
+      .cast("long") % m
+    val h = conv(substring(Rng.digest(seed, s"$stream/rho", col(valueCol)), 1, 15), 16, 10)
+      .cast("long")
+    val rho = when(h === 0L, lit(61L))
+      .otherwise(lit(61L) - length(bin(h)).cast("long"))
+    df.select(col(groupCol), reg.as("reg"), rho.as("rho"))
+      .groupBy(groupCol, "reg").agg(max("rho").as("m_reg"))
+  }
+
+  /** `alpha_m * m² * 1e9` for `m = 2^p` — the raw-estimate numerator,
+    * exposed so the DuckDB oracle injects the identical double. */
+  def hllAlphaM2E9(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m * m * 1e9
+  }
+
+  /**
+   * Per-group HLL distinct-count estimate: raw estimate
+   * `alpha_m · m² / Σ 2^(-M_j)` (empty registers contribute 2^0),
+   * with the standard linear-counting correction
+   * `m · ln(m / V)` when the raw estimate ≤ 2.5m and V (empty
+   * registers) > 0. Cross-engine determinism: the harmonic sum runs on
+   * the 1e-9 integer grid (`floor(1e9 · 2^-M)` — exact products, since
+   * 1e9 = 5⁹·2⁹ and 2^-M is dyadic — summed as longs,
+   * order-independent), and the estimate is rounded to 4 decimals (the
+   * `ln` follows the Box–Muller oracle precedent: both engines agree
+   * far beyond 4 decimals).
+   *
+   * Why HLL next to [[kmvDistinct]]: same answer, different state
+   * bound — KMV's k doubles beat HLL on small-k accuracy per byte, HLL
+   * registers win once groups number in the millions (fixed 2^p bytes
+   * per group, union-mergeable by MAX — snapshot-incremental the way
+   * [[cmsGrid]] is by addition).
+   */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      p: Int = 8, seed: Long = 42L, stream: String = "hll"): DataFrame = {
+    val m = 1 << p
+    val agg = hllRegisters(df, groupCol, valueCol, p, seed, stream)
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("__nr"),
+        sum(floor(lit(1e9) * pow(lit(2.0), -col("m_reg"))).cast("long")).as("__sp"))
+    agg.select(col(groupCol),
+        (lit(m.toLong) - col("__nr")).as("n_zero_regs"),
+        (col("__sp") + (lit(m.toLong) - col("__nr")) * lit(1000000000L)).as("__sq"))
+      .withColumn("__raw", lit(hllAlphaM2E9(p)) / col("__sq"))
+      .withColumn("hll_est", round(
+        when(col("__raw") <= lit(2.5 * m) && col("n_zero_regs") > lit(0L),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_regs")))
+          .otherwise(col("__raw")), 4))
+      .select(groupCol, "n_zero_regs", "hll_est")
+  }
 }

@@ -479,6 +479,71 @@ object TextStats {
           .otherwise(best.getField("lang")).as("lang_pred"))
   }
 
+  /**
+   * Fused serving form of [[scoreLangId]] — same output, one kernel
+   * projection instead of the explode → broadcast join → rollup
+   * subtree. A profiled gram's quantized log-probability contribution
+   * is a pure function of the PROFILE (not the scored document), so it
+   * is computed ONCE per gram — in Spark, with the very Column
+   * expressions [[scoreLangId]] evaluates per scored row, so the
+   * collected table is bit-for-bit the per-row values and the oracle
+   * replay argument transfers unchanged — then looked up per scored
+   * trigram by a one-pass native kernel
+   * ([[graft.plans.Native.langIdScore]]: binary search over the sorted
+   * key table, miss row = the Laplace background shared by every
+   * unprofiled gram). Equality with [[scoreLangId]] is spec-pinned.
+   *
+   * Scale: the collect is bounded by the trigram SPACE (|charset|³ —
+   * constant in corpus size; the same bound that lets [[scoreLangId]]
+   * broadcast the profile), and the scored pass is a shuffle-free
+   * codegen projection — the per-doc rollup aggregation disappears
+   * entirely.
+   */
+  def scoreLangIdFused(docs: DataFrame, profile: DataFrame,
+      langs: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(langs.nonEmpty, "langs must be non-empty")
+    val totRow = profile.agg(
+      sum(col(s"__c_${langs.head}")).as(s"__t_${langs.head}"),
+      langs.tail.map(l => sum(col(s"__c_$l")).as(s"__t_$l")) :+
+        count(lit(1)).as("__v"): _*).collect()(0)
+    val tOf = langs.indices.map(i => langs(i) -> totRow.getLong(i)).toMap
+    val v = totRow.getLong(langs.length)
+    val tTot = langs.map(tOf).sum
+    // identical arithmetic shape to scoreLangId's per-row columns,
+    // with the training totals as folded literals
+    val cTot = langs.map(l => coalesce(col(s"__c_$l"), lit(0L))).reduce(_ + _)
+    val background = (cTot + lit(1L)) / (lit(tTot) + lit(v))
+    val contribCols = langs.map { l =>
+      val inLang =
+        if (tOf(l) > 0) coalesce(col(s"__c_$l"), lit(0L)) / lit(tOf(l))
+        else lit(0.0)
+      round(log(lit(LangIdLambda) * inLang +
+        lit(1.0 - LangIdLambda) * background) * lit(1e9))
+        .cast("long").as(s"__lp_$l")
+    }
+    val spark = profile.sparkSession
+    val rows = profile.select(col("__kg") +: contribCols: _*)
+      .collect().sortBy(_.getLong(0))
+    val keys = rows.map(_.getLong(0)).toSeq
+    val contribs = rows.flatMap(r => langs.indices.map(i => r.getLong(i + 1))).toSeq
+    // the miss contribution = the same expressions over an all-null
+    // count row (what scoreLangId's left-join miss produces)
+    val miss = spark.range(1)
+      .select(langs.map(l => lit(null).cast("long").as(s"__c_$l")): _*)
+      .select(contribCols: _*).collect()(0)
+    val missSeq = langs.indices.map(miss.getLong(_))
+    val st = graft.plans.NativeFunctions.langIdScore(col(textCol), langs,
+      keys, contribs, missSeq)
+    val best = greatest(langs.map(l =>
+      struct(col(s"__st").getField(s"s_$l").as("score"), lit(l).as("lang"))): _*)
+    docs.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st").getField("n_trigrams").as("n_trigrams"),
+        when(col("__st").getField("n_trigrams") === 0L, lit("und"))
+          .otherwise(best.getField("lang")).as("lang_pred"))
+  }
+
   /** Train-and-score in one call: [[langIdProfile]] + [[scoreLangId]].
     * The one-shot convenience; serving paths use
     * [[ensureLangIdProfile]] so training runs once, not per query. */

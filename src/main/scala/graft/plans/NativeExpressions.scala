@@ -449,6 +449,46 @@ object Native {
       Array[Any](n, s9))
   }
 
+  /**
+   * Fused language-ID scorer: per-document trigram count and quantized
+   * per-language log-probability sums in ONE pass over the text — the
+   * serving-side replacement for `scoreLangId`'s explode → broadcast
+   * join → 5-column rollup subtree (same shape rationale as
+   * [[dsirScore]]: per-doc scores need no cross-row state, so the
+   * explode's shuffle is pure overhead). The per-gram contribution of
+   * every PROFILED trigram is precomputed (in Spark, from the persisted
+   * profile — see `TextStats.scoreLangIdFused`) into a sorted key table
+   * + flattened per-language longs; unprofiled grams take the shared
+   * `miss` row (the Laplace background term). Trigram hashing is
+   * [[charTrigramHashes]] — the identical family the profile was built
+   * with.
+   */
+  def langIdScore(text: UTF8String, keys: Array[Long], contribs: Array[Long],
+      miss: Array[Long]): InternalRow = {
+    val nLangs = miss.length
+    val sums = new Array[Long](nLangs)
+    val hashes = charTrigramHashes(text)
+    val m = hashes.numElements()
+    var i = 0
+    while (i < m) {
+      val idx = java.util.Arrays.binarySearch(keys, hashes.getLong(i))
+      if (idx >= 0) {
+        val base = idx * nLangs
+        var l = 0
+        while (l < nLangs) { sums(l) += contribs(base + l); l += 1 }
+      } else {
+        var l = 0
+        while (l < nLangs) { sums(l) += miss(l); l += 1 }
+      }
+      i += 1
+    }
+    val out = new Array[Any](nLangs + 1)
+    out(0) = m.toLong
+    var l = 0
+    while (l < nLangs) { out(l + 1) = sums(l); l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
   def gopherGramStats(text: UTF8String): InternalRow = {
     val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     var top2Cnt = 0L
@@ -734,6 +774,42 @@ case class DsirScoreExpr(child: Expression, lr9: Seq[Long])
     copy(child = newChild)
 }
 
+/** langid_score(string) → struct(n_trigrams, s_<lang>…): fused
+  * trigram-profile scoring over a precomputed contribution table (see
+  * [[Native.langIdScore]]). The table ships once per plan via
+  * `addReferenceObj` (bounded by the trigram SPACE, not the corpus —
+  * the same boundedness that lets the profile broadcast). */
+case class LangIdScoreExpr(child: Expression, langs: Seq[String],
+    keys: Seq[Long], contribs: Seq[Long], miss: Seq[Long])
+    extends UnaryExpression {
+  require(langs.nonEmpty, "langs must be non-empty")
+  require(miss.length == langs.length, "miss row must have one entry per language")
+  require(contribs.length == keys.length * langs.length,
+    "contribution table shape mismatch")
+
+  override def dataType: DataType = StructType(
+    StructField("n_trigrams", LongType, nullable = false) +:
+      langs.map(l => StructField(s"s_$l", LongType, nullable = false)))
+
+  @transient private lazy val kArr = keys.toArray
+  @transient private lazy val cArr = contribs.toArray
+  @transient private lazy val mArr = miss.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.langIdScore(input.asInstanceOf[UTF8String], kArr, cArr, mArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("langidKeys", kArr, "long[]")
+    val cRef = ctx.addReferenceObj("langidContribs", cArr, "long[]")
+    val mRef = ctx.addReferenceObj("langidMiss", mArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.langIdScore($c, $kRef, $cRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdScoreExpr =
+    copy(child = newChild)
+}
+
 case class DotProductExpr(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -803,4 +879,9 @@ object NativeFunctions {
 
   def dsirScore(text: Column, lr9: Seq[Long]): Column =
     ColumnBridge.column(DsirScoreExpr(ColumnBridge.expression(text), lr9))
+
+  def langIdScore(text: Column, langs: Seq[String], keys: Seq[Long],
+      contribs: Seq[Long], miss: Seq[Long]): Column =
+    ColumnBridge.column(LangIdScoreExpr(ColumnBridge.expression(text),
+      langs, keys, contribs, miss))
 }

@@ -1193,6 +1193,62 @@ class ExtSpec extends SparkSpec {
       .head().getDouble(1) shouldBe est
   }
 
+  test("hllDistinct: linear-counting accuracy, partition independence, MAX-mergeable registers") {
+    import graft.ext.Sketches
+    // 2000 distinct values at m=256 registers: linear-counting regime
+    val big = (0L until 4000L).map(i => ("b", s"tok${i / 2}")).toDF("g", "v")
+    val est = Sketches.hllDistinct(big, "g", "v", p = 8, seed = 7L)
+      .head().getDouble(2)
+    est should (be > 1500.0 and be < 2500.0)
+    Sketches.hllDistinct(big.repartition(13), "g", "v", p = 8, seed = 7L)
+      .head().getDouble(2) shouldBe est
+    // snapshot-incremental merge: registers of the union = cell-wise
+    // MAX of the parts' registers (the HLL analogue of cmsGrid's
+    // cell-wise addition)
+    val parts = Seq(
+      (0L until 2000L).map(i => ("b", s"tok${i / 2}")).toDF("g", "v"),
+      (2000L until 4000L).map(i => ("b", s"tok${i / 2}")).toDF("g", "v"))
+    val merged = parts.map(Sketches.hllRegisters(_, "g", "v", p = 8, seed = 7L))
+      .reduce(_ unionByName _)
+      .groupBy("g", "reg").agg(max("m_reg").as("m_reg"))
+    merged.orderBy("reg").collect().toSeq shouldBe
+      Sketches.hllRegisters(big, "g", "v", p = 8, seed = 7L)
+        .orderBy("reg").collect().toSeq
+  }
+
+  test("groupCentroids: nano-grid-exact means; centroidCosines: each unordered pair once") {
+    import graft.ext.Similarity
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(3.0f, 0.0f)),
+      (3L, 1, Seq(0.0f, 2.0f)), (4L, 2, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = Similarity.groupCentroids(df, "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    cents(0) shouldBe Seq(2.0, 0.0) // dyadic means survive the grid exactly
+    cents(1) shouldBe Seq(0.0, 2.0)
+    cents(2) shouldBe Seq(1.0, 1.0)
+    val cos = Similarity.centroidCosines(
+        Similarity.groupCentroids(df, "label"), "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    cos.keySet shouldBe Set((0, 1), (0, 2), (1, 2))
+    cos((0, 1)) shouldBe 0.0 +- 1e-12 // orthogonal slices
+    cos((0, 2)) shouldBe math.sqrt(0.5) +- 1e-12 // 45 degrees
+  }
+
+  test("containmentPairs: subset doc scores 1.0 toward its superset, not back") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // a prefix of doc 2
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "completely different words entirely here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, minContainment = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out((1L, 2L)) shouldBe 1.0 // all 3 shingles of doc 1 appear in doc 2
+    // the asymmetry Jaccard can't see: 2 is NOT contained in 1
+    out.keySet should not contain ((2L, 1L))
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values

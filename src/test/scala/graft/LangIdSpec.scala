@@ -129,4 +129,19 @@ class LangIdSpec extends SparkSpec {
     out.map(_.getString(2)).toSeq shouldBe Seq("und", "und", "en")
     out.map(_.getLong(1)).toSeq shouldBe Seq(0L, 0L, 9L) // "the cat sat" = 11 chars -> 9 trigrams
   }
+
+  test("fused kernel scoring ≡ scoreLangId, row for row") {
+    // the serving-path contract: precomputed-contribution kernel
+    // lookup reproduces the explode→join→rollup formulation EXACTLY
+    // (same profile, same docs — including und rows and ties), so
+    // x_langid_trigram's oracle argument transfers to the fused path
+    val docs = corpus.unionByName(
+      Seq((9001L, "xx", "ab"), (9002L, "xx", "")).toDF("doc_id", "lang", "text"))
+    val profile = TextStats.langIdProfile(docs.where($"doc_id" % 2 === 0), langs)
+    val slow = TextStats.scoreLangId(docs, profile, langs)
+      .orderBy("doc_id").collect().toSeq
+    val fast = TextStats.scoreLangIdFused(docs, profile, langs)
+      .orderBy("doc_id").collect().toSeq
+    fast shouldBe slow
+  }
 }
