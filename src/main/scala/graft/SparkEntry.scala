@@ -1467,6 +1467,33 @@ object SparkEntry {
       est.join(exact, "lang").orderBy("lang")
     }),
 
+    // Heaps-law vocabulary growth: token mass vs distinct vocabulary at
+    // 50-doc checkpoints — first-occurrence-per-TERM aggregation plus a
+    // running sum over the bounded checkpoint frame (no corpus window).
+    "x_heaps_law" -> ((s, dir) =>
+      TextStats.vocabGrowth(tbl(s, dir, "documents"), step = 50L)
+        .orderBy("checkpoint")),
+
+    // Domain cap: flag the top-10 docs per source by (n_chars desc,
+    // doc_id) via the bounded TopK aggregator — never a full-domain
+    // window sort; rank NULL marks dropped rows.
+    "x_source_cap" -> ((s, dir) =>
+      Corpus.capPerGroup(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            col("n_chars").cast("double").as("score")),
+        "source", "score", "doc_id", k = 10)
+        .select(col("doc_id"), col("source"), col("rank"), col("kept"))
+        .orderBy("doc_id")),
+
+    // Temperature rebalancing: p_i^(1/T) renormalized on the 1e-9 grid
+    // — the multilingual sampling-weight rule, T = 0.7 sharpens toward
+    // the head; feed p_temp to mixTo for the actual selection.
+    "x_mix_temperature" -> ((s, dir) =>
+      Corpus.temperatureWeights(tbl(s, dir, "documents"), "lang",
+        temperature = 0.7)
+        .orderBy("lang")),
+
     // HyperLogLog distinct: the register-bounded estimate next to the
     // exact count — the fourth sketch family (KMV=distinct-values,
     // histogram=quantiles, CMS=frequency, HLL=distinct-registers); see
@@ -3060,6 +3087,54 @@ object SparkEntry {
          |SELECT lang, est_distinct, n_distinct FROM est JOIN ex USING (lang)
          |ORDER BY lang""".stripMargin
     },
+
+    // Heaps replay: per-term min checkpoint, per-checkpoint new-term
+    // counts, cumulative window over the checkpoint frame.
+    "x_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |ckd AS (SELECT (CAST(floor(doc_id / 50.0) AS BIGINT) + 1) * 50 AS checkpoint,
+         |               term FROM tok),
+         |mass AS (SELECT checkpoint, CAST(count(*) AS BIGINT) AS n_tok
+         |         FROM ckd GROUP BY 1),
+         |fo AS (SELECT term, min(checkpoint) AS first_ck FROM ckd GROUP BY 1),
+         |nw AS (SELECT first_ck AS checkpoint, CAST(count(*) AS BIGINT) AS n_new
+         |       FROM fo GROUP BY 1),
+         |j AS (SELECT coalesce(m.checkpoint, n.checkpoint) AS checkpoint,
+         |             coalesce(n_tok, 0) AS n_tok, coalesce(n_new, 0) AS n_new
+         |      FROM mass m FULL JOIN nw n ON m.checkpoint = n.checkpoint)
+         |SELECT checkpoint, n_tok, n_new,
+         |       CAST(sum(n_tok) OVER (ORDER BY checkpoint) AS BIGINT) AS tokens_cum,
+         |       CAST(sum(n_new) OVER (ORDER BY checkpoint) AS BIGINT) AS vocab_cum
+         |FROM j ORDER BY checkpoint""".stripMargin,
+
+    // Domain-cap replay: the bounded TopK aggregator's (score desc, id
+    // asc) order IS row_number's; rank NULL for rows past the cap.
+    "x_source_cap" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |             row_number() OVER (PARTITION BY source
+         |               ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rk
+         |           FROM documents)
+         |SELECT doc_id, source,
+         |       CASE WHEN rk <= 10 THEN CAST(rk AS INT) END AS rank,
+         |       (rk <= 10) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Temperature replay: identical p^(1/T) with the exponent injected
+    // as the same double; scaled weights quantized to the 1e-9 grid
+    // before the normalizing sum (order-independent).
+    "x_mix_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM c),
+         |w AS (SELECT lang, n_docs,
+         |        CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE) AS p_native,
+         |        CAST(round(power(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE),
+         |          CAST('${1.0 / 0.7}' AS DOUBLE)) * 1000000000.0) AS BIGINT) AS wq
+         |      FROM c CROSS JOIN t),
+         |z AS (SELECT CAST(sum(wq) AS BIGINT) AS zz FROM w)
+         |SELECT lang, n_docs, p_native,
+         |       CAST(wq AS DOUBLE) / CAST(zz AS DOUBLE) AS p_temp
+         |FROM w CROSS JOIN z ORDER BY lang""".stripMargin,
 
     // HLL replay: register = 60-bit md5 mod 256, rho = 61 - len(bin(h))
     // (integer-exact — bin drops leading zeros in both engines), the

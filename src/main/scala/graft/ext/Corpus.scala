@@ -728,4 +728,61 @@ object Corpus {
         (col("__s9") / lit(1e9)).as("logratio"),
         (col("__key9") / lit(1e9)).as("gumbel_key"))
   }
+
+  /**
+   * Per-group document cap ("domain cap", the web-pipeline guard that
+   * no single domain/source dominates the mixture): flag — not filter —
+   * the top `k` rows of each group by `(scoreCol DESC, idCol ASC)`, so
+   * callers can both select (`where(kept)`) and report what a cap
+   * would drop. Output = the input plus `rank` (1-based within the
+   * kept set, NULL for dropped rows) and `kept`.
+   *
+   * The rank comes from [[graft.operators.TopK]]'s bounded aggregator,
+   * NOT `row_number` over a group window: map-side combine forwards at
+   * most k rows per (group, partition) into the shuffle, so a
+   * mega-domain costs k rows instead of a single-partition sort of the
+   * whole domain — the selectToBudget band-skew shape, avoided by
+   * construction. The flag join is id-keyed (k·|groups| narrow rows),
+   * never a broadcast of the corpus.
+   */
+  def capPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    val kept = graft.operators.TopK.perGroup(
+        df.select(col(groupCol), col(scoreCol), col(idCol)),
+        groupCol, scoreCol, idCol, k)
+      .select(col(idCol), col("rank"))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn("kept", col("rank").isNotNull)
+  }
+
+  /**
+   * Temperature-scaled mixture weights over the observed strata
+   * shares — the standard multilingual/domain rebalancing rule
+   * (sample stratum i with probability ∝ p_i^(1/T), where p_i is its
+   * native share): T = 1 keeps native proportions, T → ∞ flattens
+   * toward uniform, boosting tail strata at the expense of the head.
+   * Returns `(strataCol, n_docs, p_native, p_temp)` — feed `p_temp`
+   * to [[mixTo]] as the target weights.
+   *
+   * Cross-engine determinism: each scaled weight is quantized to the
+   * 1e-9 grid BEFORE the normalizing sum (order-independent long
+   * addition — a double Σ would follow partitioning order), the same
+   * discipline as every aggregated float in the engine. All frames
+   * after the first count are bounded by |strata|.
+   */
+  def temperatureWeights(df: DataFrame, strataCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").as("__N"))
+    val wq = counts.crossJoin(broadcast(tot))
+      .withColumn("p_native",
+        col("n_docs").cast("double") / col("__N").cast("double"))
+      .withColumn("__wq",
+        round(pow(col("p_native"), lit(1.0 / temperature)) * lit(1e9)).cast("long"))
+    val z = wq.agg(sum("__wq").as("__Z"))
+    wq.crossJoin(broadcast(z))
+      .select(col(strataCol), col("n_docs"), col("p_native"),
+        (col("__wq").cast("double") / col("__Z").cast("double")).as("p_temp"))
+  }
 }

@@ -769,4 +769,45 @@ object TextStats {
         col("n_stop_kinds") >= 2 &&
         col("top_bigram_frac") <= 0.20 && col("dup_5gram_frac") <= 0.15)
   }
+
+  /**
+   * Heaps-law vocabulary-growth curve: cumulative token mass vs
+   * cumulative distinct vocabulary at every `step`-document checkpoint
+   * of the id order — the corpus-health plot that shows whether new
+   * data still brings new vocabulary (sub-linear growth ⇒ healthy
+   * natural text; a flat curve ⇒ the corpus is saturating, near-linear
+   * ⇒ id-like noise tokens).
+   *
+   * No global sort and no corpus-sized window anywhere: "first time
+   * the vocabulary sees term t" is `min(checkpoint)` per TERM (a
+   * map-side-combined aggregation), collapsed to per-checkpoint
+   * new-term counts, and the running sums then run over the
+   * N/step-row checkpoint frame — the bounded-band discipline of
+   * `Corpus.selectToBudget`. Choose `step` so N/step stays a
+   * plot-sized frame (it IS a plot).
+   *
+   * Returns `(checkpoint, n_tok, n_new, tokens_cum, vocab_cum)`; a
+   * checkpoint whose documents contribute no tokens at all (every doc
+   * empty) is absent from both sides, like an empty group.
+   */
+  def vocabGrowth(docs: DataFrame, step: Long = 50L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(step > 0, "step must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("__term"))
+    val ck = ((floor(col(idCol) / step) + 1) * step).as("checkpoint")
+    val mass = toks.groupBy(ck).agg(count(lit(1)).as("n_tok"))
+    val firsts = toks.select(ck, col("__term"))
+      .groupBy("__term").agg(min("checkpoint").as("checkpoint"))
+      .groupBy("checkpoint").agg(count(lit(1)).as("n_new"))
+    // running sums over the bounded checkpoint frame (unpartitioned
+    // window is safe BY CONSTRUCTION: N/step rows)
+    val w = Window.orderBy("checkpoint")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(firsts, Seq("checkpoint"), "full")
+      .na.fill(0L, Seq("n_tok", "n_new"))
+      .withColumn("tokens_cum", sum("n_tok").over(w))
+      .withColumn("vocab_cum", sum("n_new").over(w))
+  }
 }

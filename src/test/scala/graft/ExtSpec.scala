@@ -1235,6 +1235,51 @@ class ExtSpec extends SparkSpec {
     cos((0, 2)) shouldBe math.sqrt(0.5) +- 1e-12 // 45 degrees
   }
 
+  test("capPerGroup ≡ window rank, ties broken by id; kept flags the top-k only") {
+    import graft.ext.Corpus
+    import org.apache.spark.sql.expressions.Window
+    // one fat group, one thin group, heavy score ties (broken by id asc)
+    val rows = (0L until 40L).map(i =>
+      (i, if (i < 30) "big" else "small", (i % 7).toDouble))
+    val df = rows.toDF("id", "g", "score")
+    val out = Corpus.capPerGroup(df, "g", "score", "id", k = 5)
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val ref = df.withColumn("rk", row_number().over(w))
+      .select(col("id"), (col("rk") <= 5).as("kept_ref"),
+        when(col("rk") <= 5, col("rk")).as("rank_ref"))
+    out.join(ref, "id").collect().foreach { r =>
+      r.getAs[Boolean]("kept") shouldBe r.getAs[Boolean]("kept_ref")
+      Option(r.getAs[Integer]("rank")) shouldBe Option(r.getAs[Integer]("rank_ref"))
+    }
+    out.where(col("kept")).count() shouldBe 10L // 5 per group
+  }
+
+  test("temperatureWeights: T=1 preserves native shares; higher T flattens toward uniform") {
+    import graft.ext.Corpus
+    val df = (Seq.fill(80)("head") ++ Seq.fill(15)("mid") ++ Seq.fill(5)("tail"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g) }.toDF("id", "g")
+    val t1 = Corpus.temperatureWeights(df, "g", temperature = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    t1.values.foreach { case (p, q) => q shouldBe p +- 1e-8 }
+    val t5 = Corpus.temperatureWeights(df, "g", temperature = 5.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    t5("tail") should be > t1("tail")._2 // tail boosted
+    t5("head") should be < t1("head")._2 // head damped
+    math.abs(t5.values.sum - 1.0) should be < 1e-6 // grid-normalized
+  }
+
+  test("vocabGrowth: hand-checked checkpoints; vocab counted at first sight only") {
+    import graft.ext.TextStats
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), // checkpoint 2: 5 tokens, vocab {a,b,c}
+      (2L, "c d"), (3L, "d e e")) // checkpoint 4: 5 tokens, new {d,e}
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabGrowth(docs, step = 2L).orderBy("checkpoint")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    out.toSeq shouldBe Seq((2L, 5L, 3L, 5L, 3L), (4L, 5L, 2L, 10L, 5L))
+  }
+
   test("containmentPairs: subset doc scores 1.0 toward its superset, not back") {
     import graft.ext.Dedup
     val docs = Seq(
