@@ -1686,6 +1686,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Interpolated trigram LM — the n-gram ladder's top rung: λ-mixed
+    // trigram/bigram/add-one-unigram per position, five hashed-key left
+    // joins, per-doc sums on the 1e-9 grid.
+    "x_trigram_logprob" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.trigramLogProb(d, d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Span-level quality: each document's WORST 10-token window by
+    // self-corpus unigram log-prob — the garbage-span detector a
+    // doc-level average hides; NULLs for docs shorter than the window.
+    "x_worst_window" -> ((s, dir) =>
+      TextStats.worstWindow(tbl(s, dir, "documents"), window = 10)
+        .orderBy("doc_id")),
+
     // Count-min sketch validation: exact top-20 token frequencies next
     // to their CM estimates from a 4×256 grid — one-sided error, the
     // grid being the only aggregate a production caller would run.
@@ -3488,6 +3504,81 @@ object SparkEntry {
       s"""WITH $bigramLpCtes
          |SELECT doc_id, n_bigrams, avg_logprob
          |FROM lpf ORDER BY doc_id""".stripMargin,
+
+    // Trigram-LM replay: word-string n-gram equality stands in for the
+    // engine's xxhash64 keys (the bigram precedent); the λ-mix uses
+    // injected double literals and the same ELSE-0 context guards.
+    "x_trigram_logprob" -> {
+      val (l3, l2, l1) = ("CAST('0.5' AS DOUBLE)", "CAST('0.3' AS DOUBLE)",
+        "CAST('0.2' AS DOUBLE)")
+      s"""WITH alltk AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tr AS (SELECT doc_id, tk FROM alltk WHERE doc_id % 2 = 0),
+         |t3z AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+         |           for i in generate_series(1, len(tk) - 2)]) AS z
+         |        FROM tr WHERE len(tk) >= 3),
+         |tri AS (SELECT z.w1 AS w1, z.w2 AS w2, z.w3 AS w3,
+         |               CAST(count(*) AS BIGINT) AS c3
+         |        FROM t3z GROUP BY 1, 2, 3),
+         |t2z AS (SELECT unnest([{'w1': tk[i], 'w2': tk[i+1]}
+         |           for i in generate_series(1, len(tk) - 1)]) AS z
+         |        FROM tr WHERE len(tk) >= 2),
+         |big AS (SELECT z.w1 AS w1, z.w2 AS w2, CAST(count(*) AS BIGINT) AS cb
+         |        FROM t2z GROUP BY 1, 2),
+         |ut AS (SELECT unnest(tk) AS w FROM tr),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM ut GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v FROM ut),
+         |posz AS (SELECT doc_id, unnest([{'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}
+         |           for i in generate_series(1, len(tk) - 2)]) AS z
+         |         FROM alltk WHERE len(tk) >= 3),
+         |pos AS (SELECT doc_id, z.w1 AS w1, z.w2 AS w2, z.w3 AS w3 FROM posz),
+         |j AS (SELECT pos.doc_id,
+         |        $l3 * (CASE WHEN t.c3 IS NOT NULL AND b12.cb IS NOT NULL
+         |                    THEN t.c3 / b12.cb ELSE 0.0 END)
+         |        + $l2 * (CASE WHEN b23.cb IS NOT NULL AND u2.cu IS NOT NULL
+         |                      THEN b23.cb / u2.cu ELSE 0.0 END)
+         |        + $l1 * ((coalesce(u3.cu, 0) + 1) / (tot.t + tot.v)) AS p
+         |      FROM pos
+         |      LEFT JOIN tri t ON t.w1 = pos.w1 AND t.w2 = pos.w2 AND t.w3 = pos.w3
+         |      LEFT JOIN big b12 ON b12.w1 = pos.w1 AND b12.w2 = pos.w2
+         |      LEFT JOIN big b23 ON b23.w1 = pos.w2 AND b23.w2 = pos.w3
+         |      LEFT JOIN uni u2 ON u2.w = pos.w2
+         |      LEFT JOIN uni u3 ON u3.w = pos.w3
+         |      CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |             sum(CAST(round(ln(p) * 1e9) AS BIGINT)) AS s9
+         |      FROM j GROUP BY 1)
+         |SELECT doc_id, n_trigrams, s9 / (n_trigrams * 1e9) AS avg_logprob
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Worst-window replay: rolling 10-token sums per doc, argmin by
+    // (roll9, pos) via rank-1 — the engine's min(struct) order.
+    "x_worst_window" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS term,
+         |                    generate_subscripts(tk, 1) - 1 AS pos
+         |             FROM (SELECT doc_id, $toksSql AS tk FROM documents)),
+         |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tok),
+         |lp AS (SELECT doc_id, pos,
+         |         CAST(round(ln(cnt / total) * 1e9) AS BIGINT) AS lp9
+         |       FROM tok JOIN cf USING (term) CROSS JOIN tot),
+         |r AS (SELECT doc_id, pos,
+         |        sum(lp9) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS roll9,
+         |        count(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS nw
+         |      FROM lp),
+         |w AS (SELECT doc_id, pos, roll9,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY roll9, pos) AS rk
+         |      FROM r WHERE nw = 10),
+         |n AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |      FROM documents)
+         |SELECT n.doc_id, n.n_tokens,
+         |       CAST(w.pos - 9 AS BIGINT) AS worst_start,
+         |       w.roll9 / (10 * 1e9) AS worst_avg_logprob
+         |FROM n LEFT JOIN w ON w.doc_id = n.doc_id AND w.rk = 1
+         |ORDER BY n.doc_id""".stripMargin,
 
     // CCNet perplexity bucketing: the bigram-LM score chain (shared
     // CTEs — the two oracles cannot train different LMs), joined to

@@ -330,6 +330,133 @@ object TextStats {
   }
 
   /**
+   * Jelinek–Mercer-interpolated TRIGRAM language model — the classic
+   * n-gram LM ladder's top rung over [[unigramLogProb]] and
+   * [[bigramLogProb]]: per trigram position,
+   *
+   *   p = λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂) + λ₁·(c(w₃)+1)/(T+V)
+   *
+   * with each ML term contributing 0 when its context is unseen and
+   * the add-one unigram floor keeping p > 0 always (so `log` is total
+   * — no doc can NaN out). Counts come from `train`; the λs must sum
+   * to 1 with λ₁ > 0.
+   *
+   * Same scale shape as [[bigramLogProb]]: all n-gram keys are hashed
+   * to 8 bytes IN the exploding projection (xxhash64 over the window's
+   * tokens — order-sensitive), so the five left joins shuffle narrow
+   * keys; count tables aggregate map-side; the single-row totals
+   * cross-join broadcasts; per-doc sums run on the 1e-9 integer grid
+   * (order-independent, oracle-exact). Documents under 3 tokens have
+   * no trigram positions and are absent, like [[bigramLogProb]]'s
+   * under-2 rule.
+   */
+  def trigramLogProb(docs: DataFrame, train: DataFrame,
+      l3: Double = 0.5, l2: Double = 0.3, l1: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(l1 > 0 && l2 >= 0 && l3 >= 0, "lambdas must be non-negative, l1 > 0")
+    require(math.abs(l3 + l2 + l1 - 1.0) < 1e-12, "lambdas must sum to 1")
+    def triPositions(df: DataFrame, idCols: Seq[Column]): DataFrame = {
+      val toks = tokens(col(textCol))
+      val n2 = greatest(size(toks) - 2, lit(0))
+      df.select(idCols :+ explode(arrays_zip(
+          slice(toks, lit(1), n2).as("w1"),
+          slice(toks, lit(2), n2).as("w2"),
+          slice(toks, lit(3), n2).as("w3"))).as("z"): _*)
+        .select(idCols ++ Seq(
+          xxhash64(col("z.w1"), col("z.w2"), col("z.w3")).as("__k123"),
+          xxhash64(col("z.w1"), col("z.w2")).as("__k12"),
+          xxhash64(col("z.w2"), col("z.w3")).as("__k23"),
+          xxhash64(col("z.w2")).as("__kw2"),
+          xxhash64(col("z.w3")).as("__kw3")): _*)
+    }
+    def bigPositions(df: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      val n1 = greatest(size(toks) - 1, lit(0))
+      df.select(explode(arrays_zip(
+          slice(toks, lit(1), n1).as("w1"),
+          slice(toks, lit(2), n1).as("w2"))).as("z"))
+        .select(xxhash64(col("z.w1"), col("z.w2")).as("__kb"))
+    }
+    val tri = triPositions(train, Nil)
+      .groupBy("__k123").agg(count(lit(1)).as("__c3"))
+    val big = bigPositions(train).groupBy("__kb").agg(count(lit(1)).as("__cb"))
+    val uniToks = train.select(explode(tokens(col(textCol))).as("__w"))
+      .select(xxhash64(col("__w")).as("__kw"))
+    val uni = uniToks.groupBy("__kw").agg(count(lit(1)).as("__cu"))
+    val tot = uniToks.agg(count(lit(1)).as("__t"),
+      countDistinct("__kw").as("__v"))
+    val p3 = when(col("__c3").isNotNull && col("__cb12").isNotNull,
+      col("__c3") / col("__cb12")).otherwise(lit(0.0))
+    val p2 = when(col("__cb23").isNotNull && col("__cu2").isNotNull,
+      col("__cb23") / col("__cu2")).otherwise(lit(0.0))
+    val p1 = (coalesce(col("__cu3"), lit(0L)) + lit(1L)) /
+      (col("__t") + col("__v"))
+    val p = lit(l3) * p3 + lit(l2) * p2 + lit(l1) * p1
+    triPositions(docs, Seq(col(idCol)))
+      .join(tri, Seq("__k123"), "left")
+      .join(big.select(col("__kb").as("__k12"), col("__cb").as("__cb12")),
+        Seq("__k12"), "left")
+      .join(big.select(col("__kb").as("__k23"), col("__cb").as("__cb23")),
+        Seq("__k23"), "left")
+      .join(uni.select(col("__kw").as("__kw2"), col("__cu").as("__cu2")),
+        Seq("__kw2"), "left")
+      .join(uni.select(col("__kw").as("__kw3"), col("__cu").as("__cu3")),
+        Seq("__kw3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp9", round(log(p) * lit(1e9)).cast("long"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum("__lp9").as("__s"))
+      .withColumn("avg_logprob", col("__s") / (col("n_trigrams") * lit(1e9)))
+      .select(idCol, "n_trigrams", "avg_logprob")
+  }
+
+  /**
+   * Worst fixed-width token window per document by self-corpus unigram
+   * log-probability — the span-level quality sweep: a document whose
+   * WORST `window`-token run is still probable is clean throughout,
+   * while a good average can hide one garbage span (the failure mode
+   * doc-level scores like [[unigramLogProb]] cannot see). Returns one
+   * row per input document: token count, the worst window's 0-based
+   * start, and its average log-prob (NULL start/score for docs shorter
+   * than `window` — no full window exists).
+   *
+   * Shape at scale: per-token log-probs are the [[unigramLogProb]]
+   * join (hashed vocab keys, broadcastable counts); the rolling sum is
+   * a per-DOCUMENT window (partitioned — parallel across docs, state
+   * bounded by `window`); the argmin is a lexicographic `min(struct)`
+   * aggregation, deterministic under ties (earliest start wins). No
+   * corpus-wide window anywhere.
+   */
+  def worstWindow(docs: DataFrame, window: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0, "window must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__term")))
+    val cf = toks.groupBy("__term").agg(count(lit(1)).as("__cnt"))
+    val tot = toks.agg(count(lit(1)).as("__total"))
+    val w = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val rolled = toks.join(cf, "__term")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp9",
+        round(log(col("__cnt") / col("__total")) * lit(1e9)).cast("long"))
+      .withColumn("__roll9", sum("__lp9").over(w))
+      .withColumn("__nw", count(lit(1)).over(w))
+      .where(col("__nw") === window)
+    val worst = rolled
+      .groupBy(idCol)
+      .agg(min(struct(col("__roll9"), col("__pos"))).as("__m"))
+      .select(col(idCol),
+        (col("__m").getField("__pos") - lit(window - 1)).cast("long")
+          .as("worst_start"),
+        (col("__m").getField("__roll9") / (lit(window) * lit(1e9)))
+          .as("worst_avg_logprob"))
+    docs.select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(worst, Seq(idCol), "left")
+  }
+
+  /**
    * Trigram-model language identification — the production-strength
    * upgrade of the [[langId]] marker heuristic, in the CCNet/fastText
    * lineage: per-language CHARACTER-trigram profiles are trained on a

@@ -410,6 +410,42 @@ class ExtSpec extends SparkSpec {
     out.values.foreach(v => (v._2.isNaN || v._2.isInfinite) shouldBe false)
   }
 
+  test("trigram LM: interpolation mixes seen ML terms, floors on add-one unigram") {
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b a z"), (2L, "x y")).toDF("doc_id", "text")
+    val out = TextStats.trigramLogProb(score, train).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    out.keySet shouldBe Set(1L) // a 2-token doc has no trigram positions
+    out(1L)._1 shouldBe 2L
+    // train: trigrams (a,b,a),(b,a,c); bigrams (a,b),(b,a),(a,c); unigrams
+    // a:2 b:1 c:1, T=4, V=3. Scored positions of "a b a z":
+    //   (a,b,a): p3 = 1/1, p2 = c(b,a)/c(b) = 1/1, p1 = (2+1)/7
+    //   (b,a,z): trigram+bigram(a,z) unseen -> 0; p1 = (0+1)/7
+    val p1 = 0.5 * 1.0 + 0.3 * 1.0 + 0.2 * 3.0 / 7
+    val p2 = 0.2 * 1.0 / 7
+    val expected = (math.round(math.log(p1) * 1e9) +
+      math.round(math.log(p2) * 1e9)) / (2L * 1e9)
+    out(1L)._2 shouldBe expected
+    out.values.foreach(v => (v._2.isNaN || v._2.isInfinite) shouldBe false)
+  }
+
+  test("worstWindow: argmin over rolling spans, earliest tie wins, short docs NULL") {
+    val d = Seq((0L, "a a b a a"), (1L, "z")).toDF("doc_id", "text")
+    val out = TextStats.worstWindow(d, window = 2).orderBy("doc_id").collect()
+    // self-corpus counts: a:4 b:1 z:1, total 6
+    val lpA = math.round(math.log(4.0 / 6) * 1e9)
+    val lpB = math.round(math.log(1.0 / 6) * 1e9)
+    out(0).getLong(1) shouldBe 5L
+    // windows ending at pos 1..4 sum (a,a),(a,b),(b,a),(a,a); the two
+    // (a,b)-mix spans tie for worst -> earliest start (pos 1) wins
+    out(0).getLong(2) shouldBe 1L
+    out(0).getDouble(3) shouldBe (lpA + lpB) / (2 * 1e9)
+    // 1-token doc: no full window -> NULL start and score, count kept
+    out(1).getLong(1) shouldBe 1L
+    out(1).isNullAt(2) shouldBe true
+    out(1).isNullAt(3) shouldBe true
+  }
+
   test("chunkDocs: overlapping windows cover every token; empty docs vanish") {
     import graft.ext.Corpus
     val d = Seq((0L, "a b c d e"), (1L, ""), (2L, "x")).toDF("doc_id", "text")
