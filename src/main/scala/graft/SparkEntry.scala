@@ -1392,6 +1392,19 @@ object SparkEntry {
     * exercise the tf/length normalization rather than rare-term idf. */
   private val Bm25Query = Seq("hash", "join", "vector")
 
+  /** DuckDB replay of Corpus.splitAssign's label for the `doc_id` in
+    * scope — shared by x_split_assign and x_split_leakage (the two
+    * oracles cannot drift apart on the cut values). */
+  private def splitCaseSql: String = {
+    val cuts = Corpus.splitCuts(SplitFractions)
+    val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_split' || " +
+      s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+    val whens = SplitFractions.init.zip(cuts.init)
+      .map { case ((name, _), cut) => s"WHEN $u < $cut THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${SplitFractions.last._1}' END"
+  }
+
   /** DuckDB replay of Corpus.mixTo under MixWeights (the x_mix_to
     * oracle, also embedded by the x_mix_report rollup). */
   private def mixToSql: String = {
@@ -1473,6 +1486,51 @@ object SparkEntry {
     "x_heaps_law" -> ((s, dir) =>
       TextStats.vocabGrowth(tbl(s, dir, "documents"), step = 50L)
         .orderBy("checkpoint")),
+
+    // Per-source KL divergence from the corpus unigram mixture — the
+    // drift diagnostic: one token explode, both totals rolled up from
+    // the same aggregated (source, term) frame, grid-summed.
+    "x_source_kl" -> ((s, dir) =>
+      TextStats.sourceKl(tbl(s, dir, "documents"), groupCol = "source")
+        .orderBy("source")),
+
+    // Zipf rank-frequency slope per language: OLS on the log-log
+    // rank/count curve over the bounded top-500 (TopK aggregator, no
+    // vocabulary sort); natural text sits near -1.
+    "x_zipf_slope" -> ((s, dir) =>
+      TextStats.zipfSlope(tbl(s, dir, "documents"), groupCol = "lang",
+        topN = 500).orderBy("lang")),
+
+    // Code-point entropy per document (fused native kernel — one
+    // codegen projection, no per-char explode): low entropy flags
+    // repeated-character/boilerplate docs, the char-level complement
+    // of the Gopher token rules.
+    "x_char_entropy" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+          (graft.plans.NativeFunctions.charEntropy9(col("text")) / lit(1e9))
+            .as("entropy"))
+        .orderBy("doc_id")),
+
+    // Top-50 PMI collocations (min bigram count 5): the multi-word-
+    // expression extractor; grid-quantized score, TakeOrdered top-k.
+    "x_pmi_bigrams" -> ((s, dir) =>
+      TextStats.pmiBigrams(tbl(s, dir, "documents"), minCount = 5L, k = 50)),
+
+    // Split leakage: verified near-dup pairs (word-3-gram Jaccard ≥
+    // 0.7) that CROSS the train/val/test boundary — the eval-integrity
+    // check a pipeline runs after splitAssign; empty means clean.
+    "x_split_leakage" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val splits = Corpus.splitAssign(docs.select("doc_id"),
+        SplitFractions, Seed)
+      Dedup.ngramJaccardPairs(docs, minJaccard = 0.7)
+        .join(splits.select(col("doc_id").as("a"), col("split").as("split_a")), "a")
+        .join(splits.select(col("doc_id").as("b"), col("split").as("split_b")), "b")
+        .where(col("split_a") =!= col("split_b"))
+        .select("a", "b", "split_a", "split_b", "jaccard")
+        .orderBy("a", "b")
+    }),
 
     // Domain cap: flag the top-10 docs per source by (n_chars desc,
     // doc_id) via the bounded TopK aggregator — never a full-domain
@@ -3018,17 +3076,9 @@ object SparkEntry {
     // Split-assignment replay: the same md5 uniform and the same IEEE
     // cumulative cuts (embedded via Double.toString, which round-trips
     // exactly through DuckDB's literal parser).
-    "x_split_assign" -> {
-      val cuts = Corpus.splitCuts(SplitFractions)
-      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_split' || " +
-        s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
-      val whens = SplitFractions.init.zip(cuts.init)
-        .map { case ((name, _), cut) => s"WHEN $u < $cut THEN '$name'" }
-        .mkString(" ")
-      s"""SELECT doc_id,
-         |       CASE $whens ELSE '${SplitFractions.last._1}' END AS split
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "x_split_assign" ->
+      s"""SELECT doc_id, $splitCaseSql AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Stratified-sample replay: same md5 uniform (distinct stream from
     // the split), same rate literals (Double.toString round-trips).
@@ -3122,6 +3172,133 @@ object SparkEntry {
          |       CAST(sum(n_tok) OVER (ORDER BY checkpoint) AS BIGINT) AS tokens_cum,
          |       CAST(sum(n_new) OVER (ORDER BY checkpoint) AS BIGINT) AS vocab_cum
          |FROM j ORDER BY checkpoint""".stripMargin,
+
+    // KL replay: word-string grouping stands in for the engine's
+    // hashed keys; identical p·ln(p/q) double expression, contributions
+    // grid-quantized before the order-independent sum.
+    "x_source_kl" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS w FROM documents),
+         |st AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cst
+         |       FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT w, CAST(sum(cst) AS BIGINT) AS ctot FROM st GROUP BY 1),
+         |ts AS (SELECT source, CAST(sum(cst) AS BIGINT) AS tsum,
+         |              CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM st GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ctot) AS BIGINT) AS t FROM ct),
+         |c AS (SELECT st.source,
+         |        CAST(round((CAST(cst AS DOUBLE) / CAST(tsum AS DOUBLE)) *
+         |          ln((CAST(cst AS DOUBLE) / CAST(tsum AS DOUBLE)) /
+         |             (CAST(ctot AS DOUBLE) / CAST(t AS DOUBLE))) * 1e9)
+         |          AS BIGINT) AS kl9
+         |      FROM st JOIN ct USING (w) JOIN ts USING (source) CROSS JOIN tt),
+         |k AS (SELECT source, CAST(sum(kl9) AS BIGINT) AS k9 FROM c GROUP BY 1)
+         |SELECT source, tsum AS n_tokens, n_terms, k9 / 1e9 AS kl_divergence
+         |FROM k JOIN ts USING (source) ORDER BY source""".stripMargin,
+
+    // Zipf replay: row_number rank (tie order is free — the OLS sums
+    // see only the (rank, count) multiset, which ties cannot change);
+    // per-rank log terms quantized before summing; the closing
+    // slope/intercept arithmetic is the same IEEE expression.
+    "x_zipf_slope" ->
+      s"""WITH tok AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+         |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+         |      FROM tok GROUP BY 1, 2),
+         |r AS (SELECT lang, cnt, CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY cnt DESC) AS BIGINT) AS rk FROM c),
+         |q AS (SELECT lang, rk, cnt FROM r WHERE rk <= 500),
+         |g AS (SELECT lang,
+         |        CAST(round(ln(CAST(rk AS DOUBLE)) * 1e9) AS BIGINT) AS x9,
+         |        CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS y9,
+         |        CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))
+         |          * 1e9) AS BIGINT) AS xy9,
+         |        CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE))
+         |          * 1e9) AS BIGINT) AS xx9
+         |      FROM q),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(x9) AS BIGINT) AS sx, CAST(sum(y9) AS BIGINT) AS sy,
+         |        CAST(sum(xy9) AS BIGINT) AS sxy,
+         |        CAST(sum(xx9) AS BIGINT) AS sxx
+         |      FROM g GROUP BY 1),
+         |f AS (SELECT lang, n,
+         |        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) / 1e9
+         |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / 1e18)
+         |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) / 1e9
+         |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / 1e18) AS slope,
+         |        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+         |      FROM s)
+         |SELECT lang, n AS n_ranks, slope,
+         |       (syd / 1e9 - slope * (sxd / 1e9)) / CAST(n AS DOUBLE) AS intercept
+         |FROM f ORDER BY lang""".stripMargin,
+
+    // Entropy replay: per-character unnest (the engine fuses this into
+    // one kernel pass), identical -p·ln(p) contributions on the grid;
+    // docs with no characters coalesce to 0.
+    "x_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+         |            FROM documents),
+         |cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+         |       FROM ch GROUP BY 1, 2),
+         |l AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS ln_ FROM cc GROUP BY 1),
+         |e AS (SELECT cc.doc_id,
+         |        CAST(sum(CAST(round(-(CAST(n AS DOUBLE) / CAST(ln_ AS DOUBLE)) *
+         |          ln(CAST(n AS DOUBLE) / CAST(ln_ AS DOUBLE)) * 1e9) AS BIGINT))
+         |          AS BIGINT) AS e9
+         |      FROM cc JOIN l USING (doc_id) GROUP BY 1)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |       coalesce(e.e9, 0) / 1e9 AS entropy
+         |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // PMI replay: bigram/unigram count tables, identical
+    // ln(pB/(p1·p2)) double expression on the grid, same
+    // (score desc, gram) top-50 cut.
+    "x_pmi_bigrams" ->
+      s"""WITH tk AS (SELECT $toksSql AS t FROM documents),
+         |bg AS (SELECT unnest([{'w1': t[i], 'w2': t[i+1]}
+         |          for i in generate_series(1, len(t) - 1)]) AS z
+         |       FROM tk WHERE len(t) >= 2),
+         |b AS (SELECT z.w1 AS w1, z.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+         |      FROM bg GROUP BY 1, 2),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+         |      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |tb AS (SELECT CAST(sum(n) AS BIGINT) AS tb FROM b),
+         |tu AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM u),
+         |sc AS (SELECT w1, w2, n,
+         |         CAST(round(ln((CAST(n AS DOUBLE) / CAST(tb AS DOUBLE)) /
+         |           ((CAST(c1.cu AS DOUBLE) / CAST(tu AS DOUBLE)) *
+         |            (CAST(c2.cu AS DOUBLE) / CAST(tu AS DOUBLE)))) * 1e9)
+         |           AS BIGINT) AS pmi9
+         |       FROM b JOIN u c1 ON c1.w = b.w1 JOIN u c2 ON c2.w = b.w2
+         |       CROSS JOIN tb CROSS JOIN tu WHERE n >= 5)
+         |SELECT w1, w2, n, pmi9 / 1e9 AS pmi FROM sc
+         |ORDER BY pmi9 DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Leakage replay: the exact-Jaccard truth at 0.7 (same distinct
+    // word-3-gram construction as x_jaccard_pairs) joined to the
+    // splitCaseSql labels on both endpoints.
+    "x_split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_distinct(
+         |            CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |                 ELSE [array_to_string(tk[i:i+2], ' ')
+         |                       for i in generate_series(1, len(tk) - 2)] END)) AS g
+         |          FROM toks),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+         |          GROUP BY 1, 2),
+         |j AS (SELECT a, b,
+         |        CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |      FROM inter
+         |      JOIN sizes sa ON sa.doc_id = a
+         |      JOIN sizes sb ON sb.doc_id = b
+         |      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+         |        >= CAST('0.7' AS DOUBLE)),
+         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+         |SELECT j.a, j.b, spa.split AS split_a, spb.split AS split_b, j.jaccard
+         |FROM j
+         |JOIN sp spa ON spa.doc_id = j.a
+         |JOIN sp spb ON spb.doc_id = j.b
+         |WHERE spa.split <> spb.split ORDER BY a, b""".stripMargin,
 
     // Domain-cap replay: the bounded TopK aggregator's (score desc, id
     // asc) order IS row_number's; rank NULL for rows past the cap.

@@ -898,6 +898,135 @@ object TextStats {
   }
 
   /**
+   * Per-group KL divergence of each group's unigram token distribution
+   * from the whole-corpus distribution — the mixture-drift diagnostic a
+   * training-data pipeline runs per source/domain/language: KL ≈ 0
+   * means the group reads like the corpus average, a large KL flags a
+   * source whose vocabulary is off-mixture (boilerplate, another
+   * language, machine text). KL(P_g ‖ P) = Σ_w p_g(w)·ln(p_g(w)/p(w))
+   * over the group's vocabulary — every group term exists corpus-wide
+   * (the group is a subset), so the log is total and no smoothing is
+   * needed.
+   *
+   * Scale shape: ONE token explode, counted once per (group, hashed
+   * term) — group totals AND corpus term counts both roll up from that
+   * aggregated frame (never a second explode); the corpus-count join
+   * runs on 8-byte hashed keys; the single-row grand total broadcasts.
+   * Per-term contributions are pure functions of four longs quantized
+   * to the 1e-9 grid before the order-independent sum.
+   */
+  def sourceKl(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol),
+        explode(tokens(col(textCol))).as("__w"))
+      .select(col(groupCol), xxhash64(col("__w")).as("__k"))
+    val st = toks.groupBy(groupCol, "__k").agg(count(lit(1)).as("__cst"))
+    val ct = st.groupBy("__k").agg(sum("__cst").as("__ct"))
+    val ts = st.groupBy(groupCol).agg(sum("__cst").as("__ts"),
+      count(lit(1)).as("n_terms"))
+    val tot = ct.agg(sum("__ct").as("__t"))
+    val p = col("__cst").cast("double") / col("__ts").cast("double")
+    val q = col("__ct").cast("double") / col("__t").cast("double")
+    st.join(ct, "__k")
+      .join(broadcast(ts), groupCol)
+      .crossJoin(broadcast(tot))
+      .withColumn("__kl9", round(p * log(p / q) * lit(1e9)).cast("long"))
+      .groupBy(groupCol)
+      .agg(first("__ts").as("n_tokens"), first("n_terms").as("n_terms"),
+        (sum("__kl9") / lit(1e9)).as("kl_divergence"))
+  }
+
+  /**
+   * Zipf rank–frequency slope per group: OLS fit of ln(count) against
+   * ln(rank) over the `topN` most frequent tokens — natural language
+   * sits near −1; a much flatter slope flags id-like noise vocabularies
+   * and a steeper one flags template text. The companion diagnostic to
+   * [[vocabGrowth]] (Heaps and Zipf are the two classic corpus laws).
+   *
+   * The per-group top-N rank uses the bounded [[graft.operators.TopK]]
+   * aggregator via [[Corpus.capPerGroup]] — never a full vocabulary
+   * sort. Rank ties (equal counts) cannot move the answer: the fit
+   * depends only on the multiset of (rank, count) pairs, which tie
+   * order does not change — so the hash tie-break needs no cross-engine
+   * agreement. Per-rank OLS terms (x, y, xy, x²) are quantized to the
+   * 1e-9 grid before their order-independent long sums; the closing
+   * slope/intercept arithmetic is the same IEEE expression both here
+   * and in the oracle.
+   */
+  def zipfSlope(docs: DataFrame, groupCol: String = "lang", topN: Int = 500,
+      textCol: String = "text"): DataFrame = {
+    require(topN >= 2, "need at least two ranks to fit a line")
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+      .groupBy(groupCol, "__w").agg(count(lit(1)).as("__cnt"))
+    // the cap id must be frame-unique (capPerGroup joins rank back on
+    // it): hash the (group, term) pair, not the term alone
+    val ranked = Corpus.capPerGroup(
+        counts.select(col(groupCol), col("__cnt").cast("double").as("score"),
+          xxhash64(col(groupCol), col("__w")).as("id")),
+        groupCol, "score", "id", k = topN)
+      .where(col("kept"))
+      .select(col(groupCol), col("rank").cast("long").as("__r"),
+        col("score").cast("long").as("__cnt"))
+    val lx = log(col("__r").cast("double"))
+    val ly = log(col("__cnt").cast("double"))
+    val g9 = (c: Column) => round(c * lit(1e9)).cast("long")
+    val sums = ranked.groupBy(groupCol).agg(
+      count(lit(1)).as("__n"),
+      sum(g9(lx)).as("__sx"), sum(g9(ly)).as("__sy"),
+      sum(g9(lx * ly)).as("__sxy"), sum(g9(lx * lx)).as("__sxx"))
+    val nD = col("__n").cast("double")
+    val (sx, sy, sxy, sxx) = (col("__sx").cast("double"),
+      col("__sy").cast("double"), col("__sxy").cast("double"),
+      col("__sxx").cast("double"))
+    val slope = (nD * sxy / lit(1e9) - sx * sy / lit(1e18)) /
+      (nD * sxx / lit(1e9) - sx * sx / lit(1e18))
+    sums.select(col(groupCol), col("__n").as("n_ranks"), slope.as("slope"),
+      ((sy / lit(1e9) - slope * (sx / lit(1e9))) / nD).as("intercept"))
+  }
+
+  /**
+   * Top-k PMI collocations: pointwise mutual information
+   * ln(p(w₁w₂) / (p(w₁)·p(w₂))) over corpus bigrams with at least
+   * `minCount` occurrences — the classic collocation extractor
+   * ("multi-word expressions score high, chance co-occurrences score
+   * ~0"); the frequency floor removes the rare-pair PMI bias. Bigram
+   * probability is count/total-bigrams, unigram count/total-tokens.
+   *
+   * One bigram explode + one token explode, both aggregated map-side;
+   * the two unigram joins run against the aggregated vocabulary frame;
+   * the totals broadcast; top-k is TakeOrderedAndProject on the
+   * grid-quantized score (never a full sort), ties broken by the gram
+   * strings.
+   */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5L, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val big = docs.select(explode(arrays_zip(
+        slice(toks, lit(1), n1).as("w1"),
+        slice(toks, lit(2), n1).as("w2"))).as("z"))
+      .select(col("z.w1").as("w1"), col("z.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = docs.select(explode(toks).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val totB = big.agg(sum("n").as("__tb"))
+    val totU = uni.agg(sum("__cu").as("__tu"))
+    val pB = col("n").cast("double") / col("__tb").cast("double")
+    val pU1 = col("__c1").cast("double") / col("__tu").cast("double")
+    val pU2 = col("__c2").cast("double") / col("__tu").cast("double")
+    big.where(col("n") >= minCount)
+      .join(uni.select(col("__w").as("w1"), col("__cu").as("__c1")), "w1")
+      .join(uni.select(col("__w").as("w2"), col("__cu").as("__c2")), "w2")
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .withColumn("__pmi9", round(log(pB / (pU1 * pU2)) * lit(1e9)).cast("long"))
+      .orderBy(col("__pmi9").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("n"),
+        (col("__pmi9") / lit(1e9)).as("pmi"))
+  }
+
+  /**
    * Heaps-law vocabulary-growth curve: cumulative token mass vs
    * cumulative distinct vocabulary at every `step`-document checkpoint
    * of the id order — the corpus-health plot that shows whether new

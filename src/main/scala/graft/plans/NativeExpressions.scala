@@ -48,6 +48,34 @@ object Native {
     sig
   }
 
+  /** Shannon entropy of the string's code-point distribution on the
+    * 1e-9 grid: Σ_c round(−(n_c/L)·ln(n_c/L)·1e9) over distinct code
+    * points c (count n_c, total L). Each contribution is a pure
+    * function of two longs quantized BEFORE the sum, so the long sum
+    * is order-independent and a per-character DuckDB replay lands on
+    * the identical integer. Empty string → 0 (no terms). */
+  def charEntropy9(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var total = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = counts.get(cp)
+      if (slot == null) counts.put(cp, Array(1L)) else slot(0) += 1
+      total += 1
+      i += Character.charCount(cp)
+    }
+    var acc = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next()(0)
+      val p = n.toDouble / total
+      acc += Math.round(-p * Math.log(p) * 1e9)
+    }
+    acc
+  }
+
   /** Polynomial rolling hash over code points:
     * acc = (acc * 31 + codePoint) mod 1e9+7. */
   def rollingHash(s: UTF8String): Long = {
@@ -606,6 +634,20 @@ case class GopherGramStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** char_entropy9(string) → long (grid-quantized code-point entropy). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.charEntropy9(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.charEntropy9($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}
+
 /** rolling_hash(string) → long (mod 1e9+7, multiplier 31). */
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -847,6 +889,9 @@ object NativeFunctions {
 
   def rollingHash(str: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(str)))
+
+  def charEntropy9(str: Column): Column =
+    ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))
 
   def hashedShingles(text: Column, n: Int): Column =
     ColumnBridge.column(HashedShinglesExpr(ColumnBridge.expression(text), n))

@@ -410,6 +410,68 @@ class ExtSpec extends SparkSpec {
     out.values.foreach(v => (v._2.isNaN || v._2.isInfinite) shouldBe false)
   }
 
+  test("sourceKl: off-mixture source scores high, corpus-average source near zero") {
+    val d = Seq((0L, "a a b", "A"), (1L, "b", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = TextStats.sourceKl(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // corpus: a:2 b:2, T=4. A holds a:2 b:1 (Ts=3), B holds b:1 (Ts=1)
+    def q9(p: Double, q: Double) = math.round(p * math.log(p / q) * 1e9)
+    out("A") shouldBe ((3L, 2L,
+      (q9(2.0 / 3, 0.5) + q9(1.0 / 3, 0.5)) / 1e9))
+    out("B") shouldBe ((1L, 1L, q9(1.0, 0.5) / 1e9))
+    // B is pure-tail (all mass on one token): strictly larger drift
+    out("B")._3 should be > out("A")._3
+  }
+
+  test("zipfSlope: OLS over (rank, count) reproduces the hand fit") {
+    // one group, counts 4/2/1 -> ranks 1/2/3
+    val d = Seq((0L, "t t t t u u v", "en")).toDF("doc_id", "text", "lang")
+    val row = TextStats.zipfSlope(d, topN = 500).collect().head
+    row.getString(0) shouldBe "en"
+    row.getLong(1) shouldBe 3L
+    val pairs = Seq((1L, 4L), (2L, 2L), (3L, 1L))
+    def g9(v: Double) = math.round(v * 1e9)
+    val (n, sx, sy, sxy, sxx) = (pairs.size.toDouble,
+      pairs.map(p => g9(math.log(p._1.toDouble))).sum.toDouble,
+      pairs.map(p => g9(math.log(p._2.toDouble))).sum.toDouble,
+      pairs.map(p => g9(math.log(p._1.toDouble) * math.log(p._2.toDouble))).sum.toDouble,
+      pairs.map(p => g9(math.log(p._1.toDouble) * math.log(p._1.toDouble))).sum.toDouble)
+    val slope = (n * sxy / 1e9 - sx * sy / 1e18) / (n * sxx / 1e9 - sx * sx / 1e18)
+    row.getDouble(2) shouldBe slope
+    row.getDouble(3) shouldBe (sy / 1e9 - slope * (sx / 1e9)) / n
+    // counts 4/2/1 over ranks 1/2/3: negative, in the Zipf-ish range
+    slope should be < -1.0
+  }
+
+  test("charEntropy9: grid-summed code-point entropy; degenerate strings zero") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String) = graft.plans.Native.charEntropy9(UTF8String.fromString(s))
+    e("") shouldBe 0L
+    e("aaaa") shouldBe 0L // single symbol: -1·ln(1) = 0
+    val expected = math.round(-(2.0 / 3) * math.log(2.0 / 3) * 1e9) +
+      math.round(-(1.0 / 3) * math.log(1.0 / 3) * 1e9)
+    e("aab") shouldBe expected
+    // permutation-invariant (distribution, not sequence)
+    e("aba") shouldBe expected
+    // codegen path agrees with the direct call
+    val viaCol = Seq("aab").toDF("text")
+      .select(graft.plans.NativeFunctions.charEntropy9($"text")).head.getLong(0)
+    viaCol shouldBe expected
+  }
+
+  test("pmiBigrams: collocation scores match the closed form, ties break on grams") {
+    val d = Seq((0L, "x y"), (1L, "x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextStats.pmiBigrams(d, minCount = 1L, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // bigrams (x,y):2 (x,z):1 of B=3; unigrams x:3 y:2 z:1 of T=6
+    // PMI(x,y) = ln((2/3)/((3/6)(2/6))) = ln 4 = PMI(x,z) — a tie, so
+    // the gram tie-break orders (x,y) first
+    val ln4 = math.round(math.log(4.0) * 1e9) / 1e9
+    out.toSeq shouldBe Seq(("x", "y", 2L, ln4), ("x", "z", 1L, ln4))
+  }
+
   test("trigram LM: interpolation mixes seen ML terms, floors on add-one unigram") {
     val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
     val score = Seq((1L, "a b a z"), (2L, "x y")).toDF("doc_id", "text")
