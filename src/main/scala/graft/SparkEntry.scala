@@ -1532,6 +1532,38 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // Per-doc OOV rate against the corpus frequency floor (count < 5):
+    // the vocabulary-noise filter; one explode, count join on hashed
+    // terms.
+    "x_oov_rate" -> ((s, dir) =>
+      TextStats.oovRate(tbl(s, dir, "documents"), minCount = 5L)
+        .orderBy("doc_id")),
+
+    // Benchmark-side contamination: per benchmark doc (the %50 slice),
+    // the fraction of its distinct 3-grams present anywhere in the
+    // training corpus — the GPT-3 "dirtiness" report, zero-hit rows
+    // included.
+    "x_bench_overlap" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.benchOverlap(
+        d.where(col("doc_id") % 50 === 0),
+        d.where(col("doc_id") % 50 =!= 0))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-level redundancy map: pairwise source Jaccard over
+    // distinct hashed shingle sets — candidate volume bounded by
+    // |sources|² per shingle, never corpus².
+    "x_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(tbl(s, dir, "documents")).orderBy("a", "b")),
+
+    // Cluster-balanced diversity sampling: thin each k-means cell to
+    // ≈20 vectors with a deterministic md5 keep rule — dense regions
+    // downsampled, sparse regions kept whole.
+    "x_cell_sample" -> ((s, dir) =>
+      Similarity.cellSample(tbl(s, dir, "embeddings"), perCell = 20L)
+        .orderBy("vec_id")),
+
     // Domain cap: flag the top-10 docs per source by (n_chars desc,
     // doc_id) via the bounded TopK aggregator — never a full-domain
     // window sort; rank NULL marks dropped rows.
@@ -3299,6 +3331,81 @@ object SparkEntry {
          |JOIN sp spa ON spa.doc_id = j.a
          |JOIN sp spb ON spb.doc_id = j.b
          |WHERE spa.split <> spb.split ORDER BY a, b""".stripMargin,
+
+    // OOV replay: same corpus-count floor, word-string counts standing
+    // in for the hashed-key counts.
+    "x_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM tok JOIN v USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Benchmark-overlap replay: x_decontaminate's gram/key construction
+    // with the sides swapped and a left join so zero-hit rows survive.
+    "x_bench_overlap" -> {
+      val gramsCase =
+        """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |     ELSE [array_to_string(tk[i:i+2], ' ')
+          |           for i in generate_series(1, len(tk) - 2)] END""".stripMargin
+      val key = s"('0x' || substr(md5(g), 1, 15))::BIGINT % ${Dedup.MinhashPrime}"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_distinct($gramsCase)) AS g
+         |       FROM toks WHERE doc_id % 50 = 0),
+         |ck AS (SELECT DISTINCT $key AS k
+         |       FROM (SELECT unnest(list_distinct($gramsCase)) AS g
+         |             FROM toks WHERE doc_id % 50 <> 0)),
+         |bk AS (SELECT doc_id, $key AS k FROM bg),
+         |h AS (SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |        CAST(sum(CASE WHEN ck.k IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_hit
+         |      FROM bk LEFT JOIN ck ON bk.k = ck.k GROUP BY 1)
+         |SELECT doc_id, n_grams, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS overlap_frac
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    // Source-overlap replay: distinct (source, gram) from the same
+    // short-doc-aware gram construction; string grams stand in for the
+    // engine's hashed shingles (proven 2^-64 equivalence).
+    "x_source_overlap" -> {
+      val gramsCase =
+        """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |     ELSE [array_to_string(tk[i:i+2], ' ')
+          |           for i in generate_series(1, len(tk) - 2)] END""".stripMargin
+      s"""WITH toks AS (SELECT source, $toksSql AS tk FROM documents),
+         |gr AS (SELECT source, unnest(list_distinct($gramsCase)) AS g FROM toks),
+         |g AS (SELECT DISTINCT source, g FROM gr),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |inter AS (SELECT ga.source AS a, gb.source AS b,
+         |                 CAST(count(*) AS BIGINT) AS n_common
+         |          FROM g ga JOIN g gb ON ga.g = gb.g AND ga.source < gb.source
+         |          GROUP BY 1, 2)
+         |SELECT a, b, n_common,
+         |       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON sa.source = a
+         |JOIN sz sb ON sb.source = b
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // Cell-sample replay: the shared k-means assignment (ivfAssignCtes)
+    // plus the per-cell keep rate and the engine's md5-uniform stream.
+    "x_cell_sample" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'cell_sample' || " +
+        s"chr(1) || vec_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH $ivfAssignCtes,
+         |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM af GROUP BY 1),
+         |r AS (SELECT cid, least(CAST('1.0' AS DOUBLE),
+         |        CAST('20.0' AS DOUBLE) / CAST(n AS DOUBLE)) AS rate FROM cnt)
+         |SELECT af.vec_id, CAST(af.cid AS INTEGER) AS cid
+         |FROM af JOIN r ON r.cid = af.cid
+         |WHERE $u < rate
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // Domain-cap replay: the bounded TopK aggregator's (score desc, id
     // asc) order IS row_number's; rank NULL for rows past the cap.

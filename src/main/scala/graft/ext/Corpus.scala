@@ -142,6 +142,39 @@ object Corpus {
   }
 
   /**
+   * Per-benchmark-document contamination fraction — [[decontaminate]]
+   * viewed from the benchmark's side: for each benchmark item, the
+   * share of its distinct word n-grams that appear ANYWHERE in the
+   * training corpus (the GPT-3-appendix "dirtiness" measure; 1.0 means
+   * the item is fully reconstructible from training n-grams, ~0 means
+   * it is clean). Emits every benchmark document, zero-hit ones
+   * included — the report is per-item, not flagged-only.
+   *
+   * Same scale shape as [[decontaminate]] with the sides swapped: the
+   * CORPUS gram set is distinct-reduced to 8-byte keys (corpus-sized,
+   * so the join shuffles on the key — never broadcast), the benchmark
+   * side keeps its doc ids, and the fraction is per-doc long
+   * arithmetic after a left join.
+   */
+  def benchOverlap(benchmark: DataFrame, corpus: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bg = Dedup.gramRows(benchmark.select(col(idCol), col(textCol)),
+        idCol, textCol, n)
+      .dropDuplicates(idCol, "__g")
+      .select(col(idCol), Dedup.md5Key(col("__g")).as("__k"))
+    val cg = Dedup.gramRows(corpus.select(lit(0L).as("__cid"), col(textCol)),
+        "__cid", textCol, n)
+      .select(Dedup.md5Key(col("__g")).as("__k")).distinct()
+      .withColumn("__hit", lit(1L))
+    bg.join(cg, Seq("__k"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /**
    * Verbatim-window decontamination — the production-strength variant
    * of [[decontaminate]]: flag corpus documents sharing an exact run
    * of `windowTokens` tokens with the benchmark, instead of ANY word

@@ -356,6 +356,37 @@ object Dedup {
    * shared by k docs contributes O(k²) candidate pairs here exactly as
    * in the Jaccard finder.
    */
+  /**
+   * Pairwise Jaccard similarity between GROUPS (sources, domains,
+   * snapshots) over their distinct word-shingle sets — the corpus-level
+   * redundancy map: two crawls of the same site score near 1 and should
+   * be merged before document-level dedup ever runs; disjoint sources
+   * score ~0. One row per unordered group pair.
+   *
+   * Scale shape: distinct (group, hashed-shingle) rows — one native
+   * one-pass shingle kernel, one distinct — then a self-join on the
+   * 8-byte shingle key. Each shingle joins to at most |groups| rows, so
+   * candidate volume is bounded by |groups|²/2 per shingle, never by
+   * corpus size; the per-group size table is |groups| rows and
+   * broadcasts.
+   */
+  def sourceOverlap(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val grams = docs.select(col(groupCol),
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("__g"))
+      .distinct()
+    val sizes = grams.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val l = grams.select(col(groupCol).as("a"), col("__g"))
+    val r = grams.select(col(groupCol).as("b"), col("__g"))
+    l.join(r, "__g").where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col(groupCol).as("a"), col("__n").as("__na"))), "a")
+      .join(broadcast(sizes.select(col(groupCol).as("b"), col("__n").as("__nb"))), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common"))).as("jaccard"))
+  }
+
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       minContainment: Double = 0.6): DataFrame = {

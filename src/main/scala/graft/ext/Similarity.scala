@@ -249,6 +249,37 @@ object Similarity {
       .select(col(idCol), col("cid"))
   }
 
+  /**
+   * Cluster-balanced (diversity) sampling: thin each k-means cell down
+   * to ≈`perCell` vectors with a deterministic per-cell keep rate
+   * min(1, perCell/|cell|) — dense embedding regions (near-duplicate
+   * content, boilerplate clusters) are downsampled hard while sparse
+   * regions survive whole, the cheap version of coverage-aware
+   * selection (DataComp-style cluster balancing). Returns the kept
+   * `(idCol, cid)` rows.
+   *
+   * Determinism is the [[Corpus.stratifiedSample]] story: the keep
+   * decision is an md5-uniform of (seed, stream, id) against a rate
+   * that is a pure double function of two longs — stable under
+   * repartitioning and retries, exactly replayable. Cell sizes are a
+   * |cells|-row broadcast; the only corpus-scale work is the
+   * [[assignCells]] assignment itself.
+   */
+  def cellSample(corpus: DataFrame, perCell: Long, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(perCell > 0, "perCell must be positive")
+    val cells = assignCells(corpus, nCentroids, iters, seed, idCol, vecCol)
+    val rates = cells.groupBy("cid").agg(count(lit(1)).as("__n"))
+      .withColumn("__rate", least(lit(1.0),
+        lit(perCell.toDouble) / col("__n").cast("double")))
+      .select("cid", "__rate")
+    cells.join(broadcast(rates), "cid")
+      .where(graft.functions.Rng.uniform(seed, "cell_sample", col(idCol)) <
+        col("__rate"))
+      .select(col(idCol), col("cid"))
+  }
+
   /** Default per-cell membership cap of [[semDedup]]'s pairwise stage
     * (cells over the cap contribute no pairs — all members kept — and
     * are surfaced by the pre-flight [[assignCells]] rollup). A cell at

@@ -898,6 +898,34 @@ object TextStats {
   }
 
   /**
+   * Per-document out-of-vocabulary rate against the corpus's own
+   * frequency floor: a token position is OOV when its term occurs
+   * fewer than `minCount` times corpus-wide. High OOV rate flags
+   * id-strings, hashes, and mojibake — the CCNet-style vocabulary
+   * filter, with the corpus itself as the reference model. Documents
+   * with no tokens have no positions and are absent (the
+   * [[bigramLogProb]] under-threshold rule).
+   *
+   * One explode; the vocabulary counts aggregate THAT frame (AQE
+   * reuses the exchange rather than re-exploding); the count join
+   * runs on 8-byte hashed terms; everything after is per-doc longs.
+   */
+  def oovRate(docs: DataFrame, minCount: Long = 5L,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, "minCount must be at least 1")
+    val toks = docs.select(col(idCol),
+        explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__k"))
+    val vocab = toks.groupBy("__k").agg(count(lit(1)).as("__cnt"))
+    toks.join(vocab, "__k")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cnt") < minCount, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /**
    * Per-group KL divergence of each group's unigram token distribution
    * from the whole-corpus distribution — the mixture-drift diagnostic a
    * training-data pipeline runs per source/domain/language: KL ≈ 0

@@ -410,6 +410,55 @@ class ExtSpec extends SparkSpec {
     out.values.foreach(v => (v._2.isNaN || v._2.isInfinite) shouldBe false)
   }
 
+  test("oovRate: positions under the corpus count floor, per doc") {
+    val d = Seq((0L, "a a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.oovRate(d, minCount = 2L).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // counts: a:3 b:1 c:1 — b and c are below the floor of 2
+    out.toSeq shouldBe Seq((0L, 3L, 1L, 1.0 / 3), (1L, 2L, 1L, 0.5))
+  }
+
+  test("benchOverlap: per-item dirtiness fraction, clean items kept at zero") {
+    val corpus = Seq((10L, "one two three four extra words here"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "one two three nine ten eleven"), // 4 grams, 1 in corpus
+      (1L, "wholly fresh unseen content")    // 2 grams, 0 hits
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Corpus.benchOverlap(bench, corpus).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq((0L, 4L, 1L, 0.25), (1L, 2L, 0L, 0.0))
+  }
+
+  test("sourceOverlap: pairwise shingle-set Jaccard; disjoint pairs absent") {
+    val d = Seq(
+      (0L, "a b c d", "A"), (1L, "a b c e", "B"), (2L, "x y z w", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // A = {abc, bcd}, B = {abc, bce}: 1 common of 3 distinct
+    out(("A", "B")) shouldBe ((1L, 1.0 / 3))
+    // C shares nothing: the sparse output simply has no row
+    out.keySet shouldBe Set(("A", "B"))
+  }
+
+  test("cellSample: generous budget keeps every vector, tight budget thins") {
+    val vecs = (0L until 40L).map { i =>
+      val r = new java.util.Random(i)
+      (i, Array.fill(4)(r.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val all = Similarity.cellSample(vecs, perCell = 1000L, nCentroids = 4)
+      .collect()
+    all.length shouldBe 40 // rate 1.0 everywhere
+    val thin = Similarity.cellSample(vecs, perCell = 2L, nCentroids = 4)
+      .collect().map(_.getLong(0)).toSet
+    thin.size should be < 40
+    // deterministic: the same call selects the same ids
+    Similarity.cellSample(vecs, perCell = 2L, nCentroids = 4)
+      .collect().map(_.getLong(0)).toSet shouldBe thin
+  }
+
   test("sourceKl: off-mixture source scores high, corpus-average source near zero") {
     val d = Seq((0L, "a a b", "A"), (1L, "b", "B"))
       .toDF("doc_id", "text", "source")
