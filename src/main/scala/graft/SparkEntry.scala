@@ -52,12 +52,22 @@ object SparkEntry {
   private def neardupClustersTableName(dir: String): String =
     whName("dedup_nd", s"$dir|neardup|0.3|32|8|3")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark only reads via
-    * the nanosAsLong legacy conf — `ts` comes back as LongType epoch
-    * nanos; downstream math uses integer `div` (exact, no doubles). */
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) (testdata
+    * generations ≤ round 10) and as TIMESTAMP(MICROS) (current) —
+    * normalize to LongType epoch NANOS either way, so every downstream
+    * integer `div` (exact, no doubles) is physical-type-independent.
+    * NANOS only reads via the nanosAsLong legacy conf (already epoch
+    * nanos); MICROS arrives as TIMESTAMP_NTZ, which the UTC session
+    * cast turns into the same epoch the oracle's `epoch_us` sees. */
   private def eventsTbl(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -775,6 +785,43 @@ object SparkEntry {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Multi-format scan round-trip (§2.6 scans beyond parquet): the
+    // lineitem projection is written ONCE to the warehouse as CSV and
+    // as JSON (`_SUCCESS`-guarded, the build-once convention), read
+    // back through Spark's csv/json sources with an explicit schema,
+    // and aggregated to exact integers per format — the oracle
+    // computes the same aggregate straight from parquet, so any
+    // round-trip corruption in either format breaks the hash.
+    "q_multiformat_scan" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      def ensure(fmt: String)(write: String => Unit): String = {
+        val p = graft.ext.Warehouse.tablePath(s,
+          whName(s"multifmt_$fmt", s"$dir|$fmt|v1"))
+        // mode(overwrite) clears a partial previous write by itself
+        if (!java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          write(p.toString)
+        p.toString
+      }
+      val csvPath = ensure("csv")(p =>
+        li.write.mode("overwrite").option("header", "true").csv(p))
+      val jsonPath = ensure("json")(p => li.write.mode("overwrite").json(p))
+      val schema = "l_orderkey BIGINT, l_linenumber INT, " +
+        "l_returnflag STRING, l_quantity DOUBLE"
+      val csv = s.read.schema(schema).option("header", "true").csv(csvPath)
+      val json = s.read.schema(schema).json(jsonPath)
+      def aggOf(df: DataFrame, fmt: String): DataFrame = df
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_okey"),
+          // quantities are integral; the long cast keeps the sum exact
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(lit(fmt).as("fmt"), col("l_returnflag"), col("n_rows"),
+          col("sum_okey"), col("sum_qty"))
+      aggOf(csv, "csv").unionByName(aggOf(json, "json"))
+        .orderBy("fmt", "l_returnflag")
+    }),
+
     // Set operations: EXCEPT / INTERSECT with distinct semantics.
     "q_setop" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
@@ -1391,6 +1438,15 @@ object SparkEntry {
   /** Constant query for x_bm25_topk — high-df corpus words, so scores
     * exercise the tf/length normalization rather than rare-term idf. */
   private val Bm25Query = Seq("hash", "join", "vector")
+
+  /** Constant query set for x_ndcg — five 3-term queries over corpus
+    * vocabulary, shared verbatim with the oracle's VALUES table. */
+  private val NdcgQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "vector"),
+    2 -> Seq("table", "scan", "fast"),
+    3 -> Seq("merge", "sort", "batch"),
+    4 -> Seq("stream", "window", "agg"),
+    5 -> Seq("customer", "order", "part"))
 
   /** DuckDB replay of Corpus.splitAssign's label for the `doc_id` in
     * scope — shared by x_split_assign and x_split_leakage (the two
@@ -2179,6 +2235,66 @@ object SparkEntry {
       Dedup.winnowPairs(tbl(s, dir, "documents"), minShared = 2L)
         .orderBy("a", "b")),
 
+    // Content-defined chunking (FastCDC family over word tokens):
+    // md5-key boundary tokens, so an identical token run chunks
+    // identically at ANY offset — the shift-resistant segmentation
+    // fixed-stride chunking lacks. One codegen'd projection + one
+    // narrow Generate; the boundary family replays exactly in DuckDB.
+    "x_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(tbl(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // ... the cross-document duplicated-chunk report over the same
+    // chunking (≥4-token chunks in ≥2 docs — the boilerplate map).
+    "x_cdc_dups" -> ((s, dir) =>
+      Dedup.cdcDuplicateChunks(tbl(s, dir, "documents"))
+        .orderBy("chunk_text")),
+
+    // ... and duplicated-span scrubbing: every non-canonical occurrence
+    // of a cross-document duplicated chunk drops; the min-id holder
+    // keeps its copy (CCNet's duplicated-paragraph removal, for
+    // corpora without line structure).
+    "x_cdc_scrub" -> ((s, dir) =>
+      Dedup.cdcScrub(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // Multinomial Naive Bayes source classifier (the fastText-adjacent
+    // curation classifier): trained on the even-id half, every doc
+    // scored under every label on the 1e-9 grid — the argmax is
+    // decided by exact long compares, ties to the smallest label.
+    "x_nb_classify" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayes(d, d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // ... and its per-label confusion rollup (shared builder with
+    // x_nb_classify — the accuracy report cannot drift from the
+    // per-doc predictions).
+    "x_nb_accuracy" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayes(d, d.where(col("doc_id") % 2 === 0))
+        .groupBy("actual")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("correct").as("n_correct"))
+        .orderBy("actual")
+    }),
+
+    // Feature-hashing vectorizer summary — 64-bucket hashing-trick
+    // count vectors summarized (nnz, ‖v‖², max, argmax) in ONE fused
+    // projection; all-integer, so the whole row is oracle-exact.
+    "x_hash_features" -> ((s, dir) =>
+      TextStats.hashFeatures(tbl(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // nDCG@10 of BM25 retrieval against term-overlap relevance — the
+    // ranking-eval half of retrieval-based curation; per-position
+    // gains on the 1e-9 grid, both orderings deterministically
+    // tie-broken.
+    "x_ndcg" -> ((s, dir) =>
+      TextStats.ndcgAtK(tbl(s, dir, "documents"), NdcgQueries)
+        .orderBy("query_id")),
+
     // LSH bucket-occupancy histogram — the pre-flight report for the
     // round-11 bucket caps: how corpus mass distributes over band
     // buckets BEFORE paying the pair join (bucket_size → n_buckets).
@@ -2636,6 +2752,61 @@ object SparkEntry {
        |        FROM wins w JOIN cnts c USING (doc_id)
        |        WHERE w.pos <= greatest(c.n - 4, 0))""".stripMargin
   }
+
+  /** DuckDB replay of Dedup.cdcChunks at boundaryMod=8 — positional
+    * tokens, md5-prefix boundary keys, chunk id = running boundary
+    * count over STRICTLY PRIOR tokens (a boundary token closes the
+    * chunk it belongs to), chunks rebuilt in position order. Shared by
+    * x_cdc_chunks / x_cdc_dups / x_cdc_scrub so report and scrub
+    * cannot drift from the chunking. */
+  private def cdcCtes: String = {
+    val p = Dedup.MinhashPrime
+    s"""t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |tokp AS (SELECT doc_id, unnest(tk) AS w,
+       |                generate_subscripts(tk, 1) AS pos FROM t),
+       |bnd AS (SELECT doc_id, pos, w,
+       |          CASE WHEN (('0x' || substr(md5(w), 1, 15))::BIGINT % $p) % 8 = 0
+       |               THEN 1 ELSE 0 END AS b
+       |        FROM tokp),
+       |cs AS (SELECT doc_id, pos, w,
+       |          COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |        FROM bnd),
+       |ch AS (SELECT doc_id, CAST(cid AS INT) AS chunk_idx,
+       |          string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+       |          CAST(count(*) AS INT) AS n_chunk_tokens
+       |        FROM cs GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of TextStats.naiveBayes over the even-id train
+    * split — Laplace-smoothed multinomial likelihood + doc-count
+    * prior on the 1e-9 grid, argmax by (score desc, label asc).
+    * Shared by x_nb_classify and x_nb_accuracy. */
+  private def nbCtes: String =
+    s"""tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0),
+       |ttk AS (SELECT source AS lbl, unnest($toksSql) AS w FROM tr),
+       |cnt AS (SELECT lbl, w, CAST(count(*) AS BIGINT) AS c FROM ttk GROUP BY 1, 2),
+       |ls AS (SELECT lbl, CAST(count(*) AS BIGINT) AS t FROM ttk GROUP BY 1),
+       |ndl AS (SELECT source AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
+       |sv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ttk),
+       |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+       |pos AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |contrib AS (SELECT p.doc_id, l.lbl,
+       |    CAST(round(ln((COALESCE(c.c, 0) + 1) / CAST(l.t + sv.v AS DOUBLE))
+       |      * 1e9) AS BIGINT) AS l9
+       |  FROM pos p CROSS JOIN ls l CROSS JOIN sv
+       |  LEFT JOIN cnt c ON c.lbl = l.lbl AND c.w = p.w),
+       |scored AS (SELECT co.doc_id, co.lbl,
+       |    CAST(sum(co.l9) AS BIGINT)
+       |    + CAST(round(ln(ndl.nd / CAST(ntr.n AS DOUBLE)) * 1e9) AS BIGINT) AS sc9
+       |  FROM contrib co JOIN ndl ON ndl.lbl = co.lbl CROSS JOIN ntr
+       |  GROUP BY co.doc_id, co.lbl, ndl.nd, ntr.n),
+       |bestl AS (SELECT doc_id, lbl AS predicted, sc9 AS best_lp9,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sc9 DESC, lbl) AS rk
+       |  FROM scored),
+       |nb AS (SELECT d.doc_id, d.source AS actual, b.predicted, b.best_lp9,
+       |    CASE WHEN d.source = b.predicted THEN 1 ELSE 0 END AS correct
+       |  FROM bestl b JOIN documents d USING (doc_id) WHERE b.rk = 1)""".stripMargin
 
   /** DuckDB replay of Dedup.minhashLshPairs at the 32/8/3 defaults —
     * the x_minhash_pairs oracle, also embedded as the candidate set of
@@ -4189,6 +4360,118 @@ object SparkEntry {
          |           GROUP BY 1, 2)
          |SELECT a, b, n_shared FROM shared WHERE n_shared >= 2
          |ORDER BY a, b""".stripMargin,
+
+    "x_cdc_chunks" ->
+      s"""WITH $cdcCtes
+         |SELECT doc_id, chunk_idx, chunk_text, n_chunk_tokens
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x_cdc_dups" ->
+      s"""WITH $cdcCtes
+         |SELECT chunk_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       CAST(min(doc_id) AS BIGINT) AS min_doc
+         |FROM ch WHERE n_chunk_tokens >= 4
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_text""".stripMargin,
+
+    "x_cdc_scrub" ->
+      s"""WITH $cdcCtes,
+         |dup AS (SELECT chunk_text, min(doc_id) AS md
+         |        FROM ch WHERE n_chunk_tokens >= 4
+         |        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |j AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text,
+         |        CASE WHEN d.chunk_text IS NULL OR c.doc_id = d.md
+         |             THEN 1 ELSE 0 END AS keep
+         |      FROM ch c LEFT JOIN dup d USING (chunk_text))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(CASE WHEN keep = 1 THEN chunk_text END,
+         |         ' ' ORDER BY chunk_idx), '') AS clean_text
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "x_nb_classify" ->
+      s"""WITH $nbCtes
+         |SELECT doc_id, actual, predicted, best_lp9, correct
+         |FROM nb ORDER BY doc_id""".stripMargin,
+
+    "x_nb_accuracy" ->
+      s"""WITH $nbCtes
+         |SELECT actual, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(correct) AS BIGINT) AS n_correct
+         |FROM nb GROUP BY 1 ORDER BY actual""".stripMargin,
+
+    "x_hash_features" -> {
+      val p = Dedup.MinhashPrime
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+         |dimc AS (SELECT doc_id,
+         |    CAST((('0x' || substr(md5(w), 1, 15))::BIGINT % $p) % 64 AS INT) AS dim,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nnz,
+         |    CAST(sum(c * c) AS BIGINT) AS norm_sq, max(c) AS mx
+         |  FROM dimc GROUP BY 1),
+         |am AS (SELECT d.doc_id, min(d.dim) AS argmax_dim
+         |  FROM dimc d JOIN agg a ON d.doc_id = a.doc_id AND d.c = a.mx
+         |  GROUP BY 1)
+         |SELECT doc.doc_id, COALESCE(a.nnz, 0) AS nnz,
+         |       COALESCE(a.norm_sq, 0) AS norm_sq,
+         |       COALESCE(a.mx, 0) AS max_count,
+         |       COALESCE(am.argmax_dim, -1) AS argmax_dim
+         |FROM documents doc LEFT JOIN agg a USING (doc_id)
+         |LEFT JOIN am USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "x_ndcg" -> {
+      val vals = NdcgQueries
+        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      val allTerms = NdcgQueries.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val ln2 = d(math.log(2.0))
+      val k1 = 1.2
+      val b = 0.75
+      s"""WITH q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |       WHERE term IN ($allTerms) GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |pq AS (SELECT q.query_id, tf.doc_id,
+         |         CAST(sum(CAST(round(ln((n - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
+         |           * (tf * ${d(k1 + 1.0)}) / (tf + ${d(k1)} * (${d(1.0)} - ${d(b)}
+         |           + ${d(b)} * dl / avgdl)) * 1e9) AS BIGINT)) AS BIGINT) AS s9,
+         |         CAST(count(DISTINCT tf.term) AS BIGINT) AS rel
+         |       FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+         |       JOIN dl USING (doc_id) CROSS JOIN st
+         |       GROUP BY 1, 2),
+         |dr AS (SELECT query_id, rel, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk FROM pq),
+         |ir AS (SELECT query_id, rel, row_number() OVER (
+         |         PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk FROM pq),
+         |dg AS (SELECT query_id, CAST(sum(CAST(round(rel / (ln(rk + ${d(1.0)})
+         |         / $ln2) * 1e9) AS BIGINT)) AS BIGINT) AS dcg_u9
+         |       FROM dr WHERE rk <= 10 GROUP BY 1),
+         |ig AS (SELECT query_id, CAST(sum(CAST(round(rel / (ln(rk + ${d(1.0)})
+         |         / $ln2) * 1e9) AS BIGINT)) AS BIGINT) AS idcg_u9
+         |       FROM ir WHERE rk <= 10 GROUP BY 1)
+         |SELECT query_id, dcg_u9, idcg_u9,
+         |       dcg_u9 / CAST(idcg_u9 AS DOUBLE) AS ndcg
+         |FROM dg JOIN ig USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    "q_multiformat_scan" ->
+      s"""WITH a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         |        CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |      FROM lineitem GROUP BY 1)
+         |SELECT 'csv' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
+         |UNION ALL
+         |SELECT 'json' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
+         |ORDER BY fmt, l_returnflag""".stripMargin,
 
     // bucket-size histogram over the SAME band/bucket construction as
     // x_minhash_pairs (shared minhashBandsCtes)

@@ -531,16 +531,32 @@ object Dedup {
    * yields the min over what exists (both engines' bounded window
    * frames agree on this).
    *
-   * Shape at scale: narrow positional gram Generate, ONE per-document
-   * sliding-window min (hash-partitioned by id — parallel across
-   * documents), distinct on (id, 8-byte fp). Linear in total tokens;
-   * no pair term, no corpus-wide state.
+   * Shape at scale: ONE codegen'd projection — the fused kernel
+   * ([[graft.plans.Native.winnowFps]]) hashes the positional grams and
+   * selects each document's distinct window minima in a single pass,
+   * so NOTHING shuffles here at all (the previous formulation paid a
+   * positional-gram Generate plus a per-document window sort for
+   * per-row-local math; [[winnowFingerprintsWindowed]] keeps it as the
+   * spec-pinned reference). Linear in total tokens; no pair term, no
+   * corpus-wide state.
    */
   def winnowFingerprints(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", gramN: Int = 3,
       window: Int = 4): DataFrame = {
     require(gramN > 0, "gramN must be positive")
     require(window > 0, "window must be positive")
+    docs.select(col(idCol), explode(graft.plans.NativeFunctions
+      .winnowFps(col(textCol), gramN, window)).as("fp"))
+  }
+
+  /** The positional-gram + per-document sliding-window-min Column
+    * formulation [[winnowFingerprints]]'s fused kernel replaced —
+    * kept as the equivalence reference (DedupSpec pins kernel ≡
+    * windowed on every document shape, including sub-gram and empty
+    * documents). */
+  private[graft] def winnowFingerprintsWindowed(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", gramN: Int = 3,
+      window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hashed = positionalGramRows(docs, idCol, textCol, gramN)
       .select(col(idCol), col("pos"), md5Key(col("__g")).as("__h"))
@@ -573,6 +589,94 @@ object Dedup {
     l.join(r, "fp").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /**
+   * Content-defined chunking (the FastCDC/rsync family over word
+   * tokens): one row per chunk `(idCol, chunk_idx, chunk_text,
+   * n_chunk_tokens)`. A token closes a chunk when its 60-bit
+   * md5-prefix key ≡ 0 mod `boundaryMod` (expected chunk ≈
+   * `boundaryMod` tokens); the trailing partial chunk closes at
+   * document end; token-less documents contribute no rows.
+   *
+   * Why CDC and not fixed-stride segments: boundaries depend only on
+   * token CONTENT, so an identical token run chunks identically at any
+   * offset in any document — a duplicated span ≳2·boundaryMod tokens
+   * is guaranteed to contain a full shared chunk no matter how the
+   * surrounding text shifts it. Fixed segmentation ([[Corpus]]'
+   * `chunkDocs` at stride = chunk) loses every misaligned duplicate.
+   *
+   * Shape at scale: the chunking itself is a codegen'd projection
+   * ([[graft.plans.Native.cdcChunks]]) plus one narrow Generate — no
+   * shuffle, no corpus state; the downstream dup report groups by the
+   * chunk digest, the same narrow-key aggregate as [[exactByDigest]].
+   */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryMod: Int = 8): DataFrame =
+    docs.select(col(idCol), posexplode(graft.plans.NativeFunctions
+        .cdcChunks(col(textCol), boundaryMod)).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+
+  /**
+   * Cross-document duplicated-chunk report over [[cdcChunks]]: chunks
+   * of at least `minTokens` tokens appearing in at least `minDocs`
+   * distinct documents, with occurrence counts and the minimum holding
+   * id. `minTokens` (default 4) gates out the stopword-sized chunks
+   * that are trivially shared — the CDC analogue of a minimum chunk
+   * size in FastCDC. The aggregation keys the chunk STRING here so the
+   * report carries it; at 100 TB key `xxhash64(chunk_text)` and join
+   * the text back for the survivors only.
+   */
+  def cdcDuplicateChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryMod: Int = 8, minTokens: Int = 4,
+      minDocs: Int = 2): DataFrame =
+    cdcChunks(docs, idCol, textCol, boundaryMod)
+      .where(col("n_chunk_tokens") >= minTokens)
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col(idCol)).as("min_doc"))
+      .where(col("n_docs") >= minDocs)
+
+  /**
+   * Duplicated-span scrubbing via CDC — the paragraph/line-dedup shape
+   * (CCNet's duplicated-paragraph removal) for corpora without line
+   * structure: rebuild each document keeping a chunk occurrence iff
+   * its chunk is NOT cross-document duplicated (per
+   * [[cdcDuplicateChunks]] at `minTokens`/`minDocs`) OR this document
+   * is the minimum id holding it (the canonical copy survives, every
+   * other occurrence is boilerplate and drops). Returns `(idCol,
+   * n_chunks, n_dropped, clean_text)`; token-less documents have no
+   * chunks and are absent, like the LM scorers' under-length rule.
+   *
+   * Shape at scale: chunk projection (no shuffle) → narrow dup-side
+   * aggregate → one equi-join back on the chunk key → per-document
+   * rebuild. The rebuild's collect_list is per-document and bounded by
+   * document length — the same per-group bound as every windowed
+   * rebuild in [[Corpus]].
+   */
+  def cdcScrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", boundaryMod: Int = 8, minTokens: Int = 4,
+      minDocs: Int = 2): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, boundaryMod)
+      .localCheckpoint() // feeds the dup aggregate and the rebuild once
+    val dups = chunks
+      .where(col("n_chunk_tokens") >= minTokens)
+      .groupBy(col("chunk_text"))
+      .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__md"))
+      .where(col("__nd") >= minDocs)
+    val keep = col("__nd").isNull || (col(idCol) === col("__md"))
+    chunks.join(dups, Seq("chunk_text"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the nulls the when() leaves on dropped
+        // occurrences; sort_array restores chunk order (per-document,
+        // bounded by document length)
+        array_join(transform(
+          sort_array(collect_list(when(keep,
+            struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
   }
 
   /**

@@ -735,6 +735,164 @@ object TextStats {
   }
 
   /**
+   * Multinomial Naive Bayes text classifier — the fastText-adjacent
+   * linear quality/domain classifier every production curation stack
+   * carries (CCNet's lang filter, GPT-3's WebText-vs-CommonCrawl
+   * quality model are this shape): train per-label token counts on
+   * `train`, score every document of `docs` under every label,
+   *
+   *   score(L) = ln(docs_L / docs_train)
+   *            + Σ_tokens ln((c(L, w) + 1) / (T_L + V))
+   *
+   * (Laplace-smoothed multinomial likelihood + doc-count prior), and
+   * predict the argmax with ties broken to the lexicographically
+   * smallest label. Every term snaps to the 1e-9 integer grid BEFORE
+   * its per-(doc, label) sum ([[unigramLogProb]]'s trick), so the
+   * winning label is decided by exact long comparisons and replays
+   * bit-identically in the oracle. Token-less documents have no
+   * likelihood positions and are absent ([[bigramLogProb]]'s
+   * under-length rule). Returns `(idCol, actual, predicted, best_lp9,
+   * correct)` with `correct` 0/1.
+   *
+   * Shape at scale: train counts aggregate map-side on (label, hashed
+   * token) — 8-byte keys, no string crosses a shuffle; the per-label
+   * stats (|labels| rows) and the (V, N) scalar broadcast; scoring is
+   * the position frame × |labels| fan-out joined against the count
+   * table, then two narrow aggregates. Linear in tokens × labels.
+   */
+  def naiveBayes(docs: DataFrame, train: DataFrame,
+      labelCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val trainToks = train
+      .select(col(labelCol).as("__lbl"), explode(tokens(col(textCol))).as("__w"))
+      .select(col("__lbl"), xxhash64(col("__w")).as("__kw"))
+    val counts = trainToks.groupBy("__lbl", "__kw").agg(count(lit(1)).as("__c"))
+    val labelStats = trainToks.groupBy("__lbl").agg(count(lit(1)).as("__t"))
+      .join(train.groupBy(col(labelCol).as("__lbl"))
+        .agg(count(lit(1)).as("__nd")), Seq("__lbl"))
+    val scalars = trainToks.agg(countDistinct("__kw").as("__v"))
+      .crossJoin(train.agg(count(lit(1)).as("__ntr")))
+    val positions = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__kw"))
+    val lik9 = round(log((coalesce(col("__c"), lit(0L)) + lit(1L)) /
+      (col("__t") + col("__v"))) * lit(1e9)).cast("long")
+    val prior9 = round(log(col("__nd") / col("__ntr")) * lit(1e9)).cast("long")
+    val scored = positions
+      .crossJoin(broadcast(labelStats.select("__lbl", "__t")))
+      .join(counts, Seq("__lbl", "__kw"), "left")
+      .crossJoin(broadcast(scalars))
+      .select(col(idCol), col("__lbl"), lik9.as("__l9"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum("__l9").as("__s9"))
+      .join(broadcast(labelStats.select("__lbl", "__nd")), Seq("__lbl"))
+      .crossJoin(broadcast(scalars.select("__ntr")))
+      .select(col(idCol), col("__lbl"), (col("__s9") + prior9).as("__sc9"))
+    // argmax via min(struct(-score, label)): largest score, then the
+    // lexicographically smallest label on exact-long ties
+    scored
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__sc9")).as("__neg"), col("__lbl"))).as("__best"))
+      .select(col(idCol), col("__best.__lbl").as("predicted"),
+        (-col("__best.__neg")).as("best_lp9"))
+      .join(docs.select(col(idCol), col(labelCol).as("actual")), Seq(idCol))
+      .select(col(idCol), col("actual"), col("predicted"), col("best_lp9"),
+        when(col("actual") === col("predicted"), 1).otherwise(0).as("correct"))
+  }
+
+  /**
+   * Feature-hashing (hashing-trick) vectorizer summary — the input
+   * side of every linear text model at scale (Weinberger et al.;
+   * fastText's bucket hashing): tokens hash into `dims` buckets via
+   * the md5-prefix key family, and each document reports its count
+   * vector's (nnz, ‖v‖², max_count, argmax_dim) — all integers, so
+   * the whole row replays exactly in the oracle. One codegen'd
+   * projection ([[graft.plans.Native.hashFeatureStats]]): the vector
+   * never materializes, nothing shuffles, and the same kernel scores
+   * a stream unchanged (the [[graft.plans.Native.dsirScore]] posture).
+   */
+  def hashFeatures(docs: DataFrame, dims: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.plans.NativeFunctions.hashFeatureStats(col(textCol), dims).as("__hf"))
+      .select(col(idCol), col("__hf.nnz").as("nnz"),
+        col("__hf.norm_sq").as("norm_sq"),
+        col("__hf.max_count").as("max_count"),
+        col("__hf.argmax_dim").as("argmax_dim"))
+
+  /**
+   * nDCG@k ranking evaluation of BM25 retrieval — the eval half of the
+   * retrieval-based curation loop ([[bm25TopK]] is the serving half):
+   * for each query, rank documents by the BM25 score ([[bm25TopK]]'s
+   * exact grid arithmetic; ties by id), grade relevance as the number
+   * of DISTINCT query terms the document contains, and report
+   *
+   *   DCG@k  = Σ_{i≤k} round(rel_i / log2(i+1) · 1e9)   (BM25 order)
+   *   IDCG@k = the same sum in ideal (relevance-descending) order
+   *   nDCG@k = DCG/IDCG
+   *
+   * Per-position gains snap to the 1e-9 grid before the sum, and both
+   * orderings break ties deterministically (score desc then id; rel
+   * desc then id), so both engines sum the identical gain multiset.
+   * Only documents matching ≥1 query term participate (rel-0 rows add
+   * nothing to either sum).
+   *
+   * Shape at scale: one token explode filtered to the query-term set
+   * (tiny), per-(query, doc) tf/rel aggregates, the df/length stats
+   * broadcast, and two per-query top-k windows over candidate docs —
+   * partitioned by query, never a global sort.
+   */
+  def ndcgAtK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = tokens(col(textCol))
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum("__dl") / count(lit(1))).as("__avgdl"))
+    val tf = docs.select(col(idCol), explode(toks).as("term"))
+      .where(col("term").isInCollection(allTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val denom = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))
+    val contribU9 = round(idf * (col("tf") * lit(k1 + 1.0)) / denom * lit(1e9))
+      .cast("long")
+    val perQueryDoc = tf
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col(idCol), col("term"), contribU9.as("__u9"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum("__u9").as("__score9"), countDistinct("term").as("__rel"))
+    val wBm = Window.partitionBy("query_id")
+      .orderBy(col("__score9").desc, col(idCol))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("__rel").desc, col(idCol))
+    def gain9(rank: Column): Column =
+      round(col("__rel") / (log(rank + lit(1.0)) / lit(math.log(2.0))) * lit(1e9))
+        .cast("long")
+    val dcg = perQueryDoc.withColumn("__rk", row_number().over(wBm))
+      .where(col("__rk") <= k)
+      .groupBy("query_id").agg(sum(gain9(col("__rk"))).as("dcg_u9"))
+    val idcg = perQueryDoc.withColumn("__rk", row_number().over(wIdeal))
+      .where(col("__rk") <= k)
+      .groupBy("query_id").agg(sum(gain9(col("__rk"))).as("idcg_u9"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg_u9"), col("idcg_u9"),
+        (col("dcg_u9").cast("double") / col("idcg_u9")).as("ndcg"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document under the
    * [[bigramLogProb]] LM (trained on `train`), then split each
    * `partitionCol` stratum into `nBuckets` equal-frequency buckets by

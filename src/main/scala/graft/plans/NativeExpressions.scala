@@ -587,6 +587,147 @@ object Native {
     }
     acc
   }
+
+  /** 60-bit md5-prefix key of `s` in [0, p) — the [[graft.ext.Dedup.md5Key]]
+    * family (`('0x' || substr(md5(s),1,15))::BIGINT % p` in the oracle),
+    * shared by every kernel whose selection must replay in DuckDB. */
+  private def md5PrefixKey(md: java.security.MessageDigest, s: String): Long = {
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 0
+    while (i < 7) { x = (x << 8) | (dig(i) & 0xffL); i += 1 }
+    ((x << 4) | ((dig(7) & 0xffL) >>> 4)) % MinhashPrime
+  }
+
+  /**
+   * Fused winnowing fingerprint selection (Schleimer et al.'s MOSS
+   * scheme), bit-identical to the positional-gram + per-document
+   * sliding-window-min Column formulation it replaces
+   * ([[graft.ext.Dedup.winnowFingerprintsWindowed]]): lowercase
+   * whitespace tokens, word `n`-grams (documents shorter than `n`
+   * contribute their whole token sequence — including the empty
+   * document's "" gram), 60-bit md5-prefix keys mod p, minimum over
+   * each window of `window` consecutive gram hashes, one fingerprint
+   * per FULL window (a document with fewer grams than `window` keeps
+   * its single all-grams minimum), distinct.
+   *
+   * The Column formulation paid a positional-gram Generate plus a
+   * per-document window sort — a full (id, pos, hash) shuffle for what
+   * is per-row-local math. This kernel selects the identical
+   * fingerprint set in one codegen'd projection: the only shuffle left
+   * in a winnowing query is whatever its CONSUMER does with the
+   * fingerprints.
+   */
+  def winnowFps(text: UTF8String, n: Int, window: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = Md5Local.get()
+    val m = if (toks.length < n) 1 else toks.length - n + 1
+    val hs = new Array[Long](m)
+    if (toks.length < n) hs(0) = md5PrefixKey(md, toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder
+      var start = 0
+      while (start < m) {
+        sb.setLength(0)
+        var j = start
+        while (j < start + n) {
+          if (j > start) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        hs(start) = md5PrefixKey(md, sb.toString)
+        start += 1
+      }
+    }
+    val set = new java.util.LinkedHashSet[java.lang.Long]()
+    val last = math.max(m - window, 0)
+    var pos = 0
+    while (pos <= last) {
+      var mn = Long.MaxValue
+      var j = pos
+      val end = math.min(pos + window, m)
+      while (j < end) { if (hs(j) < mn) mn = hs(j); j += 1 }
+      set.add(mn)
+      pos += 1
+    }
+    val out = new Array[Long](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Content-defined chunking (the FastCDC/rsync family, over word
+   * tokens): a token CLOSES a chunk when its 60-bit md5-prefix key is
+   * ≡ 0 mod `boundaryMod`; the final partial chunk closes at document
+   * end. Because boundaries depend only on token content, an identical
+   * run of tokens chunks identically at ANY offset in any document —
+   * the shift-resistance fixed-stride segmentation lacks, and the
+   * reason storage dedup uses CDC. Expected chunk length ≈
+   * `boundaryMod` tokens. Token-less documents return no chunks.
+   *
+   * One pass, no explode until the caller explodes chunk rows; the
+   * boundary family is md5 so the chunking replays exactly in DuckDB.
+   */
+  def cdcChunks(text: UTF8String, boundaryMod: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = Md5Local.get()
+    val chunks = new java.util.ArrayList[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < toks.length) {
+      if (sb.length() > 0) sb.append(' ')
+      sb.append(toks(i))
+      if (md5PrefixKey(md, toks(i)) % boundaryMod == 0L) {
+        chunks.add(UTF8String.fromString(sb.toString))
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length() > 0) chunks.add(UTF8String.fromString(sb.toString))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunks.toArray(new Array[AnyRef](chunks.size())))
+  }
+
+  /**
+   * Feature-hashing (hashing-trick) vectorizer statistics: tokens hash
+   * into `dims` buckets via the 60-bit md5-prefix key mod `dims`, and
+   * the per-document count vector is summarized in the same pass —
+   * (nnz, ‖v‖² as an exact integer, max count, argmax dim with
+   * min-dim tie-break). The summary stays all-integer so it replays
+   * exactly in the oracle; token-less documents return (0, 0, 0, -1).
+   *
+   * This is the stateless projection shape of [[dsirScore]]: the full
+   * hashed vector never materializes, no explode, no shuffle — the
+   * kernel is usable unchanged at ingest on a stream.
+   */
+  def hashFeatureStats(text: UTF8String, dims: Int): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = Md5Local.get()
+    val counts = new Array[Long](dims)
+    var i = 0
+    while (i < toks.length) {
+      counts((md5PrefixKey(md, toks(i)) % dims).toInt) += 1L
+      i += 1
+    }
+    var nnz = 0L
+    var normSq = 0L
+    var maxCount = 0L
+    var argmax = -1
+    var d = 0
+    while (d < dims) {
+      val c = counts(d)
+      if (c > 0L) {
+        nnz += 1L
+        normSq += c * c
+        if (c > maxCount) { maxCount = c; argmax = d }
+      }
+      d += 1
+    }
+    new GenericInternalRow(Array[Any](nnz, normSq, maxCount, argmax))
+  }
 }
 
 /** simhash(array<string>) → long. */
@@ -659,6 +800,61 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.Native.rollingHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** winnow_fps(string, n, window) → array<long> (distinct kept
+  * fingerprints, first-kept order — md5 family, oracle-replayable). */
+case class WinnowFpsExpr(child: Expression, n: Int, window: Int)
+    extends UnaryExpression {
+  require(n > 0 && window > 0, "n and window must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.winnowFps(input.asInstanceOf[UTF8String], n, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.winnowFps($c, $n, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+/** cdc_chunks(string, boundaryMod) → array<string> (content-defined
+  * chunks in document order — md5 boundary family, oracle-replayable). */
+case class CdcChunksExpr(child: Expression, boundaryMod: Int)
+    extends UnaryExpression {
+  require(boundaryMod > 0, "boundaryMod must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.cdcChunks(input.asInstanceOf[UTF8String], boundaryMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.cdcChunks($c, $boundaryMod)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
+/** hash_feature_stats(string, dims) →
+  * struct(nnz, norm_sq, max_count, argmax_dim). */
+case class HashFeatureStatsExpr(child: Expression, dims: Int)
+    extends UnaryExpression {
+  require(dims > 0, "dims must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("nnz", LongType, nullable = false),
+    StructField("norm_sq", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("argmax_dim", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.hashFeatureStats(input.asInstanceOf[UTF8String], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.hashFeatureStats($c, $dims)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashFeatureStatsExpr =
     copy(child = newChild)
 }
 
@@ -929,4 +1125,13 @@ object NativeFunctions {
       contribs: Seq[Long], miss: Seq[Long]): Column =
     ColumnBridge.column(LangIdScoreExpr(ColumnBridge.expression(text),
       langs, keys, contribs, miss))
+
+  def winnowFps(text: Column, n: Int, window: Int): Column =
+    ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(text), n, window))
+
+  def cdcChunks(text: Column, boundaryMod: Int): Column =
+    ColumnBridge.column(CdcChunksExpr(ColumnBridge.expression(text), boundaryMod))
+
+  def hashFeatureStats(text: Column, dims: Int): Column =
+    ColumnBridge.column(HashFeatureStatsExpr(ColumnBridge.expression(text), dims))
 }

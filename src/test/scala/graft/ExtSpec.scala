@@ -1839,4 +1839,147 @@ class ExtSpec extends SparkSpec {
     out(2)._2 shouldBe empty     // no tokens at all
     out(3)._2 shouldBe Seq("x y") // multi-space collapses via tokenizer
   }
+
+  /** Test-side replica of the engine's 60-bit md5-prefix key (the
+    * [[Dedup.md5Key]] family) for constructing deterministic CDC
+    * boundary/non-boundary words. */
+  private def md5KeyOf(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    for (i <- 0 until 7) x = (x << 8) | (dig(i) & 0xffL)
+    ((x << 4) | ((dig(7) & 0xffL) >>> 4)) % 2147483647L
+  }
+
+  test("winnow kernel ≡ windowed Column formulation on every document shape") {
+    // empty, whitespace-only, sub-gram, gram==window boundary, unicode
+    // case, long, and exact-duplicate documents — the full edge grid
+    val edge = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, ""), (4L, "   "), (5L, "one two"), (6L, "a b c"),
+      (7L, "a b c d e f"), (8L, "ÄBC Def GHI jkl MNO pqr stu vwx")
+    ).toDF("doc_id", "text")
+    val kern = Dedup.winnowFingerprints(edge).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wind = Dedup.winnowFingerprintsWindowed(edge).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    kern shouldBe wind
+    // and the kernel path emits no duplicate (id, fp) rows — per-doc
+    // distinctness is built into the selection, so no shuffle is needed
+    Dedup.winnowFingerprints(edge).count() shouldBe kern.size
+  }
+
+  test("cdc chunking: lossless reconstruction, shift-resistant dups, canonical-copy scrub") {
+    // construct a span guaranteed to contain a full interior chunk:
+    // boundary word b1 closes the preceding chunk wherever it sits, so
+    // the chunk (n1 .. n5 b2) is emitted identically at ANY offset
+    val pool = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "red blue green yellow purple orange silver golden").split(" ").toSeq
+    val bounds = pool.filter(w => md5KeyOf(w) % 8 == 0)
+    val plains = pool.filter(w => md5KeyOf(w) % 8 != 0)
+    assert(bounds.size >= 2 && plains.size >= 9, s"pool too small: $bounds")
+    val b1 = bounds(0); val b2 = bounds(1)
+    val span = s"$b1 ${plains.take(5).mkString(" ")} $b2"
+    val sharedChunk = s"${plains.take(5).mkString(" ")} $b2" // 6 tokens ≥ 4
+    val docs = Seq(
+      (0L, s"${plains(5)} ${plains(6)} $span ${plains(7)}"),
+      (1L, s"$span ${plains(8)} ${plains(5)}"),
+      (2L, s"${plains(6)} ${plains(7)} ${plains(8)}"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // reconstruction: chunks in order rebuild the normalized text
+    val rebuilt = chunks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    rebuilt(0L) shouldBe s"${plains(5)} ${plains(6)} $span ${plains(7)}"
+    rebuilt(2L) shouldBe s"${plains(6)} ${plains(7)} ${plains(8)}"
+    chunks.filter(_._1 == 3L) shouldBe empty // token-less: no chunks
+    // n_chunk_tokens is the real token count
+    chunks.foreach { case (_, _, t, n) => n shouldBe t.split(" ").length }
+    // shift-resistance: the interior chunk appears verbatim in BOTH docs
+    // despite different offsets and surroundings
+    val dupRows = Dedup.cdcDuplicateChunks(docs).collect()
+    val shared = dupRows.find(_.getAs[String]("chunk_text") == sharedChunk)
+    shared should not be empty
+    shared.get.getAs[Long]("n_docs") shouldBe 2L
+    shared.get.getAs[Long]("min_doc") shouldBe 0L
+    // scrub: doc 0 (canonical, min id) keeps the chunk; doc 1 drops it;
+    // untouched docs rebuild to their normalized text with 0 drops
+    val scrub = Dedup.cdcScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    scrub(0L)._2 shouldBe 0L
+    scrub(0L)._3 should include(sharedChunk)
+    scrub(1L)._2 should be >= 1L
+    scrub(1L)._3 should not include sharedChunk
+    scrub(2L) shouldBe ((1L, 0L, rebuilt(2L)))
+    scrub.contains(3L) shouldBe false
+  }
+
+  test("naive bayes: separable labels recovered on held-out docs; unseen-vocab tie → smallest label") {
+    val docs = Seq(
+      (0L, "apple banana cherry apple", "fruit"),
+      (2L, "apple cherry banana banana", "fruit"),
+      (4L, "dog cat wolf dog", "animal"),
+      (6L, "cat cat wolf dog", "animal"),
+      (1L, "apple apple banana cherry", "fruit"),
+      (3L, "wolf dog cat cat", "animal"),
+      // unseen vocabulary, equal token totals and priors per label:
+      // exact score tie → lexicographically smallest label wins
+      (9L, "zzz yyy xxx", "fruit")
+    ).toDF("doc_id", "text", "source")
+    val out = TextStats.naiveBayes(docs, docs.where($"doc_id" % 2 === 0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("predicted"), r.getAs[Int]("correct")))).toMap
+    Seq(0L, 1L, 2L).foreach(id => out(id)._1 shouldBe "fruit")
+    Seq(3L, 4L, 6L).foreach(id => out(id)._1 shouldBe "animal")
+    Seq(0L, 1L, 2L, 3L, 4L, 6L).foreach(id => out(id)._2 shouldBe 1)
+    out(9L)._1 shouldBe "animal" // tie-break, not a likelihood win
+  }
+
+  test("hash features: summary matches a brute-force vector; token-less row is (0,0,0,-1)") {
+    val texts = Seq((0L, "the quick brown fox the quick"), (1L, ""),
+      (2L, "a b c a b a"))
+    val out = TextStats.hashFeatures(texts.toDF("doc_id", "text"), dims = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val v = new Array[Long](16)
+      toks.foreach(t => v((md5KeyOf(t) % 16).toInt) += 1)
+      val nnz = v.count(_ > 0).toLong
+      val normSq = v.map(c => c * c).sum
+      val mx = if (v.isEmpty) 0L else v.max
+      val am = if (mx == 0L) -1 else v.indexOf(mx)
+      out(id) shouldBe ((nnz, normSq, mx, am))
+    }
+    out(1L) shouldBe ((0L, 0L, 0L, -1))
+  }
+
+  test("ndcg: uniform relevance scores 1.0; mixed relevance bounded by (0, 1]") {
+    // every candidate has rel=1 (each doc contains exactly one query
+    // term) ⇒ any ranking is ideal ⇒ nDCG = 1 exactly
+    val uni = Seq((0L, "apple x"), (1L, "apple y"), (2L, "none here"))
+      .toDF("doc_id", "text")
+    val u = TextStats.ndcgAtK(uni, Seq(1 -> Seq("apple", "zebra")), k = 10)
+      .collect()
+    u.length shouldBe 1
+    u.head.getAs[Double]("ndcg") shouldBe 1.0
+    u.head.getAs[Long]("dcg_u9") shouldBe u.head.getAs[Long]("idcg_u9")
+    // mixed relevance: nDCG stays in (0, 1] and DCG ≤ IDCG
+    val mix = Seq(
+      (0L, "apple banana cherry"), (1L, "apple banana x"),
+      (2L, "apple x y z w q r s t u v"), (3L, "banana cherry x"),
+      (4L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val m = TextStats.ndcgAtK(mix,
+      Seq(1 -> Seq("apple", "banana", "cherry")), k = 3).collect().head
+    m.getAs[Long]("dcg_u9") should be <= m.getAs[Long]("idcg_u9")
+    val nd = m.getAs[Double]("ndcg")
+    nd should be > 0.0
+    nd should be <= 1.0
+  }
 }
