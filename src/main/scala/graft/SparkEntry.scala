@@ -2262,9 +2262,12 @@ object SparkEntry {
     // curation classifier): trained on the even-id half, every doc
     // scored under every label on the 1e-9 grid — the argmax is
     // decided by exact long compares, ties to the smallest label.
+    // Served by the fused lookup kernel (train once per call, scoring
+    // is a single projection — the scoreLangIdFused posture; ExtSpec
+    // pins kernel ≡ DataFrame formulation).
     "x_nb_classify" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      TextStats.naiveBayes(d, d.where(col("doc_id") % 2 === 0))
+      TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
 
@@ -2273,7 +2276,7 @@ object SparkEntry {
     // per-doc predictions).
     "x_nb_accuracy" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      TextStats.naiveBayes(d, d.where(col("doc_id") % 2 === 0))
+      TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0))
         .groupBy("actual")
         .agg(count(lit(1)).as("n_docs"),
           sum("correct").as("n_correct"))

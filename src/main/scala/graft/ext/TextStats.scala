@@ -801,6 +801,78 @@ object TextStats {
   }
 
   /**
+   * Serving-side Naive Bayes — [[naiveBayes]]'s semantics as ONE fused
+   * projection (the `scoreLangIdFused` posture): the training half
+   * aggregates per-(token, label) counts once, folds every profiled
+   * token's per-label 1e-9-grid contribution into a sorted key table
+   * (computed BY Spark expressions, so the grid math cannot drift from
+   * the DataFrame formulation), and scoring + argmax run inside
+   * [[graft.plans.Native.nbPredict]] — no position explode, no
+   * |labels|-way fan-out join, no scoring shuffle at all. The collect
+   * is bounded by train vocabulary × |labels| (the langid-profile
+   * bound); the scored side is a stateless projection usable on a
+   * stream unchanged.
+   *
+   * Key family is the md5-prefix 60-bit key rather than
+   * [[naiveBayes]]'s xxhash64 — same 2^-64-collision equivalence class
+   * (the oracle joins the token strings themselves); ExtSpec pins
+   * fused ≡ DataFrame on constructed corpora including exact ties.
+   */
+  def naiveBayesFused(docs: DataFrame, train: DataFrame,
+      labelCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // one job for labels + doc priors (ntr = Σ per-label doc counts)
+    val ndRow = train.groupBy(col(labelCol).cast("string").as("__lbl"))
+      .agg(count(lit(1)).as("__nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(ndRow.nonEmpty, "train must hold at least one label")
+    val labels = ndRow.keys.toSeq.sorted
+    val ntr = ndRow.values.sum
+    // ONE token explode feeds the one (vocab × labels) pivot; token
+    // totals and the vocabulary size both roll up from the pivot, so
+    // training costs exactly two aggregation jobs, not five
+    val prof = train
+      .select(col(labelCol).as("__lbl"), explode(tokens(col(textCol))).as("__w"))
+      .select(col("__lbl"), Dedup.md5Key(col("__w")).as("__kw"))
+      .groupBy("__kw").pivot("__lbl", labels).count()
+      .localCheckpoint()
+    val totRow = prof.agg(
+      coalesce(sum(col(s"`${labels.head}`")), lit(0L)).as("t0"),
+      labels.tail.map(l => coalesce(sum(col(s"`$l`")), lit(0L)).as(s"t_$l")) :+
+        count(lit(1)).as("__v"): _*).collect()(0)
+    val tOf = labels.indices.map(i => labels(i) -> totRow.getLong(i)).toMap
+    val v = totRow.getLong(labels.length)
+    // per-label contribution of a count column c: the EXACT expression
+    // of [[naiveBayes]]'s lik9, evaluated by Spark so rounding agrees
+    def contribCols = labels.map { l =>
+      round(log((coalesce(col(s"`$l`"), lit(0L)) + lit(1L)) /
+        (lit(tOf(l)) + lit(v))) * lit(1e9)).cast("long").as(s"__lp_$l")
+    }
+    val rows = prof.select(col("__kw") +: contribCols: _*)
+      .collect().sortBy(_.getLong(0))
+    val keys = rows.map(_.getLong(0)).toSeq
+    val contribs = rows.flatMap(r => labels.indices.map(i => r.getLong(i + 1))).toSeq
+    val missRow = spark.range(1)
+      .select(labels.map(l => lit(null).cast("long").as(l)): _*)
+      .select(contribCols: _*).collect()(0)
+    val miss = labels.indices.map(missRow.getLong(_))
+    val priorRow = spark.range(1).select(labels.map(l =>
+      round(log(lit(ndRow(l)) / lit(ntr)) * lit(1e9)).cast("long").as(l)): _*)
+      .collect()(0)
+    val prior = labels.indices.map(priorRow.getLong(_))
+    val st = graft.plans.NativeFunctions.nbPredict(col(textCol),
+      keys, contribs, miss, prior)
+    docs.select(col(idCol), col(labelCol).as("actual"), st.as("__p"))
+      .where(col("__p.n_tokens") > 0)
+      .select(col(idCol), col("actual"),
+        element_at(typedlit(labels), col("__p.best_idx") + lit(1)).as("predicted"),
+        col("__p.best_lp9").as("best_lp9"))
+      .withColumn("correct",
+        when(col("actual") === col("predicted"), 1).otherwise(0))
+  }
+
+  /**
    * Feature-hashing (hashing-trick) vectorizer summary — the input
    * side of every linear text model at scale (Weinberger et al.;
    * fastText's bucket hashing): tokens hash into `dims` buckets via

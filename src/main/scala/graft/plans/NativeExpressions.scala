@@ -692,6 +692,47 @@ object Native {
   }
 
   /**
+   * Fused Naive Bayes prediction — the serving-side twin of
+   * [[langIdScore]] over WORD tokens: every profiled token's
+   * per-label 1e-9-grid log-likelihood contribution is precomputed
+   * (in Spark, from the training counts — see
+   * `TextStats.naiveBayesFused`) into a sorted md5-prefix key table +
+   * flattened per-label longs; unprofiled tokens take the shared
+   * `miss` row (the Laplace unseen-token term). Scores start from the
+   * per-label `prior` row, and the argmax resolves INSIDE the kernel:
+   * ascending scan with strict `>`, so ties keep the earliest — i.e.
+   * lexicographically smallest — label (labels arrive sorted).
+   * Returns (n_tokens, best_idx, best_lp9); the caller filters
+   * token-less documents (n_tokens = 0), which have no likelihood
+   * positions.
+   */
+  def nbPredict(text: UTF8String, keys: Array[Long], contribs: Array[Long],
+      miss: Array[Long], prior: Array[Long]): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val nL = miss.length
+    val sums = prior.clone()
+    val md = Md5Local.get()
+    var i = 0
+    while (i < toks.length) {
+      val k = md5PrefixKey(md, toks(i))
+      val idx = java.util.Arrays.binarySearch(keys, k)
+      if (idx >= 0) {
+        val base = idx * nL
+        var l = 0
+        while (l < nL) { sums(l) += contribs(base + l); l += 1 }
+      } else {
+        var l = 0
+        while (l < nL) { sums(l) += miss(l); l += 1 }
+      }
+      i += 1
+    }
+    var best = 0
+    var l = 1
+    while (l < nL) { if (sums(l) > sums(best)) best = l; l += 1 }
+    new GenericInternalRow(Array[Any](toks.length.toLong, best, sums(best)))
+  }
+
+  /**
    * Feature-hashing (hashing-trick) vectorizer statistics: tokens hash
    * into `dims` buckets via the 60-bit md5-prefix key mod `dims`, and
    * the per-document count vector is summarized in the same pass —
@@ -834,6 +875,44 @@ case class CdcChunksExpr(child: Expression, boundaryMod: Int)
     defineCodeGen(ctx, ev, c => s"graft.plans.Native.cdcChunks($c, $boundaryMod)")
 
   override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
+/** nb_predict(string) → struct(n_tokens, best_idx, best_lp9) — the
+  * Naive Bayes lookup scorer; key/contribution tables are plan-time
+  * constants (Seq params for structural equality), shipped into
+  * generated code as reference objects. */
+case class NbPredictExpr(child: Expression, keys: Seq[Long],
+    contribs: Seq[Long], miss: Seq[Long], prior: Seq[Long])
+    extends UnaryExpression {
+  require(miss.nonEmpty, "miss row must be non-empty")
+  require(prior.length == miss.length, "prior row must match label count")
+  require(contribs.length == keys.length * miss.length,
+    "contribution table shape mismatch")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("best_idx", IntegerType, nullable = false),
+    StructField("best_lp9", LongType, nullable = false)))
+
+  @transient private lazy val kArr = keys.toArray
+  @transient private lazy val cArr = contribs.toArray
+  @transient private lazy val mArr = miss.toArray
+  @transient private lazy val pArr = prior.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.nbPredict(input.asInstanceOf[UTF8String], kArr, cArr, mArr, pArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("nbKeys", kArr, "long[]")
+    val cRef = ctx.addReferenceObj("nbContribs", cArr, "long[]")
+    val mRef = ctx.addReferenceObj("nbMiss", mArr, "long[]")
+    val pRef = ctx.addReferenceObj("nbPrior", pArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.nbPredict($c, $kRef, $cRef, $mRef, $pRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NbPredictExpr =
     copy(child = newChild)
 }
 
@@ -1125,6 +1204,11 @@ object NativeFunctions {
       contribs: Seq[Long], miss: Seq[Long]): Column =
     ColumnBridge.column(LangIdScoreExpr(ColumnBridge.expression(text),
       langs, keys, contribs, miss))
+
+  def nbPredict(text: Column, keys: Seq[Long], contribs: Seq[Long],
+      miss: Seq[Long], prior: Seq[Long]): Column =
+    ColumnBridge.column(NbPredictExpr(ColumnBridge.expression(text),
+      keys, contribs, miss, prior))
 
   def winnowFps(text: Column, n: Int, window: Int): Column =
     ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(text), n, window))

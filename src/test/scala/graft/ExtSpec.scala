@@ -1938,6 +1938,21 @@ class ExtSpec extends SparkSpec {
     Seq(3L, 4L, 6L).foreach(id => out(id)._1 shouldBe "animal")
     Seq(0L, 1L, 2L, 3L, 4L, 6L).foreach(id => out(id)._2 shouldBe 1)
     out(9L)._1 shouldBe "animal" // tie-break, not a likelihood win
+    // the fused lookup-kernel scorer lands on the IDENTICAL rows —
+    // scores, argmaxes, tie-breaks, and the token-less exclusion
+    val fused = TextStats.naiveBayesFused(docs, docs.where($"doc_id" % 2 === 0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("actual"),
+        r.getAs[String]("predicted"), r.getAs[Long]("best_lp9"),
+        r.getAs[Int]("correct"))).toSet
+    val frame = TextStats.naiveBayes(docs, docs.where($"doc_id" % 2 === 0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("actual"),
+        r.getAs[String]("predicted"), r.getAs[Long]("best_lp9"),
+        r.getAs[Int]("correct"))).toSet
+    fused shouldBe frame
+    // token-less documents are absent from both formulations
+    val withEmpty = docs.union(Seq((11L, "", "fruit")).toDF("doc_id", "text", "source"))
+    TextStats.naiveBayesFused(withEmpty, withEmpty.where($"doc_id" % 2 === 0))
+      .where($"doc_id" === 11L).count() shouldBe 0L
   }
 
   test("hash features: summary matches a brute-force vector; token-less row is (0,0,0,-1)") {
