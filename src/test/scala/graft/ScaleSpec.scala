@@ -813,4 +813,38 @@ class ScaleSpec extends SparkSpec {
     rows.map(_.generatorId).distinct.toSeq shouldBe Seq("g")
     rows.map(_.value).toSeq shouldBe Seq(3L, 3L, 3L, 3L, 3L)
   }
+
+  test("round-12 kernels: winnow/cdc/hash-features/nb plan as shuffle-free projections") {
+    import graft.ext.{Dedup, TextStats}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // winnowing: the positional-gram Generate + per-document window
+    // sort became ONE kernel projection + one narrow Generate over its
+    // array — no Exchange, no Window anywhere
+    val wPlan = Dedup.winnowFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    wPlan.toLowerCase should include("winnowfps")
+    wPlan should not include "Exchange"
+    wPlan should not include "Window"
+    // content-defined chunking: kernel projection + narrow posexplode
+    val cPlan = Dedup.cdcChunks(docs).queryExecution.executedPlan.toString
+    cPlan.toLowerCase should include("cdcchunks")
+    cPlan should include("Generate posexplode")
+    cPlan should not include "Exchange"
+    // hashing-trick summary: pure projection, nothing leaves the scan
+    val hPlan = TextStats.hashFeatures(docs)
+      .queryExecution.executedPlan.toString
+    hPlan.toLowerCase should include("hashfeaturestats")
+    hPlan should not include "Exchange"
+    hPlan should not include "Generate"
+    // NB serving: training collects are bounded plan-build work (the
+    // dsirScore/langid posture); the SCORED side is one stateless
+    // projection — no explode, no |labels| fan-out join, no shuffle
+    val nbPlan = TextStats
+      .naiveBayesFused(docs, docs.where($"doc_id" % 2 === 0))
+      .queryExecution.executedPlan.toString
+    nbPlan.toLowerCase should include("nbpredict")
+    nbPlan should not include "Exchange"
+    nbPlan should not include "Generate"
+    nbPlan should not include "Join"
+  }
 }

@@ -505,6 +505,57 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[Int]("n_tokens") shouldBe 5
   }
 
+  test("round-12 kernels score a stream statelessly, equal to batch") {
+    // cdc chunking, hashing-trick stats, and the batch-trained NB
+    // lookup scorer are stateless projections — identical Column
+    // expressions on a readStream, no rewrite, matching batch rows
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.{Dedup, TextStats}
+    val docs = Seq(
+      (0L, "apple banana cherry apple banana cherry date egg fig grape", "a"),
+      (1L, "dog cat wolf dog cat wolf bear lynx otter seal", "b"),
+      (2L, "apple banana cherry apple banana cherry date egg fig grape", "a")
+    )
+    val batchDf = docs.toDF("doc_id", "text", "source")
+    val train = batchDf.where($"doc_id" % 2 === 0)
+    val kernels = (df: org.apache.spark.sql.DataFrame) => df.select(
+      $"doc_id",
+      graft.plans.NativeFunctions.cdcChunks($"text", 8).as("chunks"),
+      graft.plans.NativeFunctions.hashFeatureStats($"text", 16).as("hf"))
+    val batch = kernels(batchDf).collect().map(_.toString).sorted
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(docs: _*)
+    val q = kernels(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("r12_kernels")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    spark.table("r12_kernels").collect()
+      .map(_.toString).sorted shouldBe batch
+    // the fused NB scorer (trained on a BATCH frame) applies to the
+    // stream as-is — the serving shape for ingest-time routing
+    val nbBatch = TextStats.naiveBayesFused(batchDf, train)
+      .collect().map(_.toString).sorted
+    val mem2 = MemoryStream[(Long, String, String)]
+    mem2.addData(docs: _*)
+    val q2 = TextStats.naiveBayesFused(
+        mem2.toDF().toDF("doc_id", "text", "source"), train)
+      .writeStream.format("memory").queryName("r12_nb")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000) shouldBe true
+    spark.table("r12_nb").collect().map(_.toString).sorted shouldBe nbBatch
+    // winnow fingerprints flow too (kernel + explode — still stateless)
+    val wBatch = Dedup.winnowFingerprints(batchDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val mem3 = MemoryStream[(Long, String, String)]
+    mem3.addData(docs: _*)
+    val q3 = Dedup.winnowFingerprints(mem3.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("r12_winnow")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination(60000) shouldBe true
+    spark.table("r12_winnow").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe wBatch
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
