@@ -420,14 +420,45 @@ object TextStats {
    * start, and its average log-prob (NULL start/score for docs shorter
    * than `window` — no full window exists).
    *
-   * Shape at scale: per-token log-probs are the [[unigramLogProb]]
-   * join (hashed vocab keys, broadcastable counts); the rolling sum is
-   * a per-DOCUMENT window (partitioned — parallel across docs, state
-   * bounded by `window`); the argmin is a lexicographic `min(struct)`
-   * aggregation, deterministic under ties (earliest start wins). No
-   * corpus-wide window anywhere.
+   * Shape at scale: the corpus unigram table is vocabulary-bounded, so
+   * it folds into the scan as a sorted plan-time key table (the
+   * `naiveBayesFused` posture) and the whole sweep — lookup, rolling
+   * sum, argmin — runs inside [[graft.plans.Native.worstWindow]] as
+   * ONE codegen'd projection: no position explode, no vocab join, no
+   * per-document window sort. [[worstWindowWindowed]] keeps the
+   * join + partitioned-window formulation as the spec-pinned
+   * reference (ExtSpec proves row equality).
    */
   def worstWindow(docs: DataFrame, window: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0, "window must be positive")
+    val grouped = docs
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .select(Dedup.md5Key(col("__w")).as("__kw"))
+      .groupBy("__kw").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // feeds the total and the table collect once
+    val total = grouped.agg(sum("__cnt")).collect()(0).getLong(0)
+    // per-token grid contribution computed BY Spark — identical
+    // rounding to the windowed formulation's __lp9 column
+    val rows = grouped.select(col("__kw"),
+        round(log(col("__cnt") / lit(total)) * lit(1e9)).cast("long").as("__lp9"))
+      .collect().sortBy(_.getLong(0))
+    val keys = rows.map(_.getLong(0)).toSeq
+    val lp9 = rows.map(_.getLong(1)).toSeq
+    val st = graft.plans.NativeFunctions.worstWindow(col(textCol), keys, lp9, window)
+    val full = col("__w.n_found") >= window
+    docs.select(col(idCol), st.as("__w"))
+      .select(col(idCol), col("__w.n_tokens").as("n_tokens"),
+        when(full, col("__w.worst_start")).as("worst_start"),
+        when(full, col("__w.worst_roll9") / (lit(window) * lit(1e9)))
+          .as("worst_avg_logprob"))
+  }
+
+  /** The posexplode + vocab-join + per-document rolling-window
+    * formulation [[worstWindow]]'s fused kernel replaced — kept as the
+    * equivalence reference (ExtSpec pins kernel ≡ windowed, including
+    * the under-window NULL rows and tie-breaking). */
+  private[graft] def worstWindowWindowed(docs: DataFrame, window: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(window > 0, "window must be positive")
     import org.apache.spark.sql.expressions.Window

@@ -733,6 +733,50 @@ object Native {
   }
 
   /**
+   * Fused worst-window scan — the serving-side twin of
+   * `TextStats.worstWindowWindowed`'s join + per-document rolling
+   * window: every profiled token's 1e-9-grid unigram log-prob is a
+   * precomputed sorted key table (built BY Spark expressions from the
+   * corpus counts); the kernel walks the document once, keeps the
+   * (position, lp9) pairs of FOUND tokens (an unprofiled token is
+   * skipped, exactly like the windowed formulation's inner join drops
+   * its row), rolls a `window`-row sum over them, and argmins with
+   * strict `<` in ascending end order — earliest start wins ties,
+   * matching `min(struct(roll9, pos))`. Returns (n_tokens, n_found,
+   * worst_start, worst_roll9); the caller nulls the worst fields when
+   * n_found < window (the windowed formulation's full-window gate).
+   */
+  def worstWindow(text: UTF8String, keys: Array[Long], lp9: Array[Long],
+      window: Int): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val md = Md5Local.get()
+    val posArr = new Array[Int](toks.length)
+    val lpArr = new Array[Long](toks.length)
+    var m = 0
+    var i = 0
+    while (i < toks.length) {
+      val idx = java.util.Arrays.binarySearch(keys, md5PrefixKey(md, toks(i)))
+      if (idx >= 0) { posArr(m) = i; lpArr(m) = lp9(idx); m += 1 }
+      i += 1
+    }
+    var bestRoll = Long.MaxValue
+    var bestEnd = -1
+    if (m >= window) {
+      var s = 0L
+      var j = 0
+      while (j < m) {
+        s += lpArr(j)
+        if (j >= window) s -= lpArr(j - window)
+        if (j >= window - 1 && s < bestRoll) { bestRoll = s; bestEnd = posArr(j) }
+        j += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](toks.length.toLong, m.toLong,
+      if (bestEnd >= 0) bestEnd.toLong - (window - 1) else -1L,
+      if (bestEnd >= 0) bestRoll else 0L))
+  }
+
+  /**
    * Feature-hashing (hashing-trick) vectorizer statistics: tokens hash
    * into `dims` buckets via the 60-bit md5-prefix key mod `dims`, and
    * the per-document count vector is summarized in the same pass —
@@ -913,6 +957,37 @@ case class NbPredictExpr(child: Expression, keys: Seq[Long],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NbPredictExpr =
+    copy(child = newChild)
+}
+
+/** worst_window(string) → struct(n_tokens, n_found, worst_start,
+  * worst_roll9) — the fused worst-window scan; key/log-prob tables are
+  * plan-time constants shipped as reference objects. */
+case class WorstWindowExpr(child: Expression, keys: Seq[Long],
+    lp9: Seq[Long], window: Int) extends UnaryExpression {
+  require(window > 0, "window must be positive")
+  require(keys.length == lp9.length, "key/lp9 tables must align")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_found", LongType, nullable = false),
+    StructField("worst_start", LongType, nullable = false),
+    StructField("worst_roll9", LongType, nullable = false)))
+
+  @transient private lazy val kArr = keys.toArray
+  @transient private lazy val lArr = lp9.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.worstWindow(input.asInstanceOf[UTF8String], kArr, lArr, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("wwKeys", kArr, "long[]")
+    val lRef = ctx.addReferenceObj("wwLp9", lArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.worstWindow($c, $kRef, $lRef, $window)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WorstWindowExpr =
     copy(child = newChild)
 }
 
@@ -1209,6 +1284,11 @@ object NativeFunctions {
       miss: Seq[Long], prior: Seq[Long]): Column =
     ColumnBridge.column(NbPredictExpr(ColumnBridge.expression(text),
       keys, contribs, miss, prior))
+
+  def worstWindow(text: Column, keys: Seq[Long], lp9: Seq[Long],
+      window: Int): Column =
+    ColumnBridge.column(WorstWindowExpr(ColumnBridge.expression(text),
+      keys, lp9, window))
 
   def winnowFps(text: Column, n: Int, window: Int): Column =
     ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(text), n, window))

@@ -555,6 +555,18 @@ class ExtSpec extends SparkSpec {
     out(1).getLong(1) shouldBe 1L
     out(1).isNullAt(2) shouldBe true
     out(1).isNullAt(3) shouldBe true
+    // the fused kernel path (now the default) matches the windowed
+    // Column formulation row-for-row on a larger mixed corpus, NULLs,
+    // ties, and all — including the real test table
+    val big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(_._1).toSeq
+    canon(TextStats.worstWindow(big, window = 10)) shouldBe
+      canon(TextStats.worstWindowWindowed(big, window = 10))
+    canon(TextStats.worstWindow(d, window = 2)) shouldBe
+      canon(TextStats.worstWindowWindowed(d, window = 2))
   }
 
   test("chunkDocs: overlapping windows cover every token; empty docs vanish") {
