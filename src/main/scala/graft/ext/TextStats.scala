@@ -14,8 +14,17 @@ object TextStats {
 
   /** Whitespace tokens, lowercased, empties dropped — the ONE
     * tokenizer definition; [[Dedup.tokens]] delegates here so the
-    * shared DuckDB oracle fragment can't desynchronize. */
+    * shared DuckDB oracle fragment can't desynchronize. Served by the
+    * fused native expression ([[graft.plans.Native.tokensOf]], same
+    * lowering + Java regex split) — the Column formulation below pays
+    * an interpreted per-element lambda for the empty filter, which
+    * taxed every tokens-exploding operator; ExtSpec pins equality. */
   def tokens(text: Column): Column =
+    graft.plans.NativeFunctions.tokensOf(text)
+
+  /** The `filter(split(lower))` Column formulation [[tokens]]'s fused
+    * expression replaced — the equivalence reference. */
+  private[graft] def tokensColumnar(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   /** Whitespace token count. */
@@ -195,7 +204,7 @@ object TextStats {
    * near-identity key after normalization.
    */
   def fingerprint(text: Column): Column =
-    graft.plans.NativeFunctions.rollingHash(array_join(tokens(text), " "))
+    graft.plans.NativeFunctions.normalizedRollingHash(text)
 
   /**
    * Per-document average unigram log-probability under the corpus's

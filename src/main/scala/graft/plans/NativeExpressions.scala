@@ -90,6 +90,51 @@ object Native {
     acc
   }
 
+  /** Lowercased whitespace tokens, empties dropped — the engine's ONE
+    * tokenizer ([[graft.ext.TextStats.tokens]] delegates here),
+    * bit-identical to `filter(split(lower(text), "\\s+"), len > 0)`:
+    * same UTF8String lowering, same Java regex split. The Column
+    * formulation pays an INTERPRETED per-element lambda for the
+    * empty-string filter — measurable on every tokens-exploding
+    * operator — where this is one codegen'd call. */
+  def tokensOf(text: UTF8String): ArrayData = {
+    val parts = text.toLowerCase.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    val out = new Array[AnyRef](n)
+    var k = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) { out(k) = UTF8String.fromString(parts(i)); k += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[rollingHash]] of the whitespace-NORMALIZED lowercase text
+    * (tokens re-joined with single spaces) in one pass — bit-identical
+    * to `rollingHash(array_join(tokens(text), ' '))`, without the
+    * interpreted per-element `filter` lambda that Column-level
+    * tokenization pays. */
+  def normalizedRollingHash(s: UTF8String): Long = {
+    val toks = s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    var acc = 0L
+    var t = 0
+    while (t < toks.length) {
+      if (t > 0) acc = (acc * 31 + ' '.toInt) % 1000000007L
+      val str = toks(t)
+      var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc = (acc * 31 + cp) % 1000000007L
+        i += Character.charCount(cp)
+      }
+      t += 1
+    }
+    acc
+  }
+
   /**
    * Distinct hashed word n-gram shingles in one pass: lowercase,
    * whitespace-tokenize, hash each n-gram by chaining per-word xxhash64
@@ -888,6 +933,37 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** tokens_of(string) → array<string> (lowercased whitespace tokens,
+  * empties dropped — the engine tokenizer as one codegen'd call). */
+case class TokensOfExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.tokensOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.tokensOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensOfExpr =
+    copy(child = newChild)
+}
+
+/** normalized_rolling_hash(string) → long — tokenize + re-join + hash
+  * fused in one pass. */
+case class NormalizedRollingHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.normalizedRollingHash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.normalizedRollingHash($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizedRollingHashExpr =
+    copy(child = newChild)
+}
+
 /** winnow_fps(string, n, window) → array<long> (distinct kept
   * fingerprints, first-kept order — md5 family, oracle-replayable). */
 case class WinnowFpsExpr(child: Expression, n: Int, window: Int)
@@ -1239,6 +1315,12 @@ object NativeFunctions {
 
   def rollingHash(str: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(str)))
+
+  def normalizedRollingHash(str: Column): Column =
+    ColumnBridge.column(NormalizedRollingHashExpr(ColumnBridge.expression(str)))
+
+  def tokensOf(str: Column): Column =
+    ColumnBridge.column(TokensOfExpr(ColumnBridge.expression(str)))
 
   def charEntropy9(str: Column): Column =
     ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))

@@ -640,6 +640,16 @@ class ExtSpec extends SparkSpec {
     out(0L) shouldBe acc          // case/extra-space normalized
     out(1L) shouldBe acc
     out(2L) should not be acc
+    // the fused kernel ≡ the rollingHash(array_join(tokens)) composition
+    // it replaced, on edge shapes (empty, whitespace-only, unicode)
+    val edge = Seq((0L, ""), (1L, "   "), (2L, "ÄBC  Def"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fused = edge.select($"doc_id", TextStats.fingerprint($"text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val composed = edge.select($"doc_id", graft.plans.NativeFunctions
+        .rollingHash(array_join(TextStats.tokens($"text"), " ")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    fused shouldBe composed
   }
 
   test("composed near-dup pipeline: LSH candidates -> exact verify -> clusters") {
@@ -1850,6 +1860,23 @@ class ExtSpec extends SparkSpec {
     out(1)._2 shouldBe empty     // 1 token < n=2
     out(2)._2 shouldBe empty     // no tokens at all
     out(3)._2 shouldBe Seq("x y") // multi-space collapses via tokenizer
+  }
+
+  test("fused tokenizer ≡ filter(split(lower)) Column formulation") {
+    // the one tokenizer definition every text operator shares — pin the
+    // native expression against the Column math on edge shapes AND the
+    // real corpus (element-wise, order preserved)
+    val edge = Seq((0L, ""), (1L, "   "), (2L, " a  b\tc\nd "),
+      (3L, "ÄBC Def"), (4L, "x"), (5L, "Hello  World!")).toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(edge, corpus).foreach { df =>
+      val both = df.select(
+        TextStats.tokens($"text").as("fused"),
+        graft.ext.TextStats.tokensColumnar($"text").as("columnar")).collect()
+      both.foreach { r =>
+        r.getSeq[String](0) shouldBe r.getSeq[String](1)
+      }
+    }
   }
 
   /** Test-side replica of the engine's 60-bit md5-prefix key (the
