@@ -2298,6 +2298,13 @@ object SparkEntry {
       TextStats.ndcgAtK(tbl(s, dir, "documents"), NdcgQueries)
         .orderBy("query_id")),
 
+    // MRR companion over the SAME candidate frame (shared builder —
+    // the two retrieval metrics cannot drift): rank of the first
+    // all-terms match per query, reciprocal on the grid.
+    "x_mrr" -> ((s, dir) =>
+      TextStats.mrrOf(tbl(s, dir, "documents"), NdcgQueries)
+        .orderBy("query_id")),
+
     // LSH bucket-occupancy histogram — the pre-flight report for the
     // round-11 bucket caps: how corpus mass distributes over band
     // buckets BEFORE paying the pair join (bucket_size → n_buckets).
@@ -2779,6 +2786,36 @@ object SparkEntry {
        |          string_agg(w, ' ' ORDER BY pos) AS chunk_text,
        |          CAST(count(*) AS INT) AS n_chunk_tokens
        |        FROM cs GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB replay of TextStats.bm25QueryCandidates over NdcgQueries —
+    * per-(query, candidate-doc) BM25 grid score + term-overlap
+    * relevance. Shared by x_ndcg and x_mrr (the two retrieval-eval
+    * oracles read the SAME candidate frame, like the Spark builder). */
+  private def ndcgPqCtes: String = {
+    val vals = NdcgQueries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val allTerms = NdcgQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val k1 = 1.2
+    val b = 0.75
+    s"""q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+       |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+       |       WHERE term IN ($allTerms) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |pq AS (SELECT q.query_id, tf.doc_id,
+       |         CAST(sum(CAST(round(ln((n - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
+       |           * (tf * ${d(k1 + 1.0)}) / (tf + ${d(k1)} * (${d(1.0)} - ${d(b)}
+       |           + ${d(b)} * dl / avgdl)) * 1e9) AS BIGINT)) AS BIGINT) AS s9,
+       |         CAST(count(DISTINCT tf.term) AS BIGINT) AS rel
+       |       FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN st
+       |       GROUP BY 1, 2)""".stripMargin
   }
 
   /** DuckDB replay of TextStats.naiveBayes over the even-id train
@@ -4427,30 +4464,9 @@ object SparkEntry {
     },
 
     "x_ndcg" -> {
-      val vals = NdcgQueries
-        .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-      val allTerms = NdcgQueries.flatMap(_._2).distinct
-        .map(t => s"'$t'").mkString(", ")
       def d(x: Double) = s"CAST('$x' AS DOUBLE)"
       val ln2 = d(math.log(2.0))
-      val k1 = 1.2
-      val b = 0.75
-      s"""WITH q AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
-         |dl AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl FROM documents),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |       FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
-         |       WHERE term IN ($allTerms) GROUP BY 1, 2),
-         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-         |pq AS (SELECT q.query_id, tf.doc_id,
-         |         CAST(sum(CAST(round(ln((n - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)})
-         |           * (tf * ${d(k1 + 1.0)}) / (tf + ${d(k1)} * (${d(1.0)} - ${d(b)}
-         |           + ${d(b)} * dl / avgdl)) * 1e9) AS BIGINT)) AS BIGINT) AS s9,
-         |         CAST(count(DISTINCT tf.term) AS BIGINT) AS rel
-         |       FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-         |       JOIN dl USING (doc_id) CROSS JOIN st
-         |       GROUP BY 1, 2),
+      s"""WITH $ndcgPqCtes,
          |dr AS (SELECT query_id, rel, row_number() OVER (
          |         PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk FROM pq),
          |ir AS (SELECT query_id, rel, row_number() OVER (
@@ -4464,6 +4480,20 @@ object SparkEntry {
          |SELECT query_id, dcg_u9, idcg_u9,
          |       dcg_u9 / CAST(idcg_u9 AS DOUBLE) AS ndcg
          |FROM dg JOIN ig USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    "x_mrr" -> {
+      val nts = NdcgQueries
+        .map { case (q, ts) => s"($q, ${ts.distinct.size})" }.mkString(", ")
+      s"""WITH $ndcgPqCtes,
+         |nt AS (SELECT * FROM (VALUES $nts) AS v(query_id, nterms)),
+         |r AS (SELECT query_id, rel, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk FROM pq),
+         |fr AS (SELECT r.query_id, CAST(min(rk) AS BIGINT) AS first_rank
+         |       FROM r JOIN nt USING (query_id) WHERE rel = nterms GROUP BY 1)
+         |SELECT nt.query_id, fr.first_rank,
+         |       COALESCE(CAST(round(1e9 / fr.first_rank) AS BIGINT), 0) AS rr_u9
+         |FROM nt LEFT JOIN fr USING (query_id) ORDER BY query_id""".stripMargin
     },
 
     "q_multiformat_scan" ->

@@ -954,12 +954,13 @@ object TextStats {
    * broadcast, and two per-query top-k windows over candidate docs —
    * partitioned by query, never a global sort.
    */
-  def ndcgAtK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    require(queries.nonEmpty, "queries must be non-empty")
-    require(k > 0, "k must be positive")
-    import org.apache.spark.sql.expressions.Window
+  /** Per-(query, candidate-doc) BM25 grid scores + term-overlap
+    * relevance — the shared candidate frame of [[ndcgAtK]] and
+    * [[mrrOf]] (one definition, the eval metrics cannot drift apart).
+    * Candidates are documents matching ≥1 query term. */
+  private def bm25QueryCandidates(docs: DataFrame,
+      queries: Seq[(Int, Seq[String])], k1: Double, b: Double,
+      idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val qdf = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
@@ -978,14 +979,22 @@ object TextStats {
       (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))
     val contribU9 = round(idf * (col("tf") * lit(k1 + 1.0)) / denom * lit(1e9))
       .cast("long")
-    val perQueryDoc = tf
-      .join(broadcast(qdf), "term")
+    tf.join(broadcast(qdf), "term")
       .join(broadcast(dfreq), "term")
       .join(dl, idCol)
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col(idCol), col("term"), contribU9.as("__u9"))
       .groupBy(col("query_id"), col(idCol))
       .agg(sum("__u9").as("__score9"), countDistinct("term").as("__rel"))
+  }
+
+  def ndcgAtK(docs: DataFrame, queries: Seq[(Int, Seq[String])], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val perQueryDoc = bm25QueryCandidates(docs, queries, k1, b, idCol, textCol)
     val wBm = Window.partitionBy("query_id")
       .orderBy(col("__score9").desc, col(idCol))
     val wIdeal = Window.partitionBy("query_id")
@@ -1002,6 +1011,38 @@ object TextStats {
     dcg.join(idcg, "query_id")
       .select(col("query_id"), col("dcg_u9"), col("idcg_u9"),
         (col("dcg_u9").cast("double") / col("idcg_u9")).as("ndcg"))
+  }
+
+  /**
+   * Mean-reciprocal-rank inputs — nDCG's companion metric for
+   * known-item retrieval: per query, the BM25 rank (score desc, id
+   * ties — [[ndcgAtK]]'s exact ordering over the SAME candidate
+   * frame) of the first FULLY relevant document (one containing every
+   * query term), and its reciprocal on the 1e-9 grid (`rr_u9 = 0` and
+   * NULL rank when no document matches all terms). Averaging `rr_u9`
+   * over queries gives MRR; the per-query rows are kept so the oracle
+   * hash-checks the ranks themselves, not just the mean.
+   */
+  def mrrOf(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nt = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "__nt")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score9").desc, col(idCol))
+    val firsts = bm25QueryCandidates(docs, queries, k1, b, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(nt), "query_id")
+      .where(col("__rel") === col("__nt"))
+      .groupBy("query_id").agg(min("__rk").cast("long").as("first_rank"))
+    nt.join(firsts, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rank"),
+        coalesce(round(lit(1e9) / col("first_rank")).cast("long"), lit(0L))
+          .as("rr_u9"))
   }
 
   /**

@@ -2035,5 +2035,15 @@ class ExtSpec extends SparkSpec {
     val nd = m.getAs[Double]("ndcg")
     nd should be > 0.0
     nd should be <= 1.0
+    // MRR over the same candidate frame: doc 0 is the only all-terms
+    // match and tops BM25 → first_rank 1, rr 1.0; a query with no
+    // full match reports NULL rank, rr 0
+    val r = TextStats.mrrOf(mix, Seq(
+        1 -> Seq("apple", "banana", "cherry"),
+        2 -> Seq("apple", "zzz"))).orderBy("query_id").collect()
+    r(0).getAs[Long]("first_rank") shouldBe 1L
+    r(0).getAs[Long]("rr_u9") shouldBe 1000000000L
+    r(1).isNullAt(1) shouldBe true
+    r(1).getAs[Long]("rr_u9") shouldBe 0L
   }
 }
