@@ -2305,6 +2305,12 @@ object SparkEntry {
       TextStats.mrrOf(tbl(s, dir, "documents"), NdcgQueries)
         .orderBy("query_id")),
 
+    // ... and recall@10 (coverage leg): how many of the all-terms
+    // matches the BM25 top-10 retrieves, same frame, same ordering.
+    "x_recall_at_k" -> ((s, dir) =>
+      TextStats.recallAtK(tbl(s, dir, "documents"), NdcgQueries)
+        .orderBy("query_id")),
+
     // LSH bucket-occupancy histogram — the pre-flight report for the
     // round-11 bucket caps: how corpus mass distributes over band
     // buckets BEFORE paying the pair join (bucket_size → n_buckets).
@@ -4494,6 +4500,23 @@ object SparkEntry {
          |SELECT nt.query_id, fr.first_rank,
          |       COALESCE(CAST(round(1e9 / fr.first_rank) AS BIGINT), 0) AS rr_u9
          |FROM nt LEFT JOIN fr USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    "x_recall_at_k" -> {
+      val nts = NdcgQueries
+        .map { case (q, ts) => s"($q, ${ts.distinct.size})" }.mkString(", ")
+      s"""WITH $ndcgPqCtes,
+         |nt AS (SELECT * FROM (VALUES $nts) AS v(query_id, nterms)),
+         |r AS (SELECT query_id, rel, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk FROM pq),
+         |ag AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+         |         CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_retrieved
+         |       FROM r JOIN nt USING (query_id) WHERE rel = nterms GROUP BY 1)
+         |SELECT nt.query_id, COALESCE(ag.n_relevant, 0) AS n_relevant,
+         |       COALESCE(ag.n_retrieved, 0) AS n_retrieved,
+         |       ag.n_retrieved / CAST(ag.n_relevant AS DOUBLE) AS recall
+         |FROM nt LEFT JOIN ag USING (query_id) ORDER BY query_id""".stripMargin
     },
 
     "q_multiformat_scan" ->

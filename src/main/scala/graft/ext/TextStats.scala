@@ -1046,6 +1046,42 @@ object TextStats {
   }
 
   /**
+   * Recall@k — the third leg of the retrieval-eval family
+   * ([[ndcgAtK]] ranks quality, [[mrrOf]] first-hit position, this
+   * one coverage): per query, how many of the fully relevant
+   * documents (those containing every query term) the BM25 top-`k`
+   * retrieves, over the SAME candidate frame and the same
+   * deterministic ordering. Returns `(query_id, n_relevant,
+   * n_retrieved, recall)`; recall is the exact ratio of the two longs
+   * (NULL when the query has no fully relevant document).
+   */
+  def recallAtK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nt = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "__nt")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score9").desc, col(idCol))
+    val flagged = bm25QueryCandidates(docs, queries, k1, b, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(nt), "query_id")
+      .where(col("__rel") === col("__nt"))
+    val agg = flagged.groupBy("query_id").agg(
+      count(lit(1)).as("n_relevant"),
+      sum(when(col("__rk") <= k, 1L).otherwise(0L)).as("n_retrieved"))
+    nt.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        (col("n_retrieved").cast("double") / col("n_relevant")).as("recall"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document under the
    * [[bigramLogProb]] LM (trained on `train`), then split each
    * `partitionCol` stratum into `nBuckets` equal-frequency buckets by

@@ -2045,5 +2045,15 @@ class ExtSpec extends SparkSpec {
     r(0).getAs[Long]("rr_u9") shouldBe 1000000000L
     r(1).isNullAt(1) shouldBe true
     r(1).getAs[Long]("rr_u9") shouldBe 0L
+    // recall@k, same frame: doc 0 is the only full match → 1/1 inside
+    // any top-k; the no-full-match query reports 0 relevant, NULL recall
+    val rc = TextStats.recallAtK(mix, Seq(
+        1 -> Seq("apple", "banana", "cherry"),
+        2 -> Seq("apple", "zzz")), k = 2).orderBy("query_id").collect()
+    rc(0).getAs[Long]("n_relevant") shouldBe 1L
+    rc(0).getAs[Long]("n_retrieved") shouldBe 1L
+    rc(0).getAs[Double]("recall") shouldBe 1.0
+    rc(1).getAs[Long]("n_relevant") shouldBe 0L
+    rc(1).isNullAt(3) shouldBe true
   }
 }
