@@ -13,7 +13,10 @@ object ScalingProbe {
   private val Queries = Seq("x_minhash_pairs", "x_substring_dedup",
     "x_jaccard_pairs", "x_dedup_clusters", "x_recipe_e2e",
     "x_gopher_rules", "x_langid_trigram", "x_ngram_novelty",
-    "x_dsir_weights", "x_cms_heavy")
+    "x_dsir_weights", "x_cms_heavy",
+    // round-12 kernel families
+    "x_winnow", "x_winnow_pairs", "x_cdc_chunks", "x_cdc_scrub",
+    "x_nb_classify", "x_worst_window", "x_hash_features")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
