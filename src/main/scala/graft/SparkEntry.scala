@@ -2258,6 +2258,18 @@ object SparkEntry {
       Dedup.cdcScrub(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // ... and chunk-level decontamination over the SAME chunking: a
+    // benchmark doc (the % 50 split, as x_decontaminate) is dirty when
+    // any ≥4-token chunk appears verbatim in the training corpus —
+    // the coarse leak signal at ~1/8 of the window-index size.
+    "x_cdc_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup.cdcContamination(
+        d.where(col("doc_id") % 50 === 0),
+        d.where(col("doc_id") % 50 =!= 0))
+        .orderBy("doc_id")
+    }),
+
     // Multinomial Naive Bayes source classifier (the fastText-adjacent
     // curation classifier): trained on the even-id half, every doc
     // scored under every label on the 1e-9 grid — the argmax is
@@ -4435,6 +4447,22 @@ object SparkEntry {
          |       COALESCE(string_agg(CASE WHEN keep = 1 THEN chunk_text END,
          |         ' ' ORDER BY chunk_idx), '') AS clean_text
          |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "x_cdc_decontaminate" ->
+      s"""WITH $cdcCtes,
+         |trn AS (SELECT DISTINCT chunk_text FROM ch
+         |        WHERE doc_id % 50 <> 0 AND n_chunk_tokens >= 4),
+         |bc AS (SELECT doc_id, chunk_text, n_chunk_tokens FROM ch
+         |       WHERE doc_id % 50 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN trn.chunk_text IS NOT NULL
+         |                      AND n_chunk_tokens >= 4
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |       CAST(max(CASE WHEN trn.chunk_text IS NOT NULL
+         |                      AND n_chunk_tokens >= 4
+         |                     THEN 1 ELSE 0 END) AS INT) AS dirty
+         |FROM bc LEFT JOIN trn USING (chunk_text)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "x_nb_classify" ->
       s"""WITH $nbCtes

@@ -639,6 +639,36 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
 
   /**
+   * Chunk-level decontamination via CDC — the storage-dedup take on
+   * benchmark leakage ([[graft.ext.Corpus]]'s verbatim windows catch
+   * any 8-token overlap; this flags COMPLETE shared chunks, the
+   * coarser signal that survives at a fraction of the index size,
+   * ≈1/boundaryMod of the window count): a benchmark document is
+   * dirty when any of its ≥`minTokens`-token content-defined chunks
+   * appears verbatim in the training corpus. Returns per-benchmark-doc
+   * `(idCol, n_chunks, n_shared, dirty)`.
+   *
+   * Shape at scale: both sides chunk in a kernel projection; the train
+   * side reduces to DISTINCT chunk keys (at 100 TB: xxhash64 digests),
+   * and the flagging is one equi-join + per-doc aggregate — the
+   * decontaminate posture with CDC's smaller index.
+   */
+  def cdcContamination(bench: DataFrame, train: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      boundaryMod: Int = 8, minTokens: Int = 4): DataFrame = {
+    val bc = cdcChunks(bench, idCol, textCol, boundaryMod)
+    val tc = cdcChunks(train, idCol, textCol, boundaryMod)
+      .where(col("n_chunk_tokens") >= minTokens)
+      .select(col("chunk_text")).distinct()
+    val hit = col("__hit").isNotNull && col("n_chunk_tokens") >= minTokens
+    bc.join(tc.withColumn("__hit", lit(1L)), Seq("chunk_text"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(hit, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dirty", (col("n_shared") > 0).cast("int"))
+  }
+
+  /**
    * Duplicated-span scrubbing via CDC — the paragraph/line-dedup shape
    * (CCNet's duplicated-paragraph removal) for corpora without line
    * structure: rebuild each document keeping a chunk occurrence iff

@@ -1958,6 +1958,43 @@ class ExtSpec extends SparkSpec {
     scrub.contains(3L) shouldBe false
   }
 
+  test("cdc contamination + identical-doc flood: bounded work, no pair term") {
+    // chunk-level decontamination: bench doc 100 shares its whole body
+    // with train doc 0; bench doc 101 is clean
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "red blue green yellow purple orange silver golden white black")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcContamination(bench, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    out(100L)._1 should be >= 1L
+    out(100L)._2 shouldBe 1
+    out(101L) shouldBe ((0L, 0))
+    // a 1000-identical-doc flood stays LINEAR through the whole CDC
+    // family: chunking is per-row, the dup report and scrub key the
+    // chunk digest (k rows per duplicated chunk, never k² pairs) —
+    // contrast with LSH where the flood needed the exact-dup pre-pass
+    val flood = spark.range(1000).select($"id".as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        .as("text"))
+    val dups = Dedup.cdcDuplicateChunks(flood).collect()
+    dups.foreach { r =>
+      r.getAs[Long]("n_docs") shouldBe 1000L
+      r.getAs[Long]("min_doc") shouldBe 0L
+    }
+    val scrub = Dedup.cdcScrub(flood)
+    scrub.count() shouldBe 1000L
+    // doc 0 keeps everything; every other doc drops every ≥4-token chunk
+    val byDoc = scrub.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    byDoc(0L) shouldBe 0L
+    val nDropPerDoc = dups.length.toLong
+    (1L until 1000L).take(5).foreach(id => byDoc(id) shouldBe nDropPerDoc)
+  }
+
   test("naive bayes: separable labels recovered on held-out docs; unseen-vocab tie → smallest label") {
     val docs = Seq(
       (0L, "apple banana cherry apple", "fruit"),
