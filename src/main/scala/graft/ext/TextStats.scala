@@ -161,11 +161,18 @@ object TextStats {
    */
   def qualityFacets(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df.withColumn("n_chars_m", length(t).cast("long"))
-      .withColumn("n_tokens", tokenCount(t).cast("long"))
-      .withColumn("n_bpeish", bpeishTokenCount(t).cast("long"))
-      .withColumn("n_punct", punctCount(t).cast("long"))
-      .withColumn("n_stop", stopwordCount(t))
+    // the four text counters come from ONE fused pass
+    // ([[graft.plans.Native.qualityCounts]] — bit-identical to the
+    // Column formulations tokenCount/bpeishTokenCount/punctCount/
+    // stopwordCount, which ExtSpec pins; the stopword trick alone was
+    // ten full-text replace passes as Columns)
+    df.withColumn("__qc", graft.plans.NativeFunctions.qualityCounts(t))
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("n_tokens", col("__qc.n_tokens"))
+      .withColumn("n_bpeish", col("__qc.n_bpeish"))
+      .withColumn("n_punct", col("__qc.n_punct"))
+      .withColumn("n_stop", col("__qc.n_stop"))
+      .drop("__qc")
       .withColumn("quality_bucket",
         when(col("n_tokens") >= 20 &&
              col("n_chars_m") <= col("n_tokens") * 12 &&

@@ -112,6 +112,54 @@ object Native {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Must equal `graft.ext.TextStats.BpeishPattern` (duplicated so
+    * `plans` stays free of `ext` dependencies; pinned by spec). */
+  private val QcBpeishRegex = java.util.regex.Pattern
+    .compile("[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\x0B\\f\\r]")
+  private val QcPunctRegex = java.util.regex.Pattern
+    .compile("[.,;:!?'\"()\\[\\]{}-]")
+  /** Must equal `TextStats.Stopwords` (same duplication rule). */
+  private val QcStopwords = Array("the", "a", "and", "of", "to", "in",
+    "is", "it", "that", "for")
+
+  /**
+   * Fused quality counters — (n_tokens, n_bpeish, n_punct, n_stop) in
+   * one pass, bit-identical to the Column formulations they replace:
+   * token count over the shared tokenizer; BPE-ish and punctuation
+   * counts via the SAME java.util.regex patterns Spark's
+   * `regexp_extract_all` compiles (counted, never materialized); and
+   * the stopword count via the identical padded length-difference
+   * replace trick (non-overlapping left-to-right, code-point lengths —
+   * exactly Spark `length`/`replace` semantics). The Column path paid
+   * ten full-text replace passes for the stopwords alone.
+   */
+  def qualityCounts(text: UTF8String): InternalRow = {
+    val str = text.toString
+    val lowered = text.toLowerCase.toString
+    var nTok = 0L
+    val parts = lowered.split("\\s+")
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) nTok += 1; i += 1 }
+    var nBpe = 0L
+    val mb = QcBpeishRegex.matcher(str)
+    while (mb.find()) nBpe += 1
+    var nPunct = 0L
+    val mp = QcPunctRegex.matcher(str)
+    while (mp.find()) nPunct += 1
+    val padded = " " + lowered + " "
+    val paddedCp = padded.codePointCount(0, padded.length).toLong
+    var nStop = 0L
+    i = 0
+    while (i < QcStopwords.length) {
+      val needle = " " + QcStopwords(i) + " "
+      val replaced = padded.replace(needle, " ")
+      nStop += (paddedCp - replaced.codePointCount(0, replaced.length)) /
+        (needle.length - 1)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTok, nBpe, nPunct, nStop))
+  }
+
   /** [[rollingHash]] of the whitespace-NORMALIZED lowercase text
     * (tokens re-joined with single spaces) in one pass — bit-identical
     * to `rollingHash(array_join(tokens(text), ' '))`, without the
@@ -933,6 +981,25 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** quality_counts(string) → struct(n_tokens, n_bpeish, n_punct,
+  * n_stop) — the fused quality counters. */
+case class QualityCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_bpeish", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.qualityCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.qualityCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityCountsExpr =
+    copy(child = newChild)
+}
+
 /** tokens_of(string) → array<string> (lowercased whitespace tokens,
   * empties dropped — the engine tokenizer as one codegen'd call). */
 case class TokensOfExpr(child: Expression) extends UnaryExpression {
@@ -1321,6 +1388,9 @@ object NativeFunctions {
 
   def tokensOf(str: Column): Column =
     ColumnBridge.column(TokensOfExpr(ColumnBridge.expression(str)))
+
+  def qualityCounts(str: Column): Column =
+    ColumnBridge.column(QualityCountsExpr(ColumnBridge.expression(str)))
 
   def charEntropy9(str: Column): Column =
     ColumnBridge.column(CharEntropyExpr(ColumnBridge.expression(str)))

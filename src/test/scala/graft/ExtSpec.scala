@@ -1862,6 +1862,30 @@ class ExtSpec extends SparkSpec {
     out(3)._2 shouldBe Seq("x y") // multi-space collapses via tokenizer
   }
 
+  test("fused quality counters ≡ the four Column formulations") {
+    // tokenCount / bpeishTokenCount / punctCount / stopwordCount vs the
+    // one-pass kernel qualityFacets now uses — element-wise on edge
+    // shapes (empty, whitespace, stutters like "the the", punctuation
+    // soup, unicode) and the real corpus
+    val edge = Seq((0L, ""), (1L, "   "), (2L, "the the a a of"),
+      (3L, "a.b,c;d:e!f?g(h)i[j]{k}-l'm\"n"), (4L, "ÄBC Def the\tof\nto"),
+      (5L, "it is that for in and a the of to")).toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(edge, corpus).foreach { df =>
+      df.select(
+        graft.plans.NativeFunctions.qualityCounts($"text").as("qc"),
+        TextStats.tokenCount($"text").cast("long").as("t"),
+        TextStats.bpeishTokenCount($"text").cast("long").as("b"),
+        TextStats.punctCount($"text").cast("long").as("p"),
+        TextStats.stopwordCount($"text").as("s"))
+      .collect().foreach { r =>
+        val qc = r.getStruct(0)
+        (qc.getLong(0), qc.getLong(1), qc.getLong(2), qc.getLong(3)) shouldBe
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      }
+    }
+  }
+
   test("fused tokenizer ≡ filter(split(lower)) Column formulation") {
     // the one tokenizer definition every text operator shares — pin the
     // native expression against the Column math on edge shapes AND the
