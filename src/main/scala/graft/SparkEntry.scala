@@ -2295,6 +2295,17 @@ object SparkEntry {
         .orderBy("actual")
     }),
 
+    // ... and the HASHED-vocabulary variant (fastText's bucket trick,
+    // 64 md5 buckets): the serving table is dims × labels longs BY
+    // CONSTRUCTION — the posture for web-scale vocabularies where the
+    // exact table is unbounded. Same grid NB semantics over bucket ids.
+    "x_nb_hashed" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0),
+          hashDims = 64)
+        .orderBy("doc_id")
+    }),
+
     // Feature-hashing vectorizer summary — 64-bucket hashing-trick
     // count vectors summarized (nnz, ‖v‖², max, argmax) in ONE fused
     // projection; all-integer, so the whole row is oracle-exact.
@@ -2839,21 +2850,26 @@ object SparkEntry {
   /** DuckDB replay of TextStats.naiveBayes over the even-id train
     * split — Laplace-smoothed multinomial likelihood + doc-count
     * prior on the 1e-9 grid, argmax by (score desc, label asc).
-    * Shared by x_nb_classify and x_nb_accuracy. */
-  private def nbCtes: String =
+    * `keyExpr` maps the token column `w` to its count/join key: the
+    * token itself for the exact-vocabulary variant, its md5 bucket
+    * for the hashed variant. Shared by x_nb_classify, x_nb_accuracy,
+    * and x_nb_hashed. */
+  private def nbCtesWith(keyExpr: String): String =
     s"""tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 2 = 0),
-       |ttk AS (SELECT source AS lbl, unnest($toksSql) AS w FROM tr),
-       |cnt AS (SELECT lbl, w, CAST(count(*) AS BIGINT) AS c FROM ttk GROUP BY 1, 2),
+       |ttk0 AS (SELECT source AS lbl, unnest($toksSql) AS w FROM tr),
+       |ttk AS (SELECT lbl, $keyExpr AS k FROM ttk0),
+       |cnt AS (SELECT lbl, k, CAST(count(*) AS BIGINT) AS c FROM ttk GROUP BY 1, 2),
        |ls AS (SELECT lbl, CAST(count(*) AS BIGINT) AS t FROM ttk GROUP BY 1),
        |ndl AS (SELECT source AS lbl, CAST(count(*) AS BIGINT) AS nd FROM tr GROUP BY 1),
-       |sv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM ttk),
+       |sv AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS v FROM ttk),
        |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
-       |pos AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |pos0 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+       |pos AS (SELECT doc_id, $keyExpr AS k FROM pos0),
        |contrib AS (SELECT p.doc_id, l.lbl,
        |    CAST(round(ln((COALESCE(c.c, 0) + 1) / CAST(l.t + sv.v AS DOUBLE))
        |      * 1e9) AS BIGINT) AS l9
        |  FROM pos p CROSS JOIN ls l CROSS JOIN sv
-       |  LEFT JOIN cnt c ON c.lbl = l.lbl AND c.w = p.w),
+       |  LEFT JOIN cnt c ON c.lbl = l.lbl AND c.k = p.k),
        |scored AS (SELECT co.doc_id, co.lbl,
        |    CAST(sum(co.l9) AS BIGINT)
        |    + CAST(round(ln(ndl.nd / CAST(ntr.n AS DOUBLE)) * 1e9) AS BIGINT) AS sc9
@@ -4465,15 +4481,23 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "x_nb_classify" ->
-      s"""WITH $nbCtes
+      s"""WITH ${nbCtesWith("w")}
          |SELECT doc_id, actual, predicted, best_lp9, correct
          |FROM nb ORDER BY doc_id""".stripMargin,
 
     "x_nb_accuracy" ->
-      s"""WITH $nbCtes
+      s"""WITH ${nbCtesWith("w")}
          |SELECT actual, CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(correct) AS BIGINT) AS n_correct
          |FROM nb GROUP BY 1 ORDER BY actual""".stripMargin,
+
+    "x_nb_hashed" -> {
+      val p = Dedup.MinhashPrime
+      val bucket = s"(('0x' || substr(md5(w), 1, 15))::BIGINT % $p) % 64"
+      s"""WITH ${nbCtesWith(bucket)}
+         |SELECT doc_id, actual, predicted, best_lp9, correct
+         |FROM nb ORDER BY doc_id""".stripMargin
+    },
 
     "x_hash_features" -> {
       val p = Dedup.MinhashPrime

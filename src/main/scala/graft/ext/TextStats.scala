@@ -865,9 +865,17 @@ object TextStats {
    * (the oracle joins the token strings themselves); ExtSpec pins
    * fused ≡ DataFrame on constructed corpora including exact ties.
    */
+  /** `hashDims > 0` switches to the HASHED vocabulary (fastText's
+    * bucket trick): tokens fold into `hashDims` md5 buckets before
+    * counting and scoring, so the plan-time table is `hashDims ×
+    * labels` longs BY CONSTRUCTION — the 100 TB posture, where the
+    * exact vocabulary is unbounded. Semantics are standard multinomial
+    * NB over bucket ids (V = distinct OCCUPIED buckets); with
+    * `hashDims` far above the vocabulary the two variants coincide
+    * exactly (spec-pinned). */
   def naiveBayesFused(docs: DataFrame, train: DataFrame,
       labelCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", hashDims: Int = 0): DataFrame = {
     val spark = docs.sparkSession
     // one job for labels + doc priors (ntr = Σ per-label doc counts)
     val ndRow = train.groupBy(col(labelCol).cast("string").as("__lbl"))
@@ -879,9 +887,11 @@ object TextStats {
     // ONE token explode feeds the one (vocab × labels) pivot; token
     // totals and the vocabulary size both roll up from the pivot, so
     // training costs exactly two aggregation jobs, not five
+    val rawKey = Dedup.md5Key(col("__w"))
+    val key = if (hashDims > 0) rawKey % lit(hashDims.toLong) else rawKey
     val prof = train
       .select(col(labelCol).as("__lbl"), explode(tokens(col(textCol))).as("__w"))
-      .select(col("__lbl"), Dedup.md5Key(col("__w")).as("__kw"))
+      .select(col("__lbl"), key.as("__kw"))
       .groupBy("__kw").pivot("__lbl", labels).count()
       .localCheckpoint()
     val totRow = prof.agg(
@@ -909,7 +919,7 @@ object TextStats {
       .collect()(0)
     val prior = labels.indices.map(priorRow.getLong(_))
     val st = graft.plans.NativeFunctions.nbPredict(col(textCol),
-      keys, contribs, miss, prior)
+      keys, contribs, miss, prior, hashDims)
     docs.select(col(idCol), col(labelCol).as("actual"), st.as("__p"))
       .where(col("__p.n_tokens") > 0)
       .select(col(idCol), col("actual"),

@@ -798,16 +798,22 @@ object Native {
    * Returns (n_tokens, best_idx, best_lp9); the caller filters
    * token-less documents (n_tokens = 0), which have no likelihood
    * positions.
+   *
+   * `hashMod > 0` folds tokens into `hashMod` buckets before lookup —
+   * the fastText hashing-trick vocabulary: at web scale the exact
+   * vocabulary table is unbounded, the bucketed one is `hashMod ×
+   * labels` longs by construction.
    */
   def nbPredict(text: UTF8String, keys: Array[Long], contribs: Array[Long],
-      miss: Array[Long], prior: Array[Long]): InternalRow = {
+      miss: Array[Long], prior: Array[Long], hashMod: Int): InternalRow = {
     val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val nL = miss.length
     val sums = prior.clone()
     val md = Md5Local.get()
     var i = 0
     while (i < toks.length) {
-      val k = md5PrefixKey(md, toks(i))
+      val k0 = md5PrefixKey(md, toks(i))
+      val k = if (hashMod > 0) k0 % hashMod else k0
       val idx = java.util.Arrays.binarySearch(keys, k)
       if (idx >= 0) {
         val base = idx * nL
@@ -1070,8 +1076,8 @@ case class CdcChunksExpr(child: Expression, boundaryMod: Int)
   * constants (Seq params for structural equality), shipped into
   * generated code as reference objects. */
 case class NbPredictExpr(child: Expression, keys: Seq[Long],
-    contribs: Seq[Long], miss: Seq[Long], prior: Seq[Long])
-    extends UnaryExpression {
+    contribs: Seq[Long], miss: Seq[Long], prior: Seq[Long],
+    hashMod: Int = 0) extends UnaryExpression {
   require(miss.nonEmpty, "miss row must be non-empty")
   require(prior.length == miss.length, "prior row must match label count")
   require(contribs.length == keys.length * miss.length,
@@ -1088,7 +1094,8 @@ case class NbPredictExpr(child: Expression, keys: Seq[Long],
   @transient private lazy val pArr = prior.toArray
 
   override protected def nullSafeEval(input: Any): Any =
-    Native.nbPredict(input.asInstanceOf[UTF8String], kArr, cArr, mArr, pArr)
+    Native.nbPredict(input.asInstanceOf[UTF8String], kArr, cArr, mArr, pArr,
+      hashMod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kRef = ctx.addReferenceObj("nbKeys", kArr, "long[]")
@@ -1096,7 +1103,7 @@ case class NbPredictExpr(child: Expression, keys: Seq[Long],
     val mRef = ctx.addReferenceObj("nbMiss", mArr, "long[]")
     val pRef = ctx.addReferenceObj("nbPrior", pArr, "long[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.plans.Native.nbPredict($c, $kRef, $cRef, $mRef, $pRef)")
+      s"graft.plans.Native.nbPredict($c, $kRef, $cRef, $mRef, $pRef, $hashMod)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NbPredictExpr =
@@ -1433,9 +1440,9 @@ object NativeFunctions {
       langs, keys, contribs, miss))
 
   def nbPredict(text: Column, keys: Seq[Long], contribs: Seq[Long],
-      miss: Seq[Long], prior: Seq[Long]): Column =
+      miss: Seq[Long], prior: Seq[Long], hashMod: Int = 0): Column =
     ColumnBridge.column(NbPredictExpr(ColumnBridge.expression(text),
-      keys, contribs, miss, prior))
+      keys, contribs, miss, prior, hashMod))
 
   def worstWindow(text: Column, keys: Seq[Long], lp9: Seq[Long],
       window: Int): Column =

@@ -2053,6 +2053,18 @@ class ExtSpec extends SparkSpec {
     val withEmpty = docs.union(Seq((11L, "", "fruit")).toDF("doc_id", "text", "source"))
     TextStats.naiveBayesFused(withEmpty, withEmpty.where($"doc_id" % 2 === 0))
       .where($"doc_id" === 11L).count() shouldBe 0L
+    // hashed-vocabulary variant: with dims far above the vocabulary no
+    // buckets collide, so it coincides with the exact variant row for
+    // row — proving the bucket machinery changes nothing but the table
+    // bound (at real dims, collisions are the documented trade)
+    val hashed = TextStats.naiveBayesFused(docs,
+        docs.where($"doc_id" % 2 === 0), hashDims = 1 << 20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted"),
+        r.getAs[Long]("best_lp9"))).toSet
+    val exact = TextStats.naiveBayesFused(docs, docs.where($"doc_id" % 2 === 0))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted"),
+        r.getAs[Long]("best_lp9"))).toSet
+    hashed shouldBe exact
   }
 
   test("hash features: summary matches a brute-force vector; token-less row is (0,0,0,-1)") {
