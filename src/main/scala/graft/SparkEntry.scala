@@ -806,10 +806,12 @@ object SparkEntry {
       val csvPath = ensure("csv")(p =>
         li.write.mode("overwrite").option("header", "true").csv(p))
       val jsonPath = ensure("json")(p => li.write.mode("overwrite").json(p))
+      val orcPath = ensure("orc")(p => li.write.mode("overwrite").orc(p))
       val schema = "l_orderkey BIGINT, l_linenumber INT, " +
         "l_returnflag STRING, l_quantity DOUBLE"
       val csv = s.read.schema(schema).option("header", "true").csv(csvPath)
       val json = s.read.schema(schema).json(jsonPath)
+      val orc = s.read.schema(schema).orc(orcPath)
       def aggOf(df: DataFrame, fmt: String): DataFrame = df
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
@@ -819,6 +821,7 @@ object SparkEntry {
         .select(lit(fmt).as("fmt"), col("l_returnflag"), col("n_rows"),
           col("sum_okey"), col("sum_qty"))
       aggOf(csv, "csv").unionByName(aggOf(json, "json"))
+        .unionByName(aggOf(orc, "orc"))
         .orderBy("fmt", "l_returnflag")
     }),
 
@@ -2312,6 +2315,29 @@ object SparkEntry {
     "x_hash_features" -> ((s, dir) =>
       TextStats.hashFeatures(tbl(s, dir, "documents"))
         .orderBy("doc_id")),
+
+    // Corpus card: the one-row dataset summary every release ships —
+    // size, vocabulary, exact-dup mass, language/source spread, and
+    // the quality-bucket split, composed from the already-proven
+    // facets in three bounded aggregates.
+    "x_corpus_card" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val base = TextStats.qualityFacets(d).agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars_m").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum(when(col("quality_bucket") === "good", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("quality_bucket") === "fair", 1L).otherwise(0L)).as("n_fair"),
+        sum(when(col("quality_bucket") === "poor", 1L).otherwise(0L)).as("n_poor"))
+      val vocab = d.select(explode(TextStats.tokens(col("text"))).as("t"))
+        .agg(countDistinct("t").as("n_vocab"))
+      val dups = d.agg(
+        (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"))
+      base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
+        .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
+    }),
 
     // nDCG@10 of BM25 retrieval against term-overlap relevance — the
     // ranking-eval half of retrieval-based curation; per-position
@@ -4464,6 +4490,29 @@ object SparkEntry {
          |         ' ' ORDER BY chunk_idx), '') AS clean_text
          |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "x_corpus_card" ->
+      s"""WITH f AS (SELECT lang, source, text,
+         |       CAST(len(text) AS BIGINT) AS nch,
+         |       CAST(len($toksSql) AS BIGINT) AS ntk,
+         |       ($qualityBucketSql) AS qb
+         |     FROM documents),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(ntk) AS BIGINT) AS n_tokens,
+         |       CAST(sum(nch) AS BIGINT) AS n_chars,
+         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |       CAST(sum(CASE WHEN qb = 'good' THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |       CAST(sum(CASE WHEN qb = 'fair' THEN 1 ELSE 0 END) AS BIGINT) AS n_fair,
+         |       CAST(sum(CASE WHEN qb = 'poor' THEN 1 ELSE 0 END) AS BIGINT) AS n_poor
+         |     FROM f),
+         |v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_vocab
+         |      FROM (SELECT unnest($toksSql) AS t FROM documents)),
+         |du AS (SELECT CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs
+         |       FROM documents)
+         |SELECT base.*, v.n_vocab, du.n_dup_docs,
+         |       n_tokens / CAST(n_docs AS DOUBLE) AS mean_doc_tokens
+         |FROM base, v, du""".stripMargin,
+
     "x_cdc_decontaminate" ->
       s"""WITH $cdcCtes,
          |trn AS (SELECT DISTINCT chunk_text FROM ch
@@ -4579,6 +4628,8 @@ object SparkEntry {
          |SELECT 'csv' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
          |UNION ALL
          |SELECT 'json' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
+         |UNION ALL
+         |SELECT 'orc' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
          |ORDER BY fmt, l_returnflag""".stripMargin,
 
     // bucket-size histogram over the SAME band/bucket construction as
