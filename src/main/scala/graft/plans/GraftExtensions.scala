@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.IntegerType
  *  - `graft_hashed_shingles(string, n)-> array<bigint>` — hashed n-grams
  *    (n must be a literal int)
  *  - `graft_dot(array, array)       -> double` — embedding dot product
+ *  - `graft_minhash_signature(text, k, n) -> array<bigint>`
+ *  - `graft_tokens(text)            -> array<string>` — the engine tokenizer
+ *  - `graft_winnow_fps(text, n, w)  -> array<bigint>` — winnowing keys
+ *  - `graft_cdc_chunks(text, b)     -> array<string>` — CDC chunks
+ *  - `graft_quality_counts(text)    -> struct` — fused quality counters
+ *  - `graft_hash_features(text, d)  -> struct` — hashing-trick summary
+ * (every integer width/dims argument must be a literal int — the
+ * kernels specialize on it).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -71,7 +79,37 @@ object GraftExtensions {
         val n = litInt("graft_minhash_signature", c(2))
         require(n > 0, "graft_minhash_signature: shingleN must be positive")
         val (as, bs) = Native.minhashCoefs(k)
-        MinHashSigExpr(c.head, as, bs, n) }))
+        MinHashSigExpr(c.head, as, bs, n) }),
+    ("graft_tokens",
+      info("graft_tokens",
+        "graft_tokens(text) - lowercased whitespace tokens, empties dropped"),
+      ch => TokensOfExpr(arity("graft_tokens", 1)(ch).head)),
+    ("graft_winnow_fps",
+      info("graft_winnow_fps",
+        "graft_winnow_fps(text, gramN, window) - winnowing fingerprint keys"),
+      ch => { val c = arity("graft_winnow_fps", 3)(ch)
+        val n = litInt("graft_winnow_fps", c(1))
+        val w = litInt("graft_winnow_fps", c(2))
+        require(n > 0 && w > 0, "graft_winnow_fps: gramN and window must be positive")
+        WinnowFpsExpr(c.head, n, w) }),
+    ("graft_cdc_chunks",
+      info("graft_cdc_chunks",
+        "graft_cdc_chunks(text, boundaryMod) - content-defined chunk strings"),
+      ch => { val c = arity("graft_cdc_chunks", 2)(ch)
+        val b = litInt("graft_cdc_chunks", c(1))
+        require(b > 0, "graft_cdc_chunks: boundaryMod must be positive")
+        CdcChunksExpr(c.head, b) }),
+    ("graft_quality_counts",
+      info("graft_quality_counts",
+        "graft_quality_counts(text) - struct(n_tokens, n_bpeish, n_punct, n_stop)"),
+      ch => QualityCountsExpr(arity("graft_quality_counts", 1)(ch).head)),
+    ("graft_hash_features",
+      info("graft_hash_features",
+        "graft_hash_features(text, dims) - struct(nnz, norm_sq, max_count, argmax_dim)"),
+      ch => { val c = arity("graft_hash_features", 2)(ch)
+        val d = litInt("graft_hash_features", c(1))
+        require(d > 0, "graft_hash_features: dims must be positive")
+        HashFeatureStatsExpr(c.head, d) }))
 
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -1845,6 +1845,26 @@ class ExtSpec extends SparkSpec {
       spark.sql("SELECT graft_hashed_shingles(text, id + 1) FROM ext_probe").collect()
     }
     ex.getMessage should include("literal")
+    // the round-12 kernels are registered too, and match their Column
+    // twins exactly
+    val r12 = spark.sql(
+      """SELECT graft_tokens(text) AS tk,
+        |       graft_winnow_fps(text, 3, 4) AS wf,
+        |       graft_cdc_chunks(text, 8) AS cc,
+        |       graft_quality_counts(text) AS qc,
+        |       graft_hash_features(text, 16) AS hf
+        |FROM ext_probe""".stripMargin).head()
+    val col12 = Seq("the quick brown fox").toDF("text").select(
+      TextStats.tokens($"text").as("tk"),
+      NativeFunctions.winnowFps($"text", 3, 4).as("wf"),
+      NativeFunctions.cdcChunks($"text", 8).as("cc"),
+      NativeFunctions.qualityCounts($"text").as("qc"),
+      NativeFunctions.hashFeatureStats($"text", 16).as("hf")).head()
+    r12.getSeq[String](0) shouldBe col12.getSeq[String](0)
+    r12.getSeq[Long](1) shouldBe col12.getSeq[Long](1)
+    r12.getSeq[String](2) shouldBe col12.getSeq[String](2)
+    r12.getStruct(3).toSeq shouldBe col12.getStruct(3).toSeq
+    r12.getStruct(4).toSeq shouldBe col12.getStruct(4).toSeq
   }
 
   test("wordNgrams: space-joined sliding windows; short docs yield empty") {
