@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ext.{Dedup, TextStats}
+import graft.plans.NativeFunctions
+
+/**
+ * Randomized equivalence sweep for the fused native kernels: every
+ * kernel is compared against its Column-math reference (or a
+ * brute-force Scala model) on a seeded ScalaCheck-generated corpus
+ * that mixes unicode, punctuation soup, odd whitespace (tabs,
+ * newlines, vertical tab — the `\s` class corner), stopword stutters,
+ * and empty/blank documents. Deterministic: fixed generator seed, so
+ * a failure is reproducible, and the corpus intentionally stresses
+ * the edges hand-written vectors tend to miss.
+ */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = Gen.frequency(
+    (6, Gen.oneOf("the", "a", "of", "to", "in", "fox", "Fox", "ÄBC", "héllo",
+      "x", "spark", "table", "scan")),
+    (2, Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))),
+    (2, Gen.oneOf(".", ",", "a.b,c", "(x)", "[y]", "{z}", "it!", "why?",
+      "'q'", "\"w\"", "end-")))
+
+  private val sepGen: Gen[String] =
+    Gen.frequency((8, Gen.const(" ")), (1, Gen.const("  ")),
+      (1, Gen.oneOf("\t", "\n", "", "\f", "\r", " \t ")))
+
+  private val docGen: Gen[String] = Gen.frequency(
+    (1, Gen.const("")),
+    (1, Gen.oneOf(" ", "   ", "\t\n")),
+    (18, for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, wordGen)
+      seps <- Gen.listOfN(n, sepGen)
+    } yield ws.zip(seps).map { case (w, s) => w + s }.mkString.trim))
+
+  /** 200 seeded documents — the same corpus for every property. */
+  private lazy val corpus: Seq[(Long, String)] = {
+    val gen = Gen.listOfN(200, docGen)
+    val docs = gen.apply(Gen.Parameters.default, Seed(42L)).get
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  private lazy val df = corpus.toDF("doc_id", "text")
+
+  test("random corpus: fused tokenizer ≡ Column formulation") {
+    df.select(TextStats.tokens($"text").as("a"),
+        TextStats.tokensColumnar($"text").as("b"))
+      .collect().foreach(r => r.getSeq[String](0) shouldBe r.getSeq[String](1))
+  }
+
+  test("random corpus: winnow kernel ≡ windowed formulation") {
+    val kern = Dedup.winnowFingerprints(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wind = Dedup.winnowFingerprintsWindowed(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    kern shouldBe wind
+  }
+
+  test("random corpus: quality counters ≡ the four Column formulations") {
+    df.select(NativeFunctions.qualityCounts($"text").as("qc"),
+        TextStats.tokenCount($"text").cast("long"),
+        TextStats.bpeishTokenCount($"text").cast("long"),
+        TextStats.punctCount($"text").cast("long"),
+        TextStats.stopwordCount($"text"))
+      .collect().foreach { r =>
+        val qc = r.getStruct(0)
+        (qc.getLong(0), qc.getLong(1), qc.getLong(2), qc.getLong(3)) shouldBe
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      }
+  }
+
+  test("random corpus: fingerprint fused ≡ composed; cdc chunks rebuild the text") {
+    df.select(TextStats.fingerprint($"text"),
+        NativeFunctions.rollingHash(
+          array_join(TextStats.tokensColumnar($"text"), " ")))
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+    // CDC losslessness: chunks in order == normalized tokens, any input
+    df.select(array_join(TextStats.tokens($"text"), " "),
+        array_join(NativeFunctions.cdcChunks($"text", 8), " "))
+      .collect().foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
+  test("random corpus: hash-feature summary matches a brute-force model") {
+    val out = df.select($"doc_id",
+        NativeFunctions.hashFeatureStats($"text", 16).as("hf"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def md5Key(s: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var x = 0L
+      for (i <- 0 until 7) x = (x << 8) | (dig(i) & 0xffL)
+      ((x << 4) | ((dig(7) & 0xffL) >>> 4)) % 2147483647L
+    }
+    corpus.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val v = new Array[Long](16)
+      toks.foreach(t => v((md5Key(t) % 16).toInt) += 1)
+      val qc = out(id)
+      qc.getLong(0) shouldBe v.count(_ > 0).toLong
+      qc.getLong(1) shouldBe v.map(c => c * c).sum
+      qc.getLong(2) shouldBe v.max
+      qc.getInt(3) shouldBe (if (v.max == 0L) -1 else v.indexOf(v.max))
+    }
+  }
+}
