@@ -556,6 +556,39 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe wBatch
   }
 
+  test("stream-static CDC contamination gate flags incoming docs against a historical corpus") {
+    // ingest-time chunk-level decontamination: the static side reduces
+    // to its DISTINCT ≥4-token CDC chunk set once; each micro-batch
+    // explodes its chunks (stateless kernel), inner-joins the static
+    // set, and aggregates per doc in update mode — no stream-stream
+    // state, bounded by the batch
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val historical = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val histChunks = Dedup.cdcChunks(historical)
+      .where($"n_chunk_tokens" >= 4)
+      .select($"chunk_text").distinct()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "red blue green yellow purple orange silver golden"))
+    val flagged = mem.toDF().toDF("doc_id", "text")
+      .select($"doc_id", explode(
+        graft.plans.NativeFunctions.cdcChunks($"text", 8)).as("chunk_text"))
+      .join(histChunks, "chunk_text")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    val q = flagged.writeStream.format("memory").queryName("cdc_gate")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val rows = spark.table("cdc_gate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows(100L) should be >= 1L   // the verbatim copy is flagged at ingest
+    rows.contains(101L) shouldBe false // clean doc passes silently
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
