@@ -656,12 +656,17 @@ object Dedup {
   def cdcContamination(bench: DataFrame, train: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       boundaryMod: Int = 8, minTokens: Int = 4): DataFrame = {
+    // the flagging join keys the 8-byte chunk digest, not the chunk
+    // string — the train-side distinct and the equi-join shuffle only
+    // hashes (2^-64-collision equivalence class, like every hashed
+    // gram join in this file; the oracle joins the strings themselves)
     val bc = cdcChunks(bench, idCol, textCol, boundaryMod)
+      .withColumn("__ck", xxhash64(col("chunk_text")))
     val tc = cdcChunks(train, idCol, textCol, boundaryMod)
       .where(col("n_chunk_tokens") >= minTokens)
-      .select(col("chunk_text")).distinct()
+      .select(xxhash64(col("chunk_text")).as("__ck")).distinct()
     val hit = col("__hit").isNotNull && col("n_chunk_tokens") >= minTokens
-    bc.join(tc.withColumn("__hit", lit(1L)), Seq("chunk_text"), "left")
+    bc.join(tc.withColumn("__hit", lit(1L)), Seq("__ck"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(hit, 1L).otherwise(0L)).as("n_shared"))
@@ -689,14 +694,18 @@ object Dedup {
       textCol: String = "text", boundaryMod: Int = 8, minTokens: Int = 4,
       minDocs: Int = 2): DataFrame = {
     val chunks = cdcChunks(docs, idCol, textCol, boundaryMod)
+      .withColumn("__ck", xxhash64(col("chunk_text")))
       .localCheckpoint() // feeds the dup aggregate and the rebuild once
+    // dup resolution keys the 8-byte chunk digest — only hashes and
+    // ids cross the aggregate and join shuffles, never chunk strings
+    // (the oracle joins the strings; 2^-64-collision equivalence)
     val dups = chunks
       .where(col("n_chunk_tokens") >= minTokens)
-      .groupBy(col("chunk_text"))
+      .groupBy(col("__ck"))
       .agg(countDistinct(col(idCol)).as("__nd"), min(col(idCol)).as("__md"))
       .where(col("__nd") >= minDocs)
     val keep = col("__nd").isNull || (col(idCol) === col("__md"))
-    chunks.join(dups, Seq("chunk_text"), "left")
+    chunks.join(dups, Seq("__ck"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(keep, 0L).otherwise(1L)).as("n_dropped"),
