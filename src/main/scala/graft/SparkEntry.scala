@@ -1643,6 +1643,17 @@ object SparkEntry {
         temperature = 0.7)
         .orderBy("lang")),
 
+    // Token-budget mixture solver: per-language desired vs available
+    // tokens under a 30k-token budget at the MixWeights mixture —
+    // exact BigInt desired shares, single groupBy over token counts;
+    // shortfall > 0 flags strata that cannot fill their share (en/zh
+    // here), the upsample-or-renormalize decision input.
+    "x_mix_budget" -> ((s, dir) =>
+      Corpus.budgetMix(tbl(s, dir, "documents"), "lang", MixWeights,
+        budgetTokens = 30000L,
+        tokenCount = TextStats.tokenCount(col("text")).cast("long"))
+        .orderBy("lang")),
+
     // HyperLogLog distinct: the register-bounded estimate next to the
     // exact count — the fourth sketch family (KMV=distinct-values,
     // histogram=quantiles, CMS=frequency, HLL=distinct-registers); see
@@ -1936,6 +1947,14 @@ object SparkEntry {
 
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
+
+    // Quality-aware exact dedup: keep the highest-n_chars copy of each
+    // duplicate group (tie → smallest id) — the production keep rule
+    // when mirrors differ in metadata; one max_by-struct aggregate on
+    // narrow (digest, score, id) rows, never a per-group window sort.
+    "x_dedup_keep_best" -> ((s, dir) =>
+      Dedup.exactKeepBest(tbl(s, dir, "documents"), col("n_chars"))
+        .orderBy("digest")),
 
     // Heavy-hitter detection (the planning half of the hot/cold salted
     // join): keys holding >= 15% of the table.
@@ -2296,6 +2315,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum("correct").as("n_correct"))
         .orderBy("actual")
+    }),
+
+    // Confusion matrix of the NB classifier — the (actual, predicted)
+    // cell counts behind x_nb_accuracy; all-integer, one extra
+    // |labels|²-bounded groupBy over the shared per-doc predictions.
+    "x_nb_confusion" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("actual", "predicted")
+    }),
+
+    // ... and per-label precision/recall/F1 from the same cells — the
+    // report a curation-classifier eval actually reads. Marginals are
+    // exact longs; the three ratios are the only doubles (fixed op
+    // order, replayed identically by the oracle). A label that is
+    // never predicted gets precision 0 by convention.
+    "x_nb_prf" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val cells = TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0))
+        .groupBy("actual", "predicted")
+        .agg(count(lit(1)).as("n"))
+      val byActual = cells.groupBy("actual")
+        .agg(sum("n").as("n_actual"),
+          sum(when(col("actual") === col("predicted"), col("n"))
+            .otherwise(0L)).as("tp"))
+      val byPred = cells.groupBy("predicted")
+        .agg(sum("n").as("n_pred"))
+      val j = byActual.join(byPred, col("actual") === col("predicted"), "left")
+        .select(col("actual").as("label"), col("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("tp"))
+      val p = when(col("n_pred") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("n_pred").cast("double"))
+      val r = when(col("n_actual") === 0L, lit(0.0))
+        .otherwise(col("tp").cast("double") / col("n_actual").cast("double"))
+      j.withColumn("prec", p).withColumn("rec", r)
+        .withColumn("f1",
+          when(col("prec") + col("rec") === 0.0, lit(0.0))
+            .otherwise(lit(2.0) * col("prec") * col("rec") /
+              (col("prec") + col("rec"))))
+        .orderBy("label")
     }),
 
     // ... and the HASHED-vocabulary variant (fastText's bucket trick,
@@ -3707,6 +3768,36 @@ object SparkEntry {
          |       CAST(wq AS DOUBLE) / CAST(zz AS DOUBLE) AS p_temp
          |FROM w CROSS JOIN z ORDER BY lang""".stripMargin,
 
+    // Budget-mix replay: the oracle RE-DERIVES the desired shares the
+    // engine computes in plan-time BigInt — same 1e-9 weight quanta
+    // (identical double op order wt/s*1e9), HUGEINT floor-div for
+    // budget·wq/Z — so the arithmetic is verified, not copied; avail
+    // tokens from the shared tokenizer fragment.
+    "x_mix_budget" -> {
+      val vals = MixWeights.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"('$k', CAST('$v' AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $vals) t(lang, wt)),
+         |tot AS (SELECT sum(wt) AS s FROM w),
+         |q AS (SELECT lang, CAST(round(wt / s * 1000000000.0) AS BIGINT) AS wq
+         |      FROM w CROSS JOIN tot),
+         |z AS (SELECT sum(wq) AS zz FROM q),
+         |d AS (SELECT lang,
+         |        CAST((30000::HUGEINT * wq::HUGEINT) // zz::HUGEINT AS BIGINT)
+         |          AS desired_tokens
+         |      FROM q CROSS JOIN z),
+         |a AS (SELECT lang, CAST(sum(len($toksSql)) AS BIGINT) AS avail_tokens
+         |      FROM documents GROUP BY 1)
+         |SELECT a.lang, avail_tokens, desired_tokens,
+         |       least(avail_tokens, desired_tokens) AS kept_tokens,
+         |       CASE WHEN avail_tokens = 0 THEN 0.0
+         |            ELSE CAST(least(avail_tokens, desired_tokens) AS DOUBLE)
+         |                 / CAST(avail_tokens AS DOUBLE) END AS rate,
+         |       greatest(CAST(0 AS BIGINT), desired_tokens - avail_tokens)
+         |         AS shortfall
+         |FROM a JOIN d USING (lang) ORDER BY lang""".stripMargin
+    },
+
     // HLL replay: register = 60-bit md5 mod 256, rho = 61 - len(bin(h))
     // (integer-exact — bin drops leading zeros in both engines), the
     // harmonic sum on the 1e-9 grid (floor(1e9·2^-M) is an exact
@@ -4280,6 +4371,18 @@ object SparkEntry {
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
+    // per digest group via max_by on the same (score, -id) pair the
+    // engine's struct-max aggregate orders on.
+    "x_dedup_keep_best" ->
+      """WITH r AS (SELECT sha256(text) AS digest, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY sha256(text)
+        |               ORDER BY n_chars DESC, doc_id) AS rk,
+        |             count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+        |           FROM documents)
+        |SELECT digest, doc_id AS keep_id, n_chars AS keep_score, n_copies
+        |FROM r WHERE rk = 1 ORDER BY digest""".stripMargin,
+
     // Heavy-hitter replay: same count/total share with the same
     // double arithmetic (explicit casts; threshold as a round-trip
     // string literal).
@@ -4547,6 +4650,40 @@ object SparkEntry {
          |SELECT doc_id, actual, predicted, best_lp9, correct
          |FROM nb ORDER BY doc_id""".stripMargin
     },
+
+    "x_nb_confusion" ->
+      s"""WITH ${nbCtesWith("w")}
+         |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM nb GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+
+    // PRF replay: exact integer marginals from the confusion cells;
+    // the ratio doubles follow the engine's exact op order (tp/denom
+    // single divisions; f1 = 2·p·r/(p+r) left-associated).
+    "x_nb_prf" ->
+      s"""WITH ${nbCtesWith("w")},
+         |cells AS (SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |          FROM nb GROUP BY 1, 2),
+         |ba AS (SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual,
+         |         CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+         |           AS BIGINT) AS tp
+         |       FROM cells GROUP BY 1),
+         |bp AS (SELECT predicted, CAST(sum(n) AS BIGINT) AS n_pred
+         |       FROM cells GROUP BY 1),
+         |m AS (SELECT actual AS label, n_actual,
+         |        COALESCE(n_pred, CAST(0 AS BIGINT)) AS n_pred, tp
+         |      FROM ba LEFT JOIN bp ON ba.actual = bp.predicted),
+         |pr AS (SELECT label, n_actual, n_pred, tp,
+         |         CASE WHEN n_pred = 0 THEN 0.0
+         |              ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+         |           AS prec,
+         |         CASE WHEN n_actual = 0 THEN 0.0
+         |              ELSE CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) END
+         |           AS rec
+         |       FROM m)
+         |SELECT label, n_actual, n_pred, tp, prec, rec,
+         |       CASE WHEN prec + rec = 0.0 THEN 0.0
+         |            ELSE 2.0 * prec * rec / (prec + rec) END AS f1
+         |FROM pr ORDER BY label""".stripMargin,
 
     "x_hash_features" -> {
       val p = Dedup.MinhashPrime

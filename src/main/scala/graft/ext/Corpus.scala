@@ -818,4 +818,58 @@ object Corpus {
       .select(col(strataCol), col("n_docs"), col("p_native"),
         (col("__wq").cast("double") / col("__Z").cast("double")).as("p_temp"))
   }
+
+  /**
+   * Token-budget mixture solver — the capacity-planning step BEFORE a
+   * mixture job runs: given a total token budget and per-stratum
+   * mixture weights, how many tokens does each stratum owe
+   * (`desired_tokens`), how many can it actually supply
+   * (`avail_tokens`), what sampling rate hits the target
+   * (`rate = kept/avail`), and where does the mix fall short
+   * (`shortfall` > 0 ⇒ the stratum can't fill its share and the
+   * run under-delivers unless weights are renormalized or the
+   * stratum is upsampled — the [[mixTo]] `upsample` decision made
+   * with token units instead of document counts).
+   *
+   * Exactness: per-stratum desired counts are computed ONCE in exact
+   * BigInt arithmetic at plan time — `floor(budget · wq_s / Z)` with
+   * weights on the 1e-9 grid — and injected as literals (the oracle
+   * recomputes them in HUGEINT, so the arithmetic is verified, not
+   * copied). The only double is the final rate, a single division.
+   *
+   * Shape at scale: one map-side-combinable groupBy over
+   * (stratum, tokenCount) rows; everything after is |strata|-bounded.
+   */
+  def budgetMix(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], budgetTokens: Long,
+      tokenCount: Column): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val total = weights.values.sum
+    // 1e-9-grid weight quanta, exact desired share via BigInt floor-div
+    val wq = weights.map { case (k, v) =>
+      k -> BigInt(math.round(v / total * 1e9))
+    }
+    val z = wq.values.sum
+    val desired = wq.map { case (k, q) =>
+      k -> (BigInt(budgetTokens) * q / z).toLong
+    }
+    val dExpr = desired.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("long")) { case (acc, (k, d)) =>
+        when(col(strataCol) === k, lit(d)).otherwise(acc)
+      }
+    df.groupBy(strataCol)
+      .agg(sum(tokenCount).as("avail_tokens"))
+      .withColumn("desired_tokens", dExpr)
+      .where(col("desired_tokens").isNotNull)
+      .select(col(strataCol), col("avail_tokens"), col("desired_tokens"),
+        least(col("avail_tokens"), col("desired_tokens")).as("kept_tokens"),
+        when(col("avail_tokens") === 0L, lit(0.0))
+          .otherwise(
+            least(col("avail_tokens"), col("desired_tokens")).cast("double") /
+              col("avail_tokens").cast("double")).as("rate"),
+        greatest(lit(0L), col("desired_tokens") - col("avail_tokens"))
+          .as("shortfall"))
+  }
 }

@@ -29,6 +29,35 @@ object Dedup {
       .groupBy("digest")
       .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
 
+  /**
+   * Quality-aware exact dedup: within each duplicate group keep the
+   * HIGHEST-`scoreCol` copy (ties → smallest id) instead of [[exact]]'s
+   * min-id convention — the production keep rule when copies differ in
+   * metadata (a cleaner mirror of the same page, a higher-quality
+   * crawl of the same text after normalization).
+   *
+   * Scale shape: one `max_by` aggregation over (digest, score, id)
+   * rows — the same narrow-key map-side-combinable groupBy as
+   * [[exactByDigest]]; the full-width winner row is recovered by an
+   * id equi-join AFTER the aggregate, so wide columns never enter the
+   * dedup shuffle. The (score, id) argmax is packed into one orderable
+   * struct, so the tie-break is decided inside the aggregate (no
+   * window sort over the group).
+   */
+  def exactKeepBest(docs: DataFrame, score: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(sha2(col(textCol), 256).as("digest"), col(idCol),
+        score.as("__score"))
+      .groupBy("digest")
+      // max on (score asc, id desc-by-negation) ⇒ highest score,
+      // then smallest id — one struct compare per input row.
+      .agg(max(struct(col("__score").as("s"),
+          (-col(idCol)).as("nid"))).as("__w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("digest"), (-col("__w.nid")).cast("long").as("keep_id"),
+        col("__w.s").as("keep_score"), col("n_copies"))
+
   /** Lower-cased whitespace tokens (delegates to the engine's single
     * tokenizer definition in [[TextStats.tokens]]). */
   def tokens(textCol: Column): Column = TextStats.tokens(textCol)

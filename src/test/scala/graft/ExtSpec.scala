@@ -26,6 +26,45 @@ class ExtSpec extends SparkSpec {
     byDigest.where($"n_copies" === 2).select("keep_id").head().getLong(0) shouldBe 0L
   }
 
+  test("exactKeepBest: highest score wins, ties break to smallest id, partition-stable") {
+    // group A: ids 0,1 identical text — scores 3 vs 7 ⇒ 1 wins on score;
+    // group B: ids 10,11 identical text, EQUAL scores ⇒ 10 wins the tie;
+    // singleton: id 20.
+    val d = Seq(
+      (0L, "same text a", 3L), (1L, "same text a", 7L),
+      (10L, "same text b", 5L), (11L, "same text b", 5L),
+      (20L, "alone", 9L)
+    ).toDF("doc_id", "text", "q")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.exactKeepBest(df, col("q")).collect()
+        .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("keep_score"),
+          r.getAs[Long]("n_copies"))).toSet
+    val out = run(d)
+    out shouldBe Set((1L, 7L, 2L), (10L, 5L, 2L), (20L, 9L, 1L))
+    // argmax decided inside the aggregate ⇒ identical under any partitioning
+    run(d.repartition(7)) shouldBe out
+  }
+
+  test("budgetMix: exact desired shares, thinning rate, shortfall branch") {
+    // strata tokens: a=8 ("w"*8 docs), b=2; weights a:1 b:1 ⇒ each owes
+    // budget/2. budget=8 ⇒ a owes 4 of 8 (rate .5), b owes 4 of 2
+    // (shortfall 2, rate 1); stratum c present in corpus but unweighted
+    // ⇒ dropped from the report.
+    val d = Seq(
+      (0L, "w w w w w", "a"), (1L, "w w w", "a"),
+      (2L, "w w", "b"), (3L, "x", "c")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.Corpus.budgetMix(d, "lang",
+        Map("a" -> 1.0, "b" -> 1.0), 8L,
+        TextStats.tokenCount(col("text")).cast("long"))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("avail_tokens"),
+        r.getAs[Long]("desired_tokens"), r.getAs[Long]("kept_tokens"),
+        r.getAs[Double]("rate"), r.getAs[Long]("shortfall"))).sortBy(_._1)
+    out shouldBe Array(
+      ("a", 8L, 4L, 4L, 0.5, 0L),
+      ("b", 2L, 4L, 2L, 1.0, 2L))
+  }
+
   test("minhash: identical docs share signatures; near-dups pair up") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
