@@ -825,6 +825,26 @@ object SparkEntry {
         .orderBy("fmt", "l_returnflag")
     }),
 
+    // Partition-pruned scan: documents written ONCE partitioned by
+    // lang (`_SUCCESS`-guarded warehouse dir), read back with a
+    // partition-column filter — the filter resolves at PLANNING time
+    // (PartitionFilters in the scan, pinned by ScaleSpec), so only
+    // the en/zh directories are listed and read. The layout every
+    // 100 TB corpus store uses for its hottest predicate column.
+    "q_partitioned_scan" -> ((s, dir) => {
+      val p = graft.ext.Warehouse.tablePath(s,
+        whName("docs_bylang", s"$dir|lang|v1"))
+      if (!java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+        tbl(s, dir, "documents").select("doc_id", "n_chars", "lang")
+          .write.mode("overwrite").partitionBy("lang").parquet(p.toString)
+      s.read.parquet(p.toString)
+        .where(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("lang")
+    }),
+
     // Set operations: EXCEPT / INTERSECT with distinct semantics.
     "q_setop" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
@@ -1288,6 +1308,24 @@ object SparkEntry {
   private val toksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** Verbatim-8-token-window decontamination oracle over the %50
+    * benchmark split — shared by x_decontaminate_substr and its
+    * Bloom-prefiltered twin x_bloom_decontaminate (exact by
+    * construction: the verify join removes Bloom false positives). */
+  private lazy val decontWindowSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |dw AS (SELECT doc_id, unnest(list_distinct(
+       |         [array_to_string(tk[i:i+7], ' ')
+       |          for i in generate_series(1, len(tk) - 7)])) AS w
+       |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 <> 0),
+       |bw AS (SELECT DISTINCT unnest(list_distinct(
+       |         [array_to_string(tk[i:i+7], ' ')
+       |          for i in generate_series(1, len(tk) - 7)])) AS w
+       |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 = 0)
+       |SELECT doc_id, count(*) AS n_overlap_windows
+       |FROM dw JOIN bw USING (w)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** DuckDB fragment: BPE-ish subword token count — mirrors
     * [[TextStats.bpeishTokenCount]] exactly (same ASCII classes in
     * both regex engines; cross-checked by x_text_quality's n_bpeish).
@@ -1523,6 +1561,20 @@ object SparkEntry {
     "x_decontaminate_substr" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       Corpus.decontaminateSubstring(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
+    // Broadcast-Bloom decontamination: the same verbatim-window check
+    // with a 2^16-bit Bloom of the benchmark windows folded into the
+    // corpus scan as a plan-time literal — candidates (true hits + FP
+    // trickle) alone pay the exact verify join, the shape for a
+    // benchmark suite too large to ship as a join table. Exact by
+    // construction; shares the substr oracle verbatim.
+    "x_bloom_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Corpus.decontaminateBloom(
         d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0))
         .orderBy("doc_id")
@@ -3481,19 +3533,13 @@ object SparkEntry {
     // window CTE across the two benchmark-split sides (engine joins on
     // window hashes, oracle on window strings — the proven 2^-64
     // equivalence).
-    "x_decontaminate_substr" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
-         |dw AS (SELECT doc_id, unnest(list_distinct(
-         |         [array_to_string(tk[i:i+7], ' ')
-         |          for i in generate_series(1, len(tk) - 7)])) AS w
-         |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 <> 0),
-         |bw AS (SELECT DISTINCT unnest(list_distinct(
-         |         [array_to_string(tk[i:i+7], ' ')
-         |          for i in generate_series(1, len(tk) - 7)])) AS w
-         |       FROM toks WHERE len(tk) >= 8 AND doc_id % 50 = 0)
-         |SELECT doc_id, count(*) AS n_overlap_windows
-         |FROM dw JOIN bw USING (w)
-         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "x_decontaminate_substr" -> decontWindowSql,
+
+    // The Bloom-prefiltered variant is EXACT by construction (the
+    // verify join removes the Bloom's false positives), so it shares
+    // the verbatim-window oracle — the filter changes the plan, not
+    // the answer.
+    "x_bloom_decontaminate" -> decontWindowSql,
 
     // KMV replay: the sketch's bounded-state answer equals the k
     // smallest DISTINCT md5 uniforms per group by construction, so the
@@ -4768,6 +4814,16 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'orc' AS fmt, l_returnflag, n_rows, sum_okey, sum_qty FROM a
          |ORDER BY fmt, l_returnflag""".stripMargin,
+
+    // Partitioned-scan replay: the pruning changes what the engine
+    // READS, not what it computes — the oracle is the plain filtered
+    // aggregate over the source table.
+    "q_partitioned_scan" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY 1 ORDER BY lang""".stripMargin,
 
     // bucket-size histogram over the SAME band/bucket construction as
     // x_minhash_pairs (shared minhashBandsCtes)

@@ -205,6 +205,59 @@ object Corpus {
   }
 
   /**
+   * Broadcast-Bloom decontamination — [[decontaminateSubstring]] with
+   * a Bloom-filter prefilter in front of the verify join, the shape
+   * that survives a benchmark-suite side too large to ship to every
+   * task as a join table: a `bits`-bit Bloom of the benchmark's
+   * hashed windows (k hash probes per window) rides along as a
+   * plan-time array literal (KBs, like the JL projection's Gaussian
+   * literals), the corpus side drops every window that misses the
+   * filter INSIDE the scan projection, and only surviving candidates
+   * — true hits plus the Bloom's false-positive trickle — pay the
+   * exact 8-byte-key equi-join. The verify join makes the output
+   * EXACTLY [[decontaminateSubstring]]'s (the Bloom admits a superset
+   * of true hits and the join removes false positives), so the oracle
+   * is shared verbatim; only the shuffled row count changes.
+   *
+   * Defaults (2^16 bits, 3 probes) hold the false-positive rate under
+   * ~1% up to ≈6k distinct benchmark windows; size `bits` ∝ benchmark
+   * windows at scale (the array literal grows as bits/8 bytes).
+   */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+      windowTokens: Int = 8, bits: Int = 1 << 16, numProbes: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bits > 0 && (bits & 63) == 0, "bits must be a positive multiple of 64")
+    require(numProbes > 0, "numProbes must be positive")
+    def windows(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .where(size(TextStats.tokens(col(textCol))) >= windowTokens)
+      .select(cols :+ explode(graft.plans.NativeFunctions.hashedShingles(
+        col(textCol), windowTokens)).as("__w"): _*)
+    def probes(w: Column): Seq[Column] =
+      (0 until numProbes).map(i => pmod(xxhash64(w, lit(i)), lit(bits.toLong)))
+    val bw = windows(benchmark, Nil).select("__w").distinct()
+    // Build the filter: distinct bit positions of all benchmark-window
+    // probes — a bounded plan-time collect (≤ bits ints, the DSIR-table
+    // convention), packed into bits/64 longs and injected as a literal.
+    val setBits = bw
+      .select(explode(array(probes(col("__w")): _*)).as("__p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](bits / 64)
+    setBits.foreach(p => words(p.toInt >> 6) |= 1L << (p.toInt & 63))
+    val bloom = typedLit(words.toSeq)
+    val hit = probes(col("__w")).map { p =>
+      // & 1, not % 2: arithmetic shiftright keeps the sign, and a
+      // negative odd remainder is -1
+      call_function("shiftright",
+        element_at(bloom, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+    val candidates = windows(docs, Seq(col(idCol))).where(hit)
+    candidates.join(bw, "__w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap_windows"))
+  }
+
+  /**
    * Quality-weighted sampling: keep each row with its own acceptance
    * probability `weight` (any Column in [0,1] — typically a quality
    * score mapped to a keep rate). The continuous generalization of

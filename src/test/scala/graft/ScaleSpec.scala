@@ -237,6 +237,54 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_partitioned_scan: the driver query's scan prunes to the filtered lang directories") {
+    val q = SparkEntry.queries("q_partitioned_scan")(spark, "/root/testdata/sf0.001")
+    q.collect().length should be >= 1
+    // the aggregate puts the query under AQE: the scan hides behind the
+    // AdaptiveSparkPlanExec and its QueryStageExec leaf wrappers, so
+    // descend both (finalized by the collect() above)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(q.queryExecution.executedPlan).head
+    scan.partitionFilters.map(_.toString).mkString should include("lang")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .flatMap(_.files).map(_.getPath.toString)
+    parts should not be empty
+    all(parts) should (include("lang=en") or include("lang=zh"))
+  }
+
+  test("decontaminateBloom: filter runs below the verify join; tiny saturated filter stays exact") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "totally unrelated words that share no window at all here"),
+      (3L, "short doc")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // 64-bit filter with 2 probes saturates fast — false positives are
+    // guaranteed in general, and the verify join must erase them
+    val bloom = graft.ext.Corpus.decontaminateBloom(docs, bench,
+      bits = 64, numProbes = 2)
+    val exact = graft.ext.Corpus.decontaminateSubstring(docs, bench)
+    bloom.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      exact.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // the bloom membership test (shiftright on the literal word array)
+    // must appear in a Filter BELOW the join — candidates are pruned
+    // before any shuffle toward the verify join
+    val plan = bloom.queryExecution.optimizedPlan.toString
+    val joinIdx = plan.indexOf("Join")
+    val filtIdx = plan.indexOf("shiftright")
+    joinIdx should be >= 0
+    filtIdx should be > joinIdx // below the join = later in the tree dump
+  }
+
   test("bucketed join plan has no Exchange on either join side") {
     // disable auto-broadcast so the small test tables take the
     // sort-merge path the bucketing is designed for
