@@ -1930,6 +1930,42 @@ object SparkEntry {
       Corpus.shuffleShards(tbl(s, dir, "documents"), nShards = 16, seed = Seed)
         .orderBy("doc_id")),
 
+    // Curriculum training order: quality buckets (good→0 … poor→2)
+    // laid out easy-to-hard, md5-shuffled within bucket, densified to
+    // a global 0..N-1 position — every window (bucket, shard)-
+    // partitioned, cross-bucket offsets from a bounded frame.
+    "x_curriculum_order" -> ((s, dir) => {
+      val f = TextStats.qualityFacets(tbl(s, dir, "documents"))
+      Corpus.curriculumOrder(f,
+        when(col("quality_bucket") === "good", 0)
+          .when(col("quality_bucket") === "fair", 1).otherwise(2),
+        nShards = 8, seed = Seed)
+        .orderBy("doc_id")
+    }),
+
+    // Snapshot diff: the corpus-versioning audit — old (id%3≠0,
+    // original text) vs new (id%4≠0, every 10th doc edited) classified
+    // added/removed/changed/unchanged via one digest-projected
+    // full-outer id join.
+    "x_snapshot_diff" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val old = d.where(col("doc_id") % 3 =!= 0)
+      val nw = d.where(col("doc_id") % 4 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Corpus.snapshotDiff(old, nw)
+        .select("doc_id", "status").orderBy("doc_id")
+    }),
+
+    // Output-layout planner: per-source file counts targeting ~4 KB
+    // per file (bench scale) — the small-files guard every corpus
+    // writer runs before `repartition(n_files)`; exact ceil-division.
+    "x_file_plan" -> ((s, dir) =>
+      Corpus.filePlan(tbl(s, dir, "documents"), "source",
+        col("n_chars"), targetBytes = 4096L)
+        .orderBy("source")),
+
     // Shard-balance rollup over the SAME assignment (shared code path
     // and shared oracle CTE, so report and manifest can't drift):
     // docs, BPE-ish token mass, and the max position per shard.
@@ -4300,6 +4336,61 @@ object SparkEntry {
     "x_shuffle_shards" ->
       s"""WITH $shardCtes
          |SELECT doc_id, shard, pos FROM sp ORDER BY doc_id""".stripMargin,
+
+    // Curriculum replay: same quality bucket, same md5 uniform
+    // (stream 'corpus_curriculum'), same floor-shard; the engine's
+    // offset+pos densification equals ONE global row_number over
+    // (bucket, shard, u, id) — the lexicographic order the offsets
+    // frame encodes.
+    "x_curriculum_order" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_curriculum' " +
+        s"|| chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH f AS (SELECT doc_id, ($qualityBucketSql) AS qb FROM documents),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN qb = 'good' THEN 0
+         |             WHEN qb = 'fair' THEN 1 ELSE 2 END AS bucket_rank,
+         |        $u AS u
+         |      FROM f),
+         |s AS (SELECT doc_id, bucket_rank,
+         |        CAST(floor(u * 8) AS INTEGER) AS shard, u FROM b)
+         |SELECT doc_id, bucket_rank, shard,
+         |       CAST(row_number() OVER (PARTITION BY bucket_rank, shard
+         |              ORDER BY u, doc_id) AS BIGINT) - 1 AS pos,
+         |       CAST(row_number() OVER (ORDER BY bucket_rank, shard, u,
+         |              doc_id) AS BIGINT) - 1 AS global_pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // Snapshot-diff replay: same side filters, same edit, sha256
+    // digest compare over a full outer join.
+    "x_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, sha256(text) AS od FROM documents
+        |           WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id,
+        |        sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+        |                    ELSE text END) AS nd
+        |      FROM documents WHERE doc_id % 4 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN od IS NULL THEN 'added'
+        |            WHEN nd IS NULL THEN 'removed'
+        |            WHEN od = nd THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // File-plan replay: exact integer ceil-divisions (`//` after the
+    // +b-1 shift, the engine's div twin).
+    "x_file_plan" ->
+      """WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS total_bytes
+        |           FROM documents GROUP BY 1),
+        |f AS (SELECT source, n_docs, total_bytes,
+        |        least(n_docs, greatest(CAST(1 AS BIGINT),
+        |          (total_bytes + 4095) // 4096)) AS n_files
+        |      FROM a)
+        |SELECT source, n_docs, total_bytes, n_files,
+        |       (n_docs + n_files - 1) // n_files AS docs_per_file
+        |FROM f ORDER BY source""".stripMargin,
 
     // Shard-balance rollup over the SAME shared CTE as the manifest.
     "x_shard_balance" ->

@@ -525,6 +525,97 @@ object Corpus {
   }
 
   /**
+   * Curriculum training order: documents grouped into an
+   * easy-to-hard `bucketRank` (any deterministic integer column —
+   * typically the quality bucket mapped 0=good…2=poor), deterministic
+   * md5-shuffled WITHIN each bucket, and laid out as a single global
+   * order `good shards first … poor shards last`. Returns one manifest
+   * row per document: `(idCol, bucket_rank, shard, pos, global_pos)`
+   * with `global_pos` a dense 0..N-1 permutation — the dataloader
+   * reads shards in (bucket_rank, shard) order and each shard
+   * sequentially, which IS ascending global_pos.
+   *
+   * Scale shape: [[shuffleShards]]'s posture with the bucket as an
+   * extra partition key — every window is (bucket, shard)-partitioned
+   * (never a global sort); the cross-bucket offsets that densify
+   * `global_pos` come from a |buckets|·nShards-row aggregate, windowed
+   * driver-small and broadcast back (the selectToBudget offsets-frame
+   * convention).
+   */
+  def curriculumOrder(df: DataFrame, bucketRank: Column, nShards: Int,
+      seed: Long, idCol: String = "doc_id",
+      stream: String = "corpus_curriculum"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val base = df
+      .select(col(idCol), bucketRank.cast("int").as("bucket_rank"))
+      .withColumn("__u", Rng.uniform(seed, stream, col(idCol)))
+      .withColumn("shard", floor(col("__u") * nShards).cast("int"))
+    val pos = base.withColumn("pos",
+      row_number().over(Window.partitionBy("bucket_rank", "shard")
+        .orderBy(col("__u"), col(idCol))).cast("long") - 1L)
+    val counts = pos.groupBy("bucket_rank", "shard")
+      .agg(count(lit(1)).as("__n"))
+    // exclusive prefix over the bounded (bucket, shard) frame — the
+    // unpartitioned window runs on ≤ |buckets|·nShards rows
+    val offsets = counts.withColumn("__off",
+      coalesce(sum("__n").over(Window.orderBy("bucket_rank", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    pos.join(broadcast(offsets.select("bucket_rank", "shard", "__off")),
+        Seq("bucket_rank", "shard"))
+      .select(col(idCol), col("bucket_rank"), col("shard"), col("pos"),
+        (col("__off") + col("pos")).as("global_pos"))
+  }
+
+  /**
+   * Snapshot diff — the corpus-versioning primitive: given two
+   * snapshots of the same keyed corpus, classify every id as
+   * `added` (new only), `removed` (old only), `changed` (both, digest
+   * differs), or `unchanged`. Production curation re-runs diff
+   * against the previous release to audit churn and to ship
+   * incremental updates instead of full rewrites.
+   *
+   * Scale shape: each side reduces to (id, 32-byte digest) in the
+   * scan projection, then ONE full-outer equi-join on the id — no
+   * text crosses the shuffle.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val o = oldDf.select(col(idCol), sha2(col(textCol), 256).as("old_digest"))
+    val n = newDf.select(col(idCol), sha2(col(textCol), 256).as("new_digest"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed"))
+  }
+
+  /**
+   * Output-layout planner — the small-files guard: per stratum, how
+   * many output files should a writer emit so each lands near
+   * `targetBytes`? `n_files = clamp(ceil(bytes/target), 1, n_docs)`
+   * (never more files than rows), `docs_per_file = ceil(docs/files)`.
+   * All ceil-division in exact integer arithmetic. The planning step
+   * before a `repartition(n_files)`-per-partition write; at 100 TB the
+   * difference between 10⁴ right-sized files and 10⁷ kilobyte ones.
+   */
+  def filePlan(df: DataFrame, strataCol: String, bytes: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    // `div`, not `/`: Column./ on longs is DOUBLE division
+    def ceilDiv(a: Column, b: Column): Column =
+      call_function("div", a + b - 1L, b)
+    df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"), sum(bytes).as("total_bytes"))
+      .withColumn("n_files",
+        least(col("n_docs"),
+          greatest(lit(1L),
+            ceilDiv(col("total_bytes"), lit(targetBytes)).cast("long"))))
+      .withColumn("docs_per_file",
+        ceilDiv(col("n_docs"), col("n_files")).cast("long"))
+  }
+
+  /**
    * Budget-constrained greedy selection: keep documents in descending
    * priority order until a token budget is exhausted — "build the best
    * `budget`-token dataset from this pool", the terminal step of a

@@ -65,6 +65,46 @@ class ExtSpec extends SparkSpec {
       ("b", 2L, 4L, 2L, 1.0, 2L))
   }
 
+  test("curriculumOrder: dense bucket-major permutation, partition-stable") {
+    val d = (0L until 40L).map(i => (i, (i % 3).toInt)).toDF("doc_id", "b")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Corpus.curriculumOrder(df, col("b"), nShards = 4, seed = 7L)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket_rank"),
+          r.getAs[Int]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("global_pos")))
+    val rows = run(d)
+    // global_pos is a dense 0..N-1 permutation
+    rows.map(_._5).sorted shouldBe (0L until 40L).toArray
+    // bucket-major: every bucket-0 position precedes every bucket-1, etc.
+    val sorted = rows.sortBy(_._5)
+    sorted.map(_._2) shouldBe sorted.map(_._2).sorted
+    // within a (bucket, shard), global_pos is contiguous ascending in pos
+    rows.groupBy(r => (r._2, r._3)).values.foreach { g =>
+      val byPos = g.sortBy(_._4)
+      byPos.map(_._5) shouldBe (byPos.head._5 until byPos.head._5 + g.length)
+    }
+    run(d.repartition(9)).sortBy(_._1) shouldBe rows.sortBy(_._1)
+  }
+
+  test("snapshotDiff: all four statuses classified; filePlan: exact ceil arithmetic") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
+    val diff = graft.ext.Corpus.snapshotDiff(old, nw)
+      .select("doc_id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    diff shouldBe Set((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added"))
+
+    // stratum a: 3 docs, 10 bytes ⇒ ceil(10/4)=3 files, 1 doc/file;
+    // stratum b: 2 docs, 9 bytes ⇒ ceil(9/4)=3 clamped to n_docs=2, 1 doc/file;
+    // stratum c: 1 doc, 1 byte ⇒ max(1, ceil(1/4))=1 file, 1 doc/file
+    val f = graft.ext.Corpus.filePlan(
+      Seq(("a", 4L), ("a", 4L), ("a", 2L), ("b", 5L), ("b", 4L), ("c", 1L))
+        .toDF("src", "nb"), "src", col("nb"), targetBytes = 4L)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("n_files"),
+        r.getAs[Long]("docs_per_file"))).sortBy(_._1)
+    f shouldBe Array(("a", 3L, 1L), ("b", 2L, 1L), ("c", 1L, 1L))
+  }
+
   test("minhash: identical docs share signatures; near-dups pair up") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16)
     val rows = sig.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap

@@ -644,6 +644,24 @@ class ScaleSpec extends SparkSpec {
     plan should not include "rangepartitioning"  // no global ORDER BY
   }
 
+  test("curriculumOrder: corpus window is (bucket, shard)-partitioned; only the bounded offsets frame is single-partition") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Corpus.curriculumOrder(docs,
+        (col("doc_id") % 3).cast("int"), nShards = 8, seed = 42L)
+      .queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winLines should not be empty
+    val (partitioned, global) =
+      winLines.partition(_.contains("windowspecdefinition(bucket_rank#"))
+    partitioned should not be empty // the corpus-sized rank
+    // the lone unpartitioned window runs over the |buckets|·nShards
+    // counts frame, never corpus rows
+    global.length should be <= 1
+    plan should not include "rangepartitioning" // no global ORDER BY
+  }
+
   test("dsirWeights: fused-kernel scoring plans a pure projection — no explode, no join, no shuffle") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
