@@ -589,6 +589,36 @@ class StreamingSpec extends SparkSpec {
     rows.contains(101L) shouldBe false // clean doc passes silently
   }
 
+  test("stream-side Bloom decontamination gate: literal filter + static verify join, equal to batch") {
+    // the Bloom array is built ONCE from the static benchmark at plan
+    // time and rides into every micro-batch as a literal — the
+    // candidate prefilter is stateless, the verify join is
+    // stream-static, so the whole gate needs no streaming state
+    // beyond the per-doc aggregate
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "red blue green yellow purple orange silver golden bronze"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(incoming: _*)
+    val gated = graft.ext.Corpus.decontaminateBloom(
+      mem.toDF().toDF("doc_id", "text"), bench)
+    val q = gated.writeStream.format("memory").queryName("bloom_gate")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamRows = spark.table("bloom_gate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchRows = graft.ext.Corpus.decontaminateBloom(
+        incoming.toDF("doc_id", "text"), bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamRows shouldBe batchRows
+    streamRows(100L) should be >= 1L    // the verbatim leak is flagged
+    streamRows.contains(101L) shouldBe false // clean doc passes silently
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
