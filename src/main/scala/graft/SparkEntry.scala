@@ -2128,6 +2128,23 @@ object SparkEntry {
           "n_stop", "quality_bucket")
         .orderBy("doc_id")),
 
+    // End-to-end SQL surface: the SAME kernels, driven entirely
+    // through `spark.sql` over a registered view and the graft_*
+    // function registry (GraftExtensions) — proving a SQL-only user
+    // gets oracle-exact results from the session-extension path, not
+    // just the Column API.
+    "x_sql_surface" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      tbl(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id, qc.n_tokens AS n_tokens, qc.n_bpeish AS n_bpeish,
+          |       qc.n_punct AS n_punct, qc.n_stop AS n_stop,
+          |       CAST(size(graft_cdc_chunks(text, 8)) AS BIGINT) AS n_chunks
+          |FROM (SELECT doc_id, text, graft_quality_counts(text) AS qc
+          |      FROM graft_documents)
+          |ORDER BY doc_id""".stripMargin)
+    }),
+
     "x_langid" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
@@ -5042,6 +5059,22 @@ object SparkEntry {
          |  CAST(${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} AS BIGINT) AS n_stop,
          |  $qualityBucketSql AS quality_bucket
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // SQL-surface replay: the x_text_quality counter fragments plus
+    // the shared CDC chunk CTE (docs with no chunks coalesce to 0) —
+    // the registry path computes what the Column path computes.
+    "x_sql_surface" ->
+      s"""WITH $cdcCtes,
+         |cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+         |       FROM ch GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |  CAST($bpeishSql AS BIGINT) AS n_bpeish,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS n_punct,
+         |  CAST(${Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for").map(occSql).mkString(" + ")} AS BIGINT) AS n_stop,
+         |  COALESCE(cc.n_chunks, CAST(0 AS BIGINT)) AS n_chunks
+         |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Weighted-sample replay: same bucket fragment, same rate CASE,
     // same md5 keep-decision (explicit DOUBLE casts as in x_mix_to).
