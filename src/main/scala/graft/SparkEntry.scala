@@ -2178,6 +2178,39 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // Normalization-aware exact dedup: group on the whitespace-
+    // insensitive rolling fingerprint instead of the raw digest —
+    // catches the copy that differs only in spacing/line-wrapping
+    // (the most common mirror artifact), same narrow-key groupBy
+    // shape as x_dedup_exact with an 8-byte key.
+    "x_dedup_normalized" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(TextStats.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")),
+
+    // Percentile-clipped length screen: per-language p5/p95 token-count
+    // cuts (exact interpolated percentile — a bounded |langs|-row
+    // frame, broadcast back), docs outside flagged short/long — the
+    // truncation/outlier filter most curation recipes run before
+    // quality scoring.
+    "x_length_outliers" -> ((s, dir) => {
+      val t = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val cuts = t.groupBy("lang").agg(
+        expr("percentile(n_tokens, 0.05)").as("lo"),
+        expr("percentile(n_tokens, 0.95)").as("hi"))
+      t.join(broadcast(cuts), "lang")
+        .where(col("n_tokens") < col("lo") || col("n_tokens") > col("hi"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("lo"),
+          col("hi"),
+          when(col("n_tokens") < col("lo"), "short").otherwise("long")
+            .as("flag"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide bigram heavy hitters: map-side-combinable hash agg
     // over the exploded grams, then TakeOrdered (never a global sort)
     // with a full tie-break so the top-k set is deterministic.
@@ -2714,6 +2747,13 @@ object SparkEntry {
     "x_ivf_cells" -> ((s, dir) =>
       Similarity.assignCells(tbl(s, dir, "embeddings"))
         .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+        .orderBy("cid")),
+
+    // Cluster-quality (inertia) report under the same k-means: per
+    // cell Σ‖v−c‖² on the 1e-9 grid — the elbow metric read before
+    // sizing nCentroids for semDedup / IVF probing.
+    "x_kmeans_inertia" -> ((s, dir) =>
+      Similarity.clusterInertia(tbl(s, dir, "embeddings"))
         .orderBy("cid")),
 
     "x_sim_ivf" -> ((s, dir) => {
@@ -5013,6 +5053,20 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_vectors
          |FROM af GROUP BY cid ORDER BY cid""".stripMargin,
 
+    // Inertia replay: ‖c‖² − 2·v·c + ‖v‖² with the same left-to-right
+    // fold arithmetic (ivfDotL), per-row 1e-9 quantization BEFORE the
+    // long sum — identical associativity to the engine's expansion.
+    "x_kmeans_inertia" ->
+      s"""WITH $ivfAssignCtes,
+         |d AS (SELECT af.cid,
+         |        CAST(round((${ivfNorm2("c.cv")} - 2.0 * ${ivfDotL("af.v", "c.cv")}
+         |          + ${ivfNorm2("af.v")}) * 1000000000.0) AS BIGINT) AS q9
+         |      FROM af JOIN cent3 c ON af.cid = c.cid)
+         |SELECT CAST(cid AS INTEGER) AS cid,
+         |       CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(q9) AS DOUBLE) / 1000000000.0 AS inertia
+         |FROM d GROUP BY 1 ORDER BY cid""".stripMargin,
+
     // bottom-3 per cell by cosine to the own centroid — same k-means
     // replay (ivfAssignCtes), same sequential-fold dot arithmetic as
     // the ranked sim queries
@@ -5159,6 +5213,34 @@ object SparkEntry {
          |     for c in split(array_to_string($toksSql, ' '), '')]),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Normalized-dedup replay: the x_fingerprint rolling hash as the
+    // group key.
+    "x_dedup_normalized" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [CAST(unicode(c) AS BIGINT)
+         |     for c in split(array_to_string($toksSql, ' '), '')]),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         |FROM documents)
+         |SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM f GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Length-outlier replay: quantile_cont is DuckDB's interpolated
+    // percentile (the q_percentiles-proven twin of Spark's
+    // `percentile`); long-vs-double compares are exact.
+    "x_length_outliers" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS lo,
+         |        quantile_cont(n_tokens, 0.95) AS hi
+         |      FROM t GROUP BY 1)
+         |SELECT doc_id, lang, n_tokens, lo, hi,
+         |       CASE WHEN n_tokens < lo THEN 'short' ELSE 'long' END AS flag
+         |FROM t JOIN c USING (lang)
+         |WHERE n_tokens < lo OR n_tokens > hi
+         |ORDER BY doc_id""".stripMargin,
 
     "x_ngram_topk" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS t FROM documents),

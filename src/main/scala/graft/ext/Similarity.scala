@@ -250,6 +250,38 @@ object Similarity {
   }
 
   /**
+   * Cluster-quality report: per-cell vector count and within-cell
+   * inertia (Σ‖v−c‖²) under the SAME deterministic k-means as
+   * [[assignCells]] — the elbow-curve / cell-health metric read
+   * before sizing `nCentroids` for [[semDedup]] or IVF probing.
+   * Per-row squared distances expand to ‖c‖² − 2·v·c + ‖v‖² with
+   * plan-time centroid literals, are quantized to the 1e-9 grid, and
+   * sum as longs (order-independent — a double Σ would follow
+   * partitioning order). Everything after the scan projection is a
+   * |cells|-bounded aggregate.
+   */
+  def clusterInertia(corpus: DataFrame, nCentroids: Int = 16,
+      iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol))
+    val centroids = trainIvfCentroids(c, nCentroids, iters, seed, idCol, vecCol)
+    val assigned = c.withColumn("cid",
+      element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
+    val d2 = centroids.zipWithIndex.map { case (cent, i) =>
+      val centCol = array(cent.map(lit): _*)
+      val normSq = cent.map(x => x * x).sum
+      when(col("cid") === i,
+        lit(normSq) - lit(2.0) * dot(col(vecCol), centCol) +
+          dot(col(vecCol), col(vecCol)))
+    }
+    assigned
+      .withColumn("__q9", round(coalesce(d2: _*) * lit(1e9)).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum("__q9").cast("double") / lit(1e9)).as("inertia"))
+  }
+
+  /**
    * Cluster-balanced (diversity) sampling: thin each k-means cell down
    * to ≈`perCell` vectors with a deterministic per-cell keep rate
    * min(1, perCell/|cell|) — dense embedding regions (near-duplicate
