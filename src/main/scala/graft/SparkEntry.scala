@@ -2756,6 +2756,24 @@ object SparkEntry {
       Similarity.clusterInertia(tbl(s, dir, "embeddings"))
         .orderBy("cid")),
 
+    // Per-dimension whitening stats: mean/variance/min/max per
+    // coordinate from grid-quantized decimal sums — the embedding
+    // normalization pre-flight.
+    "x_embed_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(tbl(s, dir, "embeddings"))
+        .orderBy("dim")),
+
+    // Near-dup hub report: per-document degree in the LSH candidate
+    // pair graph — template/boilerplate hubs surface as high-degree
+    // nodes; a bounded rollup of the SAME pair set as x_minhash_pairs.
+    "x_neardup_degree" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(tbl(s, dir, "documents"))
+      pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .orderBy("doc_id")
+    }),
+
     "x_sim_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -5066,6 +5084,38 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) AS n_vectors,
          |       CAST(sum(q9) AS DOUBLE) / 1000000000.0 AS inertia
          |FROM d GROUP BY 1 ORDER BY cid""".stripMargin,
+
+    // Dim-stats replay: same grids (1e-9 values / 1e-12 squares),
+    // HUGEINT sums (the engine's decimal(38,0) twin), same final
+    // double op order.
+    "x_embed_dim_stats" ->
+      """WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v
+        |           FROM embeddings),
+        |x AS (SELECT i - 1 AS dim, v[i] AS x
+        |      FROM e CROSS JOIN generate_series(1, 64) g(i)),
+        |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS s9,
+        |        sum(CAST(round(x * x * 1000000000000.0) AS BIGINT)) AS q12,
+        |        min(x) AS min_v, max(x) AS max_v
+        |      FROM x GROUP BY 1)
+        |SELECT CAST(dim AS INTEGER) AS dim, n,
+        |       CAST(s9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+        |         AS mean,
+        |       CAST(q12 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000000.0)
+        |         - (CAST(s9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0))
+        |         * (CAST(s9 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0))
+        |         AS variance,
+        |       min_v, max_v
+        |FROM a ORDER BY dim""".stripMargin,
+
+    // Degree replay over the SAME pair construction as
+    // x_minhash_pairs (shared minhashPairsSql).
+    "x_neardup_degree" ->
+      s"""WITH cand AS (SELECT a, b FROM ($minhashPairsSql))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+         |FROM (SELECT a AS doc_id FROM cand
+         |      UNION ALL SELECT b AS doc_id FROM cand)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // bottom-3 per cell by cosine to the own centroid — same k-means
     // replay (ivfAssignCtes), same sequential-fold dot arithmetic as

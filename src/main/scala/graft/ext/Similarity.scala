@@ -250,6 +250,35 @@ object Similarity {
   }
 
   /**
+   * Per-dimension distribution stats — the whitening/normalization
+   * pre-flight every embedding pipeline runs before ANN or SemDeDup
+   * (a dimension with runaway variance dominates L2; a near-constant
+   * one wastes index bits): count, mean, variance, min, max per
+   * coordinate. One narrow posexplode then a |dims|-bounded groupBy;
+   * sums ride the grid (1e-9 for values, 1e-12 for squares) as
+   * DECIMAL(38,0) so they are order-independent AND unbounded-N safe.
+   * The only doubles are the final mean/variance expressions (fixed
+   * op order, oracle-replayed).
+   */
+  def dimStats(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val mean = col("s9").cast("double") /
+      (col("n").cast("double") * lit(1e9))
+    corpus.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * lit(1e9)).cast("long").cast("decimal(38,0)"))
+          .as("s9"),
+        sum(round(col("x") * col("x") * lit(1e12)).cast("long")
+          .cast("decimal(38,0)")).as("q12"),
+        min("x").as("min_v"), max("x").as("max_v"))
+      .select(col("dim"), col("n"), mean.as("mean"),
+        (col("q12").cast("double") / (col("n").cast("double") * lit(1e12)) -
+          mean * mean).as("variance"),
+        col("min_v"), col("max_v"))
+  }
+
+  /**
    * Cluster-quality report: per-cell vector count and within-cell
    * inertia (Σ‖v−c‖²) under the SAME deterministic k-means as
    * [[assignCells]] — the elbow-curve / cell-health metric read
