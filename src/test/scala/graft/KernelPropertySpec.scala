@@ -109,4 +109,52 @@ class KernelPropertySpec extends SparkSpec {
       qc.getInt(3) shouldBe (if (v.max == 0L) -1 else v.indexOf(v.max))
     }
   }
+
+  test("random corpus: Bloom decontamination ≡ exact verbatim-window check across filter sizes") {
+    // split the seeded corpus into train/benchmark halves; the Bloom
+    // prefilter must be answer-invariant at ANY (bits, probes) —
+    // including a saturated 64-bit filter whose false-positive rate
+    // approaches 1 — because the verify join erases false positives
+    val docs = df.where($"doc_id" % 2 === 0)
+    val bench = df.where($"doc_id" % 2 === 1)
+    val exact = graft.ext.Corpus.decontaminateSubstring(docs, bench, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    for ((bits, probes) <- Seq((64, 2), (512, 3), (1 << 16, 3))) {
+      val bloom = graft.ext.Corpus.decontaminateBloom(docs, bench,
+          windowTokens = 3, bits = bits, numProbes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      withClue(s"bits=$bits probes=$probes") { bloom shouldBe exact }
+    }
+  }
+
+  test("random vectors: dimStats matches a brute-force model; inertia non-negative and zero on centroid-coincident cells") {
+    val rng = new scala.util.Random(42)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(4)((rng.nextInt(2001) - 1000) / 1000.0f)))
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.dimStats(vdf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    out.keySet shouldBe (0 until 4).toSet
+    for (d <- 0 until 4) {
+      val xs = vecs.map(_._2(d).toDouble)
+      val s9 = xs.map(x => math.round(x * 1e9)).sum
+      val q12 = xs.map(x => math.round(x * x * 1e12)).sum
+      val r = out(d)
+      r.getAs[Long]("n") shouldBe 100L
+      r.getAs[Double]("mean") shouldBe (s9.toDouble / (100.0 * 1e9))
+      val mean = s9.toDouble / (100.0 * 1e9)
+      r.getAs[Double]("variance") shouldBe
+        (q12.toDouble / (100.0 * 1e12) - mean * mean)
+      r.getAs[Double]("min_v") shouldBe xs.min
+      r.getAs[Double]("max_v") shouldBe xs.max
+    }
+    // two point-masses: every vector IS its centroid after Lloyd ⇒
+    // per-cell inertia collapses to (numerically) zero
+    val pm = (0L until 20L).map(i =>
+      (i, if (i % 2 == 0) Array(1.0f, 0f, 0f, 0f) else Array(0f, 0f, 0f, 1.0f)))
+    val inert = graft.ext.Similarity.clusterInertia(
+        pm.toDF("vec_id", "embedding"), nCentroids = 2)
+      .collect().map(r => r.getAs[Double]("inertia"))
+    inert.foreach(v => math.abs(v) should be <= 1e-6)
+  }
 }
