@@ -2190,6 +2190,23 @@ object SparkEntry {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy("fp")),
 
+    // Cross-source score calibration: raw per-doc scores (n_chars
+    // here) replaced by their within-source percent-rank — the
+    // rank-normalization that makes quality scores comparable ACROSS
+    // sources before a global budget selection (a verbose source's
+    // raw scores would otherwise swamp a terse one's). percent_rank
+    // windows are source-partitioned (parallel; never a global sort);
+    // ties share a rank in both engines.
+    "x_quality_calibrate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("pct",
+          percent_rank().over(Window.partitionBy("source")
+            .orderBy("n_chars")))
+        .orderBy("doc_id")
+    }),
+
     // Percentile-clipped length screen: per-language p5/p95 token-count
     // cuts (exact interpolated percentile — a bounded |langs|-row
     // frame, broadcast back), docs outside flagged short/long — the
@@ -5275,6 +5292,15 @@ object SparkEntry {
          |FROM documents)
          |SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
          |FROM f GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Calibration replay: percent_rank is (rank-1)/(n-1) with shared
+    // tie ranks in both engines; same source partitioning and
+    // n_chars order.
+    "x_quality_calibrate" ->
+      """SELECT doc_id, source, n_chars,
+        |       percent_rank() OVER (PARTITION BY source
+        |         ORDER BY n_chars) AS pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Length-outlier replay: quantile_cont is DuckDB's interpolated
     // percentile (the q_percentiles-proven twin of Spark's

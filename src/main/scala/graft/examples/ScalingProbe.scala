@@ -16,7 +16,10 @@ object ScalingProbe {
     "x_dsir_weights", "x_cms_heavy",
     // round-12 kernel families
     "x_winnow", "x_winnow_pairs", "x_cdc_chunks", "x_cdc_scrub",
-    "x_nb_classify", "x_worst_window", "x_hash_features")
+    "x_nb_classify", "x_worst_window", "x_hash_features",
+    // round-12 continuation families
+    "x_bloom_decontaminate", "x_decontaminate_substr",
+    "x_curriculum_order", "x_dedup_keep_best", "x_neardup_degree")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
