@@ -2372,6 +2372,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining: top-5 most-similar WRONG-label vectors per
+    // query — the contrastive-training batch next to x_sim_bruteforce's
+    // positives; label filter inside the broadcast join, bounded TopK
+    // aggregation (never a corpus window).
+    "x_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+      Similarity.hardNegatives(emb, queries, k = AnnK)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MinHash-LSH candidate pairs — exact-oracle checked: the md5 gram
     // key, affine permutations, and band buckets all replay in DuckDB
     // with the same injected coefficients (Dedup.minhashCoefs).
@@ -2554,6 +2568,22 @@ object SparkEntry {
       base.crossJoin(broadcast(vocab)).crossJoin(broadcast(dups))
         .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
     }),
+
+    // Per-source dataset cards: the x_corpus_card facets grouped by
+    // source — the release-notes table for a multi-source corpus
+    // (size, token mass, language spread, exact-dup mass, quality
+    // split per provider), one map-side-combinable aggregate.
+    "x_source_cards" -> ((s, dir) =>
+      TextStats.qualityFacets(tbl(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_dup_docs"),
+          sum(when(col("quality_bucket") === "good", 1L).otherwise(0L))
+            .as("n_good"))
+        .withColumn("mean_doc_tokens", col("n_tokens") / col("n_docs"))
+        .orderBy("source")),
 
     // nDCG@10 of BM25 retrieval against term-overlap relevance — the
     // ranking-eval half of retrieval-based curation; per-position
@@ -4822,6 +4852,24 @@ object SparkEntry {
          |         ' ' ORDER BY chunk_idx), '') AS clean_text
          |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // Per-source card replay: corpus-card fragments grouped by source.
+    "x_source_cards" ->
+      s"""WITH f AS (SELECT source, lang, text,
+         |             CAST(len($toksSql) AS BIGINT) AS ntk,
+         |             ($qualityBucketSql) AS qb
+         |           FROM documents),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(ntk) AS BIGINT) AS n_tokens,
+         |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |        CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+         |        CAST(sum(CASE WHEN qb = 'good' THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_good
+         |      FROM f GROUP BY 1)
+         |SELECT source, n_docs, n_tokens, n_langs, n_dup_docs, n_good,
+         |       CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |         AS mean_doc_tokens
+         |FROM a ORDER BY source""".stripMargin,
+
     "x_corpus_card" ->
       s"""WITH f AS (SELECT lang, source, text,
          |       CAST(len(text) AS BIGINT) AS nch,
@@ -5447,6 +5495,32 @@ object SparkEntry {
          |FROM n""".stripMargin,
 
     "x_sim_bruteforce" -> simBruteforceSql,
+
+    // Hard-negative replay: simBruteforceSql's fold arithmetic with
+    // the label-mismatch join predicate.
+    "x_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |             [CAST(x AS DOUBLE) for x in embedding] AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               [v[i] * v[i] for i in generate_series(1, 64)]),
+         |               (a, b) -> a + b)) AS nrm
+         |      FROM e),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+         |      FROM n WHERE vec_id < 5),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |                    [c.v[i] * q.qv[i] for i in generate_series(1, 64)]),
+         |                    (a, b) -> a + b) / (c.nrm * q.qn) AS score
+         |           FROM n c JOIN q ON c.label <> q.qlabel),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |                  row_number() OVER (PARTITION BY query_id
+         |                    ORDER BY score DESC, neighbor_id) AS rank,
+         |                  round(score, 6) AS score_r
+         |           FROM scored)
+         |SELECT query_id, neighbor_id, rank, score_r
+         |FROM ranked WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin,
 
     // ANN quality measurement as a first-class query: recall@5 of the
     // LSH path against the exact baseline, per query vector. Both

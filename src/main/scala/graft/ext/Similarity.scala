@@ -54,6 +54,35 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining — [[bruteForceTopK]] restricted to
+   * candidates whose `labelCol` DIFFERS from the query's: the top-k
+   * most-similar wrong-label vectors per query, the batch every
+   * contrastive/metric-learning trainer wants next to its positives.
+   * Same scale posture: broadcast query side, corpus norms computed
+   * once in the scan, bounded [[graft.operators.TopK.perGroup]]
+   * aggregation (map-side k per partition), never a corpus-sized
+   * per-query window. The label filter runs INSIDE the broadcast
+   * join, so same-label rows never reach the aggregator.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"),
+        col(labelCol).as("__clabel"))
+      .withColumn("__cnorm", norm(col("__cv")))
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+        col(labelCol).as("__qlabel"))
+      .withColumn("__qnorm", norm(col("__qv")))
+    val scored = c.join(broadcast(q), col("__clabel") =!= col("__qlabel"))
+      .withColumn("score",
+        dot(col("__cv"), col("__qv")) / (col("__cnorm") * col("__qnorm")))
+      .select(col(queryIdCol), col(idCol), col("score"))
+    graft.operators.TopK.perGroup(scored, queryIdCol, "score", idCol, k)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("score"),
+        col("rank"))
+  }
+
+  /**
    * Exact all-pairs cosine at-or-above `threshold` — the
    * verification-grade baseline that the LSH ([[Dedup.embeddingNearDups]])
    * and IVF paths are measured against. Inherently O(n²), so the
