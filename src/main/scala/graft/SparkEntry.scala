@@ -2362,6 +2362,19 @@ object SparkEntry {
         .orderBy("ord")
     }),
 
+    // The CURATION recipe — the release-refresh companion: keep-best
+    // exact dedup → Bloom-gated decontamination → curriculum training
+    // manifest, one composed job over the continuation operators
+    // (ext/Recipe.curate), same benchmark split as x_recipe_e2e.
+    "x_curate_e2e" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ext.Recipe.curate(
+        d.where(col("doc_id") % 50 =!= 0),
+        d.where(col("doc_id") % 50 === 0),
+        nShards = 8, seed = Seed)
+        .orderBy("doc_id")
+    }),
+
     "x_sim_bruteforce" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") < 5)
@@ -4293,6 +4306,49 @@ object SparkEntry {
     // x_minhash_pairs), the x_decontaminate_substr window join over the
     // dedup survivors, the x_mix_to rate filter over the clean set, and
     // the x_pack_chunks prefix sum over the mixed set.
+    // Curation-recipe replay: the stage CTEs chained — keep-best
+    // winners (rk=1 on len desc, id asc per digest), verbatim-window
+    // contamination drop (the Bloom prefilter is answer-invariant, so
+    // the oracle is the exact check), then the x_curriculum_order
+    // replay over the clean survivors.
+    "x_curate_e2e" -> {
+      val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_curriculum' " +
+        s"|| chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH kb AS (SELECT doc_id, text,
+         |              row_number() OVER (PARTITION BY sha256(text)
+         |                ORDER BY len(text) DESC, doc_id) AS rk
+         |            FROM documents WHERE doc_id % 50 <> 0),
+         |kept AS (SELECT doc_id, text FROM kb WHERE rk = 1),
+         |kt AS (SELECT doc_id, $toksSql AS tk FROM kept),
+         |dw AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM kt WHERE len(tk) >= 8),
+         |bt AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 50 = 0),
+         |bw AS (SELECT DISTINCT unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM bt WHERE len(tk) >= 8),
+         |cont AS (SELECT DISTINCT doc_id FROM dw JOIN bw USING (w)),
+         |clean AS (SELECT k.doc_id, k.text FROM kept k
+         |          LEFT JOIN cont c ON k.doc_id = c.doc_id
+         |          WHERE c.doc_id IS NULL),
+         |f AS (SELECT doc_id, ($qualityBucketSql) AS qb FROM clean),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN qb = 'good' THEN 0
+         |             WHEN qb = 'fair' THEN 1 ELSE 2 END AS bucket_rank,
+         |        $u AS u
+         |      FROM f),
+         |s AS (SELECT doc_id, bucket_rank,
+         |        CAST(floor(u * 8) AS INTEGER) AS shard, u FROM b)
+         |SELECT doc_id, bucket_rank, shard,
+         |       CAST(row_number() OVER (PARTITION BY bucket_rank, shard
+         |              ORDER BY u, doc_id) AS BIGINT) - 1 AS pos,
+         |       CAST(row_number() OVER (ORDER BY bucket_rank, shard, u,
+         |              doc_id) AS BIGINT) - 1 AS global_pos
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     "x_recipe_e2e" -> {
       val uMix = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_mix' || " +
         s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"

@@ -90,4 +90,56 @@ object Recipe {
     // 5. pack into capacity-token blocks
     Corpus.packChunks(mixed, capacity, seed, tokenCount, idCol, buckets)
   }
+
+  /**
+   * The serving/curation recipe built from the round-12-continuation
+   * operators — the companion to [[run]] for the "refresh an existing
+   * release" shape rather than the "build from raw crawl" one:
+   *
+   *   keep-best dedup   → [[Dedup.exactKeepBest]] (quality-argmax
+   *                       representative per digest, score = n_chars)
+   *   Bloom decontam.   → [[Corpus.decontaminateBloom]] (drop docs
+   *                       sharing a verbatim window with the
+   *                       benchmark; broadcast-literal prefilter)
+   *   curriculum order  → [[TextStats.qualityFacets]] buckets +
+   *                       [[Corpus.curriculumOrder]] (easy→hard global
+   *                       training manifest)
+   *
+   * Same composition discipline as [[run]]: every stage is the SAME
+   * operator its standalone oracle-checked query runs, so the
+   * composed oracle (`x_curate_e2e`) is the stage CTEs chained.
+   * Returns the final dataloader manifest `(idCol, bucket_rank,
+   * shard, pos, global_pos)` over the surviving documents.
+   *
+   * Stage boundaries: the deduped survivors feed both the
+   * decontamination window kernel and the anti-join left, so they are
+   * checkpointed once ([[run]]'s measured rationale); the curriculum
+   * stage reads the clean frame twice (facets + offsets) behind the
+   * same checkpoint.
+   */
+  def curate(docs: DataFrame, benchmark: DataFrame, nShards: Int,
+      seed: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // 1. keep-best exact dedup: survivors are the per-digest argmax
+    // (length, -id) representatives, recovered by a narrow id semi-join
+    val winners = Dedup.exactKeepBest(docs, length(col(textCol)).cast("long"),
+      idCol, textCol)
+    val deduped = docs
+      .join(winners.select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint()
+
+    // 2. Bloom-gated decontamination on the survivors
+    val flagged = Corpus.decontaminateBloom(deduped, benchmark,
+      idCol = idCol, textCol = textCol)
+    val clean = deduped
+      .join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
+
+    // 3. curriculum manifest over the clean corpus
+    val facets = TextStats.qualityFacets(clean, textCol)
+    Corpus.curriculumOrder(facets,
+      when(col("quality_bucket") === "good", 0)
+        .when(col("quality_bucket") === "fair", 1).otherwise(2),
+      nShards, seed, idCol)
+  }
 }

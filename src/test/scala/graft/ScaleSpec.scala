@@ -662,6 +662,30 @@ class ScaleSpec extends SparkSpec {
     plan should not include "rangepartitioning" // no global ORDER BY
   }
 
+  test("Recipe.curate: composed manifest matches stagewise composition; no global sort") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = d.where($"doc_id" % 50 =!= 0)
+    val bench = d.where($"doc_id" % 50 === 0)
+    val out = graft.ext.Recipe.curate(docs, bench, nShards = 8, seed = 42L)
+    // stagewise composition with the standalone operators
+    val winners = graft.ext.Dedup.exactKeepBest(docs,
+      org.apache.spark.sql.functions.length($"text").cast("long"))
+    val deduped = docs.join(winners.select($"keep_id".as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val flagged = graft.ext.Corpus.decontaminateBloom(deduped, bench)
+    val clean = deduped.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+    val manifest = graft.ext.Corpus.curriculumOrder(
+      graft.ext.TextStats.qualityFacets(clean),
+      when($"quality_bucket" === "good", 0)
+        .when($"quality_bucket" === "fair", 1).otherwise(2),
+      nShards = 8, seed = 42L)
+    val a = out.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = manifest.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    a shouldBe b
+    // the composed job never global-sorts the corpus
+    out.queryExecution.executedPlan.toString should not include "rangepartitioning"
+  }
+
   test("dsirWeights: fused-kernel scoring plans a pure projection — no explode, no join, no shuffle") {
     import graft.ext.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
