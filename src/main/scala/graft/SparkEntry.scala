@@ -646,6 +646,35 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape — the 6-table star-with-a-twist (customer AND
+    // supplier must share a nation): region/nation are broadcast dims,
+    // customer broadcast onto orders, the fact-fact lineitem⋈orders
+    // shuffles once on the order key, and the same-nation predicate
+    // rides the supplier broadcast. Revenue in DECIMAL(18,2) exact
+    // arithmetic, one double cast at the end (the q1/q3 discipline).
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = tbl(s, dir, "region").where(col("r_name") === "ASIA")
+      val n = tbl(s, dir, "nation")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val c = tbl(s, dir, "customer")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val o = tbl(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val su = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // Left-semi join: customers with at least one big order, per segment.
     "q_semi_join" -> ((s, dir) => {
       val bigOrders = tbl(s, dir, "orders").where(col("o_totalprice") > 400000.0)
@@ -1096,6 +1125,23 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // Q5 replay: same joins, same exact decimal revenue.
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_cust
@@ -2360,6 +2406,27 @@ object SparkEntry {
         MixWeights, Seed, TextStats.bpeishTokenCount(col("text")),
         buckets = 64)
         .orderBy("ord")
+    }),
+
+    // Curation funnel: the stage-by-stage survivor counts of
+    // x_curate_e2e — the ops dashboard row for a refresh run (how
+    // much did dedup eat, how much did the leak gate eat).
+    "x_curate_funnel" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val docs = d.where(col("doc_id") % 50 =!= 0)
+      val bench = d.where(col("doc_id") % 50 === 0)
+      val winners = Dedup.exactKeepBest(docs, length(col("text")).cast("long"))
+      val deduped = docs.join(winners.select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val clean = deduped.join(
+        Corpus.decontaminateBloom(deduped, bench).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      docs.agg(count(lit(1)).as("n_input"))
+        .crossJoin(broadcast(deduped.agg(count(lit(1)).as("n_deduped"))))
+        .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_clean"))))
+        .select(col("n_input"), col("n_deduped"), col("n_clean"),
+          (col("n_input") - col("n_deduped")).as("n_dropped_dup"),
+          (col("n_deduped") - col("n_clean")).as("n_dropped_leak"))
     }),
 
     // The CURATION recipe — the release-refresh companion: keep-best
@@ -4306,6 +4373,35 @@ object SparkEntry {
     // x_minhash_pairs), the x_decontaminate_substr window join over the
     // dedup survivors, the x_mix_to rate filter over the clean set, and
     // the x_pack_chunks prefix sum over the mixed set.
+    // Funnel replay: counts over the same chained stage CTEs.
+    "x_curate_funnel" ->
+      s"""WITH kb AS (SELECT doc_id, text,
+         |              row_number() OVER (PARTITION BY sha256(text)
+         |                ORDER BY len(text) DESC, doc_id) AS rk
+         |            FROM documents WHERE doc_id % 50 <> 0),
+         |kept AS (SELECT doc_id, text FROM kb WHERE rk = 1),
+         |kt AS (SELECT doc_id, $toksSql AS tk FROM kept),
+         |dw AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM kt WHERE len(tk) >= 8),
+         |bt AS (SELECT $toksSql AS tk FROM documents WHERE doc_id % 50 = 0),
+         |bw AS (SELECT DISTINCT unnest(list_distinct(
+         |         [array_to_string(tk[i:i+7], ' ')
+         |          for i in generate_series(1, len(tk) - 7)])) AS w
+         |       FROM bt WHERE len(tk) >= 8),
+         |cont AS (SELECT DISTINCT doc_id FROM dw JOIN bw USING (w)),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_input FROM documents
+         |       WHERE doc_id % 50 <> 0),
+         |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_deduped FROM kept),
+         |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_clean
+         |       FROM kept k LEFT JOIN cont c ON k.doc_id = c.doc_id
+         |       WHERE c.doc_id IS NULL)
+         |SELECT n_input, n_deduped, n_clean,
+         |       n_input - n_deduped AS n_dropped_dup,
+         |       n_deduped - n_clean AS n_dropped_leak
+         |FROM n1, n2, n3""".stripMargin,
+
     // Curation-recipe replay: the stage CTEs chained — keep-best
     // winners (rk=1 on len desc, id asc per digest), verbatim-window
     // contamination drop (the Bloom prefilter is answer-invariant, so

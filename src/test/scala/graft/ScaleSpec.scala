@@ -285,6 +285,20 @@ class ScaleSpec extends SparkSpec {
     filtIdx should be > joinIdx // below the join = later in the tree dump
   }
 
+  test("q5: dims broadcast, single fact-fact shuffle pair on the order key") {
+    val q = SparkEntry.queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // customer(+nation+region) and supplier ride broadcasts; only the
+    // lineitem⋈orders join shuffles
+    plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") should be >= 2
+    // every shuffle is either the fact-fact order-key pair or the
+    // final n_name aggregation — no dim table ever shuffles
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    all(shuffles) should (include("l_orderkey") or include("o_orderkey")
+      or include("n_name"))
+  }
+
   test("bucketed join plan has no Exchange on either join side") {
     // disable auto-broadcast so the small test tables take the
     // sort-merge path the bucketing is designed for
