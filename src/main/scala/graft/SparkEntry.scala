@@ -874,6 +874,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // Correlated scalar subquery (§2.6): customers above their
+    // nation's average balance, driven through spark.sql so
+    // Catalyst's decorrelation (subquery → aggregate + join) runs for
+    // real. The comparison cross-multiplies on the cent grid —
+    // integer-exact, so the oracle can't drift on float-avg
+    // association order.
+    "q_scalar_subquery" -> ((s, dir) => {
+      tbl(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      s.sql(
+        """SELECT c_custkey, c_nationkey
+          |FROM graft_customer c
+          |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+          |      (SELECT count(*) FROM graft_customer c2
+          |       WHERE c2.c_nationkey = c.c_nationkey) >
+          |      (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+          |       FROM graft_customer c2
+          |       WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Pivot (§2.6): revenue and row counts spread over the linestatus
+    // axis — groupBy().pivot() with explicit values (plan-time column
+    // set; a discovery pivot would add a collect job).
+    "q_pivot_flags" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+          .cast("double").as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Set operations: EXCEPT / INTERSECT with distinct semantics.
     "q_setop" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
@@ -1125,6 +1157,38 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    // Correlated-subquery replay: identical SQL over the base table
+    // (integer cross-multiplication — no float avg anywhere).
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey
+        |FROM customer c
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey) >
+        |      (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |       FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Pivot replay: CASE-spread columns with Spark's pivot naming
+    // (value_agg); empty cells are NULL in a Spark pivot even under
+    // count, hence the NULLIF.
+    "q_pivot_flags" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * CAST(1.0 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS F_rev,
+        |  NULLIF(CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT),
+        |    0) AS F_n,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * CAST(1.0 - l_discount AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS O_rev,
+        |  NULLIF(CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT),
+        |    0) AS O_n
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     // Q5 replay: same joins, same exact decimal revenue.
     "q5_local_supplier" ->
