@@ -2480,8 +2480,10 @@ object SparkEntry {
       val docs = d.where(col("doc_id") % 50 =!= 0)
       val bench = d.where(col("doc_id") % 50 === 0)
       val winners = Dedup.exactKeepBest(docs, length(col("text")).cast("long"))
+      // checkpointed: feeds its own count, the window kernel, AND the
+      // anti-join left (the Recipe stage-boundary rationale)
       val deduped = docs.join(winners.select(col("keep_id").as("doc_id")),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").localCheckpoint()
       val clean = deduped.join(
         Corpus.decontaminateBloom(deduped, bench).select("doc_id"),
         Seq("doc_id"), "left_anti")
