@@ -222,6 +222,15 @@ object Corpus {
    * Defaults (2^16 bits, 3 probes) hold the false-positive rate under
    * ~1% up to ≈6k distinct benchmark windows; size `bits` ∝ benchmark
    * windows at scale (the array literal grows as bits/8 bytes).
+   *
+   * Size regime: the literal stays plan-friendly (≤ a few MB) up to
+   * ~10^7 benchmark windows (2^27 bits). Beyond that, prefilter value
+   * fades against literal-shipping cost — fall back to
+   * [[decontaminateSubstring]]'s distinct-key equi-join (AQE
+   * broadcasts the benchmark side while it fits, shuffles when it
+   * doesn't), or shard the benchmark and OR several window-disjoint
+   * filters. The Bloom's niche is the middle regime: a suite too big
+   * to broadcast-join cheaply but whose bitmap still rides the plan.
    */
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
       windowTokens: Int = 8, bits: Int = 1 << 16, numProbes: Int = 3,
