@@ -804,6 +804,25 @@ object SparkEntry {
           min("value").as("min_value"), max("value").as("max_value"))
         .orderBy("hour_e", "event_type")),
 
+    // Gap-filled resampling: per-type hourly counts over the FULL
+    // [min, max] hour grid, missing hours zero-filled — the
+    // timeseries-regularization step before any rolling computation;
+    // the grid is a bounded per-key sequence explode (span-hours
+    // fan-out), the zero-fill a narrow left join.
+    "q_events_resample" -> ((s, dir) => {
+      val e = eventsTbl(s, dir).select(col("event_type"),
+        expr("ts div 3600000000000").as("hr"))
+      val counts = e.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      val grid = e.groupBy("event_type")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      grid.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), (col("hr") * lit(3600000000L)).as("hour_e"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour_e")
+    }),
+
     // JSON functions: parse events.props with a declared schema and
     // aggregate the extracted field (§2.6 array/map/JSON row).
     "q_json_extract" -> ((s, dir) =>
@@ -1293,6 +1312,22 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Resample replay: same hour floor-div (epoch micros // 3.6e9 ≡
+    // epoch nanos div 3.6e12), generate_series grid, left-join
+    // zero-fill.
+    "q_events_resample" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(ts) // 3600000000 AS hr FROM events),
+        |c AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b)
+        |SELECT g.event_type, g.hr * 3600000000 AS hour_e,
+        |       COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr
+        |ORDER BY g.event_type, hour_e""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
