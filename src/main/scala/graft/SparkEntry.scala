@@ -823,6 +823,44 @@ object SparkEntry {
         .orderBy("event_type", "hour_e")
     }),
 
+    // Contract validation (the dbt-test / data-quality gate): every
+    // documents row checked against its declared invariants in ONE
+    // scan pass; emits per-rule violation counts (all-zero here — the
+    // gate's green path — but the rules run for real; a violating
+    // fixture is spec-checked in ExtSpec).
+    "x_schema_check" -> ((s, dir) =>
+      Corpus.schemaCheck(tbl(s, dir, "documents"),
+        Seq("en", "de", "fr", "es", "zh"))),
+
+    // Exact integer anomaly screen over the resampled grid: flag
+    // hours whose count deviates from the per-type mean by >3σ,
+    // decided by the cross-multiplied INTEGER inequality
+    // (n·N − S)² > 9·(Q·N − S²) — no float mean/σ anywhere, so the
+    // flag set is bit-exact in both engines. Composes the resample
+    // grid with a |types|-bounded moment frame.
+    "x_events_anomalies" -> ((s, dir) => {
+      val e = eventsTbl(s, dir).select(col("event_type"),
+        expr("ts div 3600000000000").as("hr"))
+      val counts = e.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+      val grid = e.groupBy("event_type")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val filled = grid.join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val moments = filled.groupBy("event_type").agg(
+        count(lit(1)).as("nHours"), sum("n").as("sTot"),
+        sum(col("n") * col("n")).as("qTot"))
+      filled.join(broadcast(moments), "event_type")
+        .where((col("n") * col("nHours") - col("sTot")) *
+          (col("n") * col("nHours") - col("sTot")) >
+          lit(9L) * (col("qTot") * col("nHours") - col("sTot") * col("sTot")))
+        .select(col("event_type"), (col("hr") * lit(3600000000L)).as("hour_e"),
+          col("n"))
+        .orderBy("event_type", "hour_e")
+    }),
+
     // JSON functions: parse events.props with a declared schema and
     // aggregate the extracted field (§2.6 array/map/JSON row).
     "q_json_extract" -> ((s, dir) =>
@@ -1328,6 +1366,44 @@ object SparkEntry {
         |       COALESCE(c.n, CAST(0 AS BIGINT)) AS n
         |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr
         |ORDER BY g.event_type, hour_e""".stripMargin,
+
+    // Contract replay: the same six invariants as plain aggregates
+    // (NULL-tolerant CASE semantics match Spark's when/otherwise).
+    "x_schema_check" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_id,
+        |  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) AS dup_id,
+        |  CAST(sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS bad_lang,
+        |  CAST(sum(CASE WHEN n_chars <> len(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bad_n_chars,
+        |  CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS neg_chars
+        |FROM documents""".stripMargin,
+
+    // Anomaly replay: same grid, same integer cross-multiplied 3σ
+    // inequality — no float moments to drift.
+    "x_events_anomalies" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(ts) // 3600000000 AS hr FROM events),
+        |c AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        |      FROM e GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi)) AS hr FROM b),
+        |f AS (SELECT g.event_type, g.hr,
+        |        COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type
+        |       AND g.hr = c.hr),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nn,
+        |        CAST(sum(n) AS BIGINT) AS s,
+        |        CAST(sum(n * n) AS BIGINT) AS q
+        |      FROM f GROUP BY 1)
+        |SELECT f.event_type, f.hr * 3600000000 AS hour_e, f.n
+        |FROM f JOIN m ON f.event_type = m.event_type
+        |WHERE (f.n * nn - s) * (f.n * nn - s) > 9 * (q * nn - s * s)
+        |ORDER BY f.event_type, hour_e""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -205,6 +205,27 @@ object Corpus {
   }
 
   /**
+   * Data-contract validation — the dbt-test-style quality gate run
+   * before a corpus ships: every declared invariant checked in ONE
+   * scan pass, emitting a single row of per-rule violation counts
+   * (a green gate is all-zero except `n_rows`). Rules: non-null ids,
+   * unique ids, language whitelist, `n_chars` consistent with the
+   * text, non-negative lengths.
+   */
+  def schemaCheck(df: DataFrame, allowedLangs: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang", nCharsCol: String = "n_chars"): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(idCol).isNull, 1L).otherwise(0L)).as("null_id"),
+      (count(lit(1)) - countDistinct(col(idCol))).as("dup_id"),
+      sum(when(!col(langCol).isin(allowedLangs: _*), 1L).otherwise(0L))
+        .as("bad_lang"),
+      sum(when(col(nCharsCol) =!= length(col(textCol)), 1L).otherwise(0L))
+        .as("bad_n_chars"),
+      sum(when(col(nCharsCol) < 0L, 1L).otherwise(0L)).as("neg_chars"))
+
+  /**
    * Broadcast-Bloom decontamination — [[decontaminateSubstring]] with
    * a Bloom-filter prefilter in front of the verify join, the shape
    * that survives a benchmark-suite side too large to ship to every

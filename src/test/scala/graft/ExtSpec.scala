@@ -85,6 +85,28 @@ class ExtSpec extends SparkSpec {
     run(d.repartition(9)).sortBy(_._1) shouldBe rows.sortBy(_._1)
   }
 
+  test("schemaCheck: each invariant catches exactly its planted violation") {
+    val dirty = Seq(
+      (Some(1L), "good row", "en", 8L),       // clean
+      (None, "null id", "en", 7L),            // null_id
+      (Some(3L), "dup a", "en", 5L),          // dup_id pair...
+      (Some(3L), "dup b", "en", 5L),          // ...both count as rows, one dup
+      (Some(4L), "bad lang", "xx", 8L),       // bad_lang
+      (Some(5L), "bad count", "en", 99L),     // bad_n_chars
+      (Some(6L), "neg", "en", -3L)            // neg_chars + bad_n_chars
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val r = graft.ext.Corpus.schemaCheck(dirty, Seq("en")).head()
+    r.getAs[Long]("n_rows") shouldBe 7L
+    r.getAs[Long]("null_id") shouldBe 1L
+    // count(*) − countDistinct(id): the dup pair contributes 1 and the
+    // null id (excluded from DISTINCT) the other — null ids surface in
+    // BOTH null_id and the dup diff, deterministically
+    r.getAs[Long]("dup_id") shouldBe 2L
+    r.getAs[Long]("bad_lang") shouldBe 1L
+    r.getAs[Long]("bad_n_chars") shouldBe 2L
+    r.getAs[Long]("neg_chars") shouldBe 1L
+  }
+
   test("snapshotDiff: all four statuses classified; filePlan: exact ceil arithmetic") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val nw = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
