@@ -2371,6 +2371,19 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Document-frequency spectrum: how many vocabulary terms appear in
+    // exactly k documents — the diagnostic behind df-based filtering
+    // thresholds (stopword cutoffs, rare-term floors), completing the
+    // Heaps/Zipf/hapax family. Two narrow-key aggregations, both
+    // map-side combinable.
+    "x_df_spectrum" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), explode(TextStats.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .groupBy("df").agg(count(lit(1)).as("n_terms"))
+        .orderBy("df")),
+
     // Trigram-model language ID (CCNet/fastText lineage): per-language
     // char-trigram profiles trained on the labeled even-id half, every
     // doc scored by Laplace-smoothed log-prob argmax — odd docs are the
@@ -5702,6 +5715,14 @@ object SparkEntry {
          |      FROM tk WHERE len(t) >= 2)
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    "x_df_spectrum" ->
+      s"""WITH tk AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term
+         |           FROM documents),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |       FROM tk GROUP BY 1)
+         |SELECT df, CAST(count(*) AS BIGINT) AS n_terms
+         |FROM df GROUP BY 1 ORDER BY df""".stripMargin,
 
     "x_vocab_stats" ->
       s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),

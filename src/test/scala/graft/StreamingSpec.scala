@@ -619,6 +619,32 @@ class StreamingSpec extends SparkSpec {
     streamRows.contains(101L) shouldBe false // clean doc passes silently
   }
 
+  test("batch-trained anomaly moments flag a streaming hour feed statelessly") {
+    // the alerting shape: per-type moments (N, S, Q) come from the
+    // historical grid ONCE; each incoming (type, hour, count) row is
+    // flagged by the same integer 3σ inequality — a broadcast join +
+    // filter, no streaming state at all
+    implicit val sqlCtx = spark.sqlContext
+    val hist = (0L until 100L).map(h => ("click", h, 10L)) :+ ("click", 100L, 11L)
+    val moments = hist.toDF("event_type", "hr", "n")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nHours"), sum("n").as("sTot"),
+        sum($"n" * $"n").as("qTot"))
+    val mem = MemoryStream[(String, Long, Long)]
+    mem.addData(("click", 200L, 10L), ("click", 201L, 500L))
+    val flagged = mem.toDF().toDF("event_type", "hr", "n")
+      .join(broadcast(moments), "event_type")
+      .where(($"n" * $"nHours" - $"sTot") * ($"n" * $"nHours" - $"sTot") >
+        lit(9L) * ($"qTot" * $"nHours" - $"sTot" * $"sTot"))
+      .select("event_type", "hr", "n")
+    val q = flagged.writeStream.format("memory").queryName("anomaly_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val rows = spark.table("anomaly_gate").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.toSeq shouldBe Seq(("click", 201L, 500L)) // only the spike flags
+  }
+
   test("streaming micro-batches deliver slots in tick order to the memory sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Long]
