@@ -2407,6 +2407,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Language-ID confidence margin: best − second-best grid log-prob
+    // per doc (exact long subtraction off the same fused score
+    // struct) — small margins mark the ambiguous-language docs a
+    // curation pass routes to review; und rows carry NULL.
+    "x_langid_margin" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val profile = TextStats.ensureLangIdProfile(s,
+        whName("langid_prof", s"$dir|even|${LangIdLangs.mkString(",")}"),
+        LangIdLangs) {
+        TextStats.langIdProfile(d.where(col("doc_id") % 2 === 0), LangIdLangs)
+      }
+      TextStats.scoreLangIdMargin(d, profile, LangIdLangs)
+        .orderBy("doc_id")
+    }),
+
     "x_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
@@ -3803,6 +3818,58 @@ object SparkEntry {
        |SELECT af.vec_id, CAST(af.cid AS INTEGER) AS cid,
        |       af.vec_id NOT IN (SELECT ib FROM dup) AS kept
        |FROM af ORDER BY af.vec_id""".stripMargin
+
+  /** DuckDB replay of the trained-trigram language ID — shared by
+    * x_langid_trigram (argmax only) and x_langid_margin (plus the
+    * best − second-best confidence margin off a sorted score list).
+    * One builder so the two cannot train different profiles. */
+  private def langIdTrigramSql(margin: Boolean): String = {
+    val langs = LangIdLangs
+    val lam = s"CAST('${TextStats.LangIdLambda}' AS DOUBLE)"
+    val oneMinus = s"CAST('${1.0 - TextStats.LangIdLambda}' AS DOUBLE)"
+    val gramList = "[substr(txt, i, 3) for i in generate_series(1, len(txt) - 2)]"
+    val cCols = langs.map(l =>
+      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
+    val tCols = langs.map(l =>
+      s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS t_$l").mkString(", ")
+    val cTot = langs.map(l => s"coalesce(c_$l, 0)").mkString(" + ")
+    val tTot = langs.map(l => s"t_$l").mkString(" + ")
+    val bg = s"(($cTot + 1) / ($tTot + v))"
+    val lpCols = langs.map(l =>
+      s"CAST(round(ln($lam * (CASE WHEN t_$l > 0 THEN coalesce(c_$l, 0) / t_$l " +
+        s"ELSE CAST(0.0 AS DOUBLE) END) + $oneMinus * $bg) * 1e9) AS BIGINT) AS lp_$l")
+      .mkString(",\n             ")
+    val sCols = langs.map(l => s"CAST(sum(lp_$l) AS BIGINT) AS s_$l").mkString(", ")
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val caseArms = langs.sorted.reverse.init
+      .map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n            ")
+    val sortedList = langs.map(l => s"s_$l").mkString("list_sort([", ", ", "])")
+    val marginCol =
+      if (!margin) ""
+      else
+        s""",
+           |       CASE WHEN sc.doc_id IS NULL THEN NULL
+           |            ELSE $sortedList[${langs.length}]
+           |                 - $sortedList[${langs.length - 1}] END AS margin9""".stripMargin
+    s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+       |tg AS (SELECT lang, unnest($gramList) AS g
+       |       FROM lt WHERE doc_id % 2 = 0 AND len(txt) >= 3),
+       |prof AS (SELECT g, $cCols FROM tg GROUP BY g),
+       |tot AS (SELECT $tCols, count(DISTINCT g) AS v FROM tg),
+       |pos AS (SELECT doc_id, unnest($gramList) AS g
+       |        FROM lt WHERE len(txt) >= 3),
+       |j AS (SELECT pos.doc_id,
+       |             $lpCols
+       |      FROM pos LEFT JOIN prof USING (g) CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, $sCols
+       |       FROM j GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       |       CASE WHEN sc.doc_id IS NULL THEN 'und'
+       |            $caseArms
+       |            ELSE '${langs.sorted.head}' END AS lang_pred$marginCol
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** DuckDB mirror of x_sim_bruteforce (exact cosine top-5 for the
     * first 5 vectors) — also reused as a CTE by x_ann_recall. */
@@ -5623,45 +5690,11 @@ object SparkEntry {
     // (λ and 1−λ as round-trip double literals, identical operation
     // order) on the 1e-9 grid (order-independent long sums), same
     // descending-lexicographic tie-break as the struct greatest.
-    "x_langid_trigram" -> {
-      val langs = LangIdLangs
-      val lam = s"CAST('${TextStats.LangIdLambda}' AS DOUBLE)"
-      val oneMinus = s"CAST('${1.0 - TextStats.LangIdLambda}' AS DOUBLE)"
-      val gramList = "[substr(txt, i, 3) for i in generate_series(1, len(txt) - 2)]"
-      val cCols = langs.map(l =>
-        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(", ")
-      val tCols = langs.map(l =>
-        s"sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS t_$l").mkString(", ")
-      val cTot = langs.map(l => s"coalesce(c_$l, 0)").mkString(" + ")
-      val tTot = langs.map(l => s"t_$l").mkString(" + ")
-      val bg = s"(($cTot + 1) / ($tTot + v))"
-      val lpCols = langs.map(l =>
-        s"CAST(round(ln($lam * (CASE WHEN t_$l > 0 THEN coalesce(c_$l, 0) / t_$l " +
-          s"ELSE CAST(0.0 AS DOUBLE) END) + $oneMinus * $bg) * 1e9) AS BIGINT) AS lp_$l")
-        .mkString(",\n             ")
-      val sCols = langs.map(l => s"CAST(sum(lp_$l) AS BIGINT) AS s_$l").mkString(", ")
-      val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-      val caseArms = langs.sorted.reverse.init
-        .map(l => s"WHEN s_$l = $mx THEN '$l'").mkString("\n            ")
-      s"""WITH lt AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
-         |tg AS (SELECT lang, unnest($gramList) AS g
-         |       FROM lt WHERE doc_id % 2 = 0 AND len(txt) >= 3),
-         |prof AS (SELECT g, $cCols FROM tg GROUP BY g),
-         |tot AS (SELECT $tCols, count(DISTINCT g) AS v FROM tg),
-         |pos AS (SELECT doc_id, unnest($gramList) AS g
-         |        FROM lt WHERE len(txt) >= 3),
-         |j AS (SELECT pos.doc_id,
-         |             $lpCols
-         |      FROM pos LEFT JOIN prof USING (g) CROSS JOIN tot),
-         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, $sCols
-         |       FROM j GROUP BY 1)
-         |SELECT d.doc_id, CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
-         |       CASE WHEN sc.doc_id IS NULL THEN 'und'
-         |            $caseArms
-         |            ELSE '${langs.sorted.head}' END AS lang_pred
-         |FROM documents d LEFT JOIN sc USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "x_langid_trigram" -> langIdTrigramSql(margin = false),
+
+    // Margin replay: the same score CTEs, second-best read off a
+    // sorted score list, exact long subtraction.
+    "x_langid_margin" -> langIdTrigramSql(margin = true),
 
     "x_fingerprint" ->
       s"""SELECT doc_id,

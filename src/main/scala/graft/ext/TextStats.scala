@@ -676,6 +676,49 @@ object TextStats {
   def scoreLangIdFused(docs: DataFrame, profile: DataFrame,
       langs: Seq[String], idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val st = langIdScoreCol(profile, langs, textCol)
+    val best = greatest(langs.map(l =>
+      struct(col(s"__st").getField(s"s_$l").as("score"), lit(l).as("lang"))): _*)
+    docs.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st").getField("n_trigrams").as("n_trigrams"),
+        when(col("__st").getField("n_trigrams") === 0L, lit("und"))
+          .otherwise(best.getField("lang")).as("lang_pred"))
+  }
+
+  /**
+   * Language-ID confidence margin — the fused scorer's struct read a
+   * second way: `margin9 = best − second-best` summed grid log-prob
+   * (exact long subtraction). A small margin marks the
+   * ambiguous-language documents a curation pass routes to review or
+   * drops; `und` rows (no trigrams) carry a NULL margin. Same
+   * shuffle-free projection as [[scoreLangIdFused]].
+   */
+  def scoreLangIdMargin(docs: DataFrame, profile: DataFrame,
+      langs: Seq[String], idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = langIdScoreCol(profile, langs, textCol)
+    val best = greatest(langs.map(l =>
+      struct(col(s"__st").getField(s"s_$l").as("score"), lit(l).as("lang"))): _*)
+    val sorted = array_sort(array(langs.map(l =>
+      col("__st").getField(s"s_$l")): _*))
+    docs.select(col(idCol), st.as("__st"))
+      .select(col(idCol),
+        col("__st").getField("n_trigrams").as("n_trigrams"),
+        when(col("__st").getField("n_trigrams") === 0L, lit("und"))
+          .otherwise(best.getField("lang")).as("lang_pred"),
+        when(col("__st").getField("n_trigrams") === 0L,
+          lit(null).cast("long"))
+          .otherwise(element_at(sorted, langs.length) -
+            element_at(sorted, langs.length - 1)).as("margin9"))
+  }
+
+  /** The fused per-document score struct (n_trigrams + per-lang grid
+    * log-prob sums) shared by [[scoreLangIdFused]] and
+    * [[scoreLangIdMargin]] — one construction of the lookup-kernel
+    * contribution table, so the two readers cannot drift. */
+  private def langIdScoreCol(profile: DataFrame, langs: Seq[String],
+      textCol: String): Column = {
     require(langs.nonEmpty, "langs must be non-empty")
     val totRow = profile.agg(
       sum(col(s"__c_${langs.head}")).as(s"__t_${langs.head}"),
@@ -707,15 +750,8 @@ object TextStats {
       .select(langs.map(l => lit(null).cast("long").as(s"__c_$l")): _*)
       .select(contribCols: _*).collect()(0)
     val missSeq = langs.indices.map(miss.getLong(_))
-    val st = graft.plans.NativeFunctions.langIdScore(col(textCol), langs,
+    graft.plans.NativeFunctions.langIdScore(col(textCol), langs,
       keys, contribs, missSeq)
-    val best = greatest(langs.map(l =>
-      struct(col(s"__st").getField(s"s_$l").as("score"), lit(l).as("lang"))): _*)
-    docs.select(col(idCol), st.as("__st"))
-      .select(col(idCol),
-        col("__st").getField("n_trigrams").as("n_trigrams"),
-        when(col("__st").getField("n_trigrams") === 0L, lit("und"))
-          .otherwise(best.getField("lang")).as("lang_pred"))
   }
 
   /** Train-and-score in one call: [[langIdProfile]] + [[scoreLangId]].
