@@ -2771,6 +2771,16 @@ object SparkEntry {
         .orderBy("actual")
     }),
 
+    // NB confidence margin: best − runner-up grid log-prob per doc
+    // (exact long subtraction off the same fused prediction struct) —
+    // the reject-option knob: small-margin docs go to review instead
+    // of trusting the argmax.
+    "x_nb_margin" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextStats.naiveBayesMargin(d, d.where(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     // Confusion matrix of the NB classifier — the (actual, predicted)
     // cell counts behind x_nb_accuracy; all-integer, one extra
     // |labels|²-bounded groupBy over the shared per-doc predictions.
@@ -5336,6 +5346,21 @@ object SparkEntry {
          |SELECT doc_id, actual, predicted, best_lp9, correct
          |FROM nb ORDER BY doc_id""".stripMargin
     },
+
+    // Margin replay: the scored CTE's rk=1/rk=2 scores subtracted —
+    // the same (sc9 DESC, lbl) ranking the engine's top-2 tracker
+    // realizes.
+    "x_nb_margin" ->
+      s"""WITH ${nbCtesWith("w")},
+         |r2 AS (SELECT doc_id, lbl, sc9,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY sc9 DESC, lbl) AS rk
+         |       FROM scored)
+         |SELECT b.doc_id, b.lbl AS predicted, b.sc9 AS best_lp9,
+         |       s.sc9 AS second_lp9, b.sc9 - s.sc9 AS margin9
+         |FROM r2 b JOIN r2 s ON b.doc_id = s.doc_id
+         |WHERE b.rk = 1 AND s.rk = 2
+         |ORDER BY b.doc_id""".stripMargin,
 
     "x_nb_confusion" ->
       s"""WITH ${nbCtesWith("w")}

@@ -912,7 +912,22 @@ object TextStats {
   def naiveBayesFused(docs: DataFrame, train: DataFrame,
       labelCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text", hashDims: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+    val (labels, st) = nbModel(train, labelCol, textCol, hashDims)
+    docs.select(col(idCol), col(labelCol).as("actual"), st.as("__p"))
+      .where(col("__p.n_tokens") > 0)
+      .select(col(idCol), col("actual"),
+        element_at(typedlit(labels), col("__p.best_idx") + lit(1)).as("predicted"),
+        col("__p.best_lp9").as("best_lp9"))
+      .withColumn("correct",
+        when(col("actual") === col("predicted"), 1).otherwise(0))
+  }
+
+  /** Train-once model builder shared by [[naiveBayesFused]] and
+    * [[naiveBayesMargin]]: the sorted label list plus the fused
+    * per-document prediction struct column. */
+  private def nbModel(train: DataFrame, labelCol: String, textCol: String,
+      hashDims: Int): (Seq[String], Column) = {
+    val spark = train.sparkSession
     // one job for labels + doc priors (ntr = Σ per-label doc counts)
     val ndRow = train.groupBy(col(labelCol).cast("string").as("__lbl"))
       .agg(count(lit(1)).as("__nd"))
@@ -956,13 +971,28 @@ object TextStats {
     val prior = labels.indices.map(priorRow.getLong(_))
     val st = graft.plans.NativeFunctions.nbPredict(col(textCol),
       keys, contribs, miss, prior, hashDims)
-    docs.select(col(idCol), col(labelCol).as("actual"), st.as("__p"))
+    (labels, st)
+  }
+
+  /**
+   * NB confidence margin — [[naiveBayesFused]]'s score struct read
+   * with the runner-up: `margin9 = best_lp9 − second_lp9` (exact long
+   * subtraction; 0 on a top-score tie). The reject-option knob of a
+   * curation classifier: route small-margin documents to review
+   * instead of trusting the argmax. Same training tables, same
+   * shuffle-free scored projection.
+   */
+  def naiveBayesMargin(docs: DataFrame, train: DataFrame,
+      labelCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text", hashDims: Int = 0): DataFrame = {
+    val (labels, st) = nbModel(train, labelCol, textCol, hashDims)
+    docs.select(col(idCol), st.as("__p"))
       .where(col("__p.n_tokens") > 0)
-      .select(col(idCol), col("actual"),
+      .select(col(idCol),
         element_at(typedlit(labels), col("__p.best_idx") + lit(1)).as("predicted"),
-        col("__p.best_lp9").as("best_lp9"))
-      .withColumn("correct",
-        when(col("actual") === col("predicted"), 1).otherwise(0))
+        col("__p.best_lp9").as("best_lp9"),
+        col("__p.second_lp9").as("second_lp9"),
+        (col("__p.best_lp9") - col("__p.second_lp9")).as("margin9"))
   }
 
   /**

@@ -828,7 +828,17 @@ object Native {
     var best = 0
     var l = 1
     while (l < nL) { if (sums(l) > sums(best)) best = l; l += 1 }
-    new GenericInternalRow(Array[Any](toks.length.toLong, best, sums(best)))
+    // runner-up score (the confidence-margin denominator): max over
+    // the non-best labels; a single-label model reports its own score
+    // (margin 0)
+    var second = if (best == 0 && nL > 1) 1 else 0
+    l = 0
+    while (l < nL) {
+      if (l != best && sums(l) > sums(second)) second = l
+      l += 1
+    }
+    new GenericInternalRow(
+      Array[Any](toks.length.toLong, best, sums(best), sums(second)))
   }
 
   /**
@@ -1086,7 +1096,8 @@ case class NbPredictExpr(child: Expression, keys: Seq[Long],
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("best_idx", IntegerType, nullable = false),
-    StructField("best_lp9", LongType, nullable = false)))
+    StructField("best_lp9", LongType, nullable = false),
+    StructField("second_lp9", LongType, nullable = false)))
 
   @transient private lazy val kArr = keys.toArray
   @transient private lazy val cArr = contribs.toArray

@@ -2186,6 +2186,19 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("predicted"),
         r.getAs[Long]("best_lp9"))).toSet
     hashed shouldBe exact
+    // confidence margin: the planted exact tie reports margin 0; every
+    // separable doc reports a strictly positive margin; second_lp9 is
+    // the runner-up of the SAME score vector (best ≥ second always)
+    val margins = TextStats.naiveBayesMargin(docs,
+        docs.where($"doc_id" % 2 === 0))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("best_lp9"), r.getAs[Long]("second_lp9"),
+          r.getAs[Long]("margin9")))).toMap
+    margins(9L)._3 shouldBe 0L
+    Seq(0L, 1L, 2L, 3L, 4L, 6L).foreach { id =>
+      margins(id)._3 should be > 0L
+      margins(id)._1 - margins(id)._2 shouldBe margins(id)._3
+    }
   }
 
   test("hash features: summary matches a brute-force vector; token-less row is (0,0,0,-1)") {
