@@ -110,6 +110,44 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("random corpus: exactKeepBest ≡ brute-force argmax model under heavy score ties") {
+    // few score levels + the generator's duplicate texts (empty/blank
+    // docs repeat) ⇒ both the score tie-break and multi-copy groups
+    // are exercised for real
+    val rng = new scala.util.Random(7)
+    val rows = corpus.map { case (id, t) => (id, t, rng.nextInt(4).toLong) }
+    val out = graft.ext.Dedup.exactKeepBest(
+        rows.toDF("doc_id", "text", "q").repartition(11), col("q"))
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("keep_score"),
+        r.getAs[Long]("n_copies"))).toSet
+    val model = rows.groupBy(_._2).values.map { g =>
+      val w = g.minBy { case (id, _, q) => (-q, id) }
+      (w._1, w._3, g.size.toLong)
+    }.toSet
+    out shouldBe model
+  }
+
+  test("random corpus: snapshotDiff statuses partition both id sets correctly") {
+    val oldRows = corpus.filter(_._1 % 3 != 0)
+    val newRows = corpus.filter(_._1 % 4 != 0)
+      .map { case (id, t) => (id, if (id % 7 == 0) t + " EDIT" else t) }
+    val out = graft.ext.Corpus.snapshotDiff(
+        oldRows.toDF("doc_id", "text"), newRows.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    val oldM = oldRows.toMap
+    val newM = newRows.toMap
+    out.keySet shouldBe (oldM.keySet ++ newM.keySet)
+    out.foreach { case (id, st) =>
+      val expect =
+        if (!oldM.contains(id)) "added"
+        else if (!newM.contains(id)) "removed"
+        else if (oldM(id) == newM(id)) "unchanged"
+        else "changed"
+      withClue(s"doc $id") { st shouldBe expect }
+    }
+  }
+
   test("random corpus: Bloom decontamination ≡ exact verbatim-window check across filter sizes") {
     // split the seeded corpus into train/benchmark halves; the Bloom
     // prefilter must be answer-invariant at ANY (bits, probes) —
