@@ -974,6 +974,23 @@ object SparkEntry {
         .orderBy("op", "key")
     }),
 
+    // Multiset set-ops (§2.6's EXCEPT ALL / INTERSECT ALL forms):
+    // per-occurrence semantics over duplicate-heavy key streams,
+    // summarized to (op, key, surviving multiplicity).
+    "q_setop_all" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val a = l.where(col("l_returnflag") === "A")
+        .select(col("l_suppkey").as("k"))
+      val b = l.where(col("l_returnflag") === "R")
+        .select(col("l_suppkey").as("k"))
+      a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("except_all").as("op"), col("k"), col("n"))
+        .unionByName(
+          a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n"))
+            .select(lit("intersect_all").as("op"), col("k"), col("n")))
+        .orderBy("op", "k")
+    }),
+
     // String/date function coverage (§2.6): formatting, substrings,
     // regex replace, month bucketing via epoch math.
     "q_string_date" -> ((s, dir) =>
@@ -1424,6 +1441,23 @@ object SparkEntry {
         |    INTERSECT
         |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |) ORDER BY op, key""".stripMargin,
+
+    // Multiset replay: DuckDB's EXCEPT ALL / INTERSECT ALL have the
+    // same per-occurrence semantics as Spark's exceptAll/intersectAll.
+    "q_setop_all" ->
+      """WITH a AS (SELECT l_suppkey AS k FROM lineitem
+        |           WHERE l_returnflag = 'A'),
+        |b AS (SELECT l_suppkey AS k FROM lineitem
+        |      WHERE l_returnflag = 'R'),
+        |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+        |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |SELECT * FROM (
+        |  SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM ea GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+        |  FROM ia GROUP BY 2
+        |) ORDER BY op, k""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
