@@ -974,6 +974,34 @@ object SparkEntry {
         .orderBy("op", "key")
     }),
 
+    // explode_outer semantics (§2.6 nuance): token-less documents
+    // survive the explode as a NULL-token row instead of vanishing —
+    // the difference between "per-token fact table" and "per-token
+    // fact table that silently dropped 3% of the corpus".
+    "q_explode_outer" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(TextStats.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_rows"), count(col("tok")).as("n_toks"))
+        .orderBy("doc_id")),
+
+    // Higher-order array functions (§2.6): transform / filter /
+    // aggregate composed per row, all-integer so the fold is exact.
+    "q_higher_order" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextStats.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_toks"),
+          aggregate(transform(col("tk"), t => length(t).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("sum_len"),
+          size(filter(col("tk"), t => length(t) > 4)).cast("long")
+            .as("n_long"),
+          aggregate(filter(transform(col("tk"), t => length(t).cast("long")),
+            x => x % 2L === 0L), lit(0L), (acc, x) => acc + x)
+            .as("sum_even_len"))
+        .orderBy("doc_id")),
+
     // Multiset set-ops (§2.6's EXCEPT ALL / INTERSECT ALL forms):
     // per-occurrence semantics over duplicate-heavy key streams,
     // summarized to (op, key, surviving multiplicity).
@@ -5807,6 +5835,31 @@ object SparkEntry {
          |      FROM tk WHERE len(t) >= 2)
          |SELECT gram, count(*) AS n FROM g
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+
+    // explode_outer replay: n_rows = max(1, |toks|) per doc (the NULL
+    // row keeps empty docs), n_toks counts non-null tokens only.
+    // (Lives in this later map chunk because it reads toksSql — the
+    // early chunk initializes before that val.)
+    "q_explode_outer" ->
+      s"""SELECT doc_id,
+         |  CAST(greatest(1, len($toksSql)) AS BIGINT) AS n_rows,
+         |  CAST(len($toksSql) AS BIGINT) AS n_toks
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Higher-order replay: list_transform/list_filter/list_reduce with
+    // the same integer fold (0-prepended left fold = Spark aggregate).
+    "q_higher_order" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_toks,
+         |  CAST(list_reduce(list_prepend(0,
+         |    list_transform(tk, x -> len(x))), (a, b) -> a + b) AS BIGINT)
+         |    AS sum_len,
+         |  CAST(len(list_filter(tk, x -> len(x) > 4)) AS BIGINT) AS n_long,
+         |  CAST(list_reduce(list_prepend(0,
+         |    list_filter(list_transform(tk, x -> len(x)), x -> x % 2 = 0)),
+         |    (a, b) -> a + b) AS BIGINT) AS sum_even_len
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "x_df_spectrum" ->
       s"""WITH tk AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term
