@@ -974,6 +974,24 @@ object SparkEntry {
         .orderBy("op", "key")
     }),
 
+    // Null-safe equality join (§2.6 nuance): <=> pairs NULL keys with
+    // NULL keys where a plain equi-join silently drops them — every
+    // 100th key nulled on both sides, so the NULL×NULL match mass is
+    // real and counted.
+    "q_null_safe_join" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 100 === 0, lit(null))
+          .otherwise(col("l_orderkey")).as("lk"))
+      val o = tbl(s, dir, "orders")
+        .select(when(col("o_orderkey") % 100 === 0, lit(null))
+          .otherwise(col("o_orderkey")).as("ok"), col("o_orderstatus"))
+      l.join(o, col("lk") <=> col("ok"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("lk").isNull, 1L).otherwise(0L)).as("n_null_pairs"))
+        .orderBy("o_orderstatus")
+    }),
+
     // explode_outer semantics (§2.6 nuance): token-less documents
     // survive the explode as a NULL-token row instead of vanishing —
     // the difference between "per-token fact table" and "per-token
@@ -1469,6 +1487,18 @@ object SparkEntry {
         |    INTERSECT
         |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |) ORDER BY op, key""".stripMargin,
+
+    // Null-safe-join replay: IS NOT DISTINCT FROM is DuckDB's <=>.
+    "q_null_safe_join" ->
+      """WITH l AS (SELECT CASE WHEN l_orderkey % 100 = 0 THEN NULL
+        |                  ELSE l_orderkey END AS lk FROM lineitem),
+        |o AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |             ELSE o_orderkey END AS ok, o_orderstatus FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(sum(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_null_pairs
+        |FROM l JOIN o ON lk IS NOT DISTINCT FROM ok
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
 
     // Multiset replay: DuckDB's EXCEPT ALL / INTERSECT ALL have the
     // same per-occurrence semantics as Spark's exceptAll/intersectAll.
