@@ -1216,6 +1216,26 @@ object SparkEntry {
         .orderBy("event_type", "t_us", "event_id")
     }),
 
+    // RANGE-frame rolling window (§2.6's value-based frame, next to
+    // q_rolling_window's ROWS frame): per type, every event sums the
+    // trailing HOUR of values — the frame is defined by the timestamp
+    // DISTANCE, not a row count, so ties and gaps behave per the SQL
+    // standard (all peers included; empty hours shrink the frame).
+    "q_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy(col("tsn"))
+        .rangeBetween(-3600000000000L, 0L) // ns
+      eventsTbl(s, dir)
+        .select(col("event_type"), col("ts").as("tsn"), col("event_id"),
+          col("value"))
+        .withColumn("hr_sum",
+          sum(col("value").cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("hr_n", count(lit(1)).over(w))
+        .select(col("event_type"), expr("tsn div 1000").as("t_us"),
+          col("event_id"), col("hr_sum"), col("hr_n"))
+        .orderBy("event_type", "t_us", "event_id")
+    }),
+
     // Window-function variety over one pass: lag/lead navigation,
     // ntile bucketing, percent_rank — per-customer order history.
     "q_window_funcs" -> ((s, dir) => {
@@ -1582,6 +1602,18 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, t_us, event_id""".stripMargin,
+
+    // RANGE-frame replay: identical value-distance frame in micros
+    // (ts nanos are exactly micros×1000, so the hour boundary is the
+    // same instant in both engines); peers included per the standard.
+    "q_range_window" ->
+      """SELECT event_type, epoch_us(ts) AS t_us, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS hr_sum,
+        |  count(*) OVER w AS hr_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, t_us, event_id""".stripMargin,
 
     "q_window_funcs" ->
