@@ -285,6 +285,17 @@ class ScaleSpec extends SparkSpec {
     filtIdx should be > joinIdx // below the join = later in the tree dump
   }
 
+  test("q_range_window: the frame is event_type-partitioned — no single-partition window") {
+    val q = SparkEntry.queries("q_range_window")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    winLines should not be empty
+    winLines.foreach { w =>
+      withClue(w) { w should include regex "windowspecdefinition\\(event_type#" }
+    }
+  }
+
   test("q5: dims broadcast, single fact-fact shuffle pair on the order key") {
     val q = SparkEntry.queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
     q.collect()
