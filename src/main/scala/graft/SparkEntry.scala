@@ -1236,6 +1236,41 @@ object SparkEntry {
         .orderBy("event_type", "t_us", "event_id")
     }),
 
+    // IGNORE NULLS forward fill — the gap-carry step of timeseries
+    // regularization (q_events_resample fills the GRID; this carries
+    // the last OBSERVATION): per-user running last purchase value over
+    // a sparse event column. `last(_, ignoreNulls)` over a running
+    // ROWS frame; (ts, event_id) ordering is total, so the carried
+    // value is deterministic under any partitioning.
+    "q_forward_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTbl(s, dir)
+        .withColumn("__pv",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          last(col("__pv"), ignoreNulls = true).over(w).as("last_purchase"))
+        .orderBy("event_id")
+    }),
+
+    // unionByName with missing columns (schema-evolution append): the
+    // two sides list their columns in DIFFERENT orders and each lacks
+    // one of the other's — name-based alignment + null fill, the
+    // by-position UNION's silent column mixup made impossible.
+    "q_union_by_name" -> ((s, dir) => {
+      val a = tbl(s, dir, "orders").where(col("o_orderkey") < 1000)
+        .select(col("o_orderkey").as("k"), lit("order").as("kind"),
+          col("o_totalprice").as("amount"))
+      val b = tbl(s, dir, "lineitem").where(col("l_orderkey") < 1000)
+        .select(lit("line").as("kind"), col("l_orderkey").as("k"),
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("kind"), col("k"), coalesce(col("ln"), lit(-1)))
+    }),
+
     // Window-function variety over one pass: lag/lead navigation,
     // ntile bucketing, percent_rank — per-customer order history.
     "q_window_funcs" -> ((s, dir) => {
@@ -1616,6 +1651,25 @@ object SparkEntry {
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, t_us, event_id""".stripMargin,
 
+    "q_forward_fill" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_union_by_name" ->
+      """SELECT k, kind, amount, ln, qty FROM (
+        |  SELECT o_orderkey AS k, 'order' AS kind, o_totalprice AS amount
+        |  FROM orders WHERE o_orderkey < 1000
+        |  UNION ALL BY NAME
+        |  SELECT 'line' AS kind, l_orderkey AS k, l_linenumber AS ln,
+        |         l_quantity AS qty
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY kind, k, coalesce(ln, -1)""".stripMargin,
+
     "q_window_funcs" ->
       """SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date_e,
         |       o_totalprice,
@@ -1898,6 +1952,23 @@ object SparkEntry {
         d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0))
         .orderBy("doc_id")
+    }),
+
+    // Embedding-space decontamination — the semantic gate n-gram
+    // screens miss (paraphrased eval leakage): train vectors whose
+    // cosine to any held-out benchmark vector (vec_id%50=0 split)
+    // reaches 0.35, with the closest benchmark item as evidence.
+    // Broadcast benchmark, threshold BEFORE the bounded k=1 argmax.
+    "x_decon_semantic" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.where(col("vec_id") % 50 =!= 0),
+        e.where(col("vec_id") % 50 === 0)
+          .withColumnRenamed("vec_id", "bench_id"),
+        threshold = 0.35)
+        .select(col("vec_id"), col("bench_id"),
+          round(col("score"), 6).as("score_r"))
+        .orderBy("vec_id")
     }),
 
     // Verbatim-window decontamination: same benchmark split, but only
@@ -2800,6 +2871,23 @@ object SparkEntry {
     // with the same injected coefficients (Dedup.minhashCoefs).
     "x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(tbl(s, dir, "documents")).orderBy("a", "b")),
+
+    // Edit-distance-verified near-dup pairs: the LSH candidate set
+    // re-checked by BOUNDED levenshtein (threshold variant → banded
+    // O(len·maxDist) DP per pair, never O(len²)). DuckDB's unbounded
+    // levenshtein + dist filter replays the identical pair set.
+    "x_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(tbl(s, dir, "documents"), maxDist = 20)
+        .orderBy("a", "b")),
+
+    // Corpus-level segment dedup (C4's duplicated-line rule on
+    // 4-token segments): keep each segment's corpus-wide first
+    // instance, rebuild per-doc text from survivors. Exact-dup docs
+    // collapse to '' — the oracle replays the same first-occurrence
+    // window over the segment strings.
+    "x_segment_dedup" -> ((s, dir) =>
+      Corpus.segmentDedup(tbl(s, dir, "documents"), segTokens = 4)
+        .orderBy("doc_id")),
 
     // Full composed pipeline: LSH candidates → exact-jaccard verify →
     // cluster resolution. The oracle compares the exact transitive
@@ -4158,6 +4246,30 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
 
+    // Semantic decontamination replay: the simBruteforceSql fold
+    // shape across the vec_id%50 benchmark split — threshold on the
+    // unrounded score, argmax per train vector with bench-id
+    // tie-break, single terminal round(6).
+    "x_decon_semantic" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               [v[i] * v[i] for i in generate_series(1, 64)]), (a, b) -> a + b)) AS nrm
+         |      FROM e),
+         |b AS (SELECT vec_id AS bench_id, v AS bv, nrm AS bn FROM n WHERE vec_id % 50 = 0),
+         |t AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 <> 0),
+         |s AS (SELECT t.vec_id, b.bench_id,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               [t.v[i] * b.bv[i] for i in generate_series(1, 64)]), (a, b) -> a + b)
+         |             / (t.nrm * b.bn) AS score
+         |      FROM t CROSS JOIN b),
+         |f AS (SELECT vec_id, bench_id, score,
+         |             row_number() OVER (PARTITION BY vec_id
+         |                                ORDER BY score DESC, bench_id) AS rk
+         |      FROM s WHERE score >= 0.35)
+         |SELECT vec_id, bench_id, round(score, 6) AS score_r
+         |FROM f WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
     // Verbatim-window decontamination replay: the x_substring_dedup
     // window CTE across the two benchmark-split sides (engine joins on
     // window hashes, oracle on window strings — the proven 2^-64
@@ -5284,6 +5396,45 @@ object SparkEntry {
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).
     "x_minhash_pairs" -> minhashPairsSql,
+
+    // Edit-verified pairs: the SAME candidate CTE as x_minhash_pairs
+    // (sets cannot drift), each pair re-checked by levenshtein ≤ 20.
+    // DuckDB's unbounded DP and Spark's threshold-banded DP agree on
+    // every distance at or under the bound — the only values kept.
+    "x_edit_pairs" ->
+      s"""WITH cand AS (SELECT a, b FROM ($minhashPairsSql)),
+         |p AS (SELECT a, b,
+         |             CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+         |      FROM cand
+         |      JOIN documents da ON da.doc_id = a
+         |      JOIN documents db ON db.doc_id = b)
+         |SELECT a, b, dist FROM p WHERE dist <= 20 ORDER BY a, b""".stripMargin,
+
+    // Segment-dedup replay: 4-token segments with ordinals via a
+    // struct list_transform, corpus-wide first instance by the
+    // (doc_id, seg_idx) window, per-doc rebuild with an ordered
+    // filtered string_agg (engine groups on xxhash64(segment), oracle
+    // on the segment string — the proven 2^-64 hashed-key equivalence).
+    "x_segment_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |segx AS (SELECT doc_id, unnest(list_transform(
+         |           generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+         |           i -> {'seg_idx': i,
+         |                 'seg': array_to_string(tk[(i*4)+1:(i+1)*4], ' '),
+         |                 'ntok': least(4, len(tk) - i*4)})) AS u
+         |         FROM toks WHERE len(tk) > 0),
+         |marked AS (SELECT doc_id, u.seg_idx AS seg_idx, u.seg AS seg,
+         |                  u.ntok AS ntok,
+         |                  row_number() OVER (PARTITION BY u.seg
+         |                                     ORDER BY doc_id, u.seg_idx) AS rn
+         |           FROM segx)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+         |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(COALESCE(sum(ntok) FILTER (rn = 1), 0) AS BIGINT) AS n_kept_tokens,
+         |       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1), '') AS dedup_text
+         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Cross-corpus replay: bands over ALL docs (signatures depend only
     // on text), collisions filtered to new (odd) × archive (even).

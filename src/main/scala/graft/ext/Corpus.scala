@@ -1046,4 +1046,69 @@ object Corpus {
         greatest(lit(0L), col("desired_tokens") - col("avail_tokens"))
           .as("shortfall"))
   }
+
+  /**
+   * Corpus-level segment deduplication — the C4 "remove any duplicated
+   * line, keep its first occurrence" rule, generalized to fixed
+   * `segTokens`-token segments (this corpus is one line per document;
+   * at web scale the unit is a line/paragraph and the plan is
+   * identical). Every document is cut into consecutive non-overlapping
+   * segments (the last one may be short); a segment INSTANCE survives
+   * iff it is the corpus-wide first occurrence of its text, "first"
+   * being the (idCol, seg_idx) lexicographic minimum — deterministic
+   * under any partitioning. Returns per document
+   * `(idCol, n_segs, n_kept, n_tokens, n_kept_tokens, dedup_text)`
+   * with `dedup_text` rebuilt from the surviving segments in document
+   * order ('' when every segment was seen earlier — exact-duplicate
+   * documents collapse to empty here, which is why C4 runs this AFTER
+   * exact dedup; both orders are supported, this operator doesn't
+   * care). Tokenless documents contribute no rows ([[chunkDocs]]
+   * convention).
+   *
+   * Shape at scale: one narrow `posexplode(sequence)` Generate per
+   * document (fan-out n/segTokens), then ONE shuffle on the 8-byte
+   * `xxhash64(segment)` key — a min-struct aggregate (map-side
+   * partial: first-occurrence is an associative min) joined back to
+   * the segment rows on that same key (co-partitioned, no second
+   * shuffle of the big side), and a per-document rollup. No global
+   * sort, no windows over the corpus; the duplicate-mass skew case
+   * (millions of instances of one boilerplate segment) costs one
+   * hot-key min — an aggregate, not a pair join, so it cannot go
+   * quadratic. The per-doc rebuild `collect_list` is bounded by the
+   * document's own segment count.
+   */
+  def segmentDedup(df: DataFrame, segTokens: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val toks = TextStats.tokens(col(textCol))
+    val segs = df.select(col(idCol), toks.as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col(idCol), col("__tk"),
+        posexplode(sequence(lit(0L), (size(col("__tk")) - 1).cast("long"),
+          lit(segTokens.toLong))).as(Seq("__seg_idx", "__tok_from")))
+      .select(col(idCol), col("__seg_idx"),
+        array_join(slice(col("__tk"), (col("__tok_from") + 1).cast("int"),
+          lit(segTokens)), " ").as("__seg"),
+        least(lit(segTokens).cast("long"),
+          size(col("__tk")).cast("long") - col("__tok_from")).as("__ntok"))
+      .withColumn("__key", xxhash64(col("__seg")))
+    // Corpus-wide first instance per segment text: associative min of
+    // the (id, seg_idx) struct — map-side combinable, hot keys cheap.
+    val first = segs.groupBy(col("__key"))
+      .agg(min(struct(col(idCol), col("__seg_idx"))).as("__first"))
+    segs.join(first, "__key")
+      .withColumn("__kept",
+        col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("__seg_idx") === col("__seg_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("__kept").cast("long")).as("n_kept"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(when(col("__kept"), col("__ntok")).otherwise(0L))
+          .as("n_kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("__seg_idx"), col("__seg"))))),
+          s => s.getField("__seg")), " ").as("dedup_text"))
+  }
 }

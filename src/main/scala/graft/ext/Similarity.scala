@@ -83,6 +83,41 @@ object Similarity {
   }
 
   /**
+   * Embedding-space benchmark decontamination — the semantic twin of
+   * [[Corpus.decontaminate]]'s n-gram gate: flag every corpus vector
+   * whose cosine to ANY benchmark vector reaches `threshold`,
+   * reporting the closest benchmark item as the evidence
+   * (`(idCol, benchIdCol, score)`, ties on equal score broken by the
+   * smaller benchmark id). Paraphrased eval leakage survives n-gram
+   * screens — token overlap is near zero while the embedding is
+   * nearly identical — which is why production pipelines run both
+   * gates.
+   *
+   * Shape at scale: benchmark sets are small by nature — broadcast
+   * once, corpus norms computed in the same scan, threshold applied
+   * BEFORE the per-corpus-id argmax so only flagged rows reach the
+   * aggregation, and the argmax itself is the bounded
+   * [[graft.operators.TopK.perGroupLong]] k=1 aggregator (map-side
+   * partial, 8-byte shuffle key). Linear in corpus size, one shuffle
+   * of flagged rows only.
+   */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", benchIdCol: String = "bench_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cnorm", norm(col("__cv")))
+    val b = benchmark.select(col(benchIdCol), col(vecCol).as("__bv"))
+      .withColumn("__bnorm", norm(col("__bv")))
+    val scored = c.crossJoin(broadcast(b))
+      .withColumn("score",
+        dot(col("__cv"), col("__bv")) / (col("__cnorm") * col("__bnorm")))
+      .where(col("score") >= threshold)
+      .select(col(idCol), col(benchIdCol), col("score"))
+    graft.operators.TopK.perGroupLong(scored, idCol, "score", benchIdCol, 1)
+      .select(col(idCol), col(benchIdCol), col("score"))
+  }
+
+  /**
    * Exact all-pairs cosine at-or-above `threshold` — the
    * verification-grade baseline that the LSH ([[Dedup.embeddingNearDups]])
    * and IVF paths are measured against. Inherently O(n²), so the

@@ -2263,4 +2263,69 @@ class ExtSpec extends SparkSpec {
     rc(1).getAs[Long]("n_relevant") shouldBe 0L
     rc(1).isNullAt(3) shouldBe true
   }
+
+  test("segmentDedup: corpus-wide first instance, exact dups collapse, partition-stable") {
+    // seg size 2. doc 0: [a b][c d][e]; doc 1 exact dup of 0 → every
+    // segment seen ⇒ n_kept 0, dedup_text ''; doc 2 shares leading
+    // [a b] only (its [c x] differs); doc 3 tokenless via filter;
+    // doc 4: single short segment, unique.
+    val d = Seq(
+      (0L, "a b c d e"), (1L, "a b c d e"),
+      (2L, "a b c x"), (3L, "   "), (4L, "q")
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Corpus.segmentDedup(df, segTokens = 2).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_kept_tokens"), r.getAs[String]("dedup_text")))
+        .toSet
+    val out = run(d)
+    out shouldBe Set(
+      (0L, 3L, 3L, 5L, 5L, "a b c d e"),
+      (1L, 3L, 0L, 5L, 0L, ""),
+      (2L, 2L, 1L, 4L, 2L, "c x"),
+      (4L, 1L, 1L, 1L, 1L, "q"))
+    // first-instance choice is a min-struct aggregate ⇒ stable under
+    // any partitioning
+    run(d.repartition(7)) shouldBe out
+  }
+
+  test("editDistancePairs: bounded verify keeps near pairs, drops far candidates") {
+    // 0/1 exact dup (dist 0), 2 one-word variant of 0 (small dist),
+    // 3 unrelated. LSH candidates at the default 32/8/3 params include
+    // the dup pairs; maxDist decides survival.
+    val pairs = Dedup.editDistancePairs(docs, maxDist = 20).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("dist")))
+    pairs should contain ((0L, 1L, 0L))
+    // 0 vs 2: "the lazy dog"→"a lazy cat" = bounded small distance
+    val d02 = pairs.collect { case (0L, 2L, dd) => dd }
+    d02.foreach { dd => dd should be <= 20L }
+    // tightening the bound to 0 keeps ONLY exact-identical texts
+    val strict = Dedup.editDistancePairs(docs, maxDist = 0).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    strict shouldBe Array((0L, 1L))
+  }
+
+  test("semanticDecontaminate: threshold gates, argmax evidence, tie→smaller bench id") {
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f)),   // = bench 0 and bench 1 directions? no: axis x
+      (101L, Array(0.0f, 1.0f)),   // axis y — orthogonal to both bench
+      (102L, Array(1.0f, 1.0f))    // 45° — cos 0.7071 to both bench vecs
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f))      // same direction as bench 0
+    ).toDF("bench_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench,
+        threshold = 0.7).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("score")))
+      .sortBy(_._1)
+    // 101 orthogonal → below threshold, absent; 100 hits cos 1.0 on
+    // BOTH bench vecs → tie broken to bench 0; 102 at 0.7071 flags.
+    out.map(_._1) shouldBe Array(100L, 102L)
+    out(0)._2 shouldBe 0L
+    out(0)._3 shouldBe 1.0 +- 1e-12
+    out(1)._3 shouldBe math.sqrt(0.5) +- 1e-9
+  }
 }
