@@ -3205,6 +3205,30 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // Product-quantization recall@5: codes from per-subspace Lloyd
+    // codebooks (the IVF trainer on each 16-dim slice of the
+    // normalized corpus), ADC ranking against the float brute-force
+    // truth. The classic RAM-resident ANN: m code bytes per vector in
+    // the scored frame, never the floats.
+    "x_pq_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = Similarity.pqTrain(emb, m = PqM, k = PqK, iters = 3,
+        seed = Seed)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = AnnK)
+        .select("query_id", "neighbor_id")
+      val pq = Similarity.pqTopK(emb, queries, cb, kNeighbors = AnnK)
+        .select("query_id", "neighbor_id")
+      val hits = bf.join(pq, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      queries.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * (100 / AnnK)).as("recall_pct"))
+        .orderBy("query_id")
+    }),
+
     // ANN quality measurement: recall@5 of the LSH path against the
     // exact brute-force baseline, per query vector — the "did the
     // approximate path actually work" check, itself oracle-checked.
@@ -3882,6 +3906,104 @@ object SparkEntry {
        |  FROM e CROSS JOIN cent3 c) WHERE rn = 1)""".stripMargin
   }
 
+  /** PQ geometry shared by the x_pq_recall query and oracle: 4
+    * subspaces of 16 dims, 16 sub-centroids each. */
+  private val PqM = 4
+  private val PqK = 16
+
+  /** DuckDB replay of Similarity.pqTrain/pqEncode for subspace `s`:
+    * CTEs `es_s` (16-dim slices of the normalized vectors `en`)
+    * through `paf_s` (final code assignment after 3 Lloyd
+    * iterations) — the ivfAssignCtes machinery parameterized over the
+    * dim slice, sharing ONE `pinit` ranked-init frame so every
+    * subspace trains on the same member set, exactly like the engine. */
+  private def pqSubCtes(s: Int, sub: Int, iters: Int): String = {
+    val off = s * sub
+    def dotL(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[$a[i] * $b[i] for i in generate_series(1, $sub)]), (x, y) -> x + y)"
+    def norm2(a: String) = dotL(a, a)
+    def iterate(prev: String, r: Int): String =
+      s"""pa${r}_$s AS (SELECT vec_id, v, cid FROM (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |           (${norm2("c.cv")} - 2.0 * ${dotL("e.v", "c.cv")}) ASC, c.cid ASC) AS rn
+         |  FROM es_$s e CROSS JOIN $prev c) WHERE rn = 1),
+         |pm${r}_$s AS (SELECT cid, pos,
+         |         sum(CAST(round(v[pos] * 1000000000.0) AS BIGINT)) AS sm,
+         |         count(*) AS n
+         |       FROM pa${r}_$s CROSS JOIN generate_series(1, $sub) g(pos)
+         |       GROUP BY cid, pos),
+         |pc${r}_$s AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+         |       FROM $prev c LEFT JOIN
+         |         (SELECT cid, list(CAST(sm AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+         |                           ORDER BY pos) AS cv
+         |          FROM pm${r}_$s GROUP BY cid) m ON c.cid = m.cid)""".stripMargin
+    s"""es_$s AS (SELECT vec_id, vn[${off + 1}:${off + sub}] AS v FROM en),
+       |pc0_$s AS (SELECT i.cid, e.v AS cv FROM pinit i JOIN es_$s e USING (vec_id)),
+       |${(1 to iters).map(r => iterate(s"pc${r - 1}_$s", r)).mkString(",\n")},
+       |paf_$s AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |           (${norm2("c.cv")} - 2.0 * ${dotL("e.v", "c.cv")}) ASC, c.cid ASC) AS rn
+       |  FROM es_$s e CROSS JOIN pc${iters}_$s c) WHERE rn = 1)""".stripMargin
+  }
+
+  /** x_pq_recall oracle: normalized vectors, one shared md5-ranked
+    * init, per-subspace Lloyd replay, ADC scoring of the code joins
+    * against the final codebooks, recall vs simBruteforceSql. */
+  private def pqRecallSql: String = {
+    val sub = 64 / PqM
+    def dotL(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[$a[i] * $b[i] for i in generate_series(1, $sub)]), (x, y) -> x + y)"
+    def norm2(a: String) = dotL(a, a)
+    val pcode = (0 until PqM).map(s => s"a$s.cid AS c$s").mkString(", ")
+    val pcodeFrom = (0 until PqM).map {
+      case 0 => "paf_0 a0"
+      case s => s"JOIN paf_$s a$s USING (vec_id)"
+    }.mkString(" ")
+    val centJoins = (0 until PqM)
+      .map(s => s"JOIN pc3_$s cc$s ON cc$s.cid = d.c$s").mkString(" ")
+    val adist = (0 until PqM).map { s =>
+      val q = s"q.vn[${s * sub + 1}:${s * sub + sub}]"
+      s"(${norm2(s"cc$s.cv")} - 2.0 * ${dotL(q, s"cc$s.cv")})"
+    }.mkString(" + ")
+    s"""WITH pe AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |pn AS (SELECT vec_id, v,
+       |              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                [v[i] * v[i] for i in generate_series(1, 64)]), (x, y) -> x + y)) AS nrm
+       |       FROM pe),
+       |en AS (SELECT vec_id,
+       |              [CASE WHEN nrm = 0 THEN 0.0 ELSE v[i] / nrm END
+       |               for i in generate_series(1, 64)] AS vn
+       |       FROM pn),
+       |pinit AS (SELECT vec_id, row_number() OVER (ORDER BY rnk, vec_id) - 1 AS cid
+       |          FROM (SELECT vec_id,
+       |                  ('0x' || substr(md5('$Seed' || chr(1) || 'ivf/init' || chr(1) ||
+       |                     vec_id::VARCHAR), 1, 13))::BIGINT AS rnk
+       |                FROM en ORDER BY rnk, vec_id LIMIT $PqK)),
+       |${(0 until PqM).map(s => pqSubCtes(s, sub, iters = 3)).mkString(",\n")},
+       |pcode AS (SELECT a0.vec_id, $pcode FROM $pcodeFrom),
+       |pquery AS (SELECT vec_id AS query_id, vn FROM en WHERE vec_id < 5),
+       |scored AS (SELECT q.query_id, d.vec_id AS neighbor_id, $adist AS adist
+       |           FROM pcode d $centJoins CROSS JOIN pquery q),
+       |pqr AS (SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                                  ORDER BY adist ASC, neighbor_id ASC) AS rank
+       |        FROM scored),
+       |pqk AS (SELECT query_id, neighbor_id FROM pqr WHERE rank <= $AnnK),
+       |bf AS ($simBruteforceSql),
+       |hits AS (SELECT bf.query_id, count(*) AS n_hit
+       |         FROM bf JOIN pqk USING (query_id, neighbor_id)
+       |         GROUP BY bf.query_id)
+       |SELECT query_id, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |       CAST(coalesce(n_hit, 0) * ${100 / AnnK} AS BIGINT) AS recall_pct
+       |FROM (SELECT DISTINCT query_id FROM bf) q
+       |LEFT JOIN hits USING (query_id)
+       |ORDER BY query_id""".stripMargin
+  }
+
   private def simIvfSql: String = {
     def dotL(a: String, b: String) = ivfDotL(a, b)
     def norm2(a: String) = ivfNorm2(a)
@@ -4195,6 +4317,10 @@ object SparkEntry {
     // baseline and the int8 ranking share the oracle CTEs verbatim),
     // so the measured accuracy of the 4×-bandwidth path is itself
     // exactly cross-engine-checked.
+    // PQ-ADC recall replay: per-subspace Lloyd (shared pinit), code
+    // joins to the final codebooks, adist ranking, recall vs bf.
+    "x_pq_recall" -> pqRecallSql,
+
     "x_quantized_recall" ->
       s"""WITH bf AS ($simBruteforceSql),
          |qbf AS ($simQuantizedSql),

@@ -278,6 +278,104 @@ object Similarity {
     centroids
   }
 
+  // ===== Product quantization (PQ) ====================================
+
+  /** L2-normalized double copy of a vector column — the preprocessing
+    * that makes squared-L2 ranking ≡ cosine ranking, so the PQ ADC
+    * path measures against the same cosine brute force as every other
+    * ANN variant. Zero vectors stay zero (no NaNs). Norm is the same
+    * sequential fold as [[dot]] — DuckDB-replayable. */
+  def l2Normalize(v: Column): Column = {
+    val vd = transform(v, x => x.cast("double"))
+    val nrm = norm(vd)
+    when(nrm === lit(0.0), vd)
+      .otherwise(transform(vd, x => x / nrm))
+  }
+
+  /**
+   * Product-quantization codebooks: the `dims`-dim space split into
+   * `m` contiguous `dims/m`-dim subspaces, each clustered into `k`
+   * sub-centroids by the SAME deterministic Lloyd loop as the IVF
+   * index ([[trainIvfCentroids]]: md5-ranked init — identical member
+   * set for every subspace — and grid-exact integer-nano means) over
+   * the L2-normalized corpus. Returns `m` codebooks of `k`
+   * sub-centroids. After encoding a vector is `m` small codes
+   * (k ≤ 256 ⇒ m bytes) instead of `dims·4` float bytes — the
+   * classic ~32× compression that keeps billion-vector indexes in
+   * RAM; the codebooks are m·k·(dims/m) doubles, driver-held and
+   * embedded as plan-time literals.
+   */
+  def pqTrain(corpus: DataFrame, m: Int = 4, k: Int = 16, iters: Int = 3,
+      seed: Long = 42L, idCol: String = "vec_id",
+      vecCol: String = "embedding", dims: Int = 64): Array[Array[Seq[Double]]] = {
+    require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val en = corpus.select(col(idCol), l2Normalize(col(vecCol)).as(vecCol))
+    (0 until m).map { s =>
+      trainIvfCentroids(
+        en.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
+        k, iters, seed, idCol, vecCol)
+    }.toArray
+  }
+
+  /** PQ encoding: each (normalized) vector → its `m` nearest
+    * sub-centroid codes (squared L2 within the subspace, ties to the
+    * smaller code — [[nearestCentroidCol]]'s rule). One codegen
+    * projection over plan-time centroid literals; no shuffle. Output
+    * `(idCol, codes array<int>)`. */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Seq[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val vn = l2Normalize(col(vecCol))
+    val codeCols: Seq[Column] = (0 until m).map { s =>
+      element_at(
+        nearestCentroidCol(slice(vn, s * sub + 1, sub), codebooks(s), 1), 1)
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /**
+   * PQ ANN via asymmetric distance computation (ADC): rank the corpus
+   * for each query by the approximate squared L2 between the exact
+   * normalized query and each vector's sub-centroid RECONSTRUCTION —
+   * `Σ_s (‖c_s‖² − 2·q_s·c_s)`, the `‖q‖²` term constant per query.
+   * On normalized vectors this is the cosine ranking of the
+   * reconstructions, so `x_pq_recall` measures it against the same
+   * brute-force truth as the LSH/IVF/JL/int8 variants.
+   *
+   * Shape at scale — the regime PQ exists for: the scored frame
+   * carries `(id, m codes)` only, never the float vectors; per
+   * candidate the cost is `m` literal-table lookups + one bounded
+   * subspace dot, and the ranking is the map-side-bounded
+   * [[graft.operators.TopK.perGroupLong]] aggregation. The scan reads
+   * m bytes per vector instead of dims·4.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Seq[Double]]], kNeighbors: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
+    val q = queries.select(col(queryIdCol),
+      l2Normalize(col(vecCol)).as("__qn"))
+    val terms: Seq[Column] = (0 until m).map { s =>
+      val cents2d = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
+      val normSqs = array(codebooks(s).map(c => lit(c.map(x => x * x).sum)): _*)
+      val code1 = element_at(col("codes"), s + 1) + 1
+      element_at(normSqs, code1) - lit(2.0) *
+        dot(slice(col("__qn"), s * sub + 1, sub), element_at(cents2d, code1))
+    }
+    val scored = codes.crossJoin(broadcast(q))
+      .withColumn("adist", terms.reduce(_ + _))
+      .select(col(queryIdCol), col(idCol), (-col("adist")).as("score"))
+    graft.operators.TopK.perGroupLong(scored, queryIdCol, "score", idCol,
+        kNeighbors)
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   /** Probe-side tail shared by [[ivfTopK]] and [[ivfProbeTopK]]:
     * explode each query onto its `nProbe` nearest cells, broadcast
     * onto the assigned corpus, exact cosine, per-query rank. */

@@ -2328,4 +2328,41 @@ class ExtSpec extends SparkSpec {
     out(0)._3 shouldBe 1.0 +- 1e-12
     out(1)._3 shouldBe math.sqrt(0.5) +- 1e-9
   }
+
+  test("pq: product codebooks reconstruct a product-structured corpus exactly") {
+    // 4-dim vectors from the product set {e1,e2}×{e1,e2}: with m=2
+    // subspaces and k=2 sub-centroids, Lloyd converges each codebook
+    // to the two distinct subvector values (normalized scale 1/√2) —
+    // reconstruction is EXACT, so ADC top-1 is each vector itself and
+    // the code assignment separates all four combinations.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 1f, 0f)), (1L, Array(1f, 0f, 0f, 1f)),
+      (2L, Array(0f, 1f, 1f, 0f)), (3L, Array(0f, 1f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vecs, m = 2, k = 2, iters = 3,
+      seed = 42L, dims = 4)
+    cb.length shouldBe 2
+    cb.foreach { book =>
+      book.length shouldBe 2
+      // each codebook holds the two distinct normalized subvectors
+      val rounded = book.map(_.map(x => math.rint(x * 1e6) / 1e6).toList).toSet
+      val s = math.rint(math.sqrt(0.5) * 1e6) / 1e6
+      rounded shouldBe Set(List(s, 0.0), List(0.0, s))
+    }
+    // codes separate all four vectors; stable under repartitioning
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, cb).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getSeq[Int](1).toList)).toMap
+    val codes = codesOf(vecs)
+    codes.values.toSet.size shouldBe 4
+    codesOf(vecs.repartition(5)) shouldBe codes
+    // ADC self-retrieval: every vector's top-1 neighbor is itself
+    val queries = vecs.select(col("vec_id").as("query_id"), col("embedding"))
+    val top1 = Similarity.pqTopK(vecs, queries, cb, kNeighbors = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    top1.toSet shouldBe Set((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L))
+    // geometry guard: m must divide dims
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.pqTrain(vecs, m = 3, k = 2, dims = 4)
+  }
 }
