@@ -280,17 +280,21 @@ object Similarity {
 
   // ===== Product quantization (PQ) ====================================
 
-  /** L2-normalized double copy of a vector column — the preprocessing
-    * that makes squared-L2 ranking ≡ cosine ranking, so the PQ ADC
-    * path measures against the same cosine brute force as every other
-    * ANN variant. Zero vectors stay zero (no NaNs). Norm is the same
-    * sequential fold as [[dot]] — DuckDB-replayable. */
-  def l2Normalize(v: Column): Column = {
-    val vd = transform(v, x => x.cast("double"))
-    val nrm = norm(vd)
-    when(nrm === lit(0.0), vd)
-      .otherwise(transform(vd, x => x / nrm))
-  }
+  /** L2-normalized `sub`-dim slice starting at 0-based `off` — the
+    * PQ preprocessing that makes squared-L2 ranking ≡ cosine ranking.
+    * Deliberately UNROLLED (`element_at`/`cast`/`when` per element,
+    * no `transform`): higher-order functions are CodegenFallback, and
+    * a fallback normalize referenced by every per-centroid distance
+    * gets re-evaluated interpreted once PER REFERENCE — measured 40×
+    * slower. The unrolled form stays inside whole-stage codegen where
+    * common-subexpression elimination computes each element once.
+    * Values are bit-identical to the per-element `v[i]/nrm` fold the
+    * oracle runs; zero vectors normalize to zero (no NaNs). */
+  private def pqNormSlice(v: Column, nrm: Column, off: Int, sub: Int): Column =
+    array((off until off + sub).map { i =>
+      when(nrm === lit(0.0), lit(0.0))
+        .otherwise(element_at(v, i + 1).cast("double") / nrm)
+    }: _*)
 
   /**
    * Product-quantization codebooks: the `dims`-dim space split into
@@ -310,13 +314,64 @@ object Similarity {
       vecCol: String = "embedding", dims: Int = 64): Array[Array[Seq[Double]]] = {
     require(m > 0 && dims % m == 0, s"m=$m must divide dims=$dims")
     val sub = dims / m
-    val en = corpus.select(col(idCol), l2Normalize(col(vecCol)).as(vecCol))
-    (0 until m).map { s =>
-      trainIvfCentroids(
-        en.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as(vecCol)),
-        k, iters, seed, idCol, vecCol)
-    }.toArray
+    val nrm = norm(col(vecCol))
+    // Materialize the normalized vector ONCE (one codegen projection,
+    // eager localCheckpoint): the Lloyd loop then runs ONE job per
+    // iteration — every subspace's assignment comes from a single
+    // pqCodes kernel call per row, and all m·k means reduce in the
+    // same pass (not m separate trainings). This is the index-BUILD
+    // step; at corpus scale the input is a bounded training sample,
+    // exactly like [[ensureIvfIndex]]'s build.
+    // Bounded partition count: the training frame is index-build-sized
+    // (a sample at corpus scale), and every Lloyd job pays per-task
+    // overhead — 8 tasks beat 200 for a frame this shape.
+    val base = corpus.select(col(idCol),
+        pqNormSlice(col(vecCol), nrm, 0, dims).as("__vn"))
+      .coalesce(8).localCheckpoint()
+    // md5-ranked init: the SAME member rows for every subspace
+    // (trainIvfCentroids' rule — one rank job, k rows collected)
+    val initRows = base
+      .orderBy(graft.functions.Rng.uniform(seed, "ivf/init", col(idCol)),
+        col(idCol))
+      .limit(k).collect()
+      .map(_.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
+    var books: Array[Array[Seq[Double]]] =
+      (0 until m).map(s => initRows.map(_.slice(s * sub, (s + 1) * sub))).toArray
+    var it = 0
+    while (it < iters) {
+      // stacked (subspace, cid, pos, x) rows via ONE posexplode — the
+      // subspace and in-subspace position derive from the global pos,
+      // the cid from the kernel's codes array (normalize = false: the
+      // frame already holds vn; re-normalizing an L2-unit vector is
+      // NOT a bit-level no-op). Means are grid-exact integer-nano
+      // sums, order-independent, identical to trainIvfCentroids';
+      // empty cells carry the previous centroid forward.
+      val means = base
+        .select(graft.plans.NativeFunctions
+            .pqCodes(col("__vn"), books.map(_.toSeq).toSeq, normalize = false)
+            .as("__codes"),
+          posexplode(col("__vn")).as(Seq("pos", "x")))
+        .select((col("pos") / lit(sub)).cast("int").as("s"),
+          element_at(col("__codes"),
+            ((col("pos") / lit(sub)).cast("int") + 1)).as("cid"),
+          (col("pos") % lit(sub)).as("p"), col("x"))
+        .groupBy("s", "cid", "p")
+        .agg((sum(round(col("x").cast("double") * lit(1e9)).cast("long"))
+          .cast("double") /
+          (count(lit(1)).cast("double") * lit(1e9))).as("mn"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      books = books.zipWithIndex.map { case (book, s) =>
+        book.zipWithIndex.map { case (old, j) =>
+          means.getOrElse((s, j), old)
+        }
+      }
+      it += 1
+    }
+    books
   }
 
   /** PQ encoding: each (normalized) vector → its `m` nearest
@@ -326,14 +381,8 @@ object Similarity {
     * `(idCol, codes array<int>)`. */
   def pqEncode(corpus: DataFrame, codebooks: Array[Array[Seq[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks.head.head.length
-    val vn = l2Normalize(col(vecCol))
-    val codeCols: Seq[Column] = (0 until m).map { s =>
-      element_at(
-        nearestCentroidCol(slice(vn, s * sub + 1, sub), codebooks(s), 1), 1)
-    }
-    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+    corpus.select(col(idCol), graft.plans.NativeFunctions
+      .pqCodes(col(vecCol), codebooks.map(_.toSeq).toSeq).as("codes"))
   }
 
   /**
@@ -359,14 +408,15 @@ object Similarity {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     val codes = pqEncode(corpus, codebooks, idCol, vecCol)
-    val q = queries.select(col(queryIdCol),
-      l2Normalize(col(vecCol)).as("__qn"))
+    val qnrm = norm(col(vecCol))
+    val q = queries.select((col(queryIdCol) +: (0 until m).map(s =>
+      pqNormSlice(col(vecCol), qnrm, s * sub, sub).as(s"__q$s"))): _*)
     val terms: Seq[Column] = (0 until m).map { s =>
       val cents2d = array(codebooks(s).map(c => array(c.map(lit): _*)): _*)
       val normSqs = array(codebooks(s).map(c => lit(c.map(x => x * x).sum)): _*)
       val code1 = element_at(col("codes"), s + 1) + 1
       element_at(normSqs, code1) - lit(2.0) *
-        dot(slice(col("__qn"), s * sub + 1, sub), element_at(cents2d, code1))
+        dot(col(s"__q$s"), element_at(cents2d, code1))
     }
     val scored = codes.crossJoin(broadcast(q))
       .withColumn("adist", terms.reduce(_ + _))

@@ -681,6 +681,56 @@ object Native {
     acc
   }
 
+  /** All `m` PQ sub-centroid codes of one vector in a single pass —
+    * the [[PqCodesExpr]] kernel. When `normalize` is set the input is
+    * L2-normalized on the fly (per-element `x/nrm` BEFORE the product,
+    * matching the oracle's `vn[i]*cv[i]` fold bit for bit; zero
+    * vectors contribute zero dots); otherwise the input is taken as
+    * already normalized. Argmin per subspace is (distance, code)
+    * ascending under java.lang.Double total order — exactly the
+    * `least(struct(d, cid))` choice. */
+  def pqCodes(v: ArrayData, flat: Array[Double], normSq: Array[Double],
+      m: Int, k: Int, sub: Int, isFloat: Boolean,
+      normalize: Boolean): ArrayData = {
+    def at(i: Int): Double =
+      if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    var nrm = 1.0
+    if (normalize) {
+      var ss = 0.0
+      var i = 0
+      val n = v.numElements()
+      while (i < n) { val x = at(i); ss += x * x; i += 1 }
+      nrm = math.sqrt(ss)
+    }
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var bestD = 0.0
+      var bestJ = -1
+      var j = 0
+      while (j < k) {
+        var acc = 0.0
+        if (nrm != 0.0) {
+          val base = (s * k + j) * sub
+          var t = 0
+          while (t < sub) {
+            val x = at(s * sub + t)
+            acc += (if (normalize) x / nrm else x) * flat(base + t)
+            t += 1
+          }
+        }
+        val d = normSq(s * k + j) - 2.0 * acc
+        if (bestJ < 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; bestJ = j
+        }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
   /** 60-bit md5-prefix key of `s` in [0, p) — the [[graft.ext.Dedup.md5Key]]
     * family (`('0x' || substr(md5(s),1,15))::BIGINT % p` in the oracle),
     * shared by every kernel whose selection must replay in DuckDB. */
@@ -1393,6 +1443,53 @@ case class DotProductExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = newLeft, right = newRight)
 }
 
+/** pq_codes(vec) → array<int>: every PQ subspace's nearest-sub-centroid
+  * code in ONE call over a plan-shipped flattened codebook — the
+  * [[graft.ext.Similarity.pqEncode]] kernel. A Column formulation (k·m
+  * dot structs over an unrolled normalize) is semantically identical
+  * but compiles a huge codegen unit per plan; this kernel is one
+  * method call. Folds are the same left-to-right per-element widening
+  * as [[DotProductExpr]], so codes replay in DuckDB (x_pq_recall). */
+case class PqCodesExpr(child: Expression, books: Seq[Seq[Seq[Double]]],
+    normalize: Boolean) extends UnaryExpression {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "codebooks must be non-empty")
+  private val sub = books.head.head.length
+  require(books.forall(_.forall(_.length == sub)),
+    "all sub-centroids must share one subspace dim")
+  private val k = books.head.length
+  require(books.forall(_.length == k),
+    "all codebooks must share one size")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val flatArr: Array[Double] =
+    books.flatten.flatten.toArray
+  // ‖c‖² via the same left fold as the Column/oracle formulation
+  @transient private lazy val normSqArr: Array[Double] =
+    books.flatten.map(c => c.map(x => x * x).sum).toArray
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.pqCodes(input.asInstanceOf[ArrayData], flatArr, normSqArr,
+      books.length, k, sub, isFloat, normalize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("pqFlat", flatArr, "double[]")
+    val nRef = ctx.addReferenceObj("pqNormSq", normSqArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.Native.pqCodes($c, $fRef, $nRef, ${books.length}, $k, " +
+        s"$sub, $isFloat, $normalize)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object NativeFunctions {
   def simhash(tokens: Column): Column =
@@ -1468,4 +1565,9 @@ object NativeFunctions {
 
   def hashFeatureStats(text: Column, dims: Int): Column =
     ColumnBridge.column(HashFeatureStatsExpr(ColumnBridge.expression(text), dims))
+
+  def pqCodes(vec: Column, books: Seq[Seq[Seq[Double]]],
+      normalize: Boolean = true): Column =
+    ColumnBridge.column(PqCodesExpr(ColumnBridge.expression(vec), books,
+      normalize))
 }
