@@ -3229,6 +3229,21 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // PQ serving path: build-once persisted codebooks + codes
+    // (x_sim_ivf_probe's posture) — the probe plan scans the code
+    // table and ranks; no Lloyd, no encode. Same build params ⇒
+    // bit-identical to the train-per-query ranking.
+    "x_pq_probe" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val name = whName("pq", s"$dir|${emb.schema.toDDL}|$PqM|$PqK|3|$Seed")
+      Similarity.ensurePqIndex(emb, name, m = PqM, k = PqK, iters = 3,
+        seed = Seed)
+      Similarity.pqProbeTopK(s, name, queries, kNeighbors = AnnK)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN quality measurement: recall@5 of the LSH path against the
     // exact brute-force baseline, per query vector — the "did the
     // approximate path actually work" check, itself oracle-checked.
@@ -3949,10 +3964,12 @@ object SparkEntry {
        |  FROM es_$s e CROSS JOIN pc${iters}_$s c) WHERE rn = 1)""".stripMargin
   }
 
-  /** x_pq_recall oracle: normalized vectors, one shared md5-ranked
-    * init, per-subspace Lloyd replay, ADC scoring of the code joins
-    * against the final codebooks, recall vs simBruteforceSql. */
-  private def pqRecallSql: String = {
+  /** ADC core of the PQ oracles: normalized vectors, one shared
+    * md5-ranked init, per-subspace Lloyd replay, ADC scoring of the
+    * code joins against the final codebooks, per-query rank (`pqr`).
+    * Shared by x_pq_recall and x_pq_probe (one training, one ranking —
+    * the two cannot drift). */
+  private def pqAdcCtes: String = {
     val sub = 64 / PqM
     def dotL(a: String, b: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
@@ -3969,7 +3986,7 @@ object SparkEntry {
       val q = s"q.vn[${s * sub + 1}:${s * sub + sub}]"
       s"(${norm2(s"cc$s.cv")} - 2.0 * ${dotL(q, s"cc$s.cv")})"
     }.mkString(" + ")
-    s"""WITH pe AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+    s"""pe AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
        |pn AS (SELECT vec_id, v,
        |              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |                [v[i] * v[i] for i in generate_series(1, 64)]), (x, y) -> x + y)) AS nrm
@@ -3991,7 +4008,11 @@ object SparkEntry {
        |pqr AS (SELECT query_id, neighbor_id,
        |               row_number() OVER (PARTITION BY query_id
        |                                  ORDER BY adist ASC, neighbor_id ASC) AS rank
-       |        FROM scored),
+       |        FROM scored)""".stripMargin
+  }
+
+  private def pqRecallSql: String =
+    s"""WITH $pqAdcCtes,
        |pqk AS (SELECT query_id, neighbor_id FROM pqr WHERE rank <= $AnnK),
        |bf AS ($simBruteforceSql),
        |hits AS (SELECT bf.query_id, count(*) AS n_hit
@@ -4002,7 +4023,14 @@ object SparkEntry {
        |FROM (SELECT DISTINCT query_id FROM bf) q
        |LEFT JOIN hits USING (query_id)
        |ORDER BY query_id""".stripMargin
-  }
+
+  /** x_pq_probe oracle: the ADC ranking itself (rank ≤ k) — identical
+    * build parameters make the persisted-index probe bit-identical to
+    * the train-per-query path, so both read the same CTEs. */
+  private def pqProbeSql: String =
+    s"""WITH $pqAdcCtes
+       |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |FROM pqr WHERE rank <= $AnnK ORDER BY query_id, rank""".stripMargin
 
   private def simIvfSql: String = {
     def dotL(a: String, b: String) = ivfDotL(a, b)
@@ -4320,6 +4348,10 @@ object SparkEntry {
     // PQ-ADC recall replay: per-subspace Lloyd (shared pinit), code
     // joins to the final codebooks, adist ranking, recall vs bf.
     "x_pq_recall" -> pqRecallSql,
+
+    // The persisted-index probe shares the same ADC CTEs (identical
+    // build parameters ⇒ identical ranking).
+    "x_pq_probe" -> pqProbeSql,
 
     "x_quantized_recall" ->
       s"""WITH bf AS ($simBruteforceSql),

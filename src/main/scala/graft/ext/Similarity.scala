@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -404,10 +404,19 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       codebooks: Array[Array[Seq[Double]]], kNeighbors: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id"): DataFrame =
+    pqAdcRank(pqEncode(corpus, codebooks, idCol, vecCol), queries,
+      codebooks, kNeighbors, idCol, vecCol, queryIdCol)
+
+  /** ADC ranking tail shared by [[pqTopK]] (encode-per-query) and
+    * [[pqProbeTopK]] (persisted codes): broadcast normalized query
+    * slices onto the (id, codes) frame, approximate distance from m
+    * literal-table lookups, bounded per-query top-k. */
+  private def pqAdcRank(codes: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Seq[Double]]], kNeighbors: Int,
+      idCol: String, vecCol: String, queryIdCol: String): DataFrame = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
-    val codes = pqEncode(corpus, codebooks, idCol, vecCol)
     val qnrm = norm(col(vecCol))
     val q = queries.select((col(queryIdCol) +: (0 until m).map(s =>
       pqNormSlice(col(vecCol), qnrm, s * sub, sub).as(s"__q$s"))): _*)
@@ -425,6 +434,56 @@ object Similarity {
         kNeighbors)
       .select(col(queryIdCol), col(idCol).as("neighbor_id"), col("rank"))
   }
+
+  /**
+   * Build-once persisted PQ index — the serving form of
+   * [[pqTrain]]+[[pqEncode]] on the [[ensureIvfIndex]] pattern: a
+   * `_SUCCESS`-guarded codebook table `<name>_books` `(s, cid, cv)`
+   * and code table `<name>_codes` `(idCol, codes)`. Training runs AT
+   * MOST once (lazily, only when a table is missing); the code build
+   * reads the PERSISTED codebooks, so a books table surviving from a
+   * prior session re-encodes against those exact values (parquet
+   * round-trips doubles bit-identically).
+   */
+  def ensurePqIndex(corpus: DataFrame, name: String, m: Int = 4,
+      k: Int = 16, iters: Int = 3, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    lazy val trained = pqTrain(corpus, m, k, iters, seed, idCol, vecCol, dims)
+    Warehouse.ensureTable(spark, s"${name}_books",
+        "s INT, cid INT, cv ARRAY<DOUBLE>") {
+      import spark.implicits._
+      trained.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cv, j) => (s, j, cv) }
+      }.toSeq.toDF("s", "cid", "cv")
+    }
+    Warehouse.ensureTable(spark, s"${name}_codes",
+        corpus.select(col(idCol)).schema.toDDL + ", codes ARRAY<INT>") {
+      pqEncode(corpus, loadPqBooks(spark, name), idCol, vecCol)
+    }
+  }
+
+  /** The persisted codebooks of [[ensurePqIndex]] as the in-memory
+    * shape every PQ entry point takes (bounded m·k-row collect). */
+  def loadPqBooks(spark: SparkSession, name: String): Array[Array[Seq[Double]]] =
+    spark.table(s"${name}_books").orderBy("s", "cid").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Any](2).map(x => x.asInstanceOf[Number].doubleValue())))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray).toArray
+
+  /** Probe-only PQ ANN over a persisted index: NO training, NO
+    * encoding in the plan — codebooks load from the books table
+    * (bounded collect), candidates scan the persisted (id, codes)
+    * frame. With identical build parameters the ranking is
+    * bit-identical to [[pqTopK]]'s, so the probe query shares the
+    * train-per-query oracle. */
+  def pqProbeTopK(spark: SparkSession, name: String, queries: DataFrame,
+      kNeighbors: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", queryIdCol: String = "query_id"): DataFrame =
+    pqAdcRank(spark.table(s"${name}_codes"), queries,
+      loadPqBooks(spark, name), kNeighbors, idCol, vecCol, queryIdCol)
 
   /** Probe-side tail shared by [[ivfTopK]] and [[ivfProbeTopK]]:
     * explode each query onto its `nProbe` nearest cells, broadcast

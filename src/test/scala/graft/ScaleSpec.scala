@@ -755,6 +755,33 @@ class ScaleSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq shouldBe retrain.collect().toSeq
   }
 
+  test("persisted PQ index: probe matches encode-per-query, no Lloyd or encode at probe time") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val name = "pq_spec_" + (System.nanoTime() % 1000000)
+    Similarity.ensurePqIndex(emb, name)
+    val probe = Similarity.pqProbeTopK(spark, name, queries, kNeighbors = 5)
+      .orderBy("query_id", "rank")
+    val cb = Similarity.pqTrain(emb)
+    val perQuery = Similarity.pqTopK(emb, queries, cb, kNeighbors = 5)
+      .orderBy("query_id", "rank")
+    probe.collect().toSeq shouldBe perQuery.collect().toSeq
+    // the probe plan reads the persisted code table — the pqcodesexpr
+    // kernel (encoding) never runs at probe time; the only Generate is
+    // the TopK buffer explode. (Training is driver-side collects and
+    // cannot appear in any plan — its absence is the ensure guard.)
+    val plan = probe.queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "pqcodesexpr"
+    plan should include("FileScan")
+    Similarity.pqEncode(emb, cb).queryExecution.executedPlan
+      .toString.toLowerCase should include("pqcodesexpr")
+    // re-ensure is idempotent; probe repeats
+    Similarity.ensurePqIndex(emb, name)
+    Similarity.pqProbeTopK(spark, name, queries, kNeighbors = 5)
+      .orderBy("query_id", "rank").collect().toSeq shouldBe perQuery.collect().toSeq
+  }
+
   test("histQuantiles excludes NULL and NaN values instead of binning them low") {
     import graft.ext.Sketches
     val bad = Seq(("a", Some(1.0)), ("a", None), ("a", Some(Double.NaN)),
