@@ -1077,21 +1077,34 @@ object Corpus {
    * quadratic. The per-doc rebuild `collect_list` is bounded by the
    * document's own segment count.
    */
-  def segmentDedup(df: DataFrame, segTokens: Int = 4,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The per-document segment frame shared by [[segmentDedup]] (batch)
+    * and the streaming first-occurrence gate
+    * ([[graft.streaming.NearDupStream.flagDupSegments]]): every input
+    * column preserved, plus `__seg_idx`, `__seg` (single-space-joined
+    * segment text), `__ntok`, and the 8-byte `__key = xxhash64(__seg)`
+    * both sides group/keep state on. Tokenless rows contribute nothing. */
+  private[graft] def segmentRows(df: DataFrame, segTokens: Int,
+      textCol: String): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val toks = TextStats.tokens(col(textCol))
-    val segs = df.select(col(idCol), toks.as("__tk"))
+    df.withColumn("__tk", TextStats.tokens(col(textCol)))
       .where(size(col("__tk")) > 0)
-      .select(col(idCol), col("__tk"),
+      .select(col("*"),
         posexplode(sequence(lit(0L), (size(col("__tk")) - 1).cast("long"),
           lit(segTokens.toLong))).as(Seq("__seg_idx", "__tok_from")))
-      .select(col(idCol), col("__seg_idx"),
+      .withColumn("__seg",
         array_join(slice(col("__tk"), (col("__tok_from") + 1).cast("int"),
-          lit(segTokens)), " ").as("__seg"),
-        least(lit(segTokens).cast("long"),
-          size(col("__tk")).cast("long") - col("__tok_from")).as("__ntok"))
+          lit(segTokens)), " "))
+      .withColumn("__ntok", least(lit(segTokens).cast("long"),
+        size(col("__tk")).cast("long") - col("__tok_from")))
       .withColumn("__key", xxhash64(col("__seg")))
+      .drop("__tk", "__tok_from")
+  }
+
+  def segmentDedup(df: DataFrame, segTokens: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = segmentRows(df, segTokens, textCol)
+      .select(col(idCol), col("__seg_idx"), col("__seg"), col("__ntok"),
+        col("__key"))
     // Corpus-wide first instance per segment text: associative min of
     // the (id, seg_idx) struct — map-side combinable, hot keys cheap.
     val first = segs.groupBy(col("__key"))

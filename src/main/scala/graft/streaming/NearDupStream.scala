@@ -254,4 +254,79 @@ object NearDupStream {
           }
       }
   }
+
+  final case class SegHit(key: Long, doc_id: Long, seg_idx: Long, ts_us: Long)
+  /** First instance seen for a segment key: the canonical (doc,
+    * seg_idx) plus last activity for the event-time reclaim. */
+  final case class SegState(canonical_id: Long, canonical_seg: Long,
+      last_us: Long)
+  final case class SegDupFlag(doc_id: Long, seg_idx: Long, dup_of: Long,
+      key: Long)
+
+  /**
+   * Streaming first-occurrence segment gate — the ingest form of
+   * [[graft.ext.Corpus.segmentDedup]]'s C4 duplicated-segment rule:
+   * documents `(doc_id LONG, text STRING, ts_us LONG)` explode onto
+   * their `segTokens`-token segments (the SAME
+   * [[graft.ext.Corpus.segmentRows]] frame and 8-byte xxhash64 keys as
+   * batch); the first instance seen under a key becomes canonical, and
+   * every LATER instance — including a repeat within the same document
+   * — emits a `SegDupFlag(doc_id, seg_idx, dup_of = canonical doc,
+   * key)`. Downstream drops flagged segments at rebuild, exactly the
+   * batch survivor set when arrival order matches the batch
+   * (doc, seg_idx) order (spec-proven).
+   *
+   * State is one `SegState` per live segment key regardless of
+   * instance count (boilerplate floods update one entry — never
+   * quadratic), reclaimed by the event-time timeout once the watermark
+   * passes `last activity + horizonUs`; within-lateness stragglers
+   * still find the canonical ([[flagNearDups]]' replay-determinism
+   * rationale).
+   */
+  def flagDupSegments(docs: DataFrame, horizonUs: Long, segTokens: Int = 4,
+      lateness: String = "10 minutes"): Dataset[SegDupFlag] = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    import docs.sparkSession.implicits._
+    graft.ext.Corpus.segmentRows(
+        docs.withColumn("__ts", timestamp_micros(col("ts_us")))
+          .withWatermark("__ts", lateness),
+        segTokens, "text")
+      .select(col("__key").as("key"), col("doc_id"),
+        col("__seg_idx").cast("long").as("seg_idx"), col("ts_us"),
+        col("__ts"))
+      .as[SegHit]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SegState, SegDupFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[SegState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // event-time order (ties by doc then position) makes the
+            // canonical choice replay-deterministic
+            val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id, r.seg_idx))
+            var cur = state.getOption
+            val flags = scala.collection.mutable.ListBuffer.empty[SegDupFlag]
+            sorted.foreach { r =>
+              cur match {
+                case None =>
+                  cur = Some(SegState(r.doc_id, r.seg_idx, r.ts_us))
+                case Some(s) =>
+                  // redelivery of the canonical INSTANCE is not a dup;
+                  // the same segment elsewhere (even same doc) is
+                  if (!(r.doc_id == s.canonical_id && r.seg_idx == s.canonical_seg))
+                    flags += SegDupFlag(r.doc_id, r.seg_idx, s.canonical_id, key)
+                  cur = Some(s.copy(last_us = math.max(s.last_us, r.ts_us)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max((s.last_us + horizonUs) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+            }
+            flags.iterator
+          }
+      }
+  }
 }

@@ -657,4 +657,50 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("tick"), r.getAs[Long]("t"), r.getAs[Long]("value")))
     rows.toSeq shouldBe Seq((0L, 0L, 10L), (1L, 1L, 11L), (2L, 2L, 12L), (3L, 0L, 10L))
   }
+
+  test("streaming segment gate matches batch segmentDedup when arrival follows doc order") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.SegDupFlag
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val us = 1000000L
+    val docs = Seq(
+      (0L, "a b c d e f"), // canonical
+      (1L, "a b c d e f"), // exact dup → every segment flagged
+      (2L, "a b x y"),     // shares only the leading [a b]
+      (3L, "p q p q"),     // WITHIN-doc repeat of [p q]
+      (4L, "z"))           // short unique segment
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(docs.map { case (id, t) => (id, t, (10 + id) * us) }: _*)
+    val q = NearDupStream.flagDupSegments(
+        mem.toDF().toDF("doc_id", "text", "ts_us"),
+        horizonUs = 3600L * us, segTokens = 2)
+      .writeStream.format("memory").queryName("seg_gate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("seg_gate").as[SegDupFlag].collect()
+      .map(f => (f.doc_id, f.seg_idx)).toSet
+    // batch truth over the same corpus: arrival order here equals the
+    // batch (doc, seg_idx) order, so the survivor sets must coincide
+    val batchDf = docs.toDF("doc_id", "text")
+    val batch = graft.ext.Corpus.segmentDedup(batchDf, segTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs") - r.getAs[Long]("n_kept")),
+          r.getAs[String]("dedup_text"))).toMap
+    val perDoc = flagged.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    docs.foreach { case (id, _) =>
+      perDoc.getOrElse(id, 0L) shouldBe batch(id)._1
+    }
+    // rebuilding each doc from the stream's UNflagged instances gives
+    // exactly the batch dedup_text
+    val segRows = graft.ext.Corpus.segmentRows(batchDf, 2, "text")
+      .select($"doc_id", $"__seg_idx".cast("long"), $"__seg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    docs.foreach { case (id, _) =>
+      val kept = segRows.filter(s => s._1 == id && !flagged((id, s._2)))
+        .sortBy(_._2).map(_._3).mkString(" ")
+      kept shouldBe batch(id)._2
+    }
+  }
 }
