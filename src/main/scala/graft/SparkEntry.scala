@@ -2708,6 +2708,36 @@ object SparkEntry {
       TextStats.gopherRules(tbl(s, dir, "documents"),
         stopwords = GopherQueryStopwords).orderBy("doc_id")),
 
+    // Scorer agreement (Cohen's kappa): the heuristic quality bucket
+    // vs the Gopher gate as two weak labelers over the same corpus —
+    // the labeler-audit step before trusting either as a filter.
+    // Counts are exact longs; kappa is one shared expression tree over
+    // them (identical IEEE in both engines), guarded for the
+    // degenerate pe=1 case.
+    "x_scorer_agreement" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = TextStats.qualityFacets(d)
+        .select(col("doc_id"), (col("quality_bucket") === "good").as("a"))
+      val b = TextStats.gopherRules(d, stopwords = GopherQueryStopwords)
+        .select(col("doc_id"), col("passes").as("b"))
+      def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val agg = a.join(b, "doc_id").agg(
+        count(lit(1)).as("n"),
+        cnt(col("a") && col("b")).as("n_both"),
+        cnt(col("a") && !col("b")).as("n_only_a"),
+        cnt(!col("a") && col("b")).as("n_only_b"),
+        cnt(!col("a") && !col("b")).as("n_neither"))
+      val nD = col("n").cast("double")
+      val po = (col("n_both") + col("n_neither")).cast("double") / nD
+      val pa = (col("n_both") + col("n_only_a")).cast("double") / nD
+      val pb = (col("n_both") + col("n_only_b")).cast("double") / nD
+      val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      agg.select(col("n"), col("n_both"), col("n_only_a"),
+        col("n_only_b"), col("n_neither"),
+        round(when(lit(1.0) - pe === 0.0, lit(1.0))
+          .otherwise((po - pe) / (lit(1.0) - pe)), 6).as("kappa_r"))
+    }),
+
     // Per-source quality report: the Gopher verdicts rolled up with
     // per-rule failure counts — the corpus curation dashboard row.
     "x_quality_report" -> ((s, dir) => {
@@ -6263,6 +6293,31 @@ object SparkEntry {
     // top-bigram tie-break (count DESC, gram ASC) mirrors the engine's
     // min(struct(-c, gram)).
     "x_gopher_rules" -> gopherRulesSql,
+
+    // Kappa replay: same gopher CTE, same quality-bucket CASE, same
+    // count-then-one-expression-tree kappa (CASE-guarded).
+    "x_scorer_agreement" ->
+      s"""WITH g AS ($gopherRulesSql),
+         |q AS (SELECT doc_id, ($qualityBucketSql) = 'good' AS a FROM documents),
+         |j AS (SELECT q.a, g.passes AS b FROM q JOIN g USING (doc_id)),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         |             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |      FROM j),
+         |k AS (SELECT n, n_both, n_only_a, n_only_b, n_neither,
+         |             CAST(n_both + n_neither AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |             CAST(n_both + n_only_a AS DOUBLE) / CAST(n AS DOUBLE) AS pa,
+         |             CAST(n_both + n_only_b AS DOUBLE) / CAST(n AS DOUBLE) AS pb
+         |      FROM c)
+         |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+         |       round(CASE WHEN 1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb)) = 0.0
+         |                  THEN 1.0
+         |                  ELSE (po - (pa * pb + (1.0 - pa) * (1.0 - pb)))
+         |                       / (1.0 - (pa * pb + (1.0 - pa) * (1.0 - pb))) END,
+         |             6) AS kappa_r
+         |FROM k""".stripMargin,
 
     // Quality report: the per-doc verdicts joined to their stratum and
     // rolled up — counts only, so every column is exact by construction
