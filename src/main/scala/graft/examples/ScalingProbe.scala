@@ -19,7 +19,9 @@ object ScalingProbe {
     "x_nb_classify", "x_worst_window", "x_hash_features",
     // round-12 continuation families
     "x_bloom_decontaminate", "x_decontaminate_substr",
-    "x_curriculum_order", "x_dedup_keep_best", "x_neardup_degree")
+    "x_curriculum_order", "x_dedup_keep_best", "x_neardup_degree",
+    // round-12 second-pass families
+    "x_segment_dedup", "x_edit_pairs", "x_decon_semantic", "x_pq_probe")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
