@@ -2910,6 +2910,17 @@ object SparkEntry {
       Dedup.editDistancePairs(tbl(s, dir, "documents"), maxDist = 20)
         .orderBy("a", "b")),
 
+    // MinHash estimator calibration: per candidate pair, the
+    // signature-estimated Jaccard vs the exact one and the signed
+    // error — is 32 hashes enough at the operating threshold?
+    "x_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimates(tbl(s, dir, "documents"))
+        .select(col("a"), col("b"), col("n_match"),
+          round(col("jacc_est"), 6).as("est_r"),
+          round(col("jaccard"), 6).as("jacc_r"),
+          round(col("jacc_est") - col("jaccard"), 6).as("err_r"))
+        .orderBy("a", "b")),
+
     // Corpus-level segment dedup (C4's duplicated-line rule on
     // 4-token segments): keep each segment's corpus-wide first
     // instance, rebuild per-doc text from survivors. Exact-dup docs
@@ -5584,6 +5595,36 @@ object SparkEntry {
     // MinHash-LSH replay: same md5 gram keys, same injected affine
     // coefficients, same band buckets (see Dedup.minhashSignatures).
     "x_minhash_pairs" -> minhashPairsSql,
+
+    // Estimator calibration replay: the same bands CTEs expose the
+    // full (doc_id, j, h) signature grid; per candidate pair the
+    // component-match count and the exact-Jaccard CTEs (engine joins
+    // hashed shingles, oracle gram strings — the 2^-64 equivalence).
+    "x_minhash_est" ->
+      s"""WITH $minhashBandsCtes,
+         |cand AS (SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b
+         |         FROM bands la JOIN bands lb ON la.band = lb.band
+         |          AND la.bucket = lb.bucket AND la.doc_id < lb.doc_id),
+         |m AS (SELECT c.a, c.b,
+         |             CAST(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |      FROM cand c
+         |      JOIN sig sa ON sa.doc_id = c.a
+         |      JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+         |      GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+         |inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS n_common
+         |          FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+         |          GROUP BY 1, 2),
+         |jx AS (SELECT a, b,
+         |              CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+         |       FROM inter JOIN sizes sa ON sa.doc_id = a
+         |                  JOIN sizes sb ON sb.doc_id = b)
+         |SELECT m.a, m.b, m.n_match,
+         |       round(CAST(m.n_match AS DOUBLE) / 32, 6) AS est_r,
+         |       round(jx.jaccard, 6) AS jacc_r,
+         |       round(CAST(m.n_match AS DOUBLE) / 32 - jx.jaccard, 6) AS err_r
+         |FROM m JOIN jx ON jx.a = m.a AND jx.b = m.b
+         |ORDER BY m.a, m.b""".stripMargin,
 
     // Edit-verified pairs: the SAME candidate CTE as x_minhash_pairs
     // (sets cannot drift), each pair re-checked by levenshtein ≤ 20.

@@ -245,6 +245,46 @@ object Dedup {
       maxBucketSize = 0)
 
   /**
+   * MinHash estimator calibration: for every LSH candidate pair, the
+   * signature-ESTIMATED Jaccard (matching components / numHashes —
+   * the unbiased estimator banding is built on) next to the EXACT
+   * n-gram Jaccard, plus their signed error. This is the measurement
+   * that justifies (or indicts) the signature length: if |err| runs
+   * hot at the operating threshold, banding geometry decisions made
+   * from signatures are miscalibrated and numHashes needs raising
+   * BEFORE a 100 TB run bakes the wrong candidates into an index.
+   *
+   * Shape: candidates from the capped bucketed LSH join; signatures
+   * are the shuffle-free kernel projection joined per side; the
+   * component-match count is an unrolled codegen sum (no HOFs); exact
+   * Jaccard joins in from [[ngramJaccardPairs]] restricted to the
+   * candidate pairs.
+   */
+  def minhashEstimates(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
+      shingleN: Int = 3, maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, numHashes, bands,
+      shingleN, maxBucketSize)
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleN)
+    val sa = sigs.select((col(idCol).as("a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__ha$j"))): _*)
+    val sb = sigs.select((col(idCol).as("b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__hb$j"))): _*)
+    val nMatch = (0 until numHashes).map(j =>
+      when(col(s"__ha$j") === col(s"__hb$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleN,
+      minJaccard = 0.0)
+    pairs.join(sa, "a").join(sb, "b")
+      .withColumn("n_match", nMatch)
+      .select(col("a"), col("b"), col("n_match"))
+      .join(exact, Seq("a", "b"))
+      .select(col("a"), col("b"), col("n_match"),
+        (col("n_match").cast("double") / numHashes).as("jacc_est"),
+        col("jaccard"))
+  }
+
+  /**
    * Edit-distance-verified near-duplicate pairs: [[minhashLshPairs]]
    * candidates re-checked with a BOUNDED Levenshtein distance — the
    * fuzzy-dedup verifier for character-level mutations (OCR noise,
