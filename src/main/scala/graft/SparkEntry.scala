@@ -612,6 +612,25 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** ONE recursive-CTE text executed verbatim by BOTH engines
+    * (q_recursive_cte): exact-duplicate closure where each document
+    * points at its GREATEST smaller same-text peer — unique parent ⇒
+    * unique UNION ALL paths (terminates, linear row count), and
+    * following the chain to its end reaches the group minimum. */
+  private val RecursiveClosureSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT x, max(y) AS y FROM (
+      |        SELECT a.doc_id AS x, b.doc_id AS y
+      |        FROM documents a JOIN documents b
+      |          ON a.text = b.text AND b.doc_id < a.doc_id)
+      |      GROUP BY x),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION ALL
+      |  SELECT reach.id, e.y FROM reach JOIN e ON reach.r = e.x)
+      |SELECT id AS doc_id, min(r) AS rep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary; exact decimal sums → one final
     // double rounding, deterministic across engines.
@@ -1260,6 +1279,18 @@ object SparkEntry {
     // two sides list their columns in DIFFERENT orders and each lacks
     // one of the other's — name-based alignment + null fill, the
     // by-position UNION's silent column mixup made impossible.
+    // Recursive CTE (new SQL surface in Spark 4): exact-duplicate
+    // closure as a parent-CHAIN recursion — each doc points at its
+    // greatest smaller same-text peer, so UNION ALL paths are unique
+    // (no combinatorial path blowup, no cycles) and depth is bounded
+    // by the largest duplicate group. The SQL text runs verbatim in
+    // BOTH engines; Spark executes it with its native recursion
+    // (spark.sql.cteRecursionLevelLimit), not a driver loop.
+    "q_recursive_cte" -> ((s, dir) => {
+      tbl(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(RecursiveClosureSql)
+    }),
+
     "q_union_by_name" -> ((s, dir) => {
       val a = tbl(s, dir, "orders").where(col("o_orderkey") < 1000)
         .select(col("o_orderkey").as("k"), lit("order").as("kind"),
@@ -1650,6 +1681,8 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, t_us, event_id""".stripMargin,
+
+    "q_recursive_cte" -> RecursiveClosureSql,
 
     "q_forward_fill" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,

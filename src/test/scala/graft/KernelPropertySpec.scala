@@ -195,4 +195,52 @@ class KernelPropertySpec extends SparkSpec {
       .collect().map(r => r.getAs[Double]("inertia"))
     inert.foreach(v => math.abs(v) should be <= 1e-6)
   }
+
+  test("pqCodes kernel ≡ independent Column formulation; ties to the smaller code; zero vector defined") {
+    import org.apache.spark.sql.Column
+    import graft.ext.Similarity
+    val dims = 16; val m = 4; val sub = 4; val k = 5
+    val rnd = new scala.util.Random(42)
+    val base: Array[Array[Seq[Double]]] = Array.fill(m)(
+      Array.fill(k)(Seq.fill(sub)(rnd.nextDouble() * 2 - 1)))
+    // duplicate a centroid inside book 2: distances to codes 1 and 3
+    // are BIT-identical, so the tie must always break to 1
+    val books = base.updated(2, base(2).updated(3, base(2)(1)))
+    val vecs = (0 until 100).map { i =>
+      val arr =
+        if (i == 0) Array.fill(dims)(0.0f)
+        else Array.fill(dims)(rnd.nextFloat() * 2 - 1)
+      (i.toLong, arr)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // reference path: unrolled element_at normalize + least(struct) —
+    // a fully independent Column expression tree evaluated by codegen
+    val nrm = Similarity.norm(col("embedding"))
+    def normSlice(off: Int): Column = array((off until off + sub).map { i =>
+      when(nrm === lit(0.0), lit(0.0))
+        .otherwise(element_at(col("embedding"), i + 1).cast("double") / nrm)
+    }: _*)
+    def codeCol(s: Int): Column = {
+      val scored = books(s).zipWithIndex.map { case (cent, j) =>
+        struct((lit(cent.map(x => x * x).sum) - lit(2.0) *
+          Similarity.dot(normSlice(s * sub), array(cent.map(lit): _*))).as("d"),
+          lit(j).as("cid"))
+      }
+      least(scored: _*).getField("cid")
+    }
+    def collectCodes(c: Column): Map[Long, Seq[Int]] =
+      df.select(col("vec_id"), c.as("codes")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val ref = collectCodes(array((0 until m).map(codeCol): _*))
+    val native = collectCodes(
+      NativeFunctions.pqCodes(col("embedding"), books.map(_.toSeq).toSeq))
+    native shouldBe ref
+    // the duplicated centroid's larger code can never win a tie
+    native.values.map(_(2)) should not contain 3
+    // zero vector: all dots vanish, argmin is the smallest-norm²
+    // centroid (ties by code) — defined, never NaN
+    val zeroBook2 = books(2).map(c => c.map(x => x * x).sum).zipWithIndex
+      .min._2
+    native(0L)(2) shouldBe zeroBook2
+  }
 }
