@@ -1924,10 +1924,15 @@ object SparkEntry {
   /** DuckDB replay of Corpus.splitAssign's label for the `doc_id` in
     * scope — shared by x_split_assign and x_split_leakage (the two
     * oracles cannot drift apart on the cut values). */
-  private def splitCaseSql: String = {
+  private def splitCaseSql: String = splitCaseSqlOn("doc_id")
+
+  /** The split CASE keyed on an arbitrary id column — `doc_id` for the
+    * per-document split, `rep` for the cluster-aware (leakage-free)
+    * variant; one definition so the cut literals cannot drift. */
+  private def splitCaseSqlOn(idExpr: String): String = {
     val cuts = Corpus.splitCuts(SplitFractions)
     val u = s"(('0x' || substr(md5('$Seed' || chr(1) || 'corpus_split' || " +
-      s"chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"chr(1) || $idExpr::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
     val whens = SplitFractions.init.zip(cuts.init)
       .map { case ((name, _), cut) => s"WHEN $u < $cut THEN '$name'" }
       .mkString(" ")
@@ -1961,6 +1966,24 @@ object SparkEntry {
     "x_split_assign" -> ((s, dir) =>
       Corpus.splitAssign(tbl(s, dir, "documents").select("doc_id"),
         SplitFractions, Seed).orderBy("doc_id")),
+
+    // Cluster-aware (leakage-free) split: the split key is the doc's
+    // near-dup cluster REPRESENTATIVE (persisted clusters probed, the
+    // x_dedup_sizes posture; singletons key on themselves), so a whole
+    // near-dup cluster lands in ONE split — the fix for the
+    // cross-split leakage x_split_leakage measures.
+    "x_split_by_cluster" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id")
+      val clusters = Dedup.ensureClusters(s, jaccardClustersTableName(dir)) {
+        Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05))
+      }
+      val withRep = d
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      Corpus.splitAssign(withRep, SplitFractions, Seed, idCol = "rep")
+        .select("doc_id", "rep", "split").orderBy("doc_id")
+    }),
 
     // Deterministic per-language quota sampling (corpus balancing):
     // keep iff the doc's md5 uniform clears its language's rate.
@@ -3235,6 +3258,21 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
 
+    // Cross-lingual pair mining (bitext-mining shape): embedding
+    // pairs above threshold whose documents carry DIFFERENT language
+    // tags — the doc table joins in on the shared id space, the lang
+    // filter runs after the bounded pair verify.
+    "x_crosslingual_pairs" -> ((s, dir) => {
+      val langs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
+      Similarity.cosinePairs(tbl(s, dir, "embeddings"), threshold = 0.3)
+        .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), "a")
+        .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), "b")
+        .where(col("lang_a") =!= col("lang_b"))
+        .select(col("a"), col("b"), col("lang_a"), col("lang_b"),
+          round(col("cosine"), 6).as("cosine_r"))
+        .orderBy("a", "b")
+    }),
+
     // Exact all-pairs cosine — the recall baseline for the LSH/IVF
     // paths (see Similarity.cosinePairs scaladoc for the scale
     // contract).
@@ -4444,6 +4482,16 @@ object SparkEntry {
     "x_split_assign" ->
       s"""SELECT doc_id, $splitCaseSql AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Cluster-aware split replay: the same transitive-closure CTE as
+    // x_dedup_clusters, singletons keyed on themselves, the SAME split
+    // cut literals keyed on `rep` (splitCaseSqlOn — cannot drift).
+    "x_split_by_cluster" ->
+      s"""WITH cl AS (${jaccardClustersSql(0.05)}),
+         |w AS (SELECT d.doc_id, COALESCE(cl.rep, d.doc_id) AS rep
+         |      FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, rep, ${splitCaseSqlOn("rep")} AS split
+         |FROM w ORDER BY doc_id""".stripMargin,
 
     // Stratified-sample replay: same md5 uniform (distinct stream from
     // the split), same rate literals (Double.toString round-trips).
@@ -6461,6 +6509,22 @@ object SparkEntry {
          |      FROM n l JOIN n r ON l.vec_id < r.vec_id)
          |SELECT a, b, round(cosine, 6) AS cosine_r FROM p
          |WHERE cosine >= 0.35 ORDER BY a, b""".stripMargin,
+
+    // Cross-lingual replay: the x_cosine_pairs fold shape at 0.3,
+    // documents joined per side, different-language filter.
+    "x_crosslingual_pairs" ->
+      s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt($selfDotSql) AS nrm FROM e),
+         |p AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |        $pairDotSql / (l.nrm * r.nrm) AS cosine
+         |      FROM n l JOIN n r ON l.vec_id < r.vec_id)
+         |SELECT a, b, da.lang AS lang_a, db.lang AS lang_b,
+         |       round(cosine, 6) AS cosine_r
+         |FROM p
+         |JOIN documents da ON da.doc_id = a
+         |JOIN documents db ON db.doc_id = b
+         |WHERE cosine >= 0.3 AND da.lang <> db.lang
+         |ORDER BY a, b""".stripMargin,
 
     // Centroid replay: per-(label, dim) nano-grid means (the
     // trainIvfCentroids mean construction — order-independent long

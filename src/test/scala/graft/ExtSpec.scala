@@ -2329,6 +2329,27 @@ class ExtSpec extends SparkSpec {
     out(1)._3 shouldBe math.sqrt(0.5) +- 1e-9
   }
 
+  test("cluster-aware split: near-dup pairs can never cross splits") {
+    import graft.ext.Corpus
+    // docs 0/1 exact dups, 2 a near-dup of both — under a PER-DOC
+    // split they could land on different sides; keyed on the cluster
+    // rep they cannot, by construction, for ANY seed
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val withRep = docs.select("doc_id")
+      .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+    for (seed <- Seq(1L, 7L, 99L)) {
+      val m = Corpus.splitAssign(withRep,
+          Seq("train" -> 0.5, "test" -> 0.5), seed, idCol = "rep")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+        .toMap
+      pairs.collect().foreach { r =>
+        m(r.getAs[Long]("a")) shouldBe m(r.getAs[Long]("b"))
+      }
+    }
+  }
+
   test("pq: product codebooks reconstruct a product-structured corpus exactly") {
     // 4-dim vectors from the product set {e1,e2}×{e1,e2}: with m=2
     // subspaces and k=2 sub-centroids, Lloyd converges each codebook
