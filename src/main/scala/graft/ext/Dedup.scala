@@ -501,8 +501,15 @@ object Dedup {
     val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
     val l = grams.select(col("g"), col(idCol).as("a"))
     val r = grams.select(col("g"), col(idCol).as("b"))
-    val inter = l.join(r, "g").where(col("a") =!= col("b"))
+    // the intersection count is SYMMETRIC (grams are distinct per
+    // doc), so join each unordered pair once (a < b) and mirror —
+    // half the join output and half the pair aggregation of the
+    // naive a <> b form; only the direction-specific |grams(a)|
+    // denominator differs per side
+    val interAB = l.join(r, "g").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count("*").as("n_common"))
+    val inter = interAB.union(
+      interAB.select(col("b").as("a"), col("a").as("b"), col("n_common")))
     // per-doc gram counts are one narrow row per document — shuffle
     // join, not broadcast, for the same driver-memory reason as
     // ngramJaccardPairs
