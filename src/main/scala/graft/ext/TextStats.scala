@@ -1016,6 +1016,94 @@ object TextStats {
         col("__hf.argmax_dim").as("argmax_dim"))
 
   /**
+   * Hashed bag-of-words count rows `(idCol, dim, c)` — the sparse
+   * feature frame behind [[logisticTrain]]: every token maps to
+   * `md5-60-bit % dims` (the [[graft.functions.Rng]] cross-engine hash
+   * family, so the feature construction replays verbatim in DuckDB),
+   * counts are exact longs. One explode + one aggregation; tokenless
+   * documents contribute no rows (their feature vector is zero).
+   */
+  def hashedCountRows(docs: DataFrame, dims: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        (conv(substring(md5(col("__tok")), 1, 15), 16, 10).cast("long")
+          % dims).as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("c"))
+
+  /** [[hashedCountRows]] plus a constant BIAS feature at index `dims`
+    * for every document (tokenless ones included) — a linear model
+    * over all-positive counts without an intercept can only draw
+    * boundaries through the origin, which no count threshold
+    * ("n_tokens ≥ 20") lies on. */
+  def logisticFeatures(docs: DataFrame, dims: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    hashedCountRows(docs, dims, idCol, textCol).union(
+      docs.select(col(idCol), lit(dims.toLong).as("dim"), lit(1L).as("c")))
+
+  /**
+   * Distributed logistic regression on hashed bag-of-words counts with
+   * BIT-EXACT cross-engine training — the trainable quality/language
+   * classifier next to the counting [[naiveBayes]]. Full-batch
+   * gradient descent, `iters` steps from w = 0, entirely on the 1e-9
+   * integer grid:
+   *
+   *   z9_i   = Σ_d w9_d · c_{i,d}                 (exact long sum)
+   *   σ9_i   = round(1e9 / (1 + e^{-z9_i/1e9}))   (ONE double expr)
+   *   g9_d   = Σ_i (σ9_i − y_i·1e9) · c_{i,d}     (exact long sum)
+   *   w9_d  −= roundAway(lr · g9_d / n)           (driver, exact ints in/out)
+   *
+   * Every cross-row reduction is an integer sum (order-independent
+   * under any partitioning); the only floating point is the σ
+   * expression and the step size, both single shared-shape expressions
+   * that DuckDB replays identically (same rationale as the NB/BM25
+   * `ln` grids) — so the learned weights are bit-identical in both
+   * engines (`x_logreg_weights`).
+   *
+   * Shape at scale: the feature frame is checkpointed once; each
+   * iteration is one aggregate per doc (z), one broadcast-sized join
+   * back, one aggregate per dim (gradient, `dims` rows collected). The
+   * model is `dims` longs on the driver — the Lloyd-trainer posture.
+   */
+  def logisticTrain(docs: DataFrame, label: Column, dims: Int = 64,
+      iters: Int = 20, lr: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): Array[Long] = {
+    require(dims > 0 && iters >= 0, "dims must be positive, iters >= 0")
+    val feat = logisticFeatures(docs, dims, idCol, textCol).localCheckpoint()
+    val lab = docs.select(col(idCol), label.cast("int").as("__y"))
+      .localCheckpoint()
+    val n = lab.count()
+    // DuckDB round() is half-AWAY-from-zero; Scala math.round is
+    // half-up (differs on negative ties) — mirror the SQL exactly
+    def roundAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    var w9 = Array.fill(dims + 1)(0L) // + the bias slot at index dims
+    var it = 0
+    while (it < iters) {
+      val wArr = array(w9.map(lit): _*)
+      val z = feat
+        .withColumn("__w9", element_at(wArr, col("dim").cast("int") + 1))
+        .groupBy(col(idCol)).agg(sum(col("__w9") * col("c")).as("z9"))
+      val s = lab.join(z, Seq(idCol), "left")
+        .select(col(idCol), col("__y"),
+          round(lit(1e9) / (lit(1.0) +
+            exp(-(coalesce(col("z9"), lit(0L)).cast("double") / lit(1e9)))))
+            .cast("long").as("s9"))
+      val g = feat.join(s, Seq(idCol))
+        .groupBy("dim")
+        .agg(sum((col("s9") - col("__y").cast("long") * lit(1000000000L)) *
+          col("c")).as("g9"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w9 = w9.zipWithIndex.map { case (w, d) =>
+        w - roundAway(lr * g.getOrElse(d.toLong, 0L).toDouble / n)
+      }
+      it += 1
+    }
+    w9
+  }
+
+  /**
    * nDCG@k ranking evaluation of BM25 retrieval — the eval half of the
    * retrieval-based curation loop ([[bm25TopK]] is the serving half):
    * for each query, rank documents by the BM25 score ([[bm25TopK]]'s
