@@ -81,6 +81,25 @@ object Bench {
     // failure repeated. The min/median maps get their own earlier
     // lines; the final line stays a few hundred chars at any query
     // count.
+    // The stdout detail lines above only survive in the driver artifact
+    // for the last ~2000 chars (round-12 finding: only the alphabetical
+    // tail of 205 queries was cross-round comparable). Persist the FULL
+    // per-query min/median maps to a repo file — committed each round,
+    // so git history carries every query's timing across rounds.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_detail.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(detailPath), "UTF-8")
+      try w.write(
+        s"""{"sf":"$sfDir","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"n_queries":${results.size},
+           |"queries_min":$qs,
+           |"queries_median":$qsMed}
+           |""".stripMargin)
+      finally w.close()
+      System.err.println(s"[bench] full per-query detail written to $detailPath")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"n_queries":${results.size},"sf":"$sfDir"}""")

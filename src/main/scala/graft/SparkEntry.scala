@@ -615,8 +615,11 @@ object SparkEntry {
   /** ONE recursive-CTE text executed verbatim by BOTH engines
     * (q_recursive_cte): exact-duplicate closure where each document
     * points at its GREATEST smaller same-text peer — unique parent ⇒
-    * unique UNION ALL paths (terminates, linear row count), and
-    * following the chain to its end reaches the group minimum. */
+    * unique UNION ALL paths (terminates; row count is linear PER PATH
+    * but the i-th smallest doc of a duplicate group walks i hops, so
+    * totals are quadratic in the largest duplicate-group size — fine
+    * for the 500-doc fixture, path-halving if a real corpus needs it),
+    * and following the chain to its end reaches the group minimum. */
   private val RecursiveClosureSql: String =
     """WITH RECURSIVE
       |e AS (SELECT x, max(y) AS y FROM (
@@ -1259,12 +1262,14 @@ object SparkEntry {
     // regularization (q_events_resample fills the GRID; this carries
     // the last OBSERVATION): per-user running last purchase value over
     // a sparse event column. `last(_, ignoreNulls)` over a running
-    // ROWS frame; (ts, event_id) ordering is total, so the carried
-    // value is deterministic under any partitioning.
+    // ROWS frame; ordering is (ts div 1000, event_id) — MICROS first,
+    // matching the oracle's epoch_us(ts) resolution exactly (raw nanos
+    // would let two events equal at micro resolution sort differently
+    // across engines), then event_id for a total order.
     "q_forward_fill" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(expr("ts div 1000"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       eventsTbl(s, dir)
         .withColumn("__pv",
@@ -3848,15 +3853,24 @@ object SparkEntry {
   /** Per-process memo of the trained weights: x_logreg_weights and
     * x_logreg_predict (and repeated bench trials) share ONE training
     * run per sf dir — the model is dims+1 longs, the cheapest possible
-    * cache entry. */
+    * cache entry. The key carries a DATA fingerprint (row count +
+    * schema hash), not just the path: if testdata under the same dir
+    * is regenerated within one long-lived process, the cache misses
+    * and retrains instead of serving stale weights against a DuckDB
+    * oracle that sees the new data. (Count on parquet is a row-group
+    * metadata read — cheap relative to training.) */
   private val logregCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private def trainedLogreg(s: SparkSession, dir: String): Array[Long] =
-    logregCache.computeIfAbsent(dir, _ =>
+  private def trainedLogreg(s: SparkSession, dir: String): Array[Long] = {
+    val docs = tbl(s, dir, "documents")
+    val fp = docs.count().toString + "|" +
+      docs.schema.map(f => f.name + ":" + f.dataType.sql).mkString(",").hashCode
+    logregCache.computeIfAbsent(s"$dir|$fp", _ =>
       TextStats.logisticTrain(
-        TextStats.qualityFacets(tbl(s, dir, "documents")),
+        TextStats.qualityFacets(docs),
         col("quality_bucket") === "good",
         dims = LogRegDims, iters = LogRegIters, lr = LogRegLr))
+  }
 
   /** DuckDB replay of TextStats.logisticTrain (LogRegIters grid-exact
     * GD steps, lr LogRegLr, quality-good label) — md5-hashed count

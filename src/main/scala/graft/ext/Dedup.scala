@@ -456,10 +456,18 @@ object Dedup {
    * Same bucketed-equi-join shape as [[ngramJaccardPairs]] (distinct
    * 8-byte hashed shingles, never all-pairs), emitting BOTH directions
    * of a pair when both clear `minContainment`. At corpus scale the
-   * same guards apply: run [[exact]] first so identical docs collapse,
-   * enable the rare-gram prune, and cap hot gram buckets — a gram
-   * shared by k docs contributes O(k²) candidate pairs here exactly as
-   * in the Jaccard finder.
+   * same guards apply and the hot-gram one is WIRED here: a gram
+   * shared by k docs contributes O(k²) candidate pairs exactly as in
+   * the Jaccard finder, so grams held by more than `maxBucketSize`
+   * documents are dropped from pair generation before the self-join
+   * (the same broadcast-anti-join guard as [[minhashLshPairs]] /
+   * [[simhashPairs]]; pass `Int.MaxValue` to disable). Denominators
+   * `|grams(a)|` are computed BEFORE the drop, so surviving pairs
+   * score a containment ≤ the uncapped value — a dropped hot gram can
+   * only remove intersection mass, never inflate it. Dropped grams are
+   * enumerable via [[containmentGramOverflow]]. Run [[exact]] first so
+   * identical-doc floods collapse to one representative before this
+   * cap ever has to act.
    */
   /**
    * Pairwise Jaccard similarity between GROUPS (sources, domains,
@@ -471,18 +479,31 @@ object Dedup {
    * Scale shape: distinct (group, hashed-shingle) rows — one native
    * one-pass shingle kernel, one distinct — then a self-join on the
    * 8-byte shingle key. Each shingle joins to at most |groups| rows, so
-   * candidate volume is bounded by |groups|²/2 per shingle, never by
-   * corpus size; the per-group size table is |groups| rows and
-   * broadcasts.
+   * candidate volume is bounded by |groups|²/2 PER SHINGLE — fine when
+   * groups are datasets/crawl snapshots (tens to thousands), quadratic
+   * all over again if the caller keys on a high-cardinality column
+   * (e.g. web DOMAIN: millions of groups). That ceiling is enforced by
+   * `maxGroupsPerShingle` (default 4096): a shingle held by more
+   * groups than the cap is dropped from pair generation via the same
+   * broadcast-anti-join guard as [[containmentPairs]] — per-group
+   * denominators are computed BEFORE the drop, so surviving pairs can
+   * only under-count overlap, never inflate it. With sane group
+   * columns the cap never fires (|groups| ≤ cap ⇒ no shingle can
+   * overflow); with domain-cardinality keys it converts a blow-up into
+   * a documented approximation. The per-group size table is |groups|
+   * rows and broadcasts — another reason this operator wants
+   * dataset-cardinality groups.
    */
   def sourceOverlap(docs: DataFrame, groupCol: String = "source",
-      textCol: String = "text", shingleN: Int = 3): DataFrame = {
+      textCol: String = "text", shingleN: Int = 3,
+      maxGroupsPerShingle: Int = MaxBucketSize): DataFrame = {
     val grams = docs.select(col(groupCol),
         explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("__g"))
       .distinct()
     val sizes = grams.groupBy(groupCol).agg(count(lit(1)).as("__n"))
-    val l = grams.select(col(groupCol).as("a"), col("__g"))
-    val r = grams.select(col(groupCol).as("b"), col("__g"))
+    val shared = dropOverflowBuckets(grams, Seq("__g"), maxGroupsPerShingle)
+    val l = shared.select(col(groupCol).as("a"), col("__g"))
+    val r = shared.select(col(groupCol).as("b"), col("__g"))
     l.join(r, "__g").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
       .join(broadcast(sizes.select(col(groupCol).as("a"), col("__n").as("__na"))), "a")
@@ -494,13 +515,17 @@ object Dedup {
 
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
-      minContainment: Double = 0.6): DataFrame = {
+      minContainment: Double = 0.6,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     val grams = docs.select(col(idCol),
         explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
       .localCheckpoint()
+    // denominators over the FULL gram set — the cap below only thins
+    // the intersection candidates, it must not shrink |grams(a)|
     val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
-    val l = grams.select(col("g"), col(idCol).as("a"))
-    val r = grams.select(col("g"), col(idCol).as("b"))
+    val shared = dropOverflowBuckets(grams, Seq("g"), maxBucketSize)
+    val l = shared.select(col("g"), col(idCol).as("a"))
+    val r = shared.select(col("g"), col(idCol).as("b"))
     // the intersection count is SYMMETRIC (grams are distinct per
     // doc), so join each unordered pair once (a < b) and mirror —
     // half the join output and half the pair aggregation of the
@@ -519,6 +544,18 @@ object Dedup {
       .where(col("containment") >= minContainment)
       .select("a", "b", "containment")
   }
+
+  /** Overflow diagnostic of [[containmentPairs]]'s hot-gram cap:
+    * `(g, n)` rows for shingle hashes held by more than
+    * `maxBucketSize` documents — the grams the capped run excluded
+    * from pair generation. Empty in healthy (exact-dedup'd) corpora. */
+  def containmentGramOverflow(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleN: Int = 3,
+      maxBucketSize: Int = MaxBucketSize): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucketSize)
 
   /**
    * Exact-substring duplicate detection — the heavy-hitter of LLM
@@ -547,14 +584,23 @@ object Dedup {
    * Shape at scale: one codegen'd projection per doc, explode to
    * (8-byte hash, id) rows, a self-equi-join on the hash, and a count
    * aggregation — never all-pairs, never a string-payload shuffle.
-   * Windows held by a single document cannot pair; at corpus scale
-   * enable the same rare-gram prune as [[ngramJaccardPairs]] by
-   * pre-aggregating on the hash (the sf0.1 corpus is too small for it
-   * to pay, so it is not wired here).
+   * Two guards are wired (both default-on):
+   *   - RARE-WINDOW PRUNE (`pruneRareWindows`): a window held by a
+   *     single document cannot pair, and in natural text most
+   *     `windowTokens`-wide windows ARE unique, so one pre-aggregation
+   *     on the 8-byte hash discards the bulk of the join input before
+   *     it shuffles. Provably result-invariant (spec-pinned).
+   *   - HOT-WINDOW CAP (`maxBucketSize`, default 4096): a boilerplate
+   *     window shared by k docs emits O(k²) candidate rows; windows
+   *     above the cap are dropped from pair generation, same contract
+   *     as [[containmentPairs]] / [[minhashLshPairs]]. Both prunes
+   *     ride the SAME frequency aggregation, so the second is free
+   *     once the first runs.
    */
   def exactSubstringPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8,
-      minShared: Long = 1L): DataFrame = {
+      minShared: Long = 1L, pruneRareWindows: Boolean = true,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     require(minShared >= 1, "minShared must be at least 1")
     val wins = docs
@@ -562,8 +608,18 @@ object Dedup {
       .select(col(idCol), explode(
         graft.plans.NativeFunctions.hashedShingles(col(textCol), windowTokens)).as("w"))
       .localCheckpoint() // window rows feed both join sides once
-    val l = wins.select(col("w"), col(idCol).as("a"))
-    val r = wins.select(col("w"), col(idCol).as("b"))
+    val shared =
+      if (pruneRareWindows)
+        // one doc-frequency pass serves both guards: keep windows some
+        // OTHER doc also holds, below the quadratic-cell ceiling
+        wins.join(
+          wins.groupBy("w").agg(count(lit(1)).as("__f"))
+            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
+            .select("w"),
+          "w")
+      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val l = shared.select(col("w"), col(idCol).as("a"))
+    val r = shared.select(col("w"), col(idCol).as("b"))
     l.join(r, "w").where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_shared_windows"))
       .where(col("n_shared_windows") >= minShared)

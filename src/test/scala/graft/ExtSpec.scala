@@ -230,6 +230,17 @@ class ExtSpec extends SparkSpec {
       (1L, s"alpha beta $quote gamma delta")).toDF("doc_id", "text")
     Dedup.exactSubstringPairs(dup, windowTokens = 8)
       .head().getLong(2) shouldBe 5L // 12 tokens -> 5 distinct windows
+    // the rare-window prune is result-invariant: singleton windows
+    // cannot pair, so dropping them changes nothing
+    Dedup.exactSubstringPairs(d, windowTokens = 8, pruneRareWindows = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap shouldBe out
+    // the hot-window cap drops flood cells: 50 copies of one text share
+    // every window above cap 5 → no pairs at all from the flood
+    val flood = (0L until 50L).map(i => (i, s"zeta $quote omega")).toDF("doc_id", "text")
+    Dedup.exactSubstringPairs(flood, windowTokens = 8, maxBucketSize = 5)
+      .count() shouldBe 0L
+    Dedup.exactSubstringPairs(flood, windowTokens = 8,
+      pruneRareWindows = false, maxBucketSize = 5).count() shouldBe 0L
   }
 
   test("embedding near-dup finds the planted duplicate vector") {
@@ -1562,6 +1573,69 @@ class ExtSpec extends SparkSpec {
     out((1L, 2L)) shouldBe 1.0 // all 3 shingles of doc 1 appear in doc 2
     // the asymmetry Jaccard can't see: 2 is NOT contained in 1
     out.keySet should not contain ((2L, 1L))
+  }
+
+  test("containmentPairs hot-gram cap: flood cells drop, healthy pairs survive, default cap is invariant at sf0.01") {
+    import graft.ext.Dedup
+    // 12 identical docs flood every one of their grams; one honest
+    // containment pair rides alongside
+    val flood = (0L until 12L).map(i => (i, "identical boilerplate banner row here again"))
+    val pair = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val corpus = (flood ++ pair).toDF("doc_id", "text")
+    // cap below the flood: the 12-doc gram cells vanish from pair
+    // generation, the 2-doc cells survive with exact scores
+    val capped = Dedup.containmentPairs(corpus, minContainment = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 100→101 scores 3/3 = 1.0; 101→100 scores 3/8 < 0.5 and is absent
+    capped shouldBe Set((100L, 101L))
+    // diagnostic names the dropped grams: the flood text has 4 trigrams
+    val over = Dedup.containmentGramOverflow(corpus, maxBucketSize = 5)
+      .collect().map(r => r.getAs[Long]("n"))
+    over.length shouldBe 4
+    all(over) shouldBe 12L
+    // cap disabled reproduces the flood clique (12·11 directional pairs + the honest one)
+    Dedup.containmentPairs(corpus, minContainment = 0.5, maxBucketSize = Int.MaxValue)
+      .count() shouldBe (12L * 11L + 1L)
+    // cap-invariance at sf0.01: the default 4096 cap cannot fire on a
+    // 500-doc corpus, so the catalog query's result is bit-identical
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.containmentPairs(docs, maxBucketSize = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    a shouldBe b
+    // the 1000-identical-doc flood: capped, the finder stays linear —
+    // every flood gram cell is dropped and only the honest pair emits
+    // (uncapped this would be 999,000 directional pair rows)
+    val bigFlood = (1000L until 2000L).map(i =>
+      (i, "identical boilerplate banner row here again")).toDF("doc_id", "text")
+    Dedup.containmentPairs(bigFlood.union(pair.toDF("doc_id", "text")),
+        minContainment = 0.5, maxBucketSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((100L, 101L))
+  }
+
+  test("sourceOverlap group-cardinality cap: hot shingles drop; default cap is a no-op for dataset-scale groups") {
+    import graft.ext.Dedup
+    // one shingle ("a b c") shared by ALL 8 groups, one shared by 2
+    val d = (0 until 8).map(i => (i.toLong, s"a b c x$i y$i", s"G$i")) ++
+      Seq((100L, "p q r s", "G0"), (101L, "p q r t", "G1"))
+    val df = d.toDF("doc_id", "text", "source")
+    // capped at 4: the 8-group shingle is excluded, the 2-group ones pair
+    val capped = Dedup.sourceOverlap(df, maxGroupsPerShingle = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    capped shouldBe Set(("G0", "G1"))
+    // denominators stay full: G0 holds 3+2=5 distinct shingles, G1 holds
+    // 3+2=5; only "p q r" survives the cap → jaccard 1/(5+5-1)
+    val row = Dedup.sourceOverlap(df, maxGroupsPerShingle = 4).head()
+    row.getLong(2) shouldBe 1L
+    row.getDouble(3) shouldBe (1.0 / 9) +- 1e-12
+    // default cap (4096) cannot fire below 4096 groups — identical result
+    Dedup.sourceOverlap(df).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet shouldBe
+      Dedup.sourceOverlap(df, maxGroupsPerShingle = Int.MaxValue).collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
   }
 
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {

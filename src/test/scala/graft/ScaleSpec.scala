@@ -857,6 +857,12 @@ class ScaleSpec extends SparkSpec {
     "BroadcastHashJoin.*LeftAnti".r.findAllIn(plan).size should be >= 1
     val splan = Dedup.simhashPairs(docs).queryExecution.executedPlan.toString
     "BroadcastHashJoin.*LeftAnti".r.findAllIn(splan).size should be >= 1
+    // round 13: containmentPairs carries the same guard on its gram key
+    val cplan = Dedup.containmentPairs(docs).queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(cplan).size should be >= 1
+    // ...and sourceOverlap on its shingle key (group-cardinality ceiling)
+    val oplan = Dedup.sourceOverlap(docs).queryExecution.executedPlan.toString
+    "BroadcastHashJoin.*LeftAnti".r.findAllIn(oplan).size should be >= 1
     // disabling the cap removes the guard entirely (no anti-join)
     val un = Dedup.minhashLshPairs(docs, maxBucketSize = Int.MaxValue)
       .queryExecution.executedPlan.toString
