@@ -173,6 +173,18 @@ object SparkEntry {
         Config.of("""{"num_points":300,"formula":"1 if t == 0 else (max(datapoints) % 17) + (min(datapoints) % 5) + (len(datapoints) % 3) + (t % 7)","signal_min":1,"signal_max":20}""")))
         .orderBy("t")),
 
+    // Bounded-lag custom formula — the reference's lagged-feedback
+    // eval shape (main.py:473-475, `datapoints[-1]`): each point reads
+    // the previous point (negative-index form) AND the one before it
+    // (t-k form; both spellings exercise the same ring). Guards at
+    // t<2 exactly as a Python formula must guard IndexError. Oracle:
+    // RECURSIVE CTE threading (v, prev) through each step — exact,
+    // integer-valued double arithmetic throughout.
+    "g_custom_lag" -> ((s, _) =>
+      Transforms.intCast(Generators.custom(s, "ts5l",
+        Config.of("""{"num_points":300,"formula":"1 if t == 0 else (2 if t == 1 else (datapoints[-1] % 13) + (datapoints[t-2] % 5) + (t % 7))","signal_min":1,"signal_max":20}""")))
+        .orderBy("t")),
+
     // Replay (S3 "real" shape) driven from the events table: line N ≡
     // event_id N. Zero-pad/truncate to 2000 slots, scale to [1,100].
     "g_replay" -> ((s, dir) => {
@@ -428,6 +440,25 @@ object SparkEntry {
          |base AS (SELECT t, v FROM rec),
          |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
          |SELECT 'ts5p' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    // the lag recurrence replayed step-by-step: rec carries
+    // (slot, value, previous value), so at slot t+1 `v` is lag 1
+    // (datapoints[-1]) and `p1` is lag 2 (datapoints[t-2]); the t=1
+    // literal branch never touches the NULL p1 seed
+    "g_custom_lag" ->
+      s"""WITH RECURSIVE rec(t, v, p1) AS (
+         |  SELECT 0, CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         CASE WHEN t + 1 = 1 THEN CAST(2 AS DOUBLE)
+         |              ELSE (v % 13) + (p1 % 5) + CAST((t + 1) % 7 AS DOUBLE)
+         |         END AS nv,
+         |         v
+         |  FROM rec WHERE t < 299),
+         |base AS (SELECT t, v FROM rec),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'ts5l' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
          |FROM base, stats ORDER BY t""".stripMargin,
 
     "g_replay" ->

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
  *   unary   := '-' unary | power
  *   power   := atom ('**' unary)?          // right-assoc, binds over unary-
  *   atom    := NUMBER | ident | ident '(' args ')' | '(' expr ')'
+ *            | 'datapoints' '[' ('-' INT | 't' '-' INT) ']'   // bounded lag
  * }}}
  *
  * Identifiers: `t` (slot index), `datapoint_max` (reference anomaly scope,
@@ -28,7 +29,11 @@ import org.apache.spark.sql.functions._
  * that the anomaly applier provides as precomputed scalars (SURVEY §7.4) —
  * OR, in a custom-SHAPE formula evaluated through [[evalPrefix]], to the
  * aggregates of the series prefix generated so far (the reference's
- * accumulating `datapoints` list, src/main.py:464-477). Math functions:
+ * accumulating `datapoints` list, src/main.py:464-477). Bounded lag
+ * indexing `datapoints[-k]` / `datapoints[t-k]` (constant k ≥ 1) reads the
+ * k-th most recent prior point on the same prefix path — the lagged-
+ * feedback form reference eval formulas use (main.py:473-475); a general
+ * index expression stays out of grammar. Math functions:
  * min, max, abs, sin, cos, tan, exp, log, sqrt, floor, ceil, pow.
  *
  * Conditionals follow Python semantics exactly: `X if C else Y` evaluates
@@ -46,6 +51,14 @@ object Formula {
   sealed trait Ast extends Serializable
   final case class Num(v: Double) extends Ast
   final case class Ref(name: String) extends Ast
+  /** `datapoints[-k]` / `datapoints[t-k]` — the k-th most recent prior
+    * point (both spellings denote the same element: the prefix at slot
+    * t holds indices 0..t-1, so Python index t-k ≡ negative index -k).
+    * k is a POSITIVE integer literal — the bounded-lag subset of the
+    * reference's arbitrary list indexing (main.py:473-475), carried by
+    * a k-deep ring buffer on the sequential fold; a general index
+    * expression would need the whole history and stays out of grammar. */
+  final case class Lag(k: Int) extends Ast
   final case class Neg(e: Ast) extends Ast
   final case class Bin(op: String, l: Ast, r: Ast) extends Ast
   final case class Call(fn: String, args: List[Ast]) extends Ast
@@ -83,6 +96,11 @@ object Formula {
     case Call("max", List(Ref("datapoints"))) => col(DpMaxCol)
     case Call("min", List(Ref("datapoints"))) => col(DpMinCol)
     case Call("len", List(Ref("datapoints"))) => col(DpLenCol)
+    case Lag(_) =>
+      // unreachable through Generators.custom (usesPrefix dispatches
+      // lag formulas to the fold path) — defensive for direct callers
+      throw new IllegalArgumentException(
+        "datapoints[...] indexing needs the prefix evaluation path (evalPrefix)")
     case Call("min", args) if args.size == 2 =>
       least(compileAst(args(0)), compileAst(args(1)))
     case Call("max", args) if args.size == 2 =>
@@ -133,6 +151,7 @@ object Formula {
     * fold ([[evalPrefix]]). */
   def usesPrefix(ast: Ast): Boolean = ast match {
     case Call("max" | "min" | "len", List(Ref("datapoints"))) => true
+    case Lag(_)             => true
     case Num(_) | Ref(_)    => false
     case Neg(e)             => usesPrefix(e)
     case Not(e)             => usesPrefix(e)
@@ -141,6 +160,20 @@ object Formula {
     case BoolOp(_, l, r)    => usesPrefix(l) || usesPrefix(r)
     case Cond(c, a, b)      => usesPrefix(c) || usesPrefix(a) || usesPrefix(b)
     case Call(_, args)      => args.exists(usesPrefix)
+  }
+
+  /** Deepest lag the formula reads (0 when it reads none) — sizes the
+    * ring buffer the sequential fold carries. */
+  def maxLag(ast: Ast): Int = ast match {
+    case Lag(k)          => k
+    case Num(_) | Ref(_) => 0
+    case Neg(e)          => maxLag(e)
+    case Not(e)          => maxLag(e)
+    case Bin(_, l, r)    => math.max(maxLag(l), maxLag(r))
+    case Cmp(_, l, r)    => math.max(maxLag(l), maxLag(r))
+    case BoolOp(_, l, r) => math.max(maxLag(l), maxLag(r))
+    case Cond(c, a, b)   => math.max(maxLag(c), math.max(maxLag(a), maxLag(b)))
+    case Call(_, args)   => args.foldLeft(0)((m, a) => math.max(m, maxLag(a)))
   }
 
   /**
@@ -161,7 +194,9 @@ object Formula {
    * inputs.
    */
   def evalPrefix(ast: Ast, t: Long, prefixLen: Long,
-      prefixMax: => Double, prefixMin: => Double): Double = {
+      prefixMax: => Double, prefixMin: => Double,
+      lagAt: Int => Double = k => throw new IllegalArgumentException(
+        s"datapoints[-$k] needs a lag-carrying evaluator (Generators.custom wires one)")): Double = {
     def num(a: Ast): Double = a match {
       case Num(v)   => v
       case Ref("t") => t.toDouble
@@ -188,6 +223,13 @@ object Formula {
           "min(datapoints) on an empty prefix (guard with 'if t == 0')")
         else prefixMin
       case Call("len", List(Ref("datapoints"))) => prefixLen.toDouble
+      case Lag(k) =>
+        // Python IndexError posture, same as max([]) above: reading
+        // deeper than the points generated so far is a formula bug the
+        // author must guard ('V if t < k else …')
+        if (k > prefixLen) throw new IllegalArgumentException(
+          s"datapoints[-$k] with only $prefixLen prior points (guard with 'if t < $k')")
+        else lagAt(k)
       case Call("min", List(a0, b0)) => math.min(num(a0), num(b0))
       case Call("max", List(a0, b0)) => math.max(num(a0), num(b0))
       case Call("abs", List(a0))   => math.abs(num(a0))
@@ -323,7 +365,10 @@ object Formula {
         while (pos < src.length && (src(pos).isLetterOrDigit || src(pos) == '_')) pos += 1
         val name = src.substring(start, pos)
         skipWs()
-        if (peek == '(') {
+        if (name == "datapoints" && peek == '[') {
+          pos += 1
+          parseLagIndex()
+        } else if (peek == '(') {
           pos += 1
           val args = scala.collection.mutable.ListBuffer.empty[Ast]
           skipWs()
@@ -335,6 +380,31 @@ object Formula {
           Call(name, args.toList)
         } else Ref(name)
       } else fail(s"unexpected char '${c}' at $pos")
+    }
+
+    // datapoints[-K] | datapoints[t-K], K a positive integer literal —
+    // the bounded-lag indexing forms (both mean "K-th most recent").
+    // Anything else inside the brackets (t+1, a variable k, a bare
+    // index, floats) is a parse error, keeping the grammar closed.
+    private def parseLagIndex(): Ast = {
+      skipWs()
+      val relative = peek == 't' &&
+        (pos + 1 >= src.length ||
+          { val c = src(pos + 1); !c.isLetterOrDigit && c != '_' })
+      if (relative) { pos += 1; skipWs() }
+      if (peek != '-')
+        fail(s"expected '-' in datapoints[...] at $pos (only datapoints[-k] / datapoints[t-k] are supported)")
+      pos += 1
+      skipWs()
+      val ds = pos
+      while (pos < src.length && src(pos).isDigit) pos += 1
+      if (pos == ds) fail(s"expected integer lag in datapoints[...] at $pos")
+      val k = src.substring(ds, pos).toInt
+      if (k < 1) fail(s"lag in datapoints[...] must be >= 1, got $k")
+      skipWs()
+      if (peek != ']') fail(s"expected ']' at $pos")
+      pos += 1
+      Lag(k)
     }
 
     // "**" must be matched before "*".

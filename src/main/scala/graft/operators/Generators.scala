@@ -124,9 +124,11 @@ object Generators {
    *    bounded-by-config posture as blueprint resolution), parallel
    *    ACROSS generators, which is where a blueprint's scale lives.
    *    This closes SURVEY §7.4.2's documented gap for the aggregate
-   *    surface; arbitrary self-indexing (`datapoints[-1]`) stays out
-   *    of scope — the closed grammar has no list indexing, exactly as
-   *    it has no eval.
+   *    surface, and (round 13) the BOUNDED-LAG indexing forms
+   *    `datapoints[-k]` / `datapoints[t-k]` with constant k — the
+   *    lagged-feedback shape reference formulas use — carried by a
+   *    k-deep ring on the same fold. Arbitrary index EXPRESSIONS stay
+   *    out of grammar, exactly as eval does.
    */
   def custom(spark: SparkSession, id: String, cfg: Config): DataFrame = {
     val formula = cfg.stringOpt("formula")
@@ -147,10 +149,18 @@ object Generators {
             var mx = Double.NaN
             var mn = Double.NaN
             var len = 0L
+            // bounded-lag state: a K-deep ring of the most recent
+            // points (K = deepest datapoints[-k] in the formula; 0 ⇒
+            // no ring at all) — O(K) memory regardless of num_points
+            val lagDepth = Formula.maxLag(ast)
+            val ring = if (lagDepth > 0) new Array[Double](lagDepth) else null
+            val lagAt: Int => Double =
+              k => ring((((len - k) % lagDepth + lagDepth) % lagDepth).toInt)
             ts.iterator.map { t =>
-              val v = Formula.evalPrefix(ast, t, len, mx, mn)
+              val v = Formula.evalPrefix(ast, t, len, mx, mn, lagAt)
               mx = if (len == 0) v else math.max(mx, v)
               mn = if (len == 0) v else math.min(mn, v)
+              if (lagDepth > 0) ring((len % lagDepth).toInt) = v
               len += 1
               (gid, t, v)
             }

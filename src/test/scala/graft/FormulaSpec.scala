@@ -110,6 +110,49 @@ class FormulaSpec extends SparkSpec {
       0L, 0L, sys.error("must not evaluate"), 0.0) shouldBe 7.0
   }
 
+  test("bounded-lag indexing: both spellings parse to the same lag, bad forms rejected, ring replays Python") {
+    import Formula.Lag
+    // datapoints[-k] and datapoints[t-k] are the SAME element
+    Formula.parse("datapoints[-1]") shouldBe Lag(1)
+    Formula.parse("datapoints[t-1]") shouldBe Lag(1)
+    Formula.parse("datapoints[ t - 3 ]") shouldBe Lag(3)
+    Formula.usesPrefix(Formula.parse("datapoints[-2] + 1")) shouldBe true
+    Formula.maxLag(Formula.parse(
+      "0 if t < 3 else datapoints[-1] + datapoints[t-3]")) shouldBe 3
+    // the grammar stays closed: general index expressions don't parse
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[0]")
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[t+1]")
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[t]")
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[-0]")
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[t-k]")
+    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[-1.5]")
+    // the Column path cannot carry a lag — defensive error, the
+    // generator dispatches on usesPrefix before ever compiling
+    an[IllegalArgumentException] should be thrownBy Formula.compile("datapoints[-1]")
+    // reading deeper than the prefix throws like Python IndexError...
+    an[IllegalArgumentException] should be thrownBy
+      Formula.evalPrefix(Formula.parse("datapoints[-1]"), 0L, 0L, 0.0, 0.0)
+    // ...and the guarded branch never touches it (lazy if/else)
+    Formula.evalPrefix(Formula.parse("5 if t == 0 else datapoints[-1]"),
+      0L, 0L, 0.0, 0.0) shouldBe 5.0
+    // full generator fold vs a literal Python-loop replay: a deep-ish
+    // ring (lag 3) mixing both spellings, exercising wraparound
+    import graft.blueprint.Config
+    import graft.operators.Generators
+    val out = Generators.custom(spark, "gl",
+      Config.of("""{"num_points":60,"formula":"t + 1 if t < 3 else (datapoints[-1] % 11) + (datapoints[t-3] % 4) + (t % 5)","signal_min":1,"signal_max":10}"""))
+    val dps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 60).foreach { t =>
+      dps += (if (t < 3) t + 1.0
+        else (dps(t - 1) % 11) + (dps(t - 3) % 4) + (t % 5))
+    }
+    val mn = dps.min; val mx = dps.max
+    val expected = dps.map(v =>
+      math.ceil(BigDecimal((v - mn) / (mx - mn) * 9.0 + 1.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    seriesOf(out).map(_._2) shouldBe expected.toSeq
+  }
+
   test("custom-shape generator runs prefix formulas as a per-generator fold") {
     import graft.blueprint.Config
     import graft.operators.{Generators, Transforms}
