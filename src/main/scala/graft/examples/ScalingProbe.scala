@@ -21,10 +21,16 @@ object ScalingProbe {
     "x_bloom_decontaminate", "x_decontaminate_substr",
     "x_curriculum_order", "x_dedup_keep_best", "x_neardup_degree",
     // round-12 second-pass families
-    "x_segment_dedup", "x_edit_pairs", "x_decon_semantic", "x_pq_probe")
+    "x_segment_dedup", "x_edit_pairs", "x_decon_semantic", "x_pq_probe",
+    // round-13 families: PQ training, logreg training, and the two
+    // newly capped pair finders (post-guard plans)
+    "x_pq_recall", "x_logreg_weights", "x_containment_pairs",
+    "x_source_overlap")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
+    // optional arg list: probe only the named queries (local iteration)
+    val only = args.toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +43,7 @@ object ScalingProbe {
     for (sf <- Sfs) {
       val dir = s"/root/testdata/$sf"
       val docs = spark.read.parquet(s"$dir/documents.parquet").count()
-      for (name <- Queries) {
+      for (name <- Queries if only.isEmpty || only(name)) {
         val fn = graft.SparkEntry.queries(name)
         var rows = -1L
         val times = (1 to runs).map { _ =>

@@ -995,4 +995,56 @@ class ScaleSpec extends SparkSpec {
     nbPlan should not include "Generate"
     nbPlan should not include "Join"
   }
+
+  test("AQE skew-join splits a deliberately skewed fact-fact shuffle (the q5 join shape)") {
+    import org.apache.spark.sql.functions._
+    // q5_local_supplier's one fact-fact shuffle joins lineitem⋈orders
+    // on the ORDER key, which TPC-H bounds at ≤7 lineitems per order —
+    // that key cannot skew by construction, so the production query
+    // needs no salting. This synthetic replica of the same join shape
+    // skews the key ON PURPOSE (one hot order carrying 200k rows vs a
+    // uniform tail) and scales AQE's size thresholds down to test
+    // size, proving the runtime guard that WOULD catch a skewed
+    // fact-fact key at 100 TB: AQE splits the oversized partition into
+    // parallel skew-join reads instead of sorting it on one task.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      val hotFact = spark.range(0, 200000)
+        .select(lit(0L).as("l_orderkey"), col("id").as("v"))
+      val tailFact = spark.range(1, 2000)
+        .select(col("id").as("l_orderkey"), col("id").as("v"))
+      val orders = spark.range(0, 2000)
+        .select(col("id").as("o_orderkey"), (col("id") % 100).as("o_custkey"))
+      val j = hotFact.union(tailFact)
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("v").as("s"))
+      j.collect() // execute so AQE finalizes the runtime plan
+      val plan = j.queryExecution.executedPlan.toString
+      val skewNodes = plan.linesIterator.filter(_.toLowerCase.contains("skew")).toSeq
+      info("skewed-join plan nodes:")
+      skewNodes.foreach(l => info("  " + l.trim))
+      // the finalized plan must carry the skew-handled join/read nodes
+      skewNodes.nonEmpty shouldBe true
+      plan should include("skew=true")
+      // correctness under the split is untouched: hot key 0 joins order
+      // 0 (custkey 0): 200k rows of v=0..199999 plus tail id 100*k
+      val hotSum = j.where(col("o_custkey") === 0).head().getLong(1)
+      hotSum shouldBe (199999L * 200000L / 2 +
+        (1L until 2000L).filter(_ % 100 == 0).sum)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
