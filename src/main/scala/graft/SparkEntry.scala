@@ -2176,6 +2176,15 @@ object SparkEntry {
     "x_source_overlap" -> ((s, dir) =>
       Dedup.sourceOverlap(tbl(s, dir, "documents")).orderBy("a", "b")),
 
+    // Bottom-k minwise estimate of the same source-overlap map — the
+    // sketch path that replaces the corpus-sized shingle self-join
+    // with bounded k-long signatures (one mergeable aggregation, then
+    // |groups|² array ops); estimator replayed exactly in DuckDB via
+    // the shared md5 hash convention.
+    "x_bottomk_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapSketch(tbl(s, dir, "documents"), k = 256,
+        seed = Seed).orderBy("a", "b")),
+
     // Cluster-balanced diversity sampling: thin each k-means cell to
     // ≈20 vectors with a deterministic md5 keep rule — dense regions
     // downsampled, sparse regions kept whole.
@@ -3282,6 +3291,37 @@ object SparkEntry {
     "x_recall_at_k" -> ((s, dir) =>
       TextStats.recallAtK(tbl(s, dir, "documents"), NdcgQueries)
         .orderBy("query_id")),
+
+    // ... and average precision@10 (the ranking-of-ALL-hits leg whose
+    // mean over queries is MAP), same frame, same ordering; per-rank
+    // precisions are exact longs on the 1e-9 grid so the sum is
+    // order-free across partitions.
+    "x_map" -> ((s, dir) =>
+      TextStats.apAtK(tbl(s, dir, "documents"), NdcgQueries)
+        .orderBy("query_id")),
+
+    // MATTR lexical diversity — windowed type-token ratio (the
+    // length-robust repetitiveness score): a single shuffle-free
+    // codegen projection per document, integer window-distinct sums,
+    // one double division at the end.
+    "x_mattr" -> ((s, dir) =>
+      TextStats.mattr(tbl(s, dir, "documents"), window = 50)
+        .orderBy("doc_id")),
+
+    // Weighted reservoir (A-ES): EXACTLY 100 docs sampled with
+    // probability proportional to quality weight — the budgeted
+    // companion to x_weighted_sample's Bernoulli keep; plans as a
+    // TakeOrdered top-k on the grid-quantized A-ES key, never a full
+    // sort.
+    "x_weighted_reservoir" -> ((s, dir) => {
+      val q = TextStats.qualityFacets(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_bucket"))
+      val w = when(col("quality_bucket") === "good", lit(1.0))
+        .when(col("quality_bucket") === "fair", lit(0.5))
+        .otherwise(lit(0.1))
+      Corpus.weightedReservoir(q, w, k = 100, seed = Seed)
+        .orderBy("doc_id")
+    }),
 
     // LSH bucket-occupancy histogram — the pre-flight report for the
     // round-11 bucket caps: how corpus mass distributes over band
@@ -4934,6 +4974,43 @@ object SparkEntry {
          |ORDER BY a, b""".stripMargin
     },
 
+    // Bottom-k minwise replay: same gram strings, same 52-bit md5
+    // longs (stream botk), k smallest per source, k smallest of each
+    // pair's union, membership counted against both signatures.
+    "x_bottomk_overlap" -> {
+      val gramsCase =
+        """CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |     ELSE [array_to_string(tk[i:i+2], ' ')
+          |           for i in generate_series(1, len(tk) - 2)] END""".stripMargin
+      val h = s"(('0x' || substr(md5('$Seed' || chr(1) || 'botk' || " +
+        "chr(1) || g), 1, 13))::BIGINT)"
+      s"""WITH toks AS (SELECT source, $toksSql AS tk FROM documents),
+         |gr AS (SELECT source, unnest($gramsCase) AS g FROM toks),
+         |hv AS (SELECT DISTINCT source, $h AS h FROM gr),
+         |r AS (SELECT source, h, row_number() OVER (
+         |        PARTITION BY source ORDER BY h) AS rk FROM hv),
+         |sig AS (SELECT source, h FROM r WHERE rk <= 256),
+         |gs AS (SELECT DISTINCT source FROM sig),
+         |p AS (SELECT g1.source AS a, g2.source AS b
+         |      FROM gs g1, gs g2 WHERE g1.source < g2.source),
+         |u AS (SELECT p.a, p.b, s.h FROM p JOIN sig s
+         |        ON s.source = p.a OR s.source = p.b
+         |      GROUP BY 1, 2, 3),
+         |ur AS (SELECT a, b, h, row_number() OVER (
+         |         PARTITION BY a, b ORDER BY h) AS rk FROM u),
+         |uk AS (SELECT a, b, h FROM ur WHERE rk <= 256),
+         |x AS (SELECT uk.a, uk.b, CAST(count(*) AS BIGINT) AS n_sample,
+         |        CAST(count(*) FILTER (WHERE sa.h IS NOT NULL
+         |          AND sb.h IS NOT NULL) AS BIGINT) AS n_both
+         |      FROM uk
+         |      LEFT JOIN sig sa ON sa.source = uk.a AND sa.h = uk.h
+         |      LEFT JOIN sig sb ON sb.source = uk.b AND sb.h = uk.h
+         |      GROUP BY 1, 2)
+         |SELECT a, b, n_sample, n_both,
+         |       CAST(n_both AS DOUBLE) / n_sample AS est_jaccard
+         |FROM x WHERE n_both > 0 ORDER BY a, b""".stripMargin
+    },
+
     // Cell-sample replay: the shared k-means assignment (ivfAssignCtes)
     // plus the per-cell keep rate and the engine's md5-uniform stream.
     "x_cell_sample" -> {
@@ -6208,6 +6285,67 @@ object SparkEntry {
          |       COALESCE(ag.n_retrieved, 0) AS n_retrieved,
          |       ag.n_retrieved / CAST(ag.n_relevant AS DOUBLE) AS recall
          |FROM nt LEFT JOIN ag USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    // AP@10 replay: same pq frame and rank window; the i-th relevant
+    // doc (ordered by rank) contributes round(1e9·i/rank) when inside
+    // the top 10 — exact long arithmetic until the final division.
+    "x_map" -> {
+      val nts = NdcgQueries
+        .map { case (q, ts) => s"($q, ${ts.distinct.size})" }.mkString(", ")
+      s"""WITH $ndcgPqCtes,
+         |nt AS (SELECT * FROM (VALUES $nts) AS v(query_id, nterms)),
+         |r AS (SELECT query_id, rel, doc_id, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rk FROM pq),
+         |relr AS (SELECT r.query_id, rk, row_number() OVER (
+         |           PARTITION BY r.query_id ORDER BY rk) AS cum
+         |         FROM r JOIN nt USING (query_id) WHERE rel = nterms),
+         |ag AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+         |         CAST(sum(CASE WHEN rk <= 10
+         |           THEN CAST(round(cum * 1e9 / rk) AS BIGINT) ELSE 0 END)
+         |           AS BIGINT) AS sum_prec_u9
+         |       FROM relr GROUP BY 1)
+         |SELECT nt.query_id, COALESCE(ag.n_relevant, 0) AS n_relevant,
+         |       COALESCE(ag.sum_prec_u9, 0) AS sum_prec_u9,
+         |       CAST(ag.sum_prec_u9 AS DOUBLE)
+         |         / (1e9 * least(ag.n_relevant, 10)) AS ap
+         |FROM nt LEFT JOIN ag USING (query_id) ORDER BY query_id""".stripMargin
+    },
+
+    // MATTR replay: per-doc sliding 50-token windows, integer distinct
+    // counts summed exactly, one double division.
+    "x_mattr" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+         |             CAST(greatest(len(tk) - 49, 1) AS BIGINT) AS nw, tk
+         |      FROM toks),
+         |c AS (SELECT doc_id, n, nw,
+         |             unnest(generate_series(1, nw)) AS i, tk FROM w),
+         |d AS (SELECT doc_id, n, nw,
+         |             CAST(len(list_distinct(tk[i:i+49])) AS BIGINT) AS dc
+         |      FROM c),
+         |a AS (SELECT doc_id, max(n) AS n_tokens, max(nw) AS n_windows,
+         |             CAST(sum(dc) AS BIGINT) AS sd
+         |      FROM d GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_windows,
+         |       CAST(sd AS DOUBLE) / (n_windows * least(50, n_tokens)) AS mattr
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // A-ES reservoir replay: same md5 uniform (stream corpus_wres),
+    // same grid-quantized ln(u)/w key, same (key desc, doc_id) top-100.
+    "x_weighted_reservoir" -> {
+      val u = s"(CAST('1.0' AS DOUBLE) - ('0x' || substr(md5('$Seed' || chr(1) || " +
+        s"'corpus_wres' || chr(1) || doc_id::VARCHAR), 1, 13))::BIGINT * ${Rng.Inv2p52})"
+      s"""WITH q AS (SELECT doc_id, $qualityBucketSql AS quality_bucket
+         |           FROM documents),
+         |k AS (SELECT doc_id, quality_bucket,
+         |        CAST(round(ln($u) / (CASE quality_bucket
+         |          WHEN 'good' THEN CAST('1.0' AS DOUBLE)
+         |          WHEN 'fair' THEN CAST('0.5' AS DOUBLE)
+         |          ELSE CAST('0.1' AS DOUBLE) END) * 1e9) AS BIGINT) AS key9
+         |      FROM q)
+         |SELECT doc_id, quality_bucket, key9 FROM k
+         |ORDER BY key9 DESC, doc_id LIMIT 100""".stripMargin
     },
 
     "q_multiformat_scan" ->

@@ -301,6 +301,41 @@ object Corpus {
     df.where(Rng.uniform(seed, stream, col(idCol)) < weight)
 
   /**
+   * Weighted reservoir sampling WITHOUT replacement, exact size `k` —
+   * the budgeted companion to [[weightedSample]] (whose Bernoulli
+   * keep-rule only hits a target size in expectation): when the task
+   * is "give me exactly k documents, preferring high quality", draw
+   * the k rows with the largest `ln(u)/w` where `u` is the row's
+   * growth-stable md5 uniform and `w > 0` its weight — the
+   * Efraimidis–Spirakis A-ES key (`u^(1/w)` in log form: same order,
+   * no tiny-power underflow), under which row `i` wins a slot with
+   * probability proportional to `w_i` among remaining rows.
+   *
+   * The key is quantized to the 1e-9 grid (`key9 = round(1e9·ln(u)/w)`,
+   * ties broken by `idCol`) — the engine's standard cross-engine
+   * determinism posture for transcendental arithmetic, so the selected
+   * SET replays exactly in DuckDB.
+   *
+   * Scale shape: one codegen'd projection computes the key, and the
+   * global top-k plans as TakeOrdered (bounded per-partition heaps +
+   * driver merge of k·partitions rows) — never a full sort, never a
+   * single-reducer shuffle. k is a driver-side budget (thousands, not
+   * corpus-sized).
+   */
+  def weightedReservoir(df: DataFrame, weight: Column, k: Int, seed: Long,
+      idCol: String = "doc_id",
+      stream: String = "corpus_wres"): DataFrame = {
+    require(k > 0, "k must be positive")
+    // u ∈ (0,1] so ln is finite; w ≤ 0 would silently rank last, so
+    // surface it as the caller bug it is
+    val key9 = round(log(Rng.uniformPos(seed, stream, col(idCol))) / weight
+      * lit(1e9)).cast("long")
+    df.withColumn("key9", key9)
+      .orderBy(col("key9").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * Domain-mixture rebalancing: resample strata so the surviving
    * corpus follows `weights` (target mixture proportions, normalized)
    * — the "rebalance sources to the training mix" step of a

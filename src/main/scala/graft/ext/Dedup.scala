@@ -513,6 +513,68 @@ object Dedup {
           (col("__na") + col("__nb") - col("n_common"))).as("jaccard"))
   }
 
+  /**
+   * Bottom-k minwise sketch of [[sourceOverlap]] — the serving-scale
+   * path for the source-redundancy map: where the exact operator
+   * self-joins every distinct shingle (linear in corpus TEXT), this
+   * one reduces each group to a BOUNDED signature first — its k
+   * smallest md5-hashed shingles (a uniform sample of the shingle
+   * set) — and estimates Jaccard from signatures alone. For groups A,
+   * B: take the k smallest values of sig(A) ∪ sig(B) (a uniform
+   * k-sample of A ∪ B) and count how many lie in both signatures —
+   * that fraction is the standard bottom-k estimator of
+   * |A∩B| / |A∪B| (Broder; ±1/√k error, k=256 ⇒ ~6%).
+   *
+   * Scale shape: one pass over shingle rows into a per-group
+   * [[graft.ext.Sketches.BottomKAggregator]] (mergeable k-long state,
+   * map-side partials — corpus text never reaches the pair step), then
+   * an all-pairs join of |groups| signature rows. The |groups|² term
+   * operates on k-long arrays, not text, so dataset-cardinality groups
+   * (the operator's contract, as [[sourceOverlap]]) cost |groups|²·k
+   * array ops — trivial up to tens of thousands of groups, far past
+   * where the exact operator's shuffle stays affordable.
+   *
+   * Hashes are the engine's md5 convention ([[graft.functions.Rng]]),
+   * NOT the native xxhash kernel, precisely so the sketch — selection,
+   * merge, and estimate — replays bit-identically in the DuckDB
+   * oracle. Emits `(a, b, n_sample, n_both, est_jaccard)` per
+   * unordered group pair with `n_both > 0` (sparse, like the exact
+   * operator).
+   */
+  def sourceOverlapSketch(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text", shingleN: Int = 3, k: Int = 256,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tk = tokens(col(textCol))
+    // gram STRINGS (short-doc branch = whole token sequence), hashed
+    // to 52-bit md5 longs both engines reproduce
+    val gramArr = when(size(tk) < shingleN, array(array_join(tk, " ")))
+      .otherwise(transform(sequence(lit(1), size(tk) - (shingleN - 1)),
+        i => array_join(slice(tk, i, lit(shingleN)), " ")))
+    val grams = docs
+      .select(col(groupCol).cast("string").as("g"), explode(gramArr).as("__gram"))
+      .select(col("g"), graft.functions.Rng.hash52(seed, "botk", col("__gram")).as("h"))
+      .distinct()
+    val agg = new Sketches.BottomKAggregator(k).toColumn.name("sig")
+    val sigs = grams.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(agg).toDF(groupCol, "sig")
+    val l = sigs.select(col(groupCol).as("a"), col("sig").as("__sa"))
+    val r = sigs.select(col(groupCol).as("b"), col("sig").as("__sb"))
+    // |groups| bounded-signature rows: the inequality pair join is a
+    // broadcast nested loop over k-long arrays — the whole point
+    val sample = slice(array_sort(array_union(col("__sa"), col("__sb"))), 1, k)
+    val both = array_intersect(col("__sa"), col("__sb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(sample).cast("long").as("n_sample"),
+        size(array_intersect(sample, both)).cast("long").as("n_both"))
+      .where(col("n_both") > 0)
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("n_sample"))
+  }
+
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", shingleN: Int = 3,
       minContainment: Double = 0.6,

@@ -61,6 +61,35 @@ object Sketches {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** [[KmvAggregator]]'s signature-emitting sibling over integer
+    * hashes: the k smallest DISTINCT longs seen, sorted ascending —
+    * the buffer IS the output (a bottom-k minwise signature, e.g.
+    * [[graft.ext.Dedup.sourceOverlapSketch]]'s per-group sketch).
+    * Mergeable bounded state, so partial aggregation runs map-side. */
+  final class BottomKAggregator(k: Int)(implicit bufEnc: Encoder[Seq[Long]])
+      extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    require(k > 0, "k must be positive")
+
+    override def zero: Seq[Long] = Nil
+
+    private def insert(buf: Seq[Long], v: Long): Seq[Long] = {
+      val (before, after) = buf.span(_ < v)
+      if (after.headOption.contains(v)) buf
+      else if (before.length >= k) buf
+      else {
+        val merged = (before :+ v) ++ after
+        if (merged.length > k) merged.take(k) else merged
+      }
+    }
+
+    override def reduce(buf: Seq[Long], v: Long): Seq[Long] = insert(buf, v)
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Seq[Long]): Seq[Long] = buf
+    override def bufferEncoder: Encoder[Seq[Long]] = bufEnc
+    override def outputEncoder: Encoder[Seq[Long]] = bufEnc
+  }
+
   /**
    * Fixed-grid histogram sketch: per-group bin counts over the grid
    * `bin = clamp(floor(x / width), 0, maxBins-1)` — grid geometry is a

@@ -1253,6 +1253,100 @@ object TextStats {
   }
 
   /**
+   * Average precision at `k` — the fourth retrieval-eval leg
+   * ([[ndcgAtK]] graded quality, [[mrrOf]] first hit, [[recallAtK]]
+   * coverage; this one ranks ALL hits): per query,
+   * `AP@k = (Σ_{relevant hit at rank r ≤ k} precision@r) / min(R, k)`
+   * with R the total fully relevant count (every query term present)
+   * and precision@r the relevant fraction of the top r. Averaging
+   * `ap` over queries gives MAP. Same BM25 candidate frame and
+   * deterministic (score desc, id) ordering as the other three, so
+   * the metrics cannot drift apart.
+   *
+   * Exactness: each precision@r is `round(1e9·cum/r)` — a long on the
+   * 1e-9 grid — and their SUM is exact long arithmetic, order-free
+   * across partitions; the single double division happens once at the
+   * end. `(query_id, n_relevant, sum_prec_u9, ap)`; zero row when the
+   * query has no fully relevant document (ap NULL, sums 0).
+   */
+  def apAtK(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nt = queries.map { case (q, ts) => (q, ts.distinct.size.toLong) }
+      .toDF("query_id", "__nt")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score9").desc, col(idCol))
+    // relevant docs only, still carrying their rank in the FULL
+    // candidate ordering; the i-th relevant doc (by rank) has
+    // cum-relevant i at its own rank — a per-query window over the
+    // relevant subset, bounded by candidates per query
+    val rel = bm25QueryCandidates(docs, queries, k1, b, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(nt), "query_id")
+      .where(col("__rel") === col("__nt"))
+    val wCum = Window.partitionBy("query_id").orderBy("__rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = rel
+      .withColumn("__cum", count(lit(1)).over(wCum))
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_relevant"),
+        sum(when(col("__rk") <= k,
+          round(col("__cum") * lit(1e9) / col("__rk")).cast("long"))
+          .otherwise(0L)).as("sum_prec_u9"))
+    nt.join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("sum_prec_u9"), lit(0L)).as("sum_prec_u9"),
+        (col("sum_prec_u9").cast("double") /
+          (lit(1e9) * least(col("n_relevant"), lit(k.toLong)))).as("ap"))
+  }
+
+  /**
+   * MATTR — moving-average type-token ratio (Covington & McFall
+   * 2010), the length-robust lexical-diversity score: raw TTR
+   * (distinct/total tokens) collapses as documents grow (Heaps' law),
+   * so average the TTR of every `window`-token sliding window
+   * instead. Repetitive boilerplate scores low at ANY length; varied
+   * prose scores high. Complements [[charEntropy]] (characters) and
+   * the repetition counters (verbatim runs) as the token-level
+   * diversity leg of the quality suite.
+   *
+   * Returns `(idCol, n_tokens, n_windows, mattr)`; documents shorter
+   * than `window` get one whole-document window (plain TTR), empty
+   * documents a NULL mattr.
+   *
+   * Scale shape: a single shuffle-free projection — the window
+   * distinct-counts are an array expression over the token array
+   * (O(len·window) work per doc, all inside codegen), summed as exact
+   * longs so the one double division at the end replays bit-identically
+   * in DuckDB regardless of evaluation order.
+   */
+  def mattr(docs: DataFrame, window: Int = 50, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window > 0, "window must be positive")
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    val nw = greatest(n - lit(window - 1), lit(1))
+    val distinctCounts = transform(sequence(lit(1), nw),
+      i => size(array_distinct(slice(tk, i, lit(window)))).cast("long"))
+    val sumDistinct = aggregate(distinctCounts, lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol), n.cast("long").as("n_tokens"),
+        nw.cast("long").as("n_windows"), sumDistinct.as("__sd"))
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        // explicit empty-doc guard: NULL, matching the oracle's
+        // divide-by-zero→NULL (ANSI Spark would otherwise throw)
+        when(col("n_tokens") > 0,
+          col("__sd").cast("double") /
+            (col("n_windows") * least(lit(window.toLong), col("n_tokens"))))
+          .as("mattr"))
+  }
+
+  /**
    * CCNet-style perplexity bucketing: score every document under the
    * [[bigramLogProb]] LM (trained on `train`), then split each
    * `partitionCol` stratum into `nBuckets` equal-frequency buckets by

@@ -55,6 +55,15 @@ object Rng {
     conv(substring(digest(seed, stream, keys: _*), 1, 13), 16, 10)
       .cast("long").cast("double") * lit(Inv2p52)
 
+  /** The 52-bit md5 prefix as a LONG — [[uniform]] without the double
+    * scaling: the cross-engine hash for ORDER-based sketches
+    * (bottom-k signatures), where integer compare/join sidesteps any
+    * float-representation question entirely. DuckDB replay:
+    * `('0x' || substr(md5(payload), 1, 13))::BIGINT`. */
+  def hash52(seed: Long, stream: String, keys: Column*): Column =
+    conv(substring(digest(seed, stream, keys: _*), 1, 13), 16, 10)
+      .cast("long")
+
   /** U(0,1] — safe for log(). */
   def uniformPos(seed: Long, stream: String, keys: Column*): Column =
     lit(1.0) - uniform(seed, stream, keys: _*)

@@ -1638,6 +1638,92 @@ class ExtSpec extends SparkSpec {
         (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
   }
 
+  test("apAtK: hand-computed average precision, absent queries get zero row") {
+    import graft.ext.TextStats
+    // query 1 terms {red, fox}: docs 0,1,2 contain both (relevant);
+    // doc 3 contains only red (candidate, not relevant)
+    val docs = Seq(
+      (0L, "red fox red fox red fox jumps high"), // high tf → rank 1
+      (1L, "red fox"),
+      (2L, "a red fox was seen near the red barn yesterday evening"),
+      (3L, "red paint everywhere"),
+      (4L, "nothing relevant at all here")
+    ).toDF("doc_id", "text")
+    val out = TextStats.apAtK(docs, Seq(1 -> Seq("red", "fox"), 2 -> Seq("zebra")))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val (nRel, sum9, ap) = out(1)
+    nRel shouldBe 3L
+    // ranks are deterministic (score desc, id): verify AP against the
+    // definition computed from the emitted grid sum
+    ap.get shouldBe (sum9.toDouble / (1e9 * 3)) +- 1e-12
+    ap.get should be > 0.5 // the 3 relevant docs sit high in a 4-candidate list
+    // no relevant docs → zero row, NULL ap
+    out(2) shouldBe ((0L, 0L, None))
+  }
+
+  test("mattr: repetitive text scores low, varied text high, short docs get plain TTR") {
+    import graft.ext.TextStats
+    val rep = Array.fill(40)("spam spam eggs").mkString(" ") // 120 tokens, 2 types
+    val varied = (0 until 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, rep), (1L, varied), (2L, "a b b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextStats.mattr(docs, window = 50).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    out(0)._1 shouldBe 120L
+    out(0)._2 shouldBe 71L // 120 - 50 + 1 windows
+    out(0)._3.get shouldBe (2.0 / 50) +- 1e-12 // every 50-window holds 2 types
+    out(1)._3.get shouldBe 1.0 // all-distinct text: every window TTR 1
+    out(2) shouldBe ((3L, 1L, Some(2.0 / 3))) // short doc: whole-doc TTR
+    out(3) shouldBe ((0L, 1L, None)) // empty doc: NULL, not a crash
+  }
+
+  test("weightedReservoir: exact size k, weight-biased membership, sub-k input kept whole") {
+    import graft.ext.Corpus
+    // 200 heavy (w=1.0) + 200 light (w=0.01) rows: a k=100 reservoir
+    // should be overwhelmingly heavy
+    val df = ((0L until 200L).map(i => (i, 1.0)) ++
+      (200L until 400L).map(i => (i, 0.01))).toDF("doc_id", "w")
+    val out = Corpus.weightedReservoir(df, col("w"), k = 100, seed = 7L)
+      .collect().map(_.getLong(0))
+    out.length shouldBe 100
+    out.toSet.size shouldBe 100 // without replacement
+    out.count(_ < 200L) should be > 90 // E[heavy] ≈ 99+
+    // deterministic: same seed, same set, any partitioning
+    Corpus.weightedReservoir(df.repartition(7), col("w"), k = 100, seed = 7L)
+      .collect().map(_.getLong(0)).toSet shouldBe out.toSet
+    // k >= n keeps everything
+    Corpus.weightedReservoir(df, col("w"), k = 1000, seed = 7L)
+      .count() shouldBe 400L
+  }
+
+  test("sourceOverlapSketch: exact when k covers the sets, sparse on disjoint, tracks true Jaccard") {
+    import graft.ext.Dedup
+    val d = Seq(
+      (0L, "a b c d e f", "A"), (1L, "a b c d e f", "B"), // identical gram sets
+      (2L, "a b c d x y", "C"),                           // partial overlap with A
+      (3L, "p q r s t u", "D"))                           // disjoint
+      .toDF("doc_id", "text", "source")
+    // k larger than any gram set ⇒ signatures ARE the sets ⇒ estimator
+    // is EXACT Jaccard
+    val out = Dedup.sourceOverlapSketch(d, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    out(("A", "B")) shouldBe 1.0
+    // A grams {abc,bcd,cde,def}, C grams {abc,bcd,cdx,dxy}: 2 of 6
+    out(("A", "C")) shouldBe (2.0 / 6) +- 1e-12
+    out.keySet should contain theSameElementsAs
+      Set(("A", "B"), ("A", "C"), ("B", "C"))
+    // D shares nothing — no row, same sparse posture as the exact op
+    out.keySet.exists(p => p._1 == "D" || p._2 == "D") shouldBe false
+    // exact operator agrees where k covers (cross-validation of the two paths)
+    val exact = Dedup.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    exact(("A", "C")) shouldBe out(("A", "C")) +- 1e-12
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values

@@ -996,6 +996,28 @@ class ScaleSpec extends SparkSpec {
     nbPlan should not include "Join"
   }
 
+  test("round-13 operators: mattr is a shuffle-free projection; reservoir plans TakeOrdered; sketch aggregates partially") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // MATTR: window distinct-counting lives entirely inside one
+    // projection over the scan — no Exchange, no Generate
+    val mPlan = graft.ext.TextStats.mattr(docs)
+      .queryExecution.executedPlan.toString
+    mPlan should not include "Exchange"
+    mPlan should not include "Generate"
+    // weighted reservoir: global top-k is TakeOrdered (bounded
+    // per-partition heaps), never Sort + GlobalLimit over a full sort
+    val rPlan = graft.ext.Corpus.weightedReservoir(
+        docs.select(col("doc_id")), lit(1.0), k = 100, seed = 7L)
+      .queryExecution.executedPlan.toString
+    rPlan should include("TakeOrderedAndProject")
+    // bottom-k sketch: the signature aggregation runs with a partial
+    // (map-side) phase before its one shuffle — bounded mergeable state
+    val sPlan = graft.ext.Dedup.sourceOverlapSketch(docs)
+      .queryExecution.executedPlan.toString
+    "ObjectHashAggregate|SortAggregate".r.findAllIn(sPlan).size should be >= 2
+  }
+
   test("AQE skew-join splits a deliberately skewed fact-fact shuffle (the q5 join shape)") {
     import org.apache.spark.sql.functions._
     // q5_local_supplier's one fact-fact shuffle joins lineitem⋈orders
