@@ -2632,6 +2632,14 @@ object SparkEntry {
       Dedup.exactSubstringPairs(tbl(s, dir, "documents"), windowTokens = 8)
         .orderBy("a", "b")),
 
+    // ... and its LENGTH refinement: the longest common consecutive
+    // token run per pair (diagonal islands over positional window
+    // matches) — the "drop any run >= N tokens" dedup-policy input,
+    // still suffix-array-free.
+    "x_longest_run" -> ((s, dir) =>
+      Dedup.longestRunPairs(tbl(s, dir, "documents"), windowTokens = 8)
+        .orderBy("a", "b")),
+
     // Per-doc n-gram novelty: fraction of a doc's distinct 8-token
     // windows unique to it corpus-wide — the linear-cost diversity
     // diagnostic (doc-frequency agg, no pair term).
@@ -5876,6 +5884,27 @@ object SparkEntry {
          |SELECT wa.doc_id AS a, wb.doc_id AS b, count(*) AS n_shared_windows
          |FROM wins wa JOIN wins wb ON wa.g = wb.g AND wa.doc_id < wb.doc_id
          |GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Longest-run replay: POSITIONAL windows (no distinct — runs need
+    // every occurrence), diagonal = pb − pa, gaps-and-islands via
+    // pos − row_number per (pair, diagonal), max island + 7 tokens.
+    "x_longest_run" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS i, tk
+         |      FROM toks WHERE len(tk) >= 8),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             array_to_string(tk[i:i+7], ' ') AS g FROM w),
+         |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, ga.pos AS pa,
+         |             gb.pos - ga.pos AS diag
+         |      FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id),
+         |r AS (SELECT a, b, diag, pa, row_number() OVER (
+         |        PARTITION BY a, b, diag ORDER BY pa) AS rn FROM p),
+         |runs AS (SELECT a, b, diag, pa - rn AS grp,
+         |                CAST(count(*) AS BIGINT) AS c
+         |         FROM r GROUP BY a, b, diag, pa - rn)
+         |SELECT a, b, CAST(count(*) AS BIGINT) AS n_runs,
+         |       CAST(max(c) + 7 AS BIGINT) AS longest_run_tokens
+         |FROM runs GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
 
     // Novelty replay: same window strings as x_substring_dedup, with
     // the corpus-wide half a doc-frequency count instead of a join.

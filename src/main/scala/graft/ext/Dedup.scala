@@ -725,6 +725,62 @@ object Dedup {
           col("n_windows").cast("double")).as("novelty"))
   }
 
+  /**
+   * Longest shared verbatim run — the LENGTH refinement of
+   * [[exactSubstringPairs]] (which counts shared windows but can't
+   * distinguish one long quote from many scattered ones): for each
+   * document pair sharing at least one `windowTokens`-token window,
+   * the token length of their longest common consecutive run, plus
+   * the number of distinct shared runs. The Lee et al. dedup-policy
+   * input ("drop one copy of any run ≥ 50 tokens") without building
+   * a corpus-wide suffix array.
+   *
+   * Mechanics: positional window hashes; a shared run shows up as
+   * matches on one DIAGONAL (`pos_b − pos_a` constant) at consecutive
+   * `pos_a` — islands found with the classic gaps-and-islands
+   * `pos − row_number()` trick per (pair, diagonal); a run of c
+   * consecutive windows spans `c + windowTokens − 1` tokens. Returns
+   * `(a, b, n_runs, longest_run_tokens)`.
+   *
+   * Scale shape: the same bucketed window-hash equi-join as
+   * [[exactSubstringPairs]] with the same two default-on guards
+   * (rare-window prune — result-invariant — and the hot-window cap);
+   * the island windows then run PER CANDIDATE PAIR over its matched
+   * positions, so post-join work is linear in shared-window matches,
+   * never in corpus size.
+   */
+  def longestRunPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8,
+      pruneRareWindows: Boolean = true,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val eligible = docs.where(size(tokens(col(textCol))) >= windowTokens)
+    val wins = positionalGramRows(eligible, idCol, textCol, windowTokens)
+      .select(col(idCol), col("pos"), xxhash64(col("__g")).as("w"))
+      .localCheckpoint()
+    val shared =
+      if (pruneRareWindows)
+        wins.join(
+          wins.groupBy("w").agg(count(lit(1)).as("__f"))
+            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
+            .select("w"),
+          "w")
+      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val l = shared.select(col("w"), col(idCol).as("a"), col("pos").as("pa"))
+    val r = shared.select(col("w"), col(idCol).as("b"), col("pos").as("pb"))
+    val matched = l.join(r, "w").where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pb") - col("pa")).as("diag"))
+    val wRun = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    matched
+      .withColumn("__grp", col("pa") - row_number().over(wRun))
+      .groupBy("a", "b", "diag", "__grp").agg(count(lit(1)).as("__c"))
+      .groupBy("a", "b").agg(
+        count(lit(1)).as("n_runs"),
+        (max(col("__c")) + lit(windowTokens - 1).cast("long"))
+          .as("longest_run_tokens"))
+  }
+
   /** Positional (non-distinct) word n-gram rows `(idCol, pos, __g)` —
     * winnowing operates on the gram SEQUENCE, unlike the signature
     * kernels' gram sets; documents shorter than n contribute their

@@ -1724,6 +1724,36 @@ class ExtSpec extends SparkSpec {
     exact(("A", "C")) shouldBe out(("A", "C")) +- 1e-12
   }
 
+  test("longestRunPairs: diagonal islands measure the true shared-run length") {
+    import graft.ext.Dedup
+    val quote12 = "one two three four five six seven eight nine ten eleven twelve"
+    val d = Seq(
+      // doc 0 carries the 12-token quote mid-text; doc 1 carries it
+      // verbatim at a different offset → longest run = 12 tokens
+      (0L, s"alpha beta $quote12 gamma delta"),
+      (1L, s"zeta $quote12 omega"),
+      // doc 2 shares TWO disjoint 8-token quotes with doc 3 → two runs
+      // of exactly 8
+      (2L, "a b c d e f g h THEN p q r s t u v w"),
+      (3L, "a b c d e f g h OTHER p q r s t u v w MORE"),
+      (4L, "nothing shared with anyone here at all in this one"))
+      .toDF("doc_id", "text")
+    val out = Dedup.longestRunPairs(d, windowTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    out((0L, 1L)) shouldBe ((1L, 12L)) // one island of 5 windows → 12 tokens
+    out((2L, 3L)) shouldBe ((2L, 8L))  // two single-window islands → 8 each
+    out.keySet shouldBe Set((0L, 1L), (2L, 3L))
+    // prune-off path agrees (the rare-window prune is result-invariant)
+    Dedup.longestRunPairs(d, windowTokens = 8, pruneRareWindows = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap shouldBe out
+    // consistency with the count finder: every longest-run pair is a
+    // substring-dedup pair and vice versa
+    Dedup.exactSubstringPairs(d, windowTokens = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe out.keySet
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values

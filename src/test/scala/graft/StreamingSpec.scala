@@ -703,4 +703,53 @@ class StreamingSpec extends SparkSpec {
       kept shouldBe batch(id)._2
     }
   }
+
+  test("streaming weighted reservoir: admission-log top-k equals the batch reservoir, state bounded at k") {
+    import graft.streaming.SampleStream
+    import graft.streaming.SampleStream.Admission
+    implicit val sqlCtx = spark.sqlContext
+    // 300 docs in three arrival batches, weights by id class — same
+    // weight rule on the batch side
+    val all = (0L until 300L).map(i => (i, if (i % 3 == 0) 1.0 else 0.1))
+    val w = when(col("doc_id") % 3 === 0, lit(1.0)).otherwise(lit(0.1))
+    val mem = MemoryStream[(Long, Double)]
+    val q = SampleStream.admitReservoir(
+        mem.toDF().toDF("doc_id", "w"), w, k = 20, seed = 11L)
+      .writeStream.format("memory").queryName("wres_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    all.grouped(100).foreach { batch =>
+      mem.addData(batch: _*); q.processAllAvailable()
+    }
+    // per-stratum state never exceeds k (one stratum here)
+    q.lastProgress.stateOperators.map(_.numRowsTotal).sum should be <= 1L
+    q.stop()
+    val log = spark.table("wres_test").as[Admission].collect()
+    // the admission log is a small superset of the final reservoir
+    // (expected k·(1+ln(n/k)) ≈ 74 here), never the whole stream
+    log.length should be >= 20
+    log.length should be < 150
+    // final membership: top-k of the log under (key9 desc, id) —
+    // exactly the batch reservoir over the same data + weight rule
+    val streamed = log.sortBy(a => (-a.key9, a.doc_id)).take(20)
+      .map(_.doc_id).toSet
+    val batchRes = graft.ext.Corpus.weightedReservoir(
+        all.toDF("doc_id", "w"), w, k = 20, seed = 11L)
+      .collect().map(_.getLong(0)).toSet
+    streamed shouldBe batchRes
+    // redelivery + single-batch determinism: a fresh stream carrying
+    // the whole corpus PLUS a replayed prefix in one batch admits
+    // exactly the reservoir (best-first processing, duplicates are
+    // state no-ops) — k rows, no churn
+    val mem2 = MemoryStream[(Long, Double)]
+    mem2.addData((all ++ all.take(100)): _*)
+    val q2 = SampleStream.admitReservoir(
+        mem2.toDF().toDF("doc_id", "w"), w, k = 20, seed = 11L)
+      .writeStream.format("memory").queryName("wres_test2")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val log2 = spark.table("wres_test2").as[Admission].collect()
+    log2.length shouldBe 20
+    log2.map(_.doc_id).toSet shouldBe batchRes
+  }
 }
