@@ -547,15 +547,16 @@ object Dedup {
     require(k > 0, "k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val tk = tokens(col(textCol))
-    // gram STRINGS (short-doc branch = whole token sequence), hashed
-    // to 52-bit md5 longs both engines reproduce
-    val gramArr = when(size(tk) < shingleN, array(array_join(tk, " ")))
-      .otherwise(transform(sequence(lit(1), size(tk) - (shingleN - 1)),
-        i => array_join(slice(tk, i, lit(shingleN)), " ")))
-    val grams = docs
-      .select(col(groupCol).cast("string").as("g"), explode(gramArr).as("__gram"))
-      .select(col("g"), graft.functions.Rng.hash52(seed, "botk", col("__gram")).as("h"))
+    // gram STRINGS via the zip-slice kernel (positionalGramRows — the
+    // same O(len) construction winnowing uses; a naive per-index
+    // slice-in-transform is O(len²) per doc and measured 5 s at sf0.1
+    // where this whole query should cost ~1), hashed to 52-bit md5
+    // longs both engines reproduce, then distinct per group
+    val grams = positionalGramRows(
+        docs.select(col(groupCol).cast("string").as("g"), col(textCol)),
+        "g", textCol, shingleN)
+      .select(col("g"),
+        graft.functions.Rng.hash52(seed, "botk", col("__g")).as("h"))
       .distinct()
     val agg = new Sketches.BottomKAggregator(k).toColumn.name("sig")
     val sigs = grams.as[(String, Long)].groupByKey(_._1).mapValues(_._2)

@@ -1320,23 +1320,22 @@ object TextStats {
    * than `window` get one whole-document window (plain TTR), empty
    * documents a NULL mattr.
    *
-   * Scale shape: a single shuffle-free projection — the window
-   * distinct-counts are an array expression over the token array
-   * (O(len·window) work per doc, all inside codegen), summed as exact
-   * longs so the one double division at the end replays bit-identically
-   * in DuckDB regardless of evaluation order.
+   * Scale shape: a single shuffle-free projection — the fused
+   * one-pass kernel ([[graft.plans.Native.mattrStats]]: sliding
+   * occurrence map, O(len) per doc where the Column formulation's
+   * per-window `array_distinct(slice(...))` was O(len·window) and
+   * measured 2.6 s at sf0.1) emits exact long sums, so the one double
+   * division at the end replays bit-identically in DuckDB regardless
+   * of evaluation order.
    */
   def mattr(docs: DataFrame, window: Int = 50, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(window > 0, "window must be positive")
-    val tk = tokens(col(textCol))
-    val n = size(tk)
-    val nw = greatest(n - lit(window - 1), lit(1))
-    val distinctCounts = transform(sequence(lit(1), nw),
-      i => size(array_distinct(slice(tk, i, lit(window)))).cast("long"))
-    val sumDistinct = aggregate(distinctCounts, lit(0L), (acc, x) => acc + x)
-    docs.select(col(idCol), n.cast("long").as("n_tokens"),
-        nw.cast("long").as("n_windows"), sumDistinct.as("__sd"))
+    docs.select(col(idCol),
+        graft.plans.NativeFunctions.mattrStats(col(textCol), window).as("__m"))
+      .select(col(idCol), col("__m.n_tokens").as("n_tokens"),
+        col("__m.n_windows").as("n_windows"),
+        col("__m.sum_distinct").as("__sd"))
       .select(col(idCol), col("n_tokens"), col("n_windows"),
         // explicit empty-doc guard: NULL, matching the oracle's
         // divide-by-zero→NULL (ANSI Spark would otherwise throw)

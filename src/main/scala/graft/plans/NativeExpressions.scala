@@ -112,6 +112,42 @@ object Native {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /**
+   * mattr_stats(text, window) → (n_tokens, n_windows, sum_distinct):
+   * the MATTR inputs in ONE O(len) pass — a sliding occurrence map
+   * gives each window's distinct count incrementally (add the entering
+   * token, evict the leaving one, ±1 on the distinct counter), where
+   * the Column formulation (`array_distinct(slice(...))` per window)
+   * is O(len·window) per document. Tokenization is [[tokensOf]]'s
+   * exact semantics. Documents shorter than `window` contribute one
+   * whole-document window; empty documents (0, 1, 0).
+   */
+  def mattrStats(text: UTF8String, window: Int): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0)
+      return new GenericInternalRow(Array[Any](0L, 1L, 0L))
+    val counts = new java.util.HashMap[String, Array[Int]]()
+    var distinct = 0
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val slot = counts.get(toks(i))
+      if (slot == null) { counts.put(toks(i), Array(1)); distinct += 1 }
+      else { if (slot(0) == 0) distinct += 1; slot(0) += 1 }
+      if (i >= window) {
+        val old = counts.get(toks(i - window))
+        old(0) -= 1
+        if (old(0) == 0) distinct -= 1
+      }
+      if (i >= window - 1) sum += distinct
+      i += 1
+    }
+    val nw = math.max(n - (window - 1), 1).toLong
+    if (n < window) sum = distinct // the single whole-document window
+    new GenericInternalRow(Array[Any](n.toLong, nw, sum))
+  }
+
   /** Must equal `graft.ext.TextStats.BpeishPattern` (duplicated so
     * `plans` stays free of `ext` dependencies; pinned by spec). */
   private val QcBpeishRegex = java.util.regex.Pattern
@@ -1002,6 +1038,26 @@ case class CharTrigramHashesExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** mattr_stats(string, window) → struct(n_tokens, n_windows,
+  * sum_distinct) — one-pass sliding-window MATTR inputs. */
+case class MattrStatsExpr(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window > 0, "window must be positive")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false),
+    StructField("sum_distinct", LongType, nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.mattrStats(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.mattrStats($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): MattrStatsExpr =
+    copy(child = newChild)
+}
+
 /** gopher_gram_stats(string) → struct(top2_cnt, top2_len, dup5_chars). */
 case class GopherGramStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -1532,6 +1588,9 @@ object NativeFunctions {
 
   def gopherGramStats(text: Column): Column =
     ColumnBridge.column(GopherGramStatsExpr(ColumnBridge.expression(text)))
+
+  def mattrStats(text: Column, window: Int): Column =
+    ColumnBridge.column(MattrStatsExpr(ColumnBridge.expression(text), window))
 
   def charTrigramHashes(text: Column): Column =
     ColumnBridge.column(CharTrigramHashesExpr(ColumnBridge.expression(text)))

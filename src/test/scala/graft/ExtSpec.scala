@@ -1679,6 +1679,24 @@ class ExtSpec extends SparkSpec {
     out(1)._3.get shouldBe 1.0 // all-distinct text: every window TTR 1
     out(2) shouldBe ((3L, 1L, Some(2.0 / 3))) // short doc: whole-doc TTR
     out(3) shouldBe ((0L, 1L, None)) // empty doc: NULL, not a crash
+    // the O(len) sliding kernel equals the O(len·window) Column
+    // formulation it replaced, over the real corpus (window 7 keeps
+    // both short-doc and full-window branches exercised)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val asize = org.apache.spark.sql.functions.size _
+    val tk = TextStats.tokens(col("text"))
+    val nw7 = greatest(asize(tk) - lit(6), lit(1))
+    val columnar = corpus.select(col("doc_id"),
+        aggregate(
+          transform(sequence(lit(1), nw7),
+            i => asize(array_distinct(slice(tk, i, lit(7)))).cast("long")),
+          lit(0L), (a, x) => a + x).as("sd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fused = corpus.select(col("doc_id"),
+        graft.plans.NativeFunctions.mattrStats(col("text"), 7)
+          .getField("sum_distinct").as("sd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fused shouldBe columnar
   }
 
   test("weightedReservoir: exact size k, weight-biased membership, sub-k input kept whole") {
