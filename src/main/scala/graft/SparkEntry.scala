@@ -3039,6 +3039,20 @@ object SparkEntry {
       Corpus.segmentDedup(tbl(s, dir, "documents"), segTokens = 4)
         .orderBy("doc_id")),
 
+    // Source-level boilerplate report (C4's repeated-line rule):
+    // segments held by ≥5% of a source's docs — linear segment
+    // aggregation, no pair term, the cheap pre-pass before scrubbing.
+    "x_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplateSegments(tbl(s, dir, "documents"), segTokens = 4,
+        minFrac = 0.05).orderBy("source", "segment")),
+
+    // ... and the scrub: rebuild docs with every occurrence of their
+    // source's boilerplate removed (broadcast flag table, sorted
+    // rebuild — segmentDedup's aggregation shape).
+    "x_boilerplate_scrub" -> ((s, dir) =>
+      Corpus.boilerplateScrub(tbl(s, dir, "documents"), segTokens = 4,
+        minFrac = 0.05).orderBy("doc_id")),
+
     // Full composed pipeline: LSH candidates → exact-jaccard verify →
     // cluster resolution. The oracle compares the exact transitive
     // closure at the verify threshold (valid while LSH recall is 1.0 —
@@ -5994,6 +6008,51 @@ object SparkEntry {
          |       CAST(COALESCE(sum(ntok) FILTER (rn = 1), 0) AS BIGINT) AS n_kept_tokens,
          |       COALESCE(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1), '') AS dedup_text
          |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate replay: same segmentation, per-doc-distinct segment
+    // rows, source doc-frequency over the distinct frame, double
+    // fraction of two longs.
+    "x_boilerplate" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |segx AS (SELECT doc_id, source, unnest(list_transform(
+         |           generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+         |           i -> array_to_string(tk[(i*4)+1:(i+1)*4], ' '))) AS seg
+         |         FROM toks WHERE len(tk) > 0),
+         |d AS (SELECT DISTINCT source, doc_id, seg FROM segx),
+         |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM d GROUP BY 1),
+         |f AS (SELECT d.source, seg, CAST(count(*) AS BIGINT) AS df,
+         |             max(n_docs) AS n_docs
+         |      FROM d JOIN nd ON d.source = nd.source GROUP BY 1, 2)
+         |SELECT source, seg AS segment, df, n_docs,
+         |       CAST(df AS DOUBLE) / n_docs AS frac
+         |FROM f WHERE n_docs >= 2 AND CAST(df AS DOUBLE) / n_docs >= 0.05
+         |ORDER BY source, segment""".stripMargin,
+
+    // Scrub replay: the flag table above anti-marks every occurrence;
+    // kept segments rebuild in seg_idx order (empty docs → '').
+    "x_boilerplate_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |segx AS (SELECT doc_id, source, unnest(list_transform(
+         |           generate_series(0, CAST(ceil(len(tk) / 4.0) AS BIGINT) - 1),
+         |           i -> {'seg_idx': i,
+         |                 'seg': array_to_string(tk[(i*4)+1:(i+1)*4], ' ')})) AS u
+         |         FROM toks WHERE len(tk) > 0),
+         |sx AS (SELECT doc_id, source, u.seg_idx AS seg_idx, u.seg AS seg
+         |       FROM segx),
+         |d AS (SELECT DISTINCT source, doc_id, seg FROM sx),
+         |nd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM d GROUP BY 1),
+         |fl AS (SELECT d.source, seg FROM d JOIN nd ON d.source = nd.source
+         |       GROUP BY 1, 2, n_docs
+         |       HAVING n_docs >= 2 AND CAST(count(*) AS DOUBLE) / n_docs >= 0.05)
+         |SELECT sx.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(count(*) FILTER (fl.seg IS NOT NULL) AS BIGINT) AS n_dropped,
+         |       COALESCE(string_agg(sx.seg, ' ' ORDER BY sx.seg_idx)
+         |         FILTER (fl.seg IS NULL), '') AS clean_text
+         |FROM sx LEFT JOIN fl ON sx.source = fl.source AND sx.seg = fl.seg
+         |GROUP BY 1 ORDER BY sx.doc_id""".stripMargin,
 
     // Cross-corpus replay: bands over ALL docs (signatures depend only
     // on text), collisions filtered to new (odd) × archive (even).

@@ -1159,4 +1159,75 @@ object Corpus {
             struct(col("__seg_idx"), col("__seg"))))),
           s => s.getField("__seg")), " ").as("dedup_text"))
   }
+
+  /**
+   * SOURCE-level boilerplate detection — the report behind C4's
+   * "remove lines that repeat across a site" rule, on the engine's
+   * fixed-width token segments: a segment appearing in at least
+   * `minFrac` of a source's documents is boilerplate (headers,
+   * banners, navigation, license footers), not content. Returns one
+   * row per flagged `(source, segment)`: document frequency within
+   * the source, the source's document count, and the fraction.
+   *
+   * Scale shape: per-doc-distinct segment rows (narrow: source, id,
+   * 8-byte key + the segment payload), one count aggregation keyed on
+   * (source, segment) — map-side combinable; the per-source doc-count
+   * table is |sources| rows and broadcasts. No pair term anywhere:
+   * cost is linear in total segments at any corpus size, which is why
+   * this report is the cheap pre-pass before any scrubbing decision.
+   */
+  def boilerplateSegments(df: DataFrame, segTokens: Int = 4,
+      minFrac: Double = 0.25, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Long = 2L): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "minFrac must be in (0, 1]")
+    require(minDocs >= 1, "minDocs must be at least 1")
+    val segs = segmentRows(df, segTokens, textCol)
+      .select(col(sourceCol), col(idCol), col("__seg")).distinct()
+    val nDocs = segs.select(col(sourceCol), col(idCol)).distinct()
+      .groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+    segs.groupBy(col(sourceCol), col("__seg"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), sourceCol)
+      .withColumn("frac", col("df").cast("double") / col("n_docs"))
+      // tiny-source exemption: with n_docs < minDocs EVERY segment is
+      // trivially "frequent" (a 1-doc source scores 1.0 across the
+      // board) — frequency carries no boilerplate signal there
+      .where(col("n_docs") >= minDocs && col("frac") >= minFrac)
+      .select(col(sourceCol), col("__seg").as("segment"), col("df"),
+        col("n_docs"), col("frac"))
+  }
+
+  /**
+   * [[boilerplateSegments]]'s scrub companion: rebuild each document
+   * with its source's boilerplate segments REMOVED (every occurrence —
+   * unlike [[segmentDedup]], which keeps the first instance; a banner
+   * is noise in its first document too). Returns
+   * `(idCol, n_segs, n_dropped, clean_text)`.
+   *
+   * The flag table is (source, segment-key) rows for segments above
+   * `minFrac` — small by construction (boilerplate is by definition
+   * few distinct segments repeated widely) — so the scrub is a
+   * broadcast left-anti-style join against the per-segment rows, then
+   * the same sorted-rebuild aggregation as [[segmentDedup]].
+   */
+  def boilerplateScrub(df: DataFrame, segTokens: Int = 4,
+      minFrac: Double = 0.25, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = segmentRows(df, segTokens, textCol)
+      .select(col(sourceCol), col(idCol), col("__seg_idx"), col("__seg"))
+    val flagged = boilerplateSegments(df, segTokens, minFrac, sourceCol,
+        idCol, textCol)
+      .select(col(sourceCol), col("segment").as("__seg"),
+        lit(true).as("__boiler"))
+    segs.join(broadcast(flagged), Seq(sourceCol, "__seg"), "left")
+      .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("__drop").cast("long")).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("__seg_idx"), col("__seg"))))),
+          s => s.getField("__seg")), " ").as("clean_text"))
+  }
 }

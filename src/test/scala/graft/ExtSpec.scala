@@ -1772,6 +1772,32 @@ class ExtSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe out.keySet
   }
 
+  test("boilerplate: source-frequent segments flagged and scrubbed everywhere, content kept") {
+    import graft.ext.Corpus
+    val banner = "site nav menu here" // one 4-token segment
+    val d = Seq(
+      (0L, s"$banner alpha beta gamma delta", "A"),
+      (1L, s"$banner epsilon zeta eta theta", "A"),
+      (2L, s"$banner iota kappa lambda mu", "A"),
+      (3L, "totally organic content right here", "A"), // no banner
+      (10L, s"$banner other site words here", "B"))    // 1 of 1 doc in B
+      .toDF("doc_id", "text", "source")
+    val rep = Corpus.boilerplateSegments(d, segTokens = 4, minFrac = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // A: banner in 3 of 4 docs = 0.75 ≥ 0.5; content never reaches 0.5.
+    // B has ONE doc — the tiny-source exemption (minDocs=2) keeps the
+    // frequency rule from declaring its entire text boilerplate.
+    rep shouldBe Map(("A", banner) -> ((3L, 4L, 0.75)))
+    val scrub = Corpus.boilerplateScrub(d, segTokens = 4, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    scrub(0L) shouldBe ((2L, 1L, "alpha beta gamma delta"))
+    scrub(3L) shouldBe ((2L, 0L, "totally organic content right here"))
+    // B is exempt — its doc survives whole, banner included
+    scrub(10L) shouldBe ((2L, 0L, s"$banner other site words here"))
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values
