@@ -2640,6 +2640,13 @@ object SparkEntry {
       Dedup.longestRunPairs(tbl(s, dir, "documents"), windowTokens = 8)
         .orderBy("a", "b")),
 
+    // ... and the policy APPLY: every shared run >= 8 tokens removed
+    // from the later document, span-precise (first occurrence keeps
+    // its text; positions rebuilt token-by-token).
+    "x_verbatim_scrub" -> ((s, dir) =>
+      Dedup.verbatimSpanScrub(tbl(s, dir, "documents"), windowTokens = 8,
+        minRunTokens = 8).orderBy("doc_id")),
+
     // Per-doc n-gram novelty: fraction of a doc's distinct 8-token
     // windows unique to it corpus-wide — the linear-cost diversity
     // diagnostic (doc-frequency agg, no pair term).
@@ -5919,6 +5926,37 @@ object SparkEntry {
          |SELECT a, b, CAST(count(*) AS BIGINT) AS n_runs,
          |       CAST(max(c) + 7 AS BIGINT) AS longest_run_tokens
          |FROM runs GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Span-scrub replay: the same islands, mapped to the later doc's
+    // covered token range, exploded to flagged positions, tokens
+    // rebuilt in order (every ≥1-token doc appears).
+    "x_verbatim_scrub" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 7)) AS i, tk
+         |      FROM toks WHERE len(tk) >= 8),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             array_to_string(tk[i:i+7], ' ') AS g FROM w),
+         |p AS (SELECT ga.doc_id AS a, gb.doc_id AS b, ga.pos AS pa,
+         |             gb.pos - ga.pos AS diag
+         |      FROM g ga JOIN g gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id),
+         |r AS (SELECT a, b, diag, pa, row_number() OVER (
+         |        PARTITION BY a, b, diag ORDER BY pa) AS rn FROM p),
+         |sp AS (SELECT b, min(pa) + diag AS s,
+         |              min(pa) + diag + count(*) + 6 AS e
+         |       FROM r GROUP BY a, b, diag, pa - rn
+         |       HAVING count(*) + 7 >= 8),
+         |fl AS (SELECT DISTINCT b AS doc_id, unnest(generate_series(s, e)) AS pos
+         |       FROM sp),
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(tk))) - 1 AS pos,
+         |              tk FROM toks WHERE len(tk) >= 1),
+         |tt AS (SELECT doc_id, pos, tk[pos + 1] AS tok FROM tp)
+         |SELECT tt.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) FILTER (fl.pos IS NOT NULL) AS BIGINT) AS n_flagged,
+         |       COALESCE(string_agg(tt.tok, ' ' ORDER BY tt.pos)
+         |         FILTER (fl.pos IS NULL), '') AS clean_text
+         |FROM tt LEFT JOIN fl ON tt.doc_id = fl.doc_id AND tt.pos = fl.pos
+         |GROUP BY 1 ORDER BY tt.doc_id""".stripMargin,
 
     // Novelty replay: same window strings as x_substring_dedup, with
     // the corpus-wide half a doc-frequency count instead of a join.

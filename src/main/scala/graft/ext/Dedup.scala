@@ -782,6 +782,73 @@ object Dedup {
           .as("longest_run_tokens"))
   }
 
+  /**
+   * Verbatim-span scrubbing — the APPLY step of the Lee et al. policy
+   * [[longestRunPairs]] reports on: every shared run of at least
+   * `minRunTokens` tokens is removed from the LATER document (the
+   * earlier one keeps its text — the same first-occurrence posture as
+   * [[graft.ext.Corpus.segmentDedup]], but span-precise instead of
+   * fixed-segment). Returns every document WITH AT LEAST ONE TOKEN as
+   * `(idCol, n_tokens, n_flagged, clean_text)`; untouched docs have
+   * `n_flagged = 0` and their original (token-joined) text.
+   *
+   * Mechanics: [[longestRunPairs]]'s diagonal islands, each island
+   * mapped to the token range it covers in the later doc
+   * (`[pb₀, pb₀ + c + windowTokens − 2]` for c consecutive windows
+   * from position pb₀), ranges exploded to flagged positions (bounded
+   * by covered tokens, not corpus size), and a rebuild that keeps
+   * every unflagged token in order. Work after the candidate join is
+   * linear in matched windows + flagged tokens.
+   */
+  def verbatimSpanScrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8,
+      minRunTokens: Int = 8, pruneRareWindows: Boolean = true,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    require(minRunTokens >= windowTokens,
+      "minRunTokens must be at least windowTokens (shorter runs are invisible)")
+    import org.apache.spark.sql.expressions.Window
+    val eligible = docs.where(size(tokens(col(textCol))) >= windowTokens)
+    val wins = positionalGramRows(eligible, idCol, textCol, windowTokens)
+      .select(col(idCol), col("pos"), xxhash64(col("__g")).as("w"))
+      .localCheckpoint()
+    val shared =
+      if (pruneRareWindows)
+        wins.join(
+          wins.groupBy("w").agg(count(lit(1)).as("__f"))
+            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
+            .select("w"),
+          "w")
+      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val l = shared.select(col("w"), col(idCol).as("a"), col("pos").as("pa"))
+    val r = shared.select(col("w"), col(idCol).as("b"), col("pos").as("pb"))
+    val matched = l.join(r, "w").where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), (col("pb") - col("pa")).as("diag"))
+    val wRun = Window.partitionBy("a", "b", "diag").orderBy("pa")
+    val spans = matched
+      .withColumn("__grp", col("pa") - row_number().over(wRun))
+      .groupBy("a", "b", "diag", "__grp")
+      .agg(count(lit(1)).as("__c"), min(col("pa")).as("__pa0"))
+      .where(col("__c") + lit(windowTokens - 1) >= minRunTokens)
+      .select(col("b"),
+        (col("__pa0") + col("diag")).as("__s"),
+        (col("__pa0") + col("diag") + col("__c") + lit(windowTokens - 2))
+          .as("__e"))
+    val flagged = spans
+      .select(col("b").as(idCol), explode(sequence(col("__s"), col("__e")))
+        .as("pos"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "__tok")))
+    toks.join(flagged.withColumn("__flag", lit(true)), Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__flag"), 1L).otherwise(0L)).as("n_flagged"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__flag").isNull,
+            struct(col("pos"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+  }
+
   /** Positional (non-distinct) word n-gram rows `(idCol, pos, __g)` —
     * winnowing operates on the gram SEQUENCE, unlike the signature
     * kernels' gram sets; documents shorter than n contribute their

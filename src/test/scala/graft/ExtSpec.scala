@@ -1798,6 +1798,29 @@ class ExtSpec extends SparkSpec {
     scrub(10L) shouldBe ((2L, 0L, s"$banner other site words here"))
   }
 
+  test("verbatimSpanScrub: the later doc loses exactly the shared run, earlier doc untouched") {
+    import graft.ext.Dedup
+    val quote12 = "one two three four five six seven eight nine ten eleven twelve"
+    val d = Seq(
+      (0L, s"alpha beta $quote12 gamma delta"),
+      (1L, s"zeta $quote12 omega"), // later doc: loses the 12-token run
+      (2L, "untouched words that appear exactly nowhere else at all today"),
+      (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val out = Dedup.verbatimSpanScrub(d, windowTokens = 8, minRunTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 0 is the FIRST occurrence: kept whole
+    out(0L) shouldBe ((16L, 0L, s"alpha beta $quote12 gamma delta"))
+    // doc 1 loses exactly the quote's 12 tokens, keeps its frame
+    out(1L) shouldBe ((14L, 12L, "zeta omega"))
+    out(2L)._2 shouldBe 0L
+    out(3L) shouldBe ((1L, 0L, "tiny")) // short docs can't match, still present
+    // minRunTokens above the shared length leaves everything intact
+    Dedup.verbatimSpanScrub(d, windowTokens = 8, minRunTokens = 13)
+      .collect().map(r => r.getLong(2)).sum shouldBe 0L
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values
