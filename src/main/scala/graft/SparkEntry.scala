@@ -2647,6 +2647,13 @@ object SparkEntry {
       Dedup.verbatimSpanScrub(tbl(s, dir, "documents"), windowTokens = 8,
         minRunTokens = 8).orderBy("doc_id")),
 
+    // Intra-doc twin: longest run occurring at least TWICE within one
+    // document (looping boilerplate, degenerate generation) — the
+    // run-length upgrade of the repetition ratios.
+    "x_self_repeat" -> ((s, dir) =>
+      Dedup.selfRepeatRuns(tbl(s, dir, "documents"), windowTokens = 3)
+        .orderBy("doc_id")),
+
     // Per-doc n-gram novelty: fraction of a doc's distinct 8-token
     // windows unique to it corpus-wide — the linear-cost diversity
     // diagnostic (doc-frequency agg, no pair term).
@@ -5926,6 +5933,26 @@ object SparkEntry {
          |SELECT a, b, CAST(count(*) AS BIGINT) AS n_runs,
          |       CAST(max(c) + 7 AS BIGINT) AS longest_run_tokens
          |FROM runs GROUP BY 1, 2 ORDER BY a, b""".stripMargin,
+
+    // Self-repeat replay: the islands machinery with both join sides
+    // the same document (pa < pb, positive diagonal).
+    "x_self_repeat" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 2)) AS i, tk
+         |      FROM toks WHERE len(tk) >= 3),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             array_to_string(tk[i:i+2], ' ') AS g FROM w),
+         |p AS (SELECT ga.doc_id AS doc_id, ga.pos AS pa,
+         |             gb.pos - ga.pos AS diag
+         |      FROM g ga JOIN g gb ON ga.g = gb.g
+         |        AND ga.doc_id = gb.doc_id AND ga.pos < gb.pos),
+         |r AS (SELECT doc_id, diag, pa, row_number() OVER (
+         |        PARTITION BY doc_id, diag ORDER BY pa) AS rn FROM p),
+         |runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+         |         FROM r GROUP BY doc_id, diag, pa - rn)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |       CAST(max(c) + 2 AS BIGINT) AS longest_repeat_tokens
+         |FROM runs GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Span-scrub replay: the same islands, mapped to the later doc's
     // covered token range, exploded to flagged positions, tokens

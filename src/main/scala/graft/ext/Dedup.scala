@@ -849,6 +849,47 @@ object Dedup {
           s => s.getField("__tok")), " ").as("clean_text"))
   }
 
+  /**
+   * Longest SELF-repeated run per document — the intra-doc twin of
+   * [[longestRunPairs]] and the run-length upgrade of the repetition
+   * RATIOS ([[graft.ext.TextStats]]' counters): for each document
+   * containing a repeated `windowTokens`-token window, the token
+   * length of the longest run that occurs at least twice WITHIN the
+   * document (looping boilerplate, copy-pasted paragraphs, degenerate
+   * generation), plus the count of distinct repeated runs. Documents
+   * with no repeat are absent (sparse report).
+   *
+   * Same diagonal gaps-and-islands mechanics, self-joined within the
+   * document (`pa < pb`, `diag = pb − pa > 0`). Candidate volume for
+   * a window repeated m times in one doc is O(m²) — bounded by the
+   * DOCUMENT's own length (never corpus-sized), which is the operator
+   * contract: per-doc work may be quadratic in per-doc repetition,
+   * the thing it exists to measure. Corpus-frequent windows cost
+   * nothing here because the join key is (doc, window).
+   */
+  def selfRepeatRuns(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val eligible = docs.where(size(tokens(col(textCol))) >= windowTokens)
+    val wins = positionalGramRows(eligible, idCol, textCol, windowTokens)
+      .select(col(idCol), col("pos"), xxhash64(col("__g")).as("w"))
+      .localCheckpoint()
+    val l = wins.select(col(idCol), col("w"), col("pos").as("pa"))
+    val r = wins.select(col(idCol), col("w"), col("pos").as("pb"))
+    val matched = l.join(r, Seq(idCol, "w")).where(col("pa") < col("pb"))
+      .select(col(idCol), col("pa"), (col("pb") - col("pa")).as("diag"))
+    val wRun = Window.partitionBy(idCol, "diag").orderBy("pa")
+    matched
+      .withColumn("__grp", col("pa") - row_number().over(wRun))
+      .groupBy(col(idCol), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_runs"),
+        (max(col("__c")) + lit(windowTokens - 1).cast("long"))
+          .as("longest_repeat_tokens"))
+  }
+
   /** Positional (non-distinct) word n-gram rows `(idCol, pos, __g)` —
     * winnowing operates on the gram SEQUENCE, unlike the signature
     * kernels' gram sets; documents shorter than n contribute their

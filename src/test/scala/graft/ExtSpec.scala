@@ -1821,6 +1821,26 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(2)).sum shouldBe 0L
   }
 
+  test("selfRepeatRuns: intra-doc repeated runs measured, non-repeating docs absent") {
+    import graft.ext.Dedup
+    val d = Seq(
+      // "a b c d e" appears twice → longest repeat = 5 tokens (one diag island)
+      (0L, "a b c d e STOP a b c d e END"),
+      // the 3-token window "x y z" repeats 3 times → 3 (pa,pb) diagonals
+      (1L, "x y z x y z x y z"),
+      (2L, "all words here differ pairwise completely"),
+      (3L, "a b")) // too short for 3-token windows
+      .toDF("doc_id", "text")
+    val out = Dedup.selfRepeatRuns(d, windowTokens = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out(0L) shouldBe ((1L, 5L))
+    // doc 1: diag 3 matches window starts 0..3 (island of 4 → run 6
+    // tokens, "x y z x y z"), diag 6 matches (0,6) alone (run 3) →
+    // longest 6, two distinct runs
+    out(1L) shouldBe ((2L, 6L))
+    out.keySet shouldBe Set(0L, 1L)
+  }
+
   test("histQuantiles: grid read-off matches exact quantiles to bin resolution") {
     import graft.ext.Sketches
     // g=a: 0..99 uniform; g=b: constant 42; plus out-of-grid values
