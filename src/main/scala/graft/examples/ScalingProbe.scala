@@ -25,7 +25,11 @@ object ScalingProbe {
     // round-13 families: PQ training, logreg training, and the two
     // newly capped pair finders (post-guard plans)
     "x_pq_recall", "x_logreg_weights", "x_containment_pairs",
-    "x_source_overlap")
+    "x_source_overlap",
+    // round-13 second batch: run finders/scrubbers, sketches, reports
+    "x_longest_run", "x_verbatim_scrub", "x_self_repeat",
+    "x_bottomk_overlap", "x_boilerplate", "x_boilerplate_scrub",
+    "x_mattr", "x_map", "x_weighted_reservoir")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

@@ -243,4 +243,60 @@ class KernelPropertySpec extends SparkSpec {
       .min._2
     native(0L)(2) shouldBe zeroBook2
   }
+
+  test("random corpus: mattrStats kernel ≡ brute-force sliding model at several windows") {
+    def model(text: String, w: Int): (Long, Long, Long) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) (0L, 1L, 0L)
+      else {
+        val nw = math.max(toks.length - (w - 1), 1)
+        val sum = (0 until nw).map(i =>
+          toks.slice(i, i + w).distinct.length.toLong).sum
+        (toks.length.toLong, nw.toLong, sum)
+      }
+    }
+    for (w <- Seq(1, 3, 7, 50)) {
+      val got = df.select($"doc_id",
+          NativeFunctions.mattrStats($"text", w).as("m"))
+        .collect().map(r => r.getLong(0) -> {
+          val m = r.getStruct(1); (m.getLong(0), m.getLong(1), m.getLong(2))
+        }).toMap
+      corpus.foreach { case (id, text) => got(id) shouldBe model(text, w) }
+    }
+  }
+
+  test("random hashes: BottomKAggregator ≡ sorted-distinct-take-k under any partitioning") {
+    import graft.ext.Sketches
+    // values with heavy duplication so dedup semantics are exercised
+    val vals = corpus.flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(w => (id % 7, (w.hashCode.toLong % 50) + 100)) }
+    val expected = vals.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.take(13).toSeq).toMap
+    for (parts <- Seq(1, 5, 32)) {
+      val agg = new Sketches.BottomKAggregator(13).toColumn.name("sig")
+      val got = vals.toDF("g", "v").repartition(parts)
+        .as[(Long, Long)].groupByKey(_._1).mapValues(_._2).agg(agg)
+        .collect().map { case (g, sig) => g -> sig }.toMap
+      got.view.mapValues(_.toSeq).toMap shouldBe expected
+    }
+  }
+
+  test("random corpus: selfRepeatRuns longest ≡ brute-force longest repeated substring (token level)") {
+    val w = 3
+    def bruteLongest(text: String): Option[Long] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      var best = 0
+      for (i <- t.indices; j <- (i + 1) until t.length) {
+        var m = 0
+        while (j + m < t.length && t(i + m) == t(j + m)) m += 1
+        if (m > best) best = m
+      }
+      if (best >= w) Some(best.toLong) else None
+    }
+    val got = Dedup.selfRepeatRuns(df, windowTokens = w).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.foreach { case (id, text) =>
+      got.get(id) shouldBe bruteLongest(text)
+    }
+  }
 }
