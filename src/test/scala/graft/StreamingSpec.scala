@@ -751,5 +751,28 @@ class StreamingSpec extends SparkSpec {
     val log2 = spark.table("wres_test2").as[Admission].collect()
     log2.length shouldBe 20
     log2.map(_.doc_id).toSet shouldBe batchRes
+    // per-stratum reservoirs: k best PER GROUP, state = |strata| rows,
+    // each stratum's admission-log top-k equal to its own batch run
+    val mem3 = MemoryStream[(Long, String)]
+    val q3 = SampleStream.admitReservoir(
+        mem3.toDF().toDF("doc_id", "lang"), lit(1.0), k = 5, seed = 3L,
+        stratumCol = Some("lang"))
+      .writeStream.format("memory").queryName("wres_test3")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    val strat = (0L until 90L).map(i => (i, s"L${i % 3}"))
+    strat.grouped(30).foreach { b => mem3.addData(b: _*); q3.processAllAvailable() }
+    q3.lastProgress.stateOperators.map(_.numRowsTotal).sum shouldBe 3L
+    q3.stop()
+    val log3 = spark.table("wres_test3").as[Admission].collect()
+    (0 until 3).foreach { s =>
+      val lang = s"L$s"
+      val streamedS = log3.filter(_.stratum == lang)
+        .sortBy(a => (-a.key9, a.doc_id)).take(5).map(_.doc_id).toSet
+      val batchS = graft.ext.Corpus.weightedReservoir(
+          strat.filter(_._2 == lang).toDF("doc_id", "lang"), lit(1.0),
+          k = 5, seed = 3L)
+        .collect().map(_.getLong(0)).toSet
+      streamedS shouldBe batchS
+    }
   }
 }
