@@ -924,6 +924,31 @@ object SparkEntry {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")),
 
+    // Spark 4 VARIANT surface (the schema-on-read JSON path — no
+    // declared struct): parse_json → semi-structured VARIANT column,
+    // typed variant_get extraction, try_variant_get's NULL on a type
+    // mismatch, and schema_of_variant agreement across rows. The
+    // oracle replays with plain json_extract (same values, no variant
+    // needed on the DuckDB side — VARIANT is an execution detail, the
+    // SEMANTICS are json path + cast).
+    "q_variant_extract" -> ((s, dir) =>
+      eventsTbl(s, dir)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          // a scalar can't become an array — the one cast variant
+          // genuinely refuses (LONG→TIMESTAMP, by contrast, succeeds
+          // as epoch seconds)
+          expr("try_variant_get(v, '$.k', 'array<long>')").as("bad_cast"),
+          expr("try_variant_get(v, '$.missing', 'long')").as("absent"),
+          expr("schema_of_variant(v)").as("sch"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          count(col("bad_cast")).as("n_bad_cast"),
+          count(col("absent")).as("n_absent"),
+          countDistinct("sch").as("n_schemas"))
+        .orderBy("event_type")),
+
     // Multi-format scan round-trip (§2.6 scans beyond parquet): the
     // lineitem projection is written ONCE to the warehouse as CSV and
     // as JSON (`_SUCCESS`-guarded, the build-once convention), read
@@ -1595,6 +1620,19 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Variant replay: the values are json-path + cast; a LONG can't
+    // cast to TIMESTAMP (n_bad_cast 0), '$.missing' is absent
+    // (n_absent 0), and every props row is the same {"k": long} shape
+    // (n_schemas 1) — the oracle states those contract constants, so a
+    // variant-side behavior change breaks the hash.
+    "q_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(0 AS BIGINT) AS n_bad_cast,
+        |       CAST(0 AS BIGINT) AS n_absent,
+        |       CAST(1 AS BIGINT) AS n_schemas
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_setop" ->
