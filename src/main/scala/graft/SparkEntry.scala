@@ -767,6 +767,39 @@ object SparkEntry {
           col("n"), col("sum_qty"))
         .orderBy("rflag", "lstatus")),
 
+    // Correlated LATERAL subquery (§2.6 SQL-surface): per nation, the
+    // lateral top-2 suppliers by account balance — the SQL spelling of
+    // per-group top-k that pushes the correlation INTO the subquery.
+    // Spark plans the correlated limit as a partitioned window under
+    // the hood; DuckDB executes LATERAL natively — same rows, and the
+    // SQL text idiom users port from warehouses runs verbatim.
+    "q_lateral_join" -> ((s, dir) => {
+      tbl(s, dir, "nation").createOrReplaceTempView("nation")
+      tbl(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(
+        """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+          |FROM nation n,
+          |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+          |         WHERE s_nationkey = n.n_nationkey
+          |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+          |ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey""".stripMargin)
+    }),
+
+    // listagg (new SQL:2023 surface in Spark 4) with WITHIN GROUP
+    // ordering — deterministic ordered string aggregation, the
+    // report-building idiom ported from warehouses.
+    "q_listagg" -> ((s, dir) => {
+      tbl(s, dir, "nation").createOrReplaceTempView("nation")
+      tbl(s, dir, "region").createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r.r_name,
+          |       listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+          |         AS nations,
+          |       count(*) AS n
+          |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin)
+    }),
+
     // Window: top-3 orders per customer by totalprice.
     "q_window_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -1512,6 +1545,24 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // listagg replay: DuckDB's ordered string_agg is the same
+    // SQL:2023 semantic.
+    "q_listagg" ->
+      """SELECT r.r_name,
+        |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        |       count(*) AS n
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name ORDER BY r.r_name""".stripMargin,
+
+    // The SAME lateral SQL text, executed natively by DuckDB.
+    "q_lateral_join" ->
+      """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier
+        |         WHERE s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tse FROM events),
