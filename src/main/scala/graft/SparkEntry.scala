@@ -3269,6 +3269,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Calibration curve of the trained classifier: equal-frequency
+    // margin bins (ntile over the integer z9 grid with an id
+    // tiebreak — deterministic in both engines, the ppl_buckets
+    // idiom) vs observed good-rate. A well-calibrated monotone model
+    // shows frac_good rising with the bin. Eval-sample-sized global
+    // window — bounded by the scored sample, not the corpus (the
+    // documented model-table posture).
+    "x_logreg_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = tbl(s, dir, "documents")
+      val w9 = trainedLogreg(s, dir)
+      val wArr = array(w9.map(lit): _*)
+      val z = TextStats.logisticFeatures(d, LogRegDims)
+        .withColumn("__w9", element_at(wArr, col("dim").cast("int") + 1))
+        .groupBy("doc_id").agg(sum(col("__w9") * col("c")).as("z9"))
+      val scored = TextStats.qualityFacets(d)
+        .select(col("doc_id"),
+          (col("quality_bucket") === "good").cast("long").as("y"))
+        .join(z, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("z9"), lit(0L)).as("z9"), col("y"))
+      scored
+        .withColumn("bin",
+          ntile(10).over(Window.orderBy(col("z9"), col("doc_id"))))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_good"),
+          min("z9").as("z9_lo"), max("z9").as("z9_hi"))
+        .withColumn("frac_good", col("n_good").cast("double") / col("n"))
+        .orderBy("bin")
+    }),
+
     "x_nb_classify" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       TextStats.naiveBayesFused(d, d.where(col("doc_id") % 2 === 0))
@@ -3424,6 +3454,13 @@ object SparkEntry {
     "x_map" -> ((s, dir) =>
       TextStats.apAtK(tbl(s, dir, "documents"), NdcgQueries)
         .orderBy("query_id")),
+
+    // Reciprocal-rank fusion of the BM25 and term-coverage orderings
+    // over the shared candidate frame — ranker combination without
+    // score calibration, fused on the integer grid.
+    "x_rrf" -> ((s, dir) =>
+      TextStats.rrfOf(tbl(s, dir, "documents"), NdcgQueries)
+        .orderBy("query_id", "rank")),
 
     // MATTR lexical diversity — windowed type-token ratio (the
     // length-robust repetitiveness score): a single shuffle-free
@@ -6389,6 +6426,20 @@ object SparkEntry {
          |FROM lab l LEFT JOIN zf z USING (doc_id)
          |ORDER BY l.doc_id""".stripMargin,
 
+    // Calibration replay: same margins, same deterministic ntile.
+    "x_logreg_calibration" ->
+      s"""WITH $logregCtes,
+         |sc AS (SELECT l.doc_id, COALESCE(z.z9, 0) AS z9,
+         |              CAST(l.y AS BIGINT) AS y
+         |       FROM lab l LEFT JOIN zf z USING (doc_id)),
+         |bn AS (SELECT doc_id, z9, y,
+         |              ntile(10) OVER (ORDER BY z9, doc_id) AS bin FROM sc)
+         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(y) AS BIGINT) AS n_good,
+         |       min(z9) AS z9_lo, max(z9) AS z9_hi,
+         |       CAST(sum(y) AS DOUBLE) / count(*) AS frac_good
+         |FROM bn GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "x_nb_classify" ->
       s"""WITH ${nbCtesWith("w")}
          |SELECT doc_id, actual, predicted, best_lp9, correct
@@ -6553,6 +6604,27 @@ object SparkEntry {
          |         / (1e9 * least(ag.n_relevant, 10)) AS ap
          |FROM nt LEFT JOIN ag USING (query_id) ORDER BY query_id""".stripMargin
     },
+
+    // RRF replay: the same two rank windows over pq, the same
+    // grid-integer contributions, the same (fused desc, id) cut.
+    "x_rrf" ->
+      s"""WITH $ndcgPqCtes,
+         |rk AS (SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY s9 DESC, doc_id) AS r1,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rel DESC, doc_id) AS r2
+         |       FROM pq),
+         |f AS (SELECT query_id, doc_id,
+         |        CAST(CAST(round(1e9 / (60 + r1)) AS BIGINT)
+         |           + CAST(round(1e9 / (60 + r2)) AS BIGINT) AS BIGINT) AS fused9
+         |      FROM rk),
+         |c AS (SELECT query_id, doc_id, fused9,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY fused9 DESC, doc_id) AS rank
+         |      FROM f)
+         |SELECT query_id, doc_id, fused9, CAST(rank AS INT) AS rank
+         |FROM c WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // MATTR replay: per-doc sliding 50-token windows, integer distinct
     // counts summed exactly, one double division.

@@ -1307,6 +1307,39 @@ object TextStats {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack et al.) — the standard way to
+   * combine rankers without score calibration: each ranker contributes
+   * `1/(rrfK + rank)` and documents sort by the sum. Here the two
+   * rankers are the BM25 score order and the term-coverage order (the
+   * same two orderings [[ndcgAtK]] compares as DCG vs ideal), both
+   * over the SHARED candidate frame, fused on the 1e-9 grid
+   * (`fused9 = Σ round(1e9/(rrfK + rank))` — exact long arithmetic,
+   * order-free) and cut to the top `k` per query with a deterministic
+   * (fused desc, id) tiebreak. `(query_id, idCol, fused9, rank)`.
+   */
+  def rrfOf(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+      k: Int = 5, rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(k > 0 && rrfK > 0, "k and rrfK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("__score9").desc, col(idCol))
+    val byRel = Window.partitionBy("query_id")
+      .orderBy(col("__rel").desc, col(idCol))
+    def contrib(rank: Column): Column =
+      round(lit(1e9) / (lit(rrfK) + rank)).cast("long")
+    val wFused = Window.partitionBy("query_id")
+      .orderBy(col("fused9").desc, col(idCol))
+    bm25QueryCandidates(docs, queries, k1, b, idCol, textCol)
+      .withColumn("fused9",
+        contrib(row_number().over(byScore)) + contrib(row_number().over(byRel)))
+      .withColumn("rank", row_number().over(wFused))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("fused9"), col("rank"))
+  }
+
+  /**
    * MATTR — moving-average type-token ratio (Covington & McFall
    * 2010), the length-robust lexical-diversity score: raw TTR
    * (distinct/total tokens) collapses as documents grow (Heaps' law),
