@@ -1018,6 +1018,27 @@ class ScaleSpec extends SparkSpec {
     "ObjectHashAggregate|SortAggregate".r.findAllIn(sPlan).size should be >= 2
   }
 
+  test("run finders join on long window hashes; lateral top-k decorrelates (no cartesian)") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // positional-window pair finders: join keys are the xxhash64 longs
+    // (w#..L), never the window strings
+    for (df <- Seq(Dedup.longestRunPairs(docs),
+        Dedup.verbatimSpanScrub(docs),
+        Dedup.selfRepeatRuns(docs))) {
+      val plan = df.queryExecution.executedPlan.toString.toLowerCase
+      plan should include regex """hashjoin \[.*w#\d+l\], \[.*w#\d+l\]"""
+    }
+    // the correlated LATERAL LIMIT decorrelates to a per-key window +
+    // equi-join — a cartesian/nested-loop here would be the wrong plan
+    // at any scale
+    val q = SparkEntry.queries("q_lateral_join")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val lplan = q.queryExecution.executedPlan.toString
+    lplan should not include "CartesianProduct"
+    lplan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("AQE skew-join splits a deliberately skewed fact-fact shuffle (the q5 join shape)") {
     import org.apache.spark.sql.functions._
     // q5_local_supplier's one fact-fact shuffle joins lineitem⋈orders
