@@ -1211,6 +1211,57 @@ object Corpus {
    * broadcast left-anti-style join against the per-segment rows, then
    * the same sorted-rebuild aggregation as [[segmentDedup]].
    */
+  /**
+   * STATELESS per-row form of [[boilerplateScrub]] for streams: the
+   * flag table from a batch [[boilerplateSegments]] run (small by
+   * definition — boilerplate is few distinct segments repeated widely)
+   * rides the plan as a LITERAL array of `xxhash64(source  segment)`
+   * keys, and each row rebuilds itself from its own unflagged segments
+   * in one projection — no join, no state store, so it gates a
+   * `readStream` exactly like the broadcast-Bloom decontaminator.
+   * Returns the input columns plus `(n_segs, n_dropped, clean_text)`.
+   *
+   * Provably equal to the batch scrub over the same flag table
+   * (StreamingSpec pins it): the batch side explodes + re-aggregates,
+   * this side filters the same segments inside the row.
+   */
+  def scrubRowStateless(df: DataFrame, flaggedKeys: Seq[Long],
+      segTokens: Int = 4, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val tk = TextStats.tokens(col(textCol))
+    val nSegs = ceil(size(tk).cast("double") / segTokens).cast("long")
+    val segs = transform(sequence(lit(0L), nSegs - 1),
+      i => array_join(slice(tk, (i * segTokens).cast("int") + 1, lit(segTokens)), " "))
+    val keyOf = (s: Column) =>
+      xxhash64(concat(col(sourceCol), lit("\u0001"), s))
+    val kept = filter(segs,
+      s => !array_contains(lit(flaggedKeys.toArray), keyOf(s)))
+    df.withColumn("__segs", when(size(tk) > 0, segs).otherwise(array()))
+      .withColumn("__kept",
+        when(size(tk) > 0, kept).otherwise(array()))
+      .select(col("*"),
+        size(col("__segs")).cast("long").as("n_segs"),
+        (size(col("__segs")) - size(col("__kept"))).cast("long")
+          .as("n_dropped"),
+        array_join(col("__kept"), " ").as("clean_text"))
+      .drop("__segs", "__kept")
+  }
+
+  /** The (source, segment) flag table of [[boilerplateSegments]]
+    * reduced to the literal key list [[scrubRowStateless]] ships into
+    * its plan — a driver-side collect bounded by the flag table's own
+    * small-by-definition size. */
+  def boilerplateFlagKeys(df: DataFrame, segTokens: Int = 4,
+      minFrac: Double = 0.25, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Long = 2L): Seq[Long] =
+    boilerplateSegments(df, segTokens, minFrac, sourceCol, idCol,
+        textCol, minDocs)
+      .select(xxhash64(concat(col(sourceCol), lit("\u0001"),
+        col("segment"))).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+
   def boilerplateScrub(df: DataFrame, segTokens: Int = 4,
       minFrac: Double = 0.25, sourceCol: String = "source",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

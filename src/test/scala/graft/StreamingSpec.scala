@@ -775,4 +775,38 @@ class StreamingSpec extends SparkSpec {
       streamedS shouldBe batchS
     }
   }
+
+  test("stateless stream scrub ≡ batch boilerplateScrub under the same flag table") {
+    import graft.ext.Corpus
+    implicit val sqlCtx = spark.sqlContext
+    val banner = "site nav menu here"
+    val docs = Seq(
+      (0L, s"$banner alpha beta gamma delta", "A"),
+      (1L, s"$banner epsilon zeta eta theta", "A"),
+      (2L, s"$banner iota kappa lambda mu", "A"),
+      (3L, "totally organic content right here", "A"),
+      (4L, s"$banner from B untouched words", "B"))
+    val batchDf = docs.toDF("doc_id", "text", "source")
+    // flags trained batch-side once; B is minDocs-exempt
+    val keys = Corpus.boilerplateFlagKeys(batchDf, segTokens = 4, minFrac = 0.5)
+    keys.length shouldBe 1
+    val batch = Corpus.boilerplateScrub(batchDf, segTokens = 4, minFrac = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the same flag keys gate a readStream with NO state store
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(docs: _*)
+    val q = Corpus.scrubRowStateless(
+        mem.toDF().toDF("doc_id", "text", "source"), keys, segTokens = 4)
+      .select("doc_id", "n_segs", "n_dropped", "clean_text")
+      .writeStream.format("memory").queryName("scrub_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.lastProgress.stateOperators.length shouldBe 0 // truly stateless
+    q.stop()
+    val streamed = spark.table("scrub_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    streamed shouldBe batch
+  }
 }
