@@ -1171,7 +1171,7 @@ object Corpus {
    *
    * Scale shape: per-doc-distinct segment rows (narrow: source, id,
    * 8-byte key + the segment payload), one count aggregation keyed on
-   * (source, segment) — map-side combinable; the per-source doc-count
+   * (source, segment-key) — map-side combinable; the per-source doc-count
    * table is |sources| rows and broadcasts. No pair term anywhere:
    * cost is linear in total segments at any corpus size, which is why
    * this report is the cheap pre-pass before any scrubbing decision.
@@ -1182,12 +1182,21 @@ object Corpus {
       minDocs: Long = 2L): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, "minFrac must be in (0, 1]")
     require(minDocs >= 1, "minDocs must be at least 1")
+    // Per-document distinct occurrences, KEYED on the 8-byte
+    // `__key = xxhash64(__seg)` that [[segmentRows]] already computed —
+    // segment-identity-by-hash is the family convention
+    // ([[segmentDedup]] groups on the same key). The segment text rides
+    // only as a min() AGGREGATE payload for the report, never as a
+    // shuffle key: both exchanges below partition on (source, id, key)
+    // / (source, key), not on corpus text.
     val segs = segmentRows(df, segTokens, textCol)
-      .select(col(sourceCol), col(idCol), col("__seg")).distinct()
-    val nDocs = segs.select(col(sourceCol), col(idCol)).distinct()
+      .select(col(sourceCol), col(idCol), col("__key"), col("__seg"))
+    val perDoc = segs.groupBy(col(sourceCol), col(idCol), col("__key"))
+      .agg(min(col("__seg")).as("__seg"))
+    val nDocs = perDoc.select(col(sourceCol), col(idCol)).distinct()
       .groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
-    segs.groupBy(col(sourceCol), col("__seg"))
-      .agg(count(lit(1)).as("df"))
+    perDoc.groupBy(col(sourceCol), col("__key"))
+      .agg(count(lit(1)).as("df"), min(col("__seg")).as("__seg"))
       .join(broadcast(nDocs), sourceCol)
       .withColumn("frac", col("df").cast("double") / col("n_docs"))
       // tiny-source exemption: with n_docs < minDocs EVERY segment is
@@ -1198,6 +1207,96 @@ object Corpus {
         col("n_docs"), col("frac"))
   }
 
+  /** Broadcast/collect bound for the boilerplate flag table: 2^20
+    * (source, segment) flags ≈ 8 MB of 8-byte keys. Boilerplate is
+    * few-distinct-by-definition, so healthy corpora sit far below it —
+    * but |sources| is unbounded (millions of web domains), so every
+    * exit that materializes the table caps here, keeping the
+    * highest-`frac` flags deterministically (ties on (source,
+    * segment)). Audit what a cap dropped with
+    * [[boilerplateFlagOverflow]]; pass `Int.MaxValue` to disable —
+    * the [[graft.ext.Dedup.MaxBucketSize]] contract. */
+  val MaxFlagged: Int = 1 << 20
+
+  /** Keep the `maxFlagged` highest-`frac` flag rows (deterministic
+    * tie-break on (source, segment)) — a TakeOrdered over the already
+    * minFrac-filtered flag table, the guard in front of every
+    * driver-collect/broadcast exit of the boilerplate family. */
+  private def capFlags(flags: DataFrame, maxFlagged: Int,
+      sourceCol: String): DataFrame =
+    if (maxFlagged == Int.MaxValue) flags
+    else flags.orderBy(col("frac").desc, col(sourceCol), col("segment"))
+      .limit(maxFlagged)
+
+  /** Audit companion of the `maxFlagged` cap ([[Dedup]]'s
+    * bucket-overflow posture): the flagged rows BEYOND the cap — the
+    * lowest-`frac` flags [[boilerplateScrub]] / [[boilerplateFlagKeys]]
+    * would ignore. Empty in healthy corpora. */
+  def boilerplateFlagOverflow(df: DataFrame, segTokens: Int = 4,
+      minFrac: Double = 0.25, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Long = 2L, maxFlagged: Int = MaxFlagged): DataFrame = {
+    val flags = boilerplateSegments(df, segTokens, minFrac, sourceCol,
+      idCol, textCol, minDocs)
+    flags.join(
+      broadcast(capFlags(flags, maxFlagged, sourceCol)
+        .select(col(sourceCol), col("segment"))),
+      Seq(sourceCol, "segment"), "left_anti")
+  }
+
+  /**
+   * STATELESS per-row form of [[boilerplateScrub]] for streams: the
+   * flag table from a batch [[boilerplateSegments]] run (small by
+   * definition — boilerplate is few distinct segments repeated widely
+   * — and capped at `maxFlagged` by [[boilerplateFlagKeys]] besides)
+   * rides the plan as a plan-time-constant SORTED key array inside one
+   * fused kernel ([[graft.plans.Native.scrubSegments]]): each row
+   * re-tokenizes, re-keys `xxhash64(source || '\u0001' || segment)`,
+   * and rebuilds itself from its own unflagged segments — a binary
+   * search per segment where the previous `array_contains` literal
+   * formulation re-scanned the whole key list per segment. No join, no
+   * state store, so it gates a `readStream` exactly like the
+   * broadcast-Bloom decontaminator. Returns the input columns plus
+   * `(n_segs, n_dropped, clean_text)`.
+   *
+   * Equal to the batch scrub over the same flag table for every
+   * TOKEN-BEARING document (StreamingSpec pins it): the batch side
+   * explodes + re-aggregates, this side filters the same segments
+   * inside the row. Deliberate deviation at the boundary: tokenless
+   * documents get a `(0, 0, "")` row here but NO row from
+   * [[boilerplateScrub]] (nothing survives its `segmentRows` explode
+   * to re-aggregate) — a stream gate must pass every row through.
+   */
+  def scrubRowStateless(df: DataFrame, flaggedKeys: Seq[Long],
+      segTokens: Int = 4, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    df.withColumn("__sc", graft.plans.NativeFunctions.scrubSegments(
+        col(sourceCol), col(textCol), flaggedKeys, segTokens))
+      .select(col("*"),
+        col("__sc").getField("n_segs").as("n_segs"),
+        col("__sc").getField("n_dropped").as("n_dropped"),
+        col("__sc").getField("clean_text").as("clean_text"))
+      .drop("__sc")
+  }
+
+  /** The (source, segment) flag table of [[boilerplateSegments]]
+    * reduced to the key list [[scrubRowStateless]] ships into its
+    * plan — a driver-side collect bounded by the `maxFlagged` cap
+    * (highest-`frac` flags kept; audit the remainder with
+    * [[boilerplateFlagOverflow]]). */
+  def boilerplateFlagKeys(df: DataFrame, segTokens: Int = 4,
+      minFrac: Double = 0.25, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      minDocs: Long = 2L, maxFlagged: Int = MaxFlagged): Seq[Long] =
+    capFlags(
+      boilerplateSegments(df, segTokens, minFrac, sourceCol, idCol,
+        textCol, minDocs),
+      maxFlagged, sourceCol)
+      .select(xxhash64(concat(col(sourceCol), lit("\u0001"),
+        col("segment"))).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+
   /**
    * [[boilerplateSegments]]'s scrub companion: rebuild each document
    * with its source's boilerplate segments REMOVED (every occurrence —
@@ -1205,73 +1304,28 @@ object Corpus {
    * is noise in its first document too). Returns
    * `(idCol, n_segs, n_dropped, clean_text)`.
    *
-   * The flag table is (source, segment-key) rows for segments above
-   * `minFrac` — small by construction (boilerplate is by definition
-   * few distinct segments repeated widely) — so the scrub is a
-   * broadcast left-anti-style join against the per-segment rows, then
-   * the same sorted-rebuild aggregation as [[segmentDedup]].
+   * The flag side is the `maxFlagged`-capped flag table re-keyed to
+   * `(source, xxhash64(segment))` — 8-byte keys, bounded rows — so the
+   * scrub is a BROADCAST left join against the per-segment rows on
+   * `(source, __key)` (the same hash identity [[segmentDedup]] and the
+   * big side's own `segmentRows` already carry; no segment text in any
+   * join key), then the same sorted-rebuild aggregation as
+   * [[segmentDedup]].
    */
-  /**
-   * STATELESS per-row form of [[boilerplateScrub]] for streams: the
-   * flag table from a batch [[boilerplateSegments]] run (small by
-   * definition — boilerplate is few distinct segments repeated widely)
-   * rides the plan as a LITERAL array of `xxhash64(source  segment)`
-   * keys, and each row rebuilds itself from its own unflagged segments
-   * in one projection — no join, no state store, so it gates a
-   * `readStream` exactly like the broadcast-Bloom decontaminator.
-   * Returns the input columns plus `(n_segs, n_dropped, clean_text)`.
-   *
-   * Provably equal to the batch scrub over the same flag table
-   * (StreamingSpec pins it): the batch side explodes + re-aggregates,
-   * this side filters the same segments inside the row.
-   */
-  def scrubRowStateless(df: DataFrame, flaggedKeys: Seq[Long],
-      segTokens: Int = 4, sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
-    require(segTokens > 0, "segTokens must be positive")
-    val tk = TextStats.tokens(col(textCol))
-    val nSegs = ceil(size(tk).cast("double") / segTokens).cast("long")
-    val segs = transform(sequence(lit(0L), nSegs - 1),
-      i => array_join(slice(tk, (i * segTokens).cast("int") + 1, lit(segTokens)), " "))
-    val keyOf = (s: Column) =>
-      xxhash64(concat(col(sourceCol), lit("\u0001"), s))
-    val kept = filter(segs,
-      s => !array_contains(lit(flaggedKeys.toArray), keyOf(s)))
-    df.withColumn("__segs", when(size(tk) > 0, segs).otherwise(array()))
-      .withColumn("__kept",
-        when(size(tk) > 0, kept).otherwise(array()))
-      .select(col("*"),
-        size(col("__segs")).cast("long").as("n_segs"),
-        (size(col("__segs")) - size(col("__kept"))).cast("long")
-          .as("n_dropped"),
-        array_join(col("__kept"), " ").as("clean_text"))
-      .drop("__segs", "__kept")
-  }
-
-  /** The (source, segment) flag table of [[boilerplateSegments]]
-    * reduced to the literal key list [[scrubRowStateless]] ships into
-    * its plan — a driver-side collect bounded by the flag table's own
-    * small-by-definition size. */
-  def boilerplateFlagKeys(df: DataFrame, segTokens: Int = 4,
-      minFrac: Double = 0.25, sourceCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text",
-      minDocs: Long = 2L): Seq[Long] =
-    boilerplateSegments(df, segTokens, minFrac, sourceCol, idCol,
-        textCol, minDocs)
-      .select(xxhash64(concat(col(sourceCol), lit("\u0001"),
-        col("segment"))).as("k"))
-      .collect().map(_.getLong(0)).toSeq
-
   def boilerplateScrub(df: DataFrame, segTokens: Int = 4,
       minFrac: Double = 0.25, sourceCol: String = "source",
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxFlagged: Int = MaxFlagged): DataFrame = {
     val segs = segmentRows(df, segTokens, textCol)
-      .select(col(sourceCol), col(idCol), col("__seg_idx"), col("__seg"))
-    val flagged = boilerplateSegments(df, segTokens, minFrac, sourceCol,
-        idCol, textCol)
-      .select(col(sourceCol), col("segment").as("__seg"),
+      .select(col(sourceCol), col(idCol), col("__seg_idx"), col("__seg"),
+        col("__key"))
+    val flagged = capFlags(
+      boilerplateSegments(df, segTokens, minFrac, sourceCol, idCol,
+        textCol),
+      maxFlagged, sourceCol)
+      .select(col(sourceCol), xxhash64(col("segment")).as("__key"),
         lit(true).as("__boiler"))
-    segs.join(broadcast(flagged), Seq(sourceCol, "__seg"), "left")
+    segs.join(broadcast(flagged), Seq(sourceCol, "__key"), "left")
       .withColumn("__drop", coalesce(col("__boiler"), lit(false)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_segs"),

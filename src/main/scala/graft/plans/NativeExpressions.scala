@@ -113,6 +113,54 @@ object Native {
   }
 
   /**
+   * scrub_segments(source, text) → (n_segs, n_dropped, clean_text):
+   * the stateless boilerplate scrub in ONE pass — tokenize
+   * ([[tokensOf]] semantics), cut fixed-width `segTokens` segments,
+   * key each as Spark's `xxhash64(source ∥ '\u0001' ∥ segment)`
+   * (seed 42 over the concatenated UTF-8 bytes), and keep segments
+   * whose key MISSES the sorted flag array — a binary search, O(log F)
+   * per segment, where the Column `array_contains(lit(keys), …)`
+   * formulation re-scanned the whole literal per segment. Tokenless
+   * documents → (0, 0, "").
+   */
+  def scrubSegments(source: UTF8String, text: UTF8String,
+      sortedKeys: Array[Long], segTokens: Int): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0)
+      return new GenericInternalRow(
+        Array[Any](0L, 0L, UTF8String.fromString("")))
+    val srcPrefix = source.toString + "\u0001"
+    val nSegs = (n + segTokens - 1) / segTokens
+    val kept = new java.lang.StringBuilder
+    var dropped = 0L
+    var s = 0
+    while (s < nSegs) {
+      val from = s * segTokens
+      val to = math.min(from + segTokens, n)
+      val segSb = new java.lang.StringBuilder
+      var i = from
+      while (i < to) {
+        if (i > from) segSb.append(' ')
+        segSb.append(toks(i))
+        i += 1
+      }
+      val seg = segSb.toString
+      val keyBytes = UTF8String.fromString(srcPrefix + seg)
+      val h = XXH64.hashUnsafeBytes(keyBytes.getBaseObject,
+        keyBytes.getBaseOffset, keyBytes.numBytes, 42L)
+      if (java.util.Arrays.binarySearch(sortedKeys, h) >= 0) dropped += 1L
+      else {
+        if (kept.length > 0) kept.append(' ')
+        kept.append(seg)
+      }
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](nSegs.toLong, dropped,
+      UTF8String.fromString(kept.toString)))
+  }
+
+  /**
    * mattr_stats(text, window) → (n_tokens, n_windows, sum_distinct):
    * the MATTR inputs in ONE O(len) pass — a sliding occurrence map
    * gives each window's distinct count incrementally (add the entering
@@ -1058,6 +1106,43 @@ case class MattrStatsExpr(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** scrub_segments(source, text) → struct(n_segs, n_dropped,
+  * clean_text) — the stateless boilerplate scrub
+  * ([[graft.ext.Corpus.scrubRowStateless]]); the SORTED flag-key array
+  * is a plan-time constant (Seq param for structural equality) shipped
+  * into generated code as a reference object and probed by binary
+  * search per segment. */
+case class ScrubSegmentsExpr(left: Expression, right: Expression,
+    keys: Seq[Long], segTokens: Int) extends BinaryExpression {
+  require(segTokens > 0, "segTokens must be positive")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_segs", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  // sorted+deduped ONCE per plan, whatever order the caller passed
+  @transient private lazy val kArr: Array[Long] = {
+    val a = keys.distinct.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  override protected def nullSafeEval(src: Any, text: Any): Any =
+    Native.scrubSegments(src.asInstanceOf[UTF8String],
+      text.asInstanceOf[UTF8String], kArr, segTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("scrubKeys", kArr, "long[]")
+    defineCodeGen(ctx, ev, (s, t) =>
+      s"graft.plans.Native.scrubSegments($s, $t, $kRef, $segTokens)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ScrubSegmentsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** gopher_gram_stats(string) → struct(top2_cnt, top2_len, dup5_chars). */
 case class GopherGramStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -1591,6 +1676,11 @@ object NativeFunctions {
 
   def mattrStats(text: Column, window: Int): Column =
     ColumnBridge.column(MattrStatsExpr(ColumnBridge.expression(text), window))
+
+  def scrubSegments(source: Column, text: Column, keys: Seq[Long],
+      segTokens: Int): Column =
+    ColumnBridge.column(ScrubSegmentsExpr(ColumnBridge.expression(source),
+      ColumnBridge.expression(text), keys, segTokens))
 
   def charTrigramHashes(text: Column): Column =
     ColumnBridge.column(CharTrigramHashesExpr(ColumnBridge.expression(text)))

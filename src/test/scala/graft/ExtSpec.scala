@@ -1798,6 +1798,54 @@ class ExtSpec extends SparkSpec {
     scrub(10L) shouldBe ((2L, 0L, s"$banner other site words here"))
   }
 
+  test("boilerplate flood: maxFlagged caps every flag-table exit, overflow audited, capped scrub consistent across batch and stateless forms") {
+    import graft.ext.Corpus
+    // 12 sources, each with 3 docs sharing a source-specific 4-token
+    // banner (frac 1.0) — 12 flagged (source, segment) rows, a stand-in
+    // for the |sources|-scaling flood the cap exists for
+    val rows = for (sIdx <- 0 until 12; j <- 0 until 3) yield {
+      val src = f"S$sIdx%02d"
+      ((sIdx * 3 + j).toLong,
+        s"nav menu site b$sIdx u${sIdx}_$j v${sIdx}_$j w${sIdx}_$j x${sIdx}_$j",
+        src)
+    }
+    val d = (rows :+ ((99L, "   ", "S00"))) // tokenless straggler
+      .toDF("doc_id", "text", "source")
+    val cap = 4
+    // uncapped: one banner segment flagged per source
+    Corpus.boilerplateSegments(d, segTokens = 4, minFrac = 0.5)
+      .count() shouldBe 12L
+    // the cap keeps the highest-frac flags with the deterministic
+    // (source, segment) tie-break: all fracs are 1.0, so S00..S03 stay
+    val overflow = Corpus.boilerplateFlagOverflow(d, segTokens = 4,
+      minFrac = 0.5, maxFlagged = cap)
+    overflow.count() shouldBe 8L
+    overflow.select("source").collect().map(_.getString(0)).sorted shouldBe
+      (4 until 12).map(i => f"S$i%02d")
+    // flag keys honor the same cap
+    val keys = Corpus.boilerplateFlagKeys(d, segTokens = 4, minFrac = 0.5,
+      maxFlagged = cap)
+    keys.length shouldBe cap
+    // capped batch scrub: sources inside the cap lose their banner,
+    // sources beyond it keep theirs
+    val scrub = Corpus.boilerplateScrub(d, segTokens = 4, minFrac = 0.5,
+        maxFlagged = cap)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    scrub(0L) shouldBe ((1L, "u0_0 v0_0 w0_0 x0_0"))        // S00: scrubbed
+    scrub(33L) shouldBe ((0L, "nav menu site b11 u11_0 v11_0 w11_0 x11_0")) // S11: kept
+    scrub.contains(99L) shouldBe false // tokenless doc emits no batch row
+    // the stateless kernel under the SAME capped key list agrees on
+    // every token-bearing doc — and hands the tokenless row through
+    val stateless = Corpus.scrubRowStateless(d, keys, segTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    for ((id, (dropped, clean)) <- scrub)
+      stateless(id) shouldBe ((2L, dropped, clean))
+    stateless(99L) shouldBe ((0L, 0L, ""))
+  }
+
   test("verbatimSpanScrub: the later doc loses exactly the shared run, earlier doc untouched") {
     import graft.ext.Dedup
     val quote12 = "one two three four five six seven eight nine ten eleven twelve"

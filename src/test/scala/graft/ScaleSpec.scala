@@ -1090,4 +1090,32 @@ class ScaleSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("boilerplate family: exchanges keyed on the 8-byte segment hash, never on segment text; stateless scrub is a shuffle-free kernel projection") {
+    import graft.ext.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // both the report and the scrub shuffle only on (source, doc_id,
+    // __key)-shaped tuples — the raw __seg / segment string columns
+    // ride as aggregate payloads, never as partitioning keys
+    val plans = Seq(
+      Corpus.boilerplateSegments(docs, segTokens = 4, minFrac = 0.05),
+      Corpus.boilerplateScrub(docs, segTokens = 4, minFrac = 0.05))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { plan =>
+      val keys = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+      keys should not be empty
+      all(keys) should not include "__seg#"
+      all(keys) should not include "segment#"
+    }
+    // the stateless twin: one fused binary-search kernel inside a
+    // projection — no Exchange, no Generate, no per-segment literal
+    // array scan riding the plan
+    val keys = Corpus.boilerplateFlagKeys(docs, segTokens = 4, minFrac = 0.05)
+    val sPlan = Corpus.scrubRowStateless(docs, keys, segTokens = 4)
+      .queryExecution.executedPlan.toString
+    sPlan.toLowerCase should include("scrubsegments")
+    sPlan should not include "Exchange"
+    sPlan should not include "Generate"
+    sPlan should not include "array_contains"
+  }
 }
