@@ -87,18 +87,41 @@ object Bench {
     // per-query min/median maps to a repo file — committed each round,
     // so git history carries every query's timing across rounds.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_detail.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(detailPath), "UTF-8")
-      try w.write(
-        s"""{"sf":"$sfDir","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"n_queries":${results.size},
-           |"queries_min":$qs,
-           |"queries_median":$qsMed}
-           |""".stripMargin)
-      finally w.close()
-      System.err.println(s"[bench] full per-query detail written to $detailPath")
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    val detailJson =
+      s"""{"sf":"$sfDir","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"n_queries":${results.size},
+         |"queries_min":$qs,
+         |"queries_median":$qsMed}
+         |""".stripMargin
+    def writeDetail(path: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+        try w.write(detailJson) finally w.close()
+        System.err.println(s"[bench] full per-query detail written to $path")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] detail write to $path failed: ${e.getMessage}")
+      }
+    writeDetail(detailPath)
+    // ALSO write a round-stamped copy, BENCH_detail_r{N}.json: the
+    // driver overwrites BENCH_detail.json every round and keeps only a
+    // ~2k-char stdout tail in BENCH_rN.json, so without this the
+    // cross-round per-query series needs git archaeology. The round
+    // number is inferred as 1 + the highest committed BENCH_r*.json —
+    // the round whose bench is running right now.
+    locally {
+      val dir = {
+        val d = new java.io.File(detailPath).getAbsoluteFile.getParentFile
+        if (d == null) new java.io.File(".") else d
+      }
+      val roundRe = """BENCH_r(\d+)\.json""".r
+      val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case roundRe(n) => Some(n.toInt)
+          case _          => None
+        })
+      if (prior.nonEmpty)
+        writeDetail(new java.io.File(dir,
+          s"BENCH_detail_r${prior.max + 1}.json").getPath)
     }
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")

@@ -2642,6 +2642,30 @@ object SparkEntry {
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactByDigest(tbl(s, dir, "documents")).orderBy("digest")),
 
+    // URL-normalized dedup: the CCNet/RefinedWeb re-crawl pre-filter —
+    // canonicalize the URL (lowercase; strip query/fragment, scheme,
+    // www., default port, trailing slash), then the narrow exactByDigest
+    // aggregate on the canonical key. The documents table carries no
+    // URL column, so crawl-style URL dressing is synthesized
+    // deterministically from (doc_id, source) — scheme/www/port/slash/
+    // tracking-param/fragment variants that all collapse onto
+    // source.example.com/articles/{doc_id % 40}.
+    "x_url_dedup" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Articles/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      Dedup.urlDedup(tbl(s, dir, "documents").withColumn("url", url))
+        .orderBy("url_norm")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -5946,6 +5970,31 @@ object SparkEntry {
     "x_dedup_exact" ->
       """SELECT sha256(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same synthetic URL dressing as the Spark side, then the same
+    // five-step canonicalization (lowercase; strip query/fragment,
+    // scheme, www., default :80/:443, trailing slashes) — plain RE2
+    // regexes, DuckDB replacement backrefs spelled \1 where Spark
+    // spells $1.
+    "x_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u)
+        |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

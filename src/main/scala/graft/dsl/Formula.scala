@@ -226,7 +226,11 @@ object Formula {
       case Lag(k) =>
         // Python IndexError posture, same as max([]) above: reading
         // deeper than the points generated so far is a formula bug the
-        // author must guard ('V if t < k else …')
+        // author must guard ('V if t < k else …'). For the
+        // datapoints[-k] spelling this is exactly Python; for the
+        // datapoints[t-k] spelling Python would instead WRAP
+        // (datapoints[2t-k] while k <= 2t) — deliberately NOT matched;
+        // see parseLagIndex's deviation note.
         if (k > prefixLen) throw new IllegalArgumentException(
           s"datapoints[-$k] with only $prefixLen prior points (guard with 'if t < $k')")
         else lagAt(k)
@@ -386,6 +390,17 @@ object Formula {
     // the bounded-lag indexing forms (both mean "K-th most recent").
     // Anything else inside the brackets (t+1, a variable k, a bare
     // index, floats) is a parse error, keeping the grammar closed.
+    //
+    // DELIBERATE DEVIATION from the reference's raw Python eval
+    // (main.py:475) for the [t-K] spelling read too early: with
+    // t < K <= 2t, Python's t-K is a negative list index that silently
+    // WRAPS and reads datapoints[2t-K] — a different point each tick,
+    // almost certainly a formula bug the author never guarded. This
+    // engine normalizes both spellings to lag-K and makes every
+    // too-deep read throw (the evalPrefix Lag guard), so the author
+    // must write the 'V if t < K else ...' guard the [-K] form already
+    // required. The [-K] spelling itself matches Python exactly
+    // (IndexError <-> throw).
     private def parseLagIndex(): Ast = {
       skipWs()
       val relative = peek == 't' &&

@@ -314,7 +314,11 @@ object Corpus {
    * The key is quantized to the 1e-9 grid (`key9 = round(1e9·ln(u)/w)`,
    * ties broken by `idCol`) — the engine's standard cross-engine
    * determinism posture for transcendental arithmetic, so the selected
-   * SET replays exactly in DuckDB.
+   * SET replays exactly in DuckDB. `key9` is PART OF THE OUTPUT — the
+   * sampling key is what makes a draw auditable/replayable (the
+   * x_weighted_reservoir oracle and the streaming reservoir pin both
+   * read it) — so an input that already carries a `key9` column is
+   * rejected rather than silently clobbered.
    *
    * Scale shape: one codegen'd projection computes the key, and the
    * global top-k plans as TakeOrdered (bounded per-partition heaps +
@@ -326,6 +330,9 @@ object Corpus {
       idCol: String = "doc_id",
       stream: String = "corpus_wres"): DataFrame = {
     require(k > 0, "k must be positive")
+    require(!df.columns.contains("key9"),
+      "input already has a 'key9' column — weightedReservoir emits the " +
+        "sampling key under that name (rename the input column)")
     // u ∈ (0,1] so ln is finite; w ≤ 0 would silently rank last, so
     // surface it as the caller bug it is
     val key9 = round(log(Rng.uniformPos(seed, stream, col(idCol))) / weight

@@ -30,6 +30,47 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count("*").as("n_copies"))
 
   /**
+   * URL canonicalization for crawl dedup — the CCNet/RefinedWeb
+   * re-crawl pre-filter key: two crawl records of the same page differ
+   * in URL dressing long before their bodies are compared, so the URL
+   * itself, normalized, is the cheapest dedup axis a web corpus has.
+   * Canonical form, applied in order: lowercase everything (the CCNet
+   * posture — scheme, host, AND path), drop the query string and
+   * fragment (`?…`/`#…` — tracking params carry no page identity),
+   * drop the scheme (`http://` ≡ `https://`), a leading `www.`, an
+   * explicit default port (`:80`/`:443`), and any trailing slashes.
+   * Deliberately NOT attempted: percent-decoding, path-segment
+   * resolution (`/a/../b`), or per-param allowlists — key
+   * normalization stays a pure per-row projection both engines
+   * replay byte-identically.
+   *
+   * Pure nested `lower`/`regexp_replace` Column functions — codegen'd,
+   * no UDF, and every step is plain RE2-compatible regex (no
+   * lookahead), so the DuckDB oracle states the same pipeline.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val steps: Seq[(String, String)] = Seq(
+      "[?#].*" -> "",              // query string + fragment
+      "^https?://" -> "",          // scheme
+      "^www\\." -> "",             // host dressing
+      "^([^/:]+):(80|443)(/|$)" -> "$1$3", // explicit default port
+      "/+$" -> "")                 // trailing slash(es)
+    steps.foldLeft(lower(url)) { case (c, (pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+  }
+
+  /** Exact dedup on the [[normalizeUrl]] key — [[exactByDigest]]'s
+    * narrow-shuffle aggregate shape over `(url_norm, id)` rows:
+    * `(url_norm, keep_id = min id, n_copies)`. The text column never
+    * enters the shuffle; page identity is the canonical URL. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(normalizeUrl(col(urlCol)).as("url_norm"), col(idCol))
+      .groupBy("url_norm")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /**
    * Quality-aware exact dedup: within each duplicate group keep the
    * HIGHEST-`scoreCol` copy (ties → smallest id) instead of [[exact]]'s
    * min-id convention — the production keep rule when copies differ in
@@ -191,6 +232,26 @@ object Dedup {
         .select(keys.map(col): _*)
       buckets.join(broadcast(hot), keys, "left_anti")
     }
+
+  /** The run-family window guard, shared by every pair finder that
+    * self-joins `w`-keyed window rows ([[exactSubstringPairs]],
+    * [[longestRunPairs]], [[verbatimSpanScrub]]): with
+    * `pruneRareWindows` ONE doc-frequency pass over the checkpointed
+    * window rows serves both prunes — keep windows some OTHER doc also
+    * holds (result-invariant, spec-pinned: a frequency-1 window cannot
+    * pair) and below the quadratic-cell `maxBucketSize` ceiling; with
+    * the prune off, only the hot-window cap applies
+    * ([[dropOverflowBuckets]]). Routing every finder through here
+    * keeps the guard semantics from forking per operator. */
+  private def sharedWindowRows(wins: DataFrame, pruneRareWindows: Boolean,
+      maxBucketSize: Int): DataFrame =
+    if (pruneRareWindows)
+      wins.join(
+        wins.groupBy("w").agg(count(lit(1)).as("__f"))
+          .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
+          .select("w"),
+        "w")
+    else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
 
   /**
    * MinHash + LSH banding: b bands of r rows (b*r = numHashes); documents
@@ -659,6 +720,17 @@ object Dedup {
    *     as [[containmentPairs]] / [[minhashLshPairs]]. Both prunes
    *     ride the SAME frequency aggregation, so the second is free
    *     once the first runs.
+   *
+   * NOTE the cap makes the DEFAULT lossy, unlike the rare-window
+   * prune: a pair whose only shared windows each sit in >4096
+   * documents is absent from the default result (its `n_shared_windows`
+   * also ignores such windows). That changed this function's default
+   * output when the cap landed — deliberate: those windows are
+   * corpus-wide boilerplate, the job of [[graft.ext.Corpus
+   * .boilerplateScrub]], not pair evidence. Pass
+   * `maxBucketSize = Int.MaxValue` for the exhaustive pre-cap
+   * semantics, and audit what the cap dropped with the shared
+   * frequency aggregation (the [[minhashBucketOverflow]] posture).
    */
   def exactSubstringPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", windowTokens: Int = 8,
@@ -671,16 +743,7 @@ object Dedup {
       .select(col(idCol), explode(
         graft.plans.NativeFunctions.hashedShingles(col(textCol), windowTokens)).as("w"))
       .localCheckpoint() // window rows feed both join sides once
-    val shared =
-      if (pruneRareWindows)
-        // one doc-frequency pass serves both guards: keep windows some
-        // OTHER doc also holds, below the quadratic-cell ceiling
-        wins.join(
-          wins.groupBy("w").agg(count(lit(1)).as("__f"))
-            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
-            .select("w"),
-          "w")
-      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val shared = sharedWindowRows(wins, pruneRareWindows, maxBucketSize)
     val l = shared.select(col("w"), col(idCol).as("a"))
     val r = shared.select(col("w"), col(idCol).as("b"))
     l.join(r, "w").where(col("a") < col("b"))
@@ -760,14 +823,7 @@ object Dedup {
     val wins = positionalGramRows(eligible, idCol, textCol, windowTokens)
       .select(col(idCol), col("pos"), xxhash64(col("__g")).as("w"))
       .localCheckpoint()
-    val shared =
-      if (pruneRareWindows)
-        wins.join(
-          wins.groupBy("w").agg(count(lit(1)).as("__f"))
-            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
-            .select("w"),
-          "w")
-      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val shared = sharedWindowRows(wins, pruneRareWindows, maxBucketSize)
     val l = shared.select(col("w"), col(idCol).as("a"), col("pos").as("pa"))
     val r = shared.select(col("w"), col(idCol).as("b"), col("pos").as("pb"))
     val matched = l.join(r, "w").where(col("a") < col("b"))
@@ -804,6 +860,31 @@ object Dedup {
       textCol: String = "text", windowTokens: Int = 8,
       minRunTokens: Int = 8, pruneRareWindows: Boolean = true,
       maxBucketSize: Int = MaxBucketSize): DataFrame = {
+    val flagged = verbatimSpanFlags(docs, idCol, textCol, windowTokens,
+      minRunTokens, pruneRareWindows, maxBucketSize)
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "__tok")))
+    toks.join(flagged.withColumn("__flag", lit(true)), Seq(idCol, "pos"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__flag"), 1L).otherwise(0L)).as("n_flagged"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__flag").isNull,
+            struct(col("pos"), col("__tok"))))),
+          s => s.getField("__tok")), " ").as("clean_text"))
+  }
+
+  /** The FLAG half of [[verbatimSpanScrub]]: the distinct
+    * `(idCol, pos)` token positions the span policy removes — every
+    * position of every shared run of at least `minRunTokens` tokens,
+    * in the LATER document of each pair. Split out so the apply step
+    * has a second, streaming-shaped consumer
+    * ([[scrubSpansStateless]]) guaranteed to scrub the SAME positions
+    * the batch rebuild does. */
+  def verbatimSpanFlags(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 8,
+      minRunTokens: Int = 8, pruneRareWindows: Boolean = true,
+      maxBucketSize: Int = MaxBucketSize): DataFrame = {
     require(minRunTokens >= windowTokens,
       "minRunTokens must be at least windowTokens (shorter runs are invisible)")
     import org.apache.spark.sql.expressions.Window
@@ -811,14 +892,7 @@ object Dedup {
     val wins = positionalGramRows(eligible, idCol, textCol, windowTokens)
       .select(col(idCol), col("pos"), xxhash64(col("__g")).as("w"))
       .localCheckpoint()
-    val shared =
-      if (pruneRareWindows)
-        wins.join(
-          wins.groupBy("w").agg(count(lit(1)).as("__f"))
-            .where(col("__f") >= 2 && col("__f") <= maxBucketSize)
-            .select("w"),
-          "w")
-      else dropOverflowBuckets(wins, Seq("w"), maxBucketSize)
+    val shared = sharedWindowRows(wins, pruneRareWindows, maxBucketSize)
     val l = shared.select(col("w"), col(idCol).as("a"), col("pos").as("pa"))
     val r = shared.select(col("w"), col(idCol).as("b"), col("pos").as("pb"))
     val matched = l.join(r, "w").where(col("a") < col("b"))
@@ -833,20 +907,48 @@ object Dedup {
         (col("__pa0") + col("diag")).as("__s"),
         (col("__pa0") + col("diag") + col("__c") + lit(windowTokens - 2))
           .as("__e"))
-    val flagged = spans
+    spans
       .select(col("b").as(idCol), explode(sequence(col("__s"), col("__e")))
         .as("pos"))
       .distinct()
-    val toks = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "__tok")))
-    toks.join(flagged.withColumn("__flag", lit(true)), Seq(idCol, "pos"), "left")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("__flag"), 1L).otherwise(0L)).as("n_flagged"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__flag").isNull,
-            struct(col("pos"), col("__tok"))))),
-          s => s.getField("__tok")), " ").as("clean_text"))
+  }
+
+  /**
+   * STATELESS apply half of [[verbatimSpanScrub]] for streams — the
+   * span-precise sibling of
+   * [[graft.ext.Corpus.scrubRowStateless]]'s segment gate: the
+   * `(idCol, pos)` flag table from a batch [[verbatimSpanFlags]] run
+   * is collapsed to ONE sorted position array per flagged document
+   * (bounded by that document's own token count — never corpus-sized)
+   * and stream-static LEFT-joined on the document id, so each arriving
+   * row rebuilds itself in a single projection. No aggregation on the
+   * stream side, no state store — append-mode safe behind a
+   * `readStream` exactly like the other ingest gates.
+   *
+   * Returns the input columns plus `(n_tokens, n_flagged,
+   * clean_text)`. Equal to [[verbatimSpanScrub]] over the same corpus
+   * and flag table for every TOKEN-BEARING document (StreamingSpec
+   * pins it); tokenless documents pass through as `(0, 0, "")` where
+   * the batch rebuild emits no row — the [[graft.ext.Corpus
+   * .scrubRowStateless]] stream-boundary convention.
+   */
+  def scrubSpansStateless(df: DataFrame, flags: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perDoc = flags.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("__flag_pos"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("__fp",
+        coalesce(col("__flag_pos"), array().cast("array<int>")))
+      .select(col("*"),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        size(col("__fp")).cast("long").as("n_flagged"),
+        array_join(filter(
+          transform(col("__tk"),
+            (t, i) => when(array_contains(col("__fp"), i), lit(null))
+              .otherwise(t)),
+          x => x.isNotNull), " ").as("clean_text"))
+      .drop("__flag_pos", "__tk", "__fp")
   }
 
   /**

@@ -1798,6 +1798,34 @@ class ExtSpec extends SparkSpec {
     scrub(10L) shouldBe ((2L, 0L, s"$banner other site words here"))
   }
 
+  test("normalizeUrl: dressing variants collapse, distinct pages stay distinct") {
+    import graft.ext.Dedup
+    val cases = Seq(
+      "HTTPS://WWW.Example.com:443/Articles/7/?utm_source=x#frag" ->
+        "example.com/articles/7",
+      "http://example.com:80/articles/7" -> "example.com/articles/7",
+      "https://example.com/articles/7///" -> "example.com/articles/7",
+      "example.com/articles/7" -> "example.com/articles/7", // already canonical
+      "https://www.example.com" -> "example.com",           // bare host
+      "https://example.com:8080/a" -> "example.com:8080/a", // NON-default port kept
+      "https://sub.example.com/articles/7" -> "sub.example.com/articles/7",
+      "https://example.com/articles/8" -> "example.com/articles/8")
+    val out = cases.map(_._1).toDF("url")
+      .select(col("url"), Dedup.normalizeUrl(col("url")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      withClue(raw) { out(raw) shouldBe want }
+    }
+    // dedup on the key: the five dressings of page 7 form ONE group
+    val docs = cases.map(_._1).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val groups = Dedup.urlDedup(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    groups("example.com/articles/7") shouldBe ((0L, 4L))
+    groups("example.com/articles/8")._2 shouldBe 1L
+    groups.size shouldBe 5
+  }
+
   test("boilerplate flood: maxFlagged caps every flag-table exit, overflow audited, capped scrub consistent across batch and stateless forms") {
     import graft.ext.Corpus
     // 12 sources, each with 3 docs sharing a source-specific 4-token

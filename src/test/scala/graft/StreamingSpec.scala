@@ -809,4 +809,42 @@ class StreamingSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     streamed shouldBe batch
   }
+
+  test("stateless span scrub ≡ batch verbatimSpanScrub under the same flag table") {
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val quote12 = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (0L, s"alpha beta $quote12 gamma delta"),
+      (1L, s"zeta $quote12 omega"), // later doc: loses the 12-token run
+      (2L, "untouched words that appear exactly nowhere else at all today"),
+      (3L, "tiny"),
+      (4L, "   ")) // tokenless: streams through, no batch row
+    val batchDf = docs.toDF("doc_id", "text")
+    // span flags trained batch-side once; both halves consume the SAME table
+    val flags = Dedup.verbatimSpanFlags(batchDf, windowTokens = 8,
+      minRunTokens = 8)
+    val batch = Dedup.verbatimSpanScrub(batchDf, windowTokens = 8,
+        minRunTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val q = Dedup.scrubSpansStateless(
+        mem.toDF().toDF("doc_id", "text"), flags)
+      .select("doc_id", "n_tokens", "n_flagged", "clean_text")
+      .writeStream.format("memory").queryName("span_scrub_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.lastProgress.stateOperators.length shouldBe 0 // stream side stateless
+    q.stop()
+    val streamed = spark.table("span_scrub_stream").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // token-bearing docs agree exactly with the batch rebuild
+    streamed.view.filterKeys(_ != 4L).toMap shouldBe batch
+    // the tokenless straggler passes through the gate, absent batch-side
+    streamed(4L) shouldBe ((0L, 0L, ""))
+    batch.contains(4L) shouldBe false
+  }
 }
