@@ -29,7 +29,9 @@ object ScalingProbe {
     // round-13 second batch: run finders/scrubbers, sketches, reports
     "x_longest_run", "x_verbatim_scrub", "x_self_repeat",
     "x_bottomk_overlap", "x_boilerplate", "x_boilerplate_scrub",
-    "x_mattr", "x_map", "x_weighted_reservoir")
+    "x_mattr", "x_map", "x_weighted_reservoir",
+    // round-16: re-keyed boilerplate family + URL-normalized dedup
+    "x_url_dedup")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
