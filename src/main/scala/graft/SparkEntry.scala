@@ -2666,6 +2666,25 @@ object SparkEntry {
         .orderBy("url_norm")
     }),
 
+    // Per-domain crawl report off the same canonicalization: distinct
+    // canonical pages vs raw docs per registered-domain heuristic —
+    // the frame for domain blocklists / per-domain caps. Mobile hosts
+    // (m.) are genuinely distinct pages; www. and the query dressing
+    // are not. Two narrow aggregates; URL text leaves the plan at the
+    // first (counts ride xxhash64(url_norm)).
+    "x_domain_stats" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("m.")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com")).otherwise(lit(".org")),
+        lit("/p/"), (col("doc_id") % 15).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("?ref=rss")).otherwise(lit("")))
+      Dedup.domainStats(tbl(s, dir, "documents").withColumn("url", url))
+        .orderBy("domain")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -5995,6 +6014,40 @@ object SparkEntry {
         |  FROM u)
         |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same dressing + canonicalization as the Spark side; the oracle
+    // groups pages by url_norm TEXT where the engine groups by
+    // xxhash64(url_norm) — identical counts under the suite's standard
+    // hash-identity convention.
+    "x_domain_stats" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE 'm.' END) ||
+        |    source ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.org' END) ||
+        |    '/p/' || CAST(doc_id % 15 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?ref=rss' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u),
+        |h AS (SELECT doc_id, url_norm,
+        |    regexp_replace(regexp_extract(url_norm, '^[^/]*'),
+        |      ':[0-9]+$', '') AS host
+        |  FROM n),
+        |d AS (SELECT doc_id, url_norm,
+        |    COALESCE(NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |      host) AS domain
+        |  FROM h),
+        |g AS (SELECT domain, url_norm, count(*) AS n FROM d GROUP BY 1, 2)
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_pages, CAST(max(n) AS BIGINT) AS max_copies,
+        |  CAST('1.0' AS DOUBLE) -
+        |    CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

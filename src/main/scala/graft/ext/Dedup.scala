@@ -70,6 +70,54 @@ object Dedup {
       .groupBy("url_norm")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Host of a [[normalizeUrl]]-canonical URL: everything before the
+    * first `/`, any surviving NON-default port stripped. */
+  def urlHost(urlNorm: Column): Column =
+    regexp_replace(regexp_extract(urlNorm, "^[^/]*", 0), ":[0-9]+$", "")
+
+  /** Registered-domain HEURISTIC: the last two dot-labels of the host
+    * (`cdn.news.example.com` → `example.com`); dotless hosts pass
+    * through whole. A public-suffix list would refine multi-label TLDs
+    * (`co.uk`) — deliberately out of scope: the heuristic is a pure
+    * deterministic projection both engines replay byte-identically,
+    * and the PSL is an external mutable dependency. */
+  def urlDomain(urlNorm: Column): Column = {
+    val host = urlHost(urlNorm)
+    coalesce(nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")),
+      host)
+  }
+
+  /**
+   * Per-domain crawl report — the URL-axis counterpart of the
+   * source-level corpus reports, and the frame URL-level filtering
+   * policies (domain blocklists, per-domain caps, re-crawl budgets)
+   * hang off: for each [[urlDomain]] of the canonical URL,
+   * `(domain, n_docs, n_pages, max_copies, dup_frac)` where `n_pages`
+   * counts distinct canonical URLs and
+   * `dup_frac = 1 − n_pages/n_docs` is the domain's re-crawl mass.
+   *
+   * Scale shape: two narrow map-side-combinable aggregations — per
+   * `(domain, url-key)` counts, then the per-domain rollup — never a
+   * `count_distinct` expansion over the raw rows; URL text leaves the
+   * plan at the first aggregate (the count rides an 8-byte
+   * `xxhash64(url_norm)` key, the boilerplate-family convention).
+   */
+  def domainStats(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val norm = normalizeUrl(col(urlCol))
+    docs
+      .select(urlDomain(norm).as("domain"),
+        xxhash64(norm).as("__uk"), col(idCol))
+      .groupBy("domain", "__uk").agg(count(lit(1)).as("__n"))
+      .groupBy("domain")
+      .agg(sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_pages"),
+        max(col("__n")).as("max_copies"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_pages").cast("double") /
+          col("n_docs").cast("double"))
+  }
+
   /**
    * Quality-aware exact dedup: within each duplicate group keep the
    * HIGHEST-`scoreCol` copy (ties → smallest id) instead of [[exact]]'s

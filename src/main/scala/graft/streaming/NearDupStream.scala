@@ -329,4 +329,71 @@ object NearDupStream {
           }
       }
   }
+
+  final case class UrlHit(key: Long, doc_id: Long, ts_us: Long)
+  /** First instance seen for a canonical-URL key, plus last activity
+    * for the event-time reclaim. */
+  final case class UrlState(canonical_id: Long, last_us: Long)
+  final case class UrlDupFlag(doc_id: Long, dup_of: Long, key: Long)
+
+  /**
+   * Streaming first-occurrence URL gate — the ingest form of
+   * [[graft.ext.Dedup.urlDedup]], and the cheapest admit decision a
+   * crawl pipeline has (the CCNet/RefinedWeb re-crawl pre-filter made
+   * incremental): documents `(doc_id LONG, url STRING, ts_us LONG)`
+   * are keyed on `xxhash64(normalizeUrl(url))` — the SAME
+   * canonicalization as batch, so a streaming flag is exactly a batch
+   * `n_copies > 1` membership — and the first instance seen under a
+   * key becomes canonical; every LATER instance emits a
+   * `UrlDupFlag(doc_id, dup_of = canonical doc, key)`.
+   *
+   * State is one `UrlState` per live canonical URL regardless of
+   * re-crawl count (a hot page updates one entry), reclaimed by the
+   * event-time timeout once the watermark passes
+   * `last activity + horizonUs`; within-lateness stragglers still find
+   * the canonical ([[flagNearDups]]' replay-determinism rationale:
+   * event-time order, ties by doc id).
+   */
+  def flagDupUrls(docs: DataFrame, horizonUs: Long,
+      urlCol: String = "url",
+      lateness: String = "10 minutes"): Dataset[UrlDupFlag] = {
+    require(horizonUs > 0, "horizonUs must be positive")
+    import docs.sparkSession.implicits._
+    docs.withColumn("__ts", timestamp_micros(col("ts_us")))
+      .withWatermark("__ts", lateness)
+      .select(xxhash64(Dedup.normalizeUrl(col(urlCol))).as("key"),
+        col("doc_id"), col("ts_us"), col("__ts"))
+      .as[UrlHit]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[UrlState, UrlDupFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[UrlState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id))
+            var cur = state.getOption
+            val flags = scala.collection.mutable.ListBuffer.empty[UrlDupFlag]
+            sorted.foreach { r =>
+              cur match {
+                case None =>
+                  cur = Some(UrlState(r.doc_id, r.ts_us))
+                case Some(st) =>
+                  // redeliveries of the canonical itself are not dups
+                  if (r.doc_id != st.canonical_id)
+                    flags += UrlDupFlag(r.doc_id, st.canonical_id, key)
+                  cur = Some(st.copy(last_us = math.max(st.last_us, r.ts_us)))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(
+                (st.last_us + horizonUs) / 1000L,
+                state.getCurrentWatermarkMs + 1L))
+            }
+            flags.iterator
+          }
+      }
+  }
 }

@@ -1826,6 +1826,26 @@ class ExtSpec extends SparkSpec {
     groups.size shouldBe 5
   }
 
+  test("domainStats: re-crawl mass per registered-domain heuristic") {
+    import graft.ext.Dedup
+    val docs = Seq(
+      (0L, "https://www.shop.com/p/1"),
+      (1L, "http://shop.com/p/1/"),         // re-crawl of 0
+      (2L, "https://shop.com/p/2"),
+      (3L, "https://cdn.shop.com/p/1"),     // sub-domain: same domain, new page
+      (4L, "https://news.org/x"),
+      (5L, "https://news.org/x?ref=rss"),   // re-crawl of 4
+      (6L, "https://localhost/a"))          // dotless host passes through
+      .toDF("doc_id", "url")
+    val out = Dedup.domainStats(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    out("shop.com") shouldBe ((4L, 3L, 2L, 0.25))
+    out("news.org") shouldBe ((2L, 1L, 2L, 0.5))
+    out("localhost") shouldBe ((1L, 1L, 1L, 0.0))
+    out.size shouldBe 3
+  }
+
   test("boilerplate flood: maxFlagged caps every flag-table exit, overflow audited, capped scrub consistent across batch and stateless forms") {
     import graft.ext.Corpus
     // 12 sources, each with 3 docs sharing a source-specific 4-token

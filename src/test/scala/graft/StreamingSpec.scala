@@ -847,4 +847,43 @@ class StreamingSpec extends SparkSpec {
     streamed(4L) shouldBe ((0L, 0L, ""))
     batch.contains(4L) shouldBe false
   }
+
+  test("streaming URL gate: flags reconcile exactly with batch urlDedup groups") {
+    import graft.streaming.NearDupStream
+    import graft.streaming.NearDupStream.UrlDupFlag
+    implicit val sqlCtx = spark.sqlContext
+    val us = 1000000L
+    // crawl-dressing variants: docs 0-2 and 5-6 are re-crawls of two
+    // canonical pages; 3,4,7 are singleton pages (4 = m. host, a
+    // genuinely distinct page; 7 = non-default port, also distinct)
+    val docs = Seq(
+      (0L, "https://www.example.com/a?utm=1", 1L * us),
+      (1L, "HTTP://example.com/a/", 2L * us),
+      (2L, "https://example.com:443/a#top", 3L * us),
+      (3L, "https://example.com/b", 4L * us),
+      (4L, "https://m.example.com/a", 5L * us),
+      (5L, "http://docs.example.org/guide/", 6L * us),
+      (6L, "https://docs.example.org/guide", 7L * us),
+      (7L, "https://example.com:8080/a", 8L * us))
+    val mem = MemoryStream[(Long, String, Long)]
+    mem.addData(docs: _*)
+    val q = NearDupStream.flagDupUrls(
+        mem.toDF().toDF("doc_id", "url", "ts_us"), horizonUs = 3600L * us)
+      .writeStream.format("memory").queryName("url_gate")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("url_gate").as[UrlDupFlag].collect()
+    // batch truth over the same corpus; arrival order == id order, so
+    // each group's canonical is its keep_id
+    val batch = graft.ext.Dedup.urlDedup(docs.toDF("doc_id", "url", "ts_us"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    batch("example.com/a") shouldBe ((0L, 3L))
+    batch("docs.example.org/guide") shouldBe ((5L, 2L))
+    flags.length shouldBe batch.values.map(_._2 - 1L).sum
+    flags.map(_.doc_id).toSet shouldBe Set(1L, 2L, 6L)
+    flags.filter(_.dup_of == 0L).map(_.doc_id).toSet shouldBe Set(1L, 2L)
+    flags.filter(_.dup_of == 5L).map(_.doc_id).toSet shouldBe Set(6L)
+  }
 }
