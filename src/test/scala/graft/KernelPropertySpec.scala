@@ -299,4 +299,79 @@ class KernelPropertySpec extends SparkSpec {
       got.get(id) shouldBe bruteLongest(text)
     }
   }
+
+  test("random corpus: scrubSegments kernel ≡ the Column formulation it replaced") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import graft.ext.Corpus
+    val srcDf = corpus.map { case (id, t) => (id, t, s"s${id % 5}") }
+      .toDF("doc_id", "text", "source")
+    // flag a third of the REAL (source-scoped) segment keys plus junk
+    // keys that must hit nothing
+    val realKeys = Corpus.segmentRows(srcDf, 3, "text")
+      .select(xxhash64(concat($"source", lit("\u0001"), $"__seg")))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val flagged = realKeys.zipWithIndex.collect {
+      case (k, i) if i % 3 == 0 => k
+    } ++ Seq(1L, -99L, Long.MaxValue)
+    // the pre-round-16 array_contains formulation, verbatim
+    def columnar(df: DataFrame, keys: Seq[Long], segTokens: Int): DataFrame = {
+      import org.apache.spark.sql.functions.{size => asize}
+      val tk = TextStats.tokens(col("text"))
+      val nSegs = ceil(asize(tk).cast("double") / segTokens).cast("long")
+      val segs = transform(sequence(lit(0L), nSegs - 1),
+        i => array_join(slice(tk, (i * segTokens).cast("int") + 1,
+          lit(segTokens)), " "))
+      val keyOf = (c: Column) =>
+        xxhash64(concat(col("source"), lit("\u0001"), c))
+      val kept = filter(segs,
+        c => !array_contains(lit(keys.toArray), keyOf(c)))
+      df.withColumn("__segs", when(asize(tk) > 0, segs).otherwise(array()))
+        .withColumn("__kept", when(asize(tk) > 0, kept).otherwise(array()))
+        .select(col("doc_id"),
+          asize(col("__segs")).cast("long").as("n_segs"),
+          (asize(col("__segs")) - asize(col("__kept"))).cast("long")
+            .as("n_dropped"),
+          array_join(col("__kept"), " ").as("clean_text"))
+    }
+    for (segTokens <- Seq(1, 3, 4, 7);
+         keys <- Seq(flagged, Seq.empty[Long])) {
+      val kern = Corpus.scrubRowStateless(srcDf, keys, segTokens)
+        .select("doc_id", "n_segs", "n_dropped", "clean_text").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val ref = columnar(srcDf, keys, segTokens).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      withClue(s"segTokens=$segTokens keys=${keys.size}: ") {
+        kern shouldBe ref
+      }
+    }
+  }
+
+  test("URL normalization: invariant under the dressing lattice, idempotent, order-safe") {
+    val hosts = Seq("example.com" -> "example.com",
+      "Sub.Example.ORG" -> "sub.example.org")
+    val combos = for {
+      scheme <- Seq("", "http://", "https://", "HTTPS://")
+      www <- Seq("", "www.", "WWW.")
+      (host, canonHost) <- hosts
+      port <- Seq("", ":80", ":443")
+      path <- Seq("", "/A/b")
+      slash <- Seq("", "/", "///")
+      tail <- Seq("", "?q=1", "#f", "?q=1#f")
+    } yield (scheme + www + host + port + path + slash + tail,
+      canonHost + path.toLowerCase)
+    val out = combos.toDF("url", "want")
+      .select($"url", $"want",
+        graft.ext.Dedup.normalizeUrl($"url").as("got"),
+        graft.ext.Dedup.normalizeUrl(
+          graft.ext.Dedup.normalizeUrl($"url")).as("got2"))
+      .collect()
+    out.foreach { r =>
+      withClue(r.getString(0) + ": ") {
+        r.getString(2) shouldBe r.getString(1) // canonical
+        r.getString(3) shouldBe r.getString(2) // idempotent
+      }
+    }
+  }
 }
