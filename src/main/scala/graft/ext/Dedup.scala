@@ -48,17 +48,27 @@ object Dedup {
    * no UDF, and every step is plain RE2-compatible regex (no
    * lookahead), so the DuckDB oracle states the same pipeline.
    */
-  def normalizeUrl(url: Column): Column = {
-    val steps: Seq[(String, String)] = Seq(
-      "[?#].*" -> "",              // query string + fragment
-      "^https?://" -> "",          // scheme
-      "^www\\." -> "",             // host dressing
-      "^([^/:]+):(80|443)(/|$)" -> "$1$3", // explicit default port
-      "/+$" -> "")                 // trailing slash(es)
-    steps.foldLeft(lower(url)) { case (c, (pat, rep)) =>
+  /** The [[normalizeUrl]] regex pipeline (pattern → replacement) in
+    * application order — the single definition both the Column API and
+    * the SQL registration ([[graft.plans.GraftExtensions]] builds the
+    * same fold in raw catalyst terms) share. */
+  private[graft] val UrlNormSteps: Seq[(String, String)] = Seq(
+    "[?#].*" -> "",              // query string + fragment
+    "^https?://" -> "",          // scheme
+    "^www\\." -> "",             // host dressing
+    "^([^/:]+):(80|443)(/|$)" -> "$1$3", // explicit default port
+    "/+$" -> "")                 // trailing slash(es)
+
+  def normalizeUrl(url: Column): Column =
+    UrlNormSteps.foldLeft(lower(url)) { case (c, (pat, rep)) =>
       regexp_replace(c, pat, rep)
     }
-  }
+
+  /** [[urlHost]] / [[urlDomain]] regexes, shared with the SQL
+    * registration like [[UrlNormSteps]]. */
+  private[graft] val UrlHostPattern = "^[^/]*"
+  private[graft] val UrlPortStrip = ":[0-9]+$"
+  private[graft] val UrlDomainPattern = "([^.]+\\.[^.]+)$"
 
   /** Exact dedup on the [[normalizeUrl]] key — [[exactByDigest]]'s
     * narrow-shuffle aggregate shape over `(url_norm, id)` rows:
@@ -73,7 +83,8 @@ object Dedup {
   /** Host of a [[normalizeUrl]]-canonical URL: everything before the
     * first `/`, any surviving NON-default port stripped. */
   def urlHost(urlNorm: Column): Column =
-    regexp_replace(regexp_extract(urlNorm, "^[^/]*", 0), ":[0-9]+$", "")
+    regexp_replace(regexp_extract(urlNorm, UrlHostPattern, 0),
+      UrlPortStrip, "")
 
   /** Registered-domain HEURISTIC: the last two dot-labels of the host
     * (`cdn.news.example.com` → `example.com`); dotless hosts pass
@@ -83,7 +94,7 @@ object Dedup {
     * and the PSL is an external mutable dependency. */
   def urlDomain(urlNorm: Column): Column = {
     val host = urlHost(urlNorm)
-    coalesce(nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")),
+    coalesce(nullif(regexp_extract(host, UrlDomainPattern, 1), lit("")),
       host)
   }
 

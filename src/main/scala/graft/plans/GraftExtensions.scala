@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, ExpressionInfo, If, Literal, Lower, RegExpExtract, RegExpReplace}
 import org.apache.spark.sql.types.IntegerType
 
 /**
@@ -25,6 +25,9 @@ import org.apache.spark.sql.types.IntegerType
  *  - `graft_cdc_chunks(text, b)     -> array<string>` — CDC chunks
  *  - `graft_quality_counts(text)    -> struct` — fused quality counters
  *  - `graft_hash_features(text, d)  -> struct` — hashing-trick summary
+ *  - `graft_normalize_url(url)      -> string` — canonical crawl-dedup key
+ *  - `graft_url_domain(url)         -> string` — registered-domain heuristic
+ *    of an already-canonical URL
  * (every integer width/dims argument must be a literal int — the
  * kernels specialize on it).
  */
@@ -109,7 +112,39 @@ object GraftExtensions {
       ch => { val c = arity("graft_hash_features", 2)(ch)
         val d = litInt("graft_hash_features", c(1))
         require(d > 0, "graft_hash_features: dims must be positive")
-        HashFeatureStatsExpr(c.head, d) }))
+        HashFeatureStatsExpr(c.head, d) }),
+    // the URL family is composed of codegen BUILT-INS (lower +
+    // regexp_replace/extract): the builders fold the same shared
+    // pattern tables ([[graft.ext.Dedup.UrlNormSteps]] etc.) the Scala
+    // Column API folds, in raw catalyst terms (a Column-API round-trip
+    // here would hand the registry an unresolved v2 function node)
+    ("graft_normalize_url",
+      info("graft_normalize_url",
+        "graft_normalize_url(url) - canonical crawl-dedup URL key " +
+          "(lowercase; strip query/fragment, scheme, www., default port, " +
+          "trailing slash)"),
+      ch => urlNormExpr(arity("graft_normalize_url", 1)(ch).head)),
+    ("graft_url_domain",
+      info("graft_url_domain",
+        "graft_url_domain(url_norm) - last-two-labels registered-domain " +
+          "heuristic of a canonical URL"),
+      ch => urlDomainExpr(arity("graft_url_domain", 1)(ch).head)))
+
+  private def urlNormExpr(ch: Expression): Expression =
+    graft.ext.Dedup.UrlNormSteps.foldLeft[Expression](Lower(ch)) {
+      case (e, (pat, rep)) => RegExpReplace(e, Literal(pat), Literal(rep))
+    }
+
+  private def urlDomainExpr(ch: Expression): Expression = {
+    val host = RegExpReplace(
+      RegExpExtract(ch, Literal(graft.ext.Dedup.UrlHostPattern), Literal(0)),
+      Literal(graft.ext.Dedup.UrlPortStrip), Literal(""))
+    val dom = RegExpExtract(host,
+      Literal(graft.ext.Dedup.UrlDomainPattern), Literal(1))
+    // regexp_extract yields "" on miss, so this IS coalesce(nullif(dom,
+    // ''), host) — the Column formulation's miss handling
+    If(EqualTo(dom, Literal("")), host, dom)
+  }
 
   /** Register the functions on an already-running session. */
   def register(spark: SparkSession): Unit =

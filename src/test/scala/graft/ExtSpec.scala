@@ -2314,6 +2314,16 @@ class ExtSpec extends SparkSpec {
       "doc_id", "text", numHashes = 8)
       .head().toSeq.tail.map(_.asInstanceOf[Long])
     sqlSig shouldBe colSig
+    // the URL family expands to the same Column composition
+    spark.sql(
+      """SELECT graft_normalize_url('HTTPS://WWW.Example.com:443/A/?q=1#f') AS n,
+        |       graft_url_domain(
+        |         graft_normalize_url('https://cdn.news.example.co/x')) AS d
+        |""".stripMargin).head() match {
+      case r =>
+        r.getString(0) shouldBe "example.com/a"
+        r.getString(1) shouldBe "example.co"
+    }
     // non-literal n is rejected at plan time
     val ex = intercept[Exception] {
       spark.sql("SELECT graft_hashed_shingles(text, id + 1) FROM ext_probe").collect()

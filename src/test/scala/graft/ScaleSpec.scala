@@ -1118,4 +1118,15 @@ class ScaleSpec extends SparkSpec {
     sPlan should not include "Generate"
     sPlan should not include "array_contains"
   }
+
+  test("domainStats: URL text leaves the plan at the first aggregate — exchanges carry only (domain, url-key)") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/p/"), (col("doc_id") % 15).cast("string")))
+    val plan = Dedup.domainStats(docs).queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\([^)]*".r.findAllIn(plan).toSeq
+    keys should not be empty
+    all(keys) should not include "url"
+  }
 }
