@@ -3313,14 +3313,14 @@ object SparkEntry {
     }),
 
     // Calibration curve of the trained classifier: equal-frequency
-    // margin bins (ntile over the integer z9 grid with an id
-    // tiebreak — deterministic in both engines, the ppl_buckets
-    // idiom) vs observed good-rate. A well-calibrated monotone model
-    // shows frac_good rising with the bin. Eval-sample-sized global
-    // window — bounded by the scored sample, not the corpus (the
-    // documented model-table posture).
+    // margin bins over (z9, doc_id) — SQL-ntile semantics, but
+    // computed from Corpus.globalRank + ntileFromRank so NO
+    // single-partition window ever sees the scored frame (the
+    // previous `ntile(10) OVER (ORDER BY …)` formulation planned
+    // exactly that — the one corpus-sized unpartitioned window the
+    // catalog had). The oracle keeps the plain ntile spelling; the
+    // hash match pins the decomposition to it.
     "x_logreg_calibration" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val d = tbl(s, dir, "documents")
       val w9 = trainedLogreg(s, dir)
       val wArr = array(w9.map(lit): _*)
@@ -3332,9 +3332,11 @@ object SparkEntry {
           (col("quality_bucket") === "good").cast("long").as("y"))
         .join(z, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("z9"), lit(0L)).as("z9"), col("y"))
-      scored
+      val nDf = scored.groupBy().agg(count(lit(1)).as("__n"))
+      Corpus.globalRank(scored, Seq(col("z9"), col("doc_id")), "__rk")
+        .crossJoin(broadcast(nDf)) // sanctioned broadcast-scalar join
         .withColumn("bin",
-          ntile(10).over(Window.orderBy(col("z9"), col("doc_id"))))
+          Corpus.ntileFromRank(col("__rk"), col("__n"), 10))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"), sum("y").as("n_good"),
           min("z9").as("z9_lo"), max("z9").as("z9_hi"))

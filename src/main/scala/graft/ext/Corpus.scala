@@ -650,6 +650,73 @@ object Corpus {
    * scan projection, then ONE full-outer equi-join on the id — no
    * text crosses the shuffle.
    */
+  /**
+   * Distributed GLOBAL rank under an arbitrary total order — the
+   * general form of [[packChunks]]' two-phase prefix trick (which
+   * needs a uniform key): `rankCol = row_number() OVER (ORDER BY
+   * orderCols)` with NO single-partition window anywhere. Range-
+   * partition on the order columns (contiguous key ranges per
+   * partition), rank WITHIN each partition in parallel, then add each
+   * partition's exclusive row-count offset — an aggregate of
+   * ≤`partitions` rows whose own prefix sum is a window over that tiny
+   * frame, broadcast back.
+   *
+   * `orderCols` MUST be a total order (include an id tie-break):
+   * range-partition boundaries split ties arbitrarily, so equal keys
+   * straddling a boundary would rank nondeterministically otherwise.
+   * Equal to the single-window formulation row-for-row (spec-pinned).
+   */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      rankCol: String = "rank", partitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val p =
+      if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // checkpoint: the partitioned frame feeds BOTH the offsets branch
+    // and the ranking branch, and RangePartitioner's boundary SAMPLE
+    // is seeded per-RDD — two independent computations can draw
+    // different boundaries, silently skewing every offset (caught by
+    // the tri-sf oracle before this pin existed)
+    val parted = df.repartitionByRange(p, orderCols: _*)
+      .withColumn("__gr_p", spark_partition_id())
+      .localCheckpoint()
+    val offs = parted.groupBy("__gr_p").agg(count(lit(1)).as("__gr_c"))
+      .withColumn("__gr_off",
+        coalesce(sum("__gr_c").over(Window.orderBy("__gr_p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__gr_p", "__gr_off")
+    parted
+      .withColumn("__gr_r", row_number().over(
+        Window.partitionBy("__gr_p").orderBy(orderCols: _*)))
+      .join(broadcast(offs), "__gr_p")
+      .withColumn(rankCol, col("__gr_off") + col("__gr_r"))
+      .drop("__gr_p", "__gr_r", "__gr_off")
+  }
+
+  /** `ntile(b)` computed from a [[globalRank]] rank and the total row
+    * count, bit-equal to SQL ntile: with `q = n div b`, `rem = n % b`,
+    * the first `rem` tiles hold `q+1` rows. Avoids the
+    * single-partition window `ntile` itself plans. Every division is
+    * made EXACT first (numerator reduced to a multiple of the
+    * denominator via `%`), so Spark's double `/` returns the integral
+    * quotient bit-exactly (operands far below 2^53 at any corpus
+    * size); `q = 0` is only reachable when the first branch covers all
+    * ranks, so the second branch's `/ q` never evaluates there. */
+  def ntileFromRank(rank: Column, n: Column, b: Int): Column = {
+    require(b > 0, "b must be positive")
+    val q = (n - n % b) / b
+    val rem = n % b
+    val fat = rem * (q + 1)
+    when(rank <= fat,
+        ((rank - 1) - (rank - 1) % (q + 1)) / (q + 1) + 1)
+      .otherwise({
+        val r2 = rank - fat - 1
+        rem + (r2 - r2 % q) / q + 1
+      })
+      .cast("int")
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val o = oldDf.select(col(idCol), sha2(col(textCol), 256).as("old_digest"))

@@ -1129,4 +1129,38 @@ class ScaleSpec extends SparkSpec {
     keys should not be empty
     all(keys) should not include "url"
   }
+
+  test("globalRank ≡ single-window row_number; ntileFromRank ≡ ntile; calibration plan drops the corpus-sized unpartitioned window") {
+    import graft.ext.Corpus
+    import org.apache.spark.sql.expressions.Window
+    // adversarial: heavy first-key ties (range boundaries straddle
+    // them), multi-partition scrambled input; id makes the order total
+    val base = (0L until 5000L).map(i => ((i * 2654435761L) % 7, i))
+      .toDF("k", "id").repartition(13)
+    val got = Corpus.globalRank(base, Seq(col("k"), col("id")), "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = base.withColumn("rk",
+        row_number().over(Window.orderBy("k", "id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe want
+    // ntile decomposition, all shapes: n < b, n % b != 0, n % b == 0
+    for (n <- Seq(3L, 7L, 37L, 40L, 5000L); b <- Seq(3, 10)) {
+      val rows = spark.range(1, n + 1).toDF("id")
+      val viaRank = rows
+        .withColumn("bin", Corpus.ntileFromRank(col("id"), lit(n), b))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val viaNtile = rows
+        .withColumn("bin", ntile(b).over(Window.orderBy("id")))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      withClue(s"n=$n b=$b: ") { viaRank shouldBe viaNtile }
+    }
+    // the calibration query: its big-side window is partitioned on the
+    // range-partition id; the global-ntile single-partition window —
+    // the one corpus-sized unpartitioned window the catalog had — is gone
+    val q = SparkEntry.queries("x_logreg_calibration")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("__gr_p")
+    plan should not include "ntile"
+  }
 }
