@@ -2666,6 +2666,19 @@ object SparkEntry {
         .orderBy("url_norm")
     }),
 
+    // Distributed global rank under an arbitrary total order — the
+    // operator that removed the catalog's one corpus-sized
+    // unpartitioned window (x_logreg_calibration's global ntile): a
+    // range partition + parallel per-partition row_number + bounded
+    // broadcast offsets. Oracle states the plain single-window
+    // row_number; the hash match pins the decomposition to it.
+    "x_global_rank" -> ((s, dir) =>
+      Corpus.globalRank(
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")), "rank")
+        .orderBy("doc_id")),
+
     // Per-domain crawl report off the same canonicalization: distinct
     // canonical pages vs raw docs per registered-domain heuristic —
     // the frame for domain blocklists / per-domain caps. Mobile hosts
@@ -6016,6 +6029,14 @@ object SparkEntry {
         |  FROM u)
         |SELECT url_norm, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Global-rank replay: the plain single-window row_number the
+    // engine's range-partition decomposition must reproduce exactly.
+    "x_global_rank" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Same dressing + canonicalization as the Spark side; the oracle
     // groups pages by url_norm TEXT where the engine groups by

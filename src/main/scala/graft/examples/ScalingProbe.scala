@@ -30,8 +30,10 @@ object ScalingProbe {
     "x_longest_run", "x_verbatim_scrub", "x_self_repeat",
     "x_bottomk_overlap", "x_boilerplate", "x_boilerplate_scrub",
     "x_mattr", "x_map", "x_weighted_reservoir",
-    // round-16: re-keyed boilerplate family + URL-normalized dedup
-    "x_url_dedup")
+    // round-16: re-keyed boilerplate family, URL-normalized dedup,
+    // domain report, and the globalRank-decomposed calibration
+    "x_url_dedup", "x_domain_stats", "x_logreg_calibration",
+    "x_global_rank")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
