@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, Sketches, TextStats}
+import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, Sketches, TextStats, Warc}
 import graft.sources.Sinks
 
 /**
@@ -2696,6 +2696,40 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit("?ref=rss")).otherwise(lit("")))
       Dedup.domainStats(tbl(s, dir, "documents").withColumn("url", url))
         .orderBy("domain")
+    }),
+
+    // WET-style web-archive round-trip: render the documents table into
+    // Common Crawl-shaped files (sharded, multi-record, CRLF headers +
+    // Content-Length payload framing), then parse them back with the
+    // pure-Column record codec. The oracle states the identity the
+    // codec must preserve — doc_id, URI, declared length, exact
+    // payload — so the hash match pins BOTH directions of the format.
+    "x_wet_roundtrip" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val files = Warc.renderFiles(d
+        .withColumn("url", url)
+        .withColumn("shard", pmod(col("doc_id"), lit(8))))
+      Warc.parseRecords(files)
+        .select(col("rec_id").as("doc_id"), col("uri"),
+          col("content_length"), col("payload"))
+        .orderBy("doc_id")
+    }),
+
+    // Crawl-file ingest report off the same parse: per-file record
+    // count, payload volume, length spread, intact count — the monitor
+    // frame a WET ingest job alerts on. Exercises the multi-record
+    // file path (8 files × many records) where the roundtrip pins
+    // per-record fields.
+    "x_wet_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val files = Warc.renderFiles(d
+        .withColumn("url", url)
+        .withColumn("shard", pmod(col("doc_id"), lit(8))))
+      Warc.fileStats(Warc.parseRecords(files)).orderBy("shard")
     }),
 
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
@@ -6071,6 +6105,28 @@ object SparkEntry {
         |  CAST('1.0' AS DOUBLE) -
         |    CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_frac
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Roundtrip identity: the parse of the render must reproduce the
+    // documents frame exactly — id from the record header, the URI
+    // dressing, Content-Length = length(text), payload = text.
+    "x_wet_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(length(text) AS BIGINT) AS content_length,
+        |  text AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ingest-report replay: the per-file aggregate over the same mod-8
+    // sharding; every record of the ASCII corpus parses intact, so
+    // n_intact = n_records.
+    "x_wet_stats" ->
+      """SELECT doc_id % 8 AS shard, count(*) AS n_records,
+        |  CAST(sum(length(text)) AS BIGINT) AS payload_chars,
+        |  CAST(min(length(text)) AS BIGINT) AS min_len,
+        |  CAST(max(length(text)) AS BIGINT) AS max_len,
+        |  count(*) AS n_intact
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

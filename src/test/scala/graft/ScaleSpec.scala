@@ -1163,4 +1163,28 @@ class ScaleSpec extends SparkSpec {
     plan should include("__gr_p")
     plan should not include "ntile"
   }
+
+  test("wet codec: parse is a narrow Generate with no shuffle; render is one aggregate exchange") {
+    import graft.ext.Warc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string")))
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+    // Render: exactly the one partial/final aggregate exchange of the
+    // per-shard collect_list — file assembly costs one narrow shuffle.
+    val renderPlan = Warc.renderFiles(docs)
+      .queryExecution.executedPlan.toString
+    "Exchange".r.findAllIn(renderPlan).size shouldBe 1
+    // Parse over an already-materialized file frame (the production
+    // shape: files arrive from storage): pure projection + posexplode,
+    // zero shuffle — the file is the unit of parallelism.
+    val fileFrame = Seq((0L, Warc.VersionLine +
+      "WARC-Type: conversion\r\nWARC-Target-URI: u\r\n" +
+      "WARC-Record-ID: <urn:graft:7>\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"))
+      .toDF("shard", "content")
+    val parsePlan = Warc.parseRecords(fileFrame)
+      .queryExecution.executedPlan.toString
+    parsePlan should include("Generate posexplode")
+    parsePlan should not include "Exchange"
+  }
 }

@@ -886,4 +886,34 @@ class StreamingSpec extends SparkSpec {
     flags.filter(_.dup_of == 0L).map(_.doc_id).toSet shouldBe Set(1L, 2L)
     flags.filter(_.dup_of == 5L).map(_.doc_id).toSet shouldBe Set(6L)
   }
+
+  test("wet parse gates a stream of arriving crawl files, equal to batch") {
+    // The ingest front door: WET files land continuously; parseRecords
+    // is a stateless projection + generate, so the SAME Column graph
+    // runs on a readStream of (shard, content) with no rewrite and no
+    // state — records flow out per micro-batch.
+    import graft.ext.Warc
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "first doc words"), (1L, "second"), (2L, ""), (3L, "third one"))
+      .toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+      .withColumn("shard", pmod(col("doc_id"), lit(2)))
+    val files = Warc.renderFiles(docs)
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(files: _*)
+    val q = Warc.parseRecords(mem.toDF().toDF("shard", "content"))
+      .writeStream.format("memory").queryName("wet_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamed = spark.table("wet_gate")
+      .select("rec_id", "uri", "content_length", "payload", "intact")
+      .collect().map(_.toSeq).toSet
+    val batch = Warc.parseRecords(files.toDF("shard", "content"))
+      .select("rec_id", "uri", "content_length", "payload", "intact")
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size shouldBe 4
+  }
 }

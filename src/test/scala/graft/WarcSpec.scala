@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Warc
+
+/**
+ * WET-style record codec specs: render∘parse identity on adversarial
+ * payloads, the Content-Length framing, multi-record file ordering,
+ * and the documented resync behaviour when a payload contains the
+ * version marker (truncated slice surfaces as intact = false — the
+ * record is flagged, never silently corrupted).
+ */
+class WarcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+      .withColumn("shard", pmod(col("doc_id"), lit(2)))
+
+  test("render∘parse is an identity on tricky payloads") {
+    val texts = Seq(
+      0L -> "",                               // empty payload
+      1L -> "plain words here",
+      2L -> "embedded\r\nnewlines\r\n\r\nand a blank line", // HeaderSep inside payload
+      3L -> "Content-Length: 9999 spoofed header text",     // header-lookalike payload
+      4L -> "trailing spaces   ",
+      5L -> "unicode — naïve café ☕")
+    val parsed = Warc.parseRecords(Warc.renderFiles(corpus(texts: _*)))
+      .orderBy("rec_id").collect()
+    parsed.map(_.getAs[Long]("rec_id")).toSeq shouldBe texts.map(_._1)
+    for ((r, (id, txt)) <- parsed.zip(texts)) {
+      withClue(s"doc $id: ") {
+        r.getAs[String]("payload") shouldBe txt
+        r.getAs[String]("uri") shouldBe s"https://ex.com/$id"
+        r.getAs[Long]("content_length") shouldBe txt.length.toLong
+        r.getAs[Boolean]("intact") shouldBe true
+      }
+    }
+  }
+
+  test("files concatenate records in id order with stable framing") {
+    val files = Warc.renderFiles(corpus(
+      4L -> "dd", 0L -> "aa", 2L -> "cc", 1L -> "bb", 3L -> "x"))
+      .orderBy("shard").collect()
+    files.map(_.getAs[Long]("shard")).toSeq shouldBe Seq(0L, 1L)
+    val even = files(0).getAs[String]("content")
+    // Records appear sorted by id (0, 2, 4) regardless of input order.
+    even.indexOf("urn:graft:0") should be < even.indexOf("urn:graft:2")
+    even.indexOf("urn:graft:2") should be < even.indexOf("urn:graft:4")
+    even should startWith(Warc.VersionLine)
+    even should endWith("\r\n\r\n")
+    // rec_pos reflects the in-file ordinal after the parse.
+    val pos = Warc.parseRecords(Warc.renderFiles(corpus(
+      4L -> "dd", 0L -> "aa", 2L -> "cc")))
+      .where($"shard" === 0).orderBy("rec_pos")
+      .select("rec_pos", "rec_id").as[(Int, Long)].collect().toSeq
+    pos shouldBe Seq((0, 0L), (1, 2L), (2, 4L))
+  }
+
+  test("a version marker inside a payload resyncs and flags, never corrupts neighbours") {
+    val poison = "evil " + Warc.VersionLine + "ghost payload"
+    val parsed = Warc.parseRecords(Warc.renderFiles(corpus(
+      0L -> "before", 2L -> poison, 4L -> "after")))
+      .orderBy("rec_pos").collect()
+    // The poisoned record splits early: its slice is shorter than the
+    // declared Content-Length and is flagged non-intact.
+    val bad = parsed.filter(_.getAs[Long]("rec_id") == 2L).head
+    bad.getAs[Boolean]("intact") shouldBe false
+    bad.getAs[String]("payload").length.toLong should be <
+      bad.getAs[Long]("content_length")
+    // Neighbouring records still parse exactly.
+    val good = parsed.filter(r => Set(0L, 4L)(r.getAs[Long]("rec_id")))
+    good.map(_.getAs[String]("payload")).toSet shouldBe Set("before", "after")
+    good.foreach(_.getAs[Boolean]("intact") shouldBe true)
+    // The ghost fragment (no parsable headers) carries a null rec_id —
+    // an auditable orphan row, not a silent drop.
+    parsed.count(_.isNullAt(parsed.head.fieldIndex("rec_id"))) shouldBe 1
+  }
+
+  test("fileStats aggregates the parse (counts, volume, intact)") {
+    val stats = Warc.fileStats(Warc.parseRecords(Warc.renderFiles(corpus(
+      0L -> "aaaa", 2L -> "bb", 1L -> "ccc"))))
+      .orderBy("shard").collect()
+    stats.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_records"),
+      r.getAs[Long]("payload_chars"), r.getAs[Long]("n_intact"))).toSeq shouldBe
+      Seq((0L, 2L, 6L, 2L), (1L, 1L, 3L, 1L))
+  }
+}
