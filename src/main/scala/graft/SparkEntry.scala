@@ -2732,6 +2732,33 @@ object SparkEntry {
       Warc.fileStats(Warc.parseRecords(files)).orderBy("shard")
     }),
 
+    // Raw-WARC response layer (one below WET): render response records
+    // whose payloads are full HTTP messages (status line, Content-Type,
+    // body), parse them back, and compute the WET-derivation decision —
+    // `kept` = status 200 with a text/* mime — exactly the filter that
+    // turns raw crawl WARCs into WET conversions. Status/mime dressing
+    // is deterministic off doc_id so the oracle replays the whole
+    // parse + filter as a projection.
+    "x_warc_http" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val status = when(col("doc_id") % 11 === 7, lit("404 Not Found"))
+        .when(col("doc_id") % 13 === 5, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK"))
+      val ctype = when(col("doc_id") % 9 === 4, lit("application/pdf"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val files = Warc.renderFiles(
+        d.withColumn("url", url)
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .withColumn("http", Warc.httpPayload(status, ctype, col("text"))),
+        textCol = "http", warcType = "response")
+      Warc.parseHttp(Warc.parseRecords(files))
+        .select(col("rec_id").as("doc_id"), col("status_code"), col("mime"),
+          length(col("body")).cast("long").as("body_chars"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -6127,6 +6154,22 @@ object SparkEntry {
         |  CAST(max(length(text)) AS BIGINT) AS max_len,
         |  count(*) AS n_intact
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // WET-derivation replay: the status/mime dressing is a pure
+    // doc_id projection, so the parse + keep decision replays without
+    // ever constructing archive text. CASE order matters for ids that
+    // hit both residues (404 wins), matching the when-chain.
+    "x_warc_http" ->
+      """WITH s AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 7 THEN 404
+        |         WHEN doc_id % 13 = 5 THEN 301 ELSE 200 END AS status_code,
+        |    CASE WHEN doc_id % 9 = 4 THEN 'application/pdf'
+        |         ELSE 'text/html' END AS mime,
+        |    CAST(length(text) AS BIGINT) AS body_chars
+        |  FROM documents)
+        |SELECT doc_id, status_code, mime, body_chars,
+        |  (status_code = 200 AND mime LIKE 'text/%') AS kept
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

@@ -33,7 +33,9 @@ object ScalingProbe {
     // round-16: re-keyed boilerplate family, URL-normalized dedup,
     // domain report, and the globalRank-decomposed calibration
     "x_url_dedup", "x_domain_stats", "x_logreg_calibration",
-    "x_global_rank")
+    "x_global_rank",
+    // round-16 second batch: the WET ingest codec (render + parse)
+    "x_wet_roundtrip", "x_wet_stats", "x_warc_http")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

@@ -58,10 +58,11 @@ object Warc {
    * Deterministic (the record id is the document id, not a random
    * uuid), so render∘parse is an identity both engines can state.
    */
-  def record(id: Column, url: Column, text: Column): Column =
+  def record(id: Column, url: Column, text: Column,
+      warcType: String = "conversion"): Column =
     concat(
       lit(VersionLine),
-      lit("WARC-Type: conversion\r\n"),
+      lit(s"WARC-Type: $warcType\r\n"),
       lit("WARC-Target-URI: "), url, lit("\r\n"),
       lit("WARC-Record-ID: <urn:graft:"), id.cast("string"), lit(">\r\n"),
       lit("Content-Length: "), length(text).cast("string"), lit("\r\n"),
@@ -78,11 +79,11 @@ object Warc {
    */
   def renderFiles(docs: DataFrame, shardCol: String = "shard",
       idCol: String = "doc_id", urlCol: String = "url",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", warcType: String = "conversion"): DataFrame =
     docs
       .select(col(shardCol).as("shard"),
         struct(col(idCol).as("k"),
-          record(col(idCol), col(urlCol), col(textCol)).as("rec")).as("e"))
+          record(col(idCol), col(urlCol), col(textCol), warcType).as("rec")).as("e"))
       .groupBy("shard")
       .agg(array_join(transform(array_sort(collect_list(col("e"))),
         e => e("rec")), "").as("content"))
@@ -118,10 +119,52 @@ object Warc {
         (col("rec_pos") - 1).as("rec_pos"), // drop the pre-marker empty slot
         nullif(regexp_extract(headers, "WARC-Record-ID: <urn:graft:([0-9]+)>", 1),
           lit("")).cast("long").as("rec_id"),
+        regexp_extract(headers, "WARC-Type: ([^\r\n]*)", 1).as("warc_type"),
         regexp_extract(headers, "WARC-Target-URI: ([^\r\n]*)", 1).as("uri"),
         declared.as("content_length"),
         payload.as("payload"),
         (length(payload) >= declared).as("intact"))
+  }
+
+  /**
+   * HTTP message payload for a WARC *response* record (the raw-crawl
+   * layer one below WET): status line, Content-Type, a fixed Server
+   * header, blank line, body.
+   */
+  def httpPayload(status: Column, contentType: Column, body: Column): Column =
+    concat(lit("HTTP/1.1 "), status,
+      lit("\r\nContent-Type: "), contentType,
+      lit("\r\nServer: graft/1.0\r\n"),
+      lit(HeaderSep.drop(2)), body)
+
+  /**
+   * The WET-derivation step over parsed response records: split each
+   * payload into its HTTP status / Content-Type / body and decide
+   * `kept` — status 200 with a `text/`-prefixed mime — exactly the filter
+   * Common Crawl applies when deriving WET conversions from raw WARC
+   * responses. Adds `(status_code, mime, body, kept)` to
+   * [[parseRecords]] output; non-HTTP payloads (e.g. a conversion
+   * record) carry nulls and `kept = false`. Pure stateless projection,
+   * same zero-shuffle / streaming-safe posture as the record parse.
+   */
+  def parseHttp(parsed: DataFrame): DataFrame = {
+    val payload = col("payload")
+    val httpHeaders = substring_index(payload, HeaderSep, 1)
+    val status = nullif(
+      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
+      .cast("int")
+    val mime = nullif(trim(substring_index(
+      regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1), ";", 1)),
+      lit(""))
+    val body = when(status.isNotNull,
+      payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
+        length(payload)))
+    parsed
+      .withColumn("status_code", status)
+      .withColumn("mime", mime)
+      .withColumn("body", body)
+      .withColumn("kept",
+        coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
   }
 
   /**

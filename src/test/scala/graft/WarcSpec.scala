@@ -79,6 +79,39 @@ class WarcSpec extends SparkSpec {
     parsed.count(_.isNullAt(parsed.head.fieldIndex("rec_id"))) shouldBe 1
   }
 
+  test("http response layer: status/mime/body parse and the WET keep decision") {
+    val docs = Seq(
+      (0L, "kept body", "200 OK", "text/html; charset=UTF-8", true),
+      (1L, "wrong mime", "200 OK", "application/pdf", false),
+      (2L, "not found", "404 Not Found", "text/html", false),
+      (3L, "", "200 OK", "text/plain", true)) // empty body still kept
+    val framed = docs.map { case (id, body, st, ct, _) => (id, body, st, ct) }
+      .toDF("doc_id", "text", "st", "ct")
+      .withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+      .withColumn("http", Warc.httpPayload(col("st"), col("ct"), col("text")))
+    val out = Warc.parseHttp(Warc.parseRecords(
+        Warc.renderFiles(framed, textCol = "http", warcType = "response")))
+      .orderBy("rec_id").collect()
+    out.map(_.getAs[String]("warc_type")).toSet shouldBe Set("response")
+    for ((r, (id, body, st, ct, keep)) <- out.zip(docs)) {
+      withClue(s"doc $id: ") {
+        r.getAs[Int]("status_code") shouldBe st.take(3).toInt
+        r.getAs[String]("mime") shouldBe ct.takeWhile(_ != ';')
+        r.getAs[String]("body") shouldBe body
+        r.getAs[Boolean]("kept") shouldBe keep
+        r.getAs[Boolean]("intact") shouldBe true
+      }
+    }
+    // A conversion record's payload is not an HTTP message: nulls + not kept.
+    val conv = Warc.parseHttp(Warc.parseRecords(Warc.renderFiles(corpus(
+      9L -> "plain wet payload")))).collect().head
+    conv.getAs[String]("warc_type") shouldBe "conversion"
+    conv.isNullAt(conv.fieldIndex("status_code")) shouldBe true
+    conv.isNullAt(conv.fieldIndex("body")) shouldBe true
+    conv.getAs[Boolean]("kept") shouldBe false
+  }
+
   test("fileStats aggregates the parse (counts, volume, intact)") {
     val stats = Warc.fileStats(Warc.parseRecords(Warc.renderFiles(corpus(
       0L -> "aaaa", 2L -> "bb", 1L -> "ccc"))))
