@@ -2732,6 +2732,39 @@ object SparkEntry {
       Warc.fileStats(Warc.parseRecords(files)).orderBy("shard")
     }),
 
+    // robots.txt compliance gate: per-domain robots bodies (decoy
+    // badbot sections, comments, blank Disallow allow-all markers,
+    // mixed LF/CRLF endings) parsed by the HOF fold, then the bounded
+    // rules table broadcast-joined against the page frame. The decoy
+    // `User-agent: badbot / Disallow: /` section means a parser that
+    // ignored sections would block EVERY page — the oracle's
+    // per-domain CASE genuinely pins the section logic.
+    "x_robots_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("m.")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com")).otherwise(lit(".org")),
+        lit("/p/"), (col("doc_id") % 15).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("?ref=rss")).otherwise(lit("")))
+      val norm = Dedup.normalizeUrl(col("url"))
+      val pages = d.withColumn("url", url)
+        .select(col("doc_id"), Dedup.urlDomain(norm).as("domain"),
+          regexp_extract(norm, "(/.*)$", 1).as("path"))
+      val robots = pages.select("domain").distinct()
+        .withColumn("content",
+          when(col("domain").endsWith(".com"),
+            lit("# policy\nUser-agent: badbot\nDisallow: /\n\n" +
+              "User-agent: *\nDisallow: /p/3\nDisallow: /p/11\n"))
+            .otherwise(
+              lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow:\r\n" +
+                "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
+      graft.ext.Robots.applyRules(pages, graft.ext.Robots.parseRules(robots))
+        .orderBy("doc_id")
+    }),
+
     // Raw-WARC response layer (one below WET): render response records
     // whose payloads are full HTTP messages (status line, Content-Type,
     // body), parse them back, and compute the WET-derivation decision —
@@ -6154,6 +6187,44 @@ object SparkEntry {
         |  CAST(max(length(text)) AS BIGINT) AS max_len,
         |  count(*) AS n_intact
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // Robots replay: same dressing + canonicalization as
+    // x_domain_stats (paths are /p/{0..14}, so every Disallow prefix
+    // matches exactly one path — equality states the prefix test);
+    // the per-TLD CASE is what the section-aware parse must recover
+    // from the decoy-laden bodies.
+    "x_robots_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE 'm.' END) ||
+        |    source ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.org' END) ||
+        |    '/p/' || CAST(doc_id % 15 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?ref=rss' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u),
+        |h AS (SELECT doc_id, url_norm,
+        |    regexp_replace(regexp_extract(url_norm, '^[^/]*'),
+        |      ':[0-9]+$', '') AS host
+        |  FROM n),
+        |p AS (SELECT doc_id,
+        |    COALESCE(NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |      host) AS domain,
+        |    regexp_extract(url_norm, '(/.*)$', 1) AS path
+        |  FROM h)
+        |SELECT doc_id, domain, path,
+        |  CASE WHEN domain LIKE '%.com' THEN path IN ('/p/3', '/p/11')
+        |       ELSE path = '/p/7' END AS blocked,
+        |  CASE WHEN domain LIKE '%.com' AND path = '/p/3' THEN '/p/3'
+        |       WHEN domain LIKE '%.com' AND path = '/p/11' THEN '/p/11'
+        |       WHEN domain NOT LIKE '%.com' AND path = '/p/7' THEN '/p/7'
+        |  END AS rule
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // WET-derivation replay: the status/mime dressing is a pure
     // doc_id projection, so the parse + keep decision replays without

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * robots.txt compliance filtering — the crawl-politeness gate every
+ * production web pipeline runs before fetch/keep decisions. Parses
+ * per-domain robots.txt bodies (User-agent sections, Disallow rules,
+ * `#` comments, CRLF or LF endings) and applies the selected agent's
+ * prefix rules to a page frame.
+ *
+ * Scale posture: the rules table is bounded by |domains| × rules-per-
+ * domain (robots bodies are KB-scale by convention), so the apply is
+ * a broadcast equi-join on domain with a per-pair prefix test — the
+ * page side never shuffles. The parse is one fold over each body's
+ * line array (a codegen'd `aggregate` HOF — no UDF), section state
+ * carried through the fold exactly as a sequential robots parser
+ * would: a `User-agent:` line opens a section, rules bind to the
+ * most recent section, and only the requested agent's (or `*`)
+ * sections contribute. Deliberately simplified vs RFC 9309: no
+ * Allow-precedence or wildcard-in-path matching — Disallow prefixes
+ * only, the subset both engines can replay as a pure projection.
+ *
+ * The reference has no crawl handling (it posts generated series,
+ * src/main.py:959-975) — training-data-pipeline extension surface.
+ */
+object Robots {
+
+  /**
+   * Parse robots bodies into `(domain, prefix)` Disallow rules for the
+   * given agent (plus `*` sections). One row per rule; empty
+   * `Disallow:` lines (allow-all markers) and comments drop out.
+   */
+  def parseRules(robots: DataFrame, agent: String = "*",
+      domainCol: String = "domain", contentCol: String = "content"): DataFrame = {
+    val lines = split(col(contentCol), "\r?\n")
+    // Fold state: act = does the current section govern our agent,
+    // ua = was the previous line a User-agent line (RFC 9309 groups:
+    // consecutive User-agent lines share one rule group, so a stacked
+    // line ORs into the group's membership instead of replacing it).
+    val folded = aggregate(
+      lines,
+      struct(lit(false).as("act"), lit(false).as("ua"),
+        array().cast("array<string>").as("acc")),
+      (st, raw) => {
+        val ln = trim(regexp_replace(raw, "#.*", ""))
+        val isUa = lower(ln).startsWith("user-agent:")
+        val uaVal = trim(ln.substr(lit("user-agent:".length + 1), length(ln)))
+        val uaMatch = uaVal === agent || uaVal === "*"
+        val isDis = lower(ln).startsWith("disallow:")
+        val disVal = trim(ln.substr(lit("disallow:".length + 1), length(ln)))
+        when(isUa,
+          struct((st("ua") && st("act") || uaMatch).as("act"),
+            lit(true).as("ua"), st("acc").as("acc")))
+          .when(isDis && st("act") && disVal =!= "",
+            struct(st("act").as("act"), lit(false).as("ua"),
+              array_append(st("acc"), disVal).as("acc")))
+          .otherwise(struct(st("act").as("act"), lit(false).as("ua"),
+            st("acc").as("acc")))
+      },
+      st => st("acc"))
+    robots
+      .select(col(domainCol).as("domain"), explode(folded).as("prefix"))
+  }
+
+  /**
+   * Apply parsed rules to a page frame carrying `(domain, path)`:
+   * adds `blocked` and the first (shortest, then lexical) matching
+   * prefix as `rule` — deterministic even when several rules match.
+   * Broadcast left join on domain; pages with no rules pass.
+   */
+  def applyRules(pages: DataFrame, rules: DataFrame,
+      domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
+    val matched = pages
+      .join(broadcast(rules.withColumnRenamed("domain", "__rd")),
+        col(domainCol) === col("__rd") &&
+          col(pathCol).startsWith(col("prefix")),
+        "left")
+    matched
+      .groupBy(pages.columns.map(col): _*)
+      .agg(min(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).as("l"), col("prefix").as("p"))))
+        .as("__m"))
+      .withColumn("blocked", col("__m").isNotNull)
+      .withColumn("rule", col("__m")("p"))
+      .drop("__m")
+  }
+}
