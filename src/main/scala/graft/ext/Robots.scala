@@ -64,26 +64,35 @@ object Robots {
       .select(col(domainCol).as("domain"), explode(folded).as("prefix"))
   }
 
+  /** [[parseRules]] output folded to ONE row per domain with its
+    * prefix array — the bounded shape the apply broadcasts (and the
+    * static side of a streaming page gate). */
+  def rulesByDomain(rules: DataFrame): DataFrame =
+    rules.groupBy("domain")
+      .agg(array_sort(collect_list("prefix")).as("__prefixes"))
+
   /**
    * Apply parsed rules to a page frame carrying `(domain, path)`:
    * adds `blocked` and the first (shortest, then lexical) matching
    * prefix as `rule` — deterministic even when several rules match.
-   * Broadcast left join on domain; pages with no rules pass.
+   * One broadcast equi-join on domain against the ≤1-row-per-domain
+   * array table, then a stateless `exists`/`array_min` projection —
+   * the page side never shuffles, so the same graph gates a
+   * `readStream` of arriving pages unchanged (stream-static join,
+   * zero state).
    */
   def applyRules(pages: DataFrame, rules: DataFrame,
       domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
-    val matched = pages
-      .join(broadcast(rules.withColumnRenamed("domain", "__rd")),
-        col(domainCol) === col("__rd") &&
-          col(pathCol).startsWith(col("prefix")),
-        "left")
-    matched
-      .groupBy(pages.columns.map(col): _*)
-      .agg(min(when(col("prefix").isNotNull,
-        struct(length(col("prefix")).as("l"), col("prefix").as("p"))))
-        .as("__m"))
-      .withColumn("blocked", col("__m").isNotNull)
-      .withColumn("rule", col("__m")("p"))
-      .drop("__m")
+    val byDomain = rulesByDomain(rules)
+      .withColumnRenamed("domain", "__rd")
+    val hits = filter(col("__prefixes"),
+      p => col(pathCol).startsWith(p))
+    pages
+      .join(broadcast(byDomain), col(domainCol) === col("__rd"), "left")
+      .withColumn("blocked", coalesce(exists(col("__prefixes"),
+        p => col(pathCol).startsWith(p)), lit(false)))
+      .withColumn("rule", array_min(transform(hits,
+        p => struct(length(p).as("l"), p.as("p"))))("p"))
+      .drop("__rd", "__prefixes")
   }
 }

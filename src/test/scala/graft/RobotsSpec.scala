@@ -51,5 +51,8 @@ class RobotsSpec extends SparkSpec {
       (3L, false, null), (4L, false, null))
     val plan = Robots.applyRules(pages, rules).queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
+    // the only row shuffle is the bounded rules-per-domain aggregate —
+    // the page side is a stateless projection off the broadcast join
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
   }
 }

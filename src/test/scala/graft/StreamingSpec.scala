@@ -887,6 +887,34 @@ class StreamingSpec extends SparkSpec {
     flags.filter(_.dup_of == 5L).map(_.doc_id).toSet shouldBe Set(6L)
   }
 
+  test("robots gate runs stream-static over arriving pages, equal to batch") {
+    // applyRules is a broadcast equi-join + stateless projection, so
+    // the SAME graph gates a readStream of pages against the static
+    // parsed-rules table — no state operator, append mode.
+    import graft.ext.Robots
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Robots.parseRules(Seq(
+      ("a.com", "User-agent: *\nDisallow: /p/3\nDisallow: /secret\n"),
+      ("b.org", "User-agent: badbot\nDisallow: /\n"))
+      .toDF("domain", "content"))
+    val pages = Seq(
+      (1L, "a.com", "/p/3"), (2L, "a.com", "/open"),
+      (3L, "b.org", "/p/3"), (4L, "c.net", "/anything"))
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(pages: _*)
+    val q = Robots.applyRules(
+        mem.toDF().toDF("doc_id", "domain", "path"), rules)
+      .writeStream.format("memory").queryName("robots_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamed = spark.table("robots_gate").collect().map(_.toSeq).toSet
+    val batch = Robots.applyRules(
+      pages.toDF("doc_id", "domain", "path"), rules).collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.map(r => (r(0), r(3))) shouldBe
+      Set((1L, true), (2L, false), (3L, false), (4L, false))
+  }
+
   test("wet parse gates a stream of arriving crawl files, equal to batch") {
     // The ingest front door: WET files land continuously; parseRecords
     // is a stateless projection + generate, so the SAME Column graph
