@@ -2732,6 +2732,62 @@ object SparkEntry {
       Warc.fileStats(Warc.parseRecords(files)).orderBy("shard")
     }),
 
+    // Crawl-to-corpus funnel e2e: the whole raw-crawl ingest chain as
+    // ONE DataFrame job — render raw WARC response files, parse them
+    // back (record + HTTP layers), apply the WET-derivation keep
+    // filter, gate the keeps through robots rules on the CANONICAL
+    // URL, then collapse to distinct canonical pages — reported as a
+    // per-domain funnel (fetched → kept → robots-blocked → pages).
+    // Counts ride xxhash64(url_norm); archive text never aggregates.
+    "x_crawl_e2e" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("m.")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".com")).otherwise(lit(".org")),
+        lit("/p/"), (col("doc_id") % 15).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("?ref=rss")).otherwise(lit("")))
+      val status = when(col("doc_id") % 11 === 7, lit("404 Not Found"))
+        .when(col("doc_id") % 13 === 5, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK"))
+      val ctype = when(col("doc_id") % 9 === 4, lit("application/pdf"))
+        .otherwise(lit("text/html; charset=UTF-8"))
+      val files = Warc.renderFiles(
+        d.withColumn("url", url)
+          .withColumn("shard", pmod(col("doc_id"), lit(8)))
+          .withColumn("http", Warc.httpPayload(status, ctype, col("text"))),
+        textCol = "http", warcType = "response")
+      val norm = Dedup.normalizeUrl(col("uri"))
+      val pages = Warc.parseHttp(Warc.parseRecords(files))
+        .select(col("rec_id"), col("kept"), norm.as("url_norm"))
+        .withColumn("domain", Dedup.urlDomain(col("url_norm")))
+        .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
+      // the robots fetch list comes straight off the URL projection —
+      // enumerating domains must not re-render the archive branch
+      val robots = d.withColumn("url", url)
+        .select(Dedup.urlDomain(Dedup.normalizeUrl(col("url"))).as("domain"))
+        .distinct()
+        .withColumn("content",
+          when(col("domain").endsWith(".com"),
+            lit("# policy\nUser-agent: badbot\nDisallow: /\n\n" +
+              "User-agent: *\nDisallow: /p/3\nDisallow: /p/11\n"))
+            .otherwise(
+              lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow:\r\n" +
+                "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
+      val surviving = col("kept") && !col("blocked")
+      graft.ext.Robots.applyRules(pages, graft.ext.Robots.parseRules(robots))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_fetched"),
+          sum(when(surviving, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept") && col("blocked"), 1L).otherwise(0L))
+            .as("n_robots_blocked"),
+          countDistinct(when(surviving, xxhash64(col("url_norm"))))
+            .as("n_pages"))
+        .orderBy("domain")
+    }),
+
     // robots.txt compliance gate: per-domain robots bodies (decoy
     // badbot sections, comments, blank Disallow allow-all markers,
     // mixed LF/CRLF endings) parsed by the HOF fold, then the bounded
@@ -6187,6 +6243,53 @@ object SparkEntry {
         |  CAST(max(length(text)) AS BIGINT) AS max_len,
         |  count(*) AS n_intact
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // Funnel replay: one CTE chain replays dressing → canonical URL →
+    // domain/path → HTTP keep + robots CASE → per-domain counts, with
+    // canonical-page distincts on url_norm TEXT where the engine
+    // counts xxhash64(url_norm) (the suite's hash-identity
+    // convention).
+    "x_crawl_e2e" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE 'm.' END) ||
+        |    source ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.org' END) ||
+        |    '/p/' || CAST(doc_id % 15 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?ref=rss' ELSE '' END) AS url,
+        |    CASE WHEN doc_id % 11 = 7 THEN 404
+        |         WHEN doc_id % 13 = 5 THEN 301 ELSE 200 END AS status_code,
+        |    CASE WHEN doc_id % 9 = 4 THEN 'application/pdf'
+        |         ELSE 'text/html' END AS mime
+        |  FROM documents),
+        |n AS (SELECT doc_id, status_code, mime,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u),
+        |h AS (SELECT *,
+        |    regexp_replace(regexp_extract(url_norm, '^[^/]*'),
+        |      ':[0-9]+$', '') AS host
+        |  FROM n),
+        |p AS (SELECT doc_id, url_norm, status_code, mime,
+        |    COALESCE(NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+        |      host) AS domain,
+        |    regexp_extract(url_norm, '(/.*)$', 1) AS path
+        |  FROM h),
+        |f AS (SELECT doc_id, domain, url_norm,
+        |    (status_code = 200 AND mime LIKE 'text/%') AS kept,
+        |    CASE WHEN domain LIKE '%.com' THEN path IN ('/p/3', '/p/11')
+        |         ELSE path = '/p/7' END AS blocked
+        |  FROM p)
+        |SELECT domain, count(*) AS n_fetched,
+        |  CAST(sum(CASE WHEN kept AND NOT blocked THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept AND blocked THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_robots_blocked,
+        |  count(DISTINCT CASE WHEN kept AND NOT blocked THEN url_norm END)
+        |    AS n_pages
+        |FROM f GROUP BY 1 ORDER BY domain""".stripMargin,
 
     // Robots replay: same dressing + canonicalization as
     // x_domain_stats (paths are /p/{0..14}, so every Disallow prefix

@@ -35,7 +35,8 @@ object ScalingProbe {
     "x_url_dedup", "x_domain_stats", "x_logreg_calibration",
     "x_global_rank",
     // round-16 second batch: the WET ingest codec (render + parse)
-    "x_wet_roundtrip", "x_wet_stats", "x_warc_http", "x_robots_filter")
+    "x_wet_roundtrip", "x_wet_stats", "x_warc_http", "x_robots_filter",
+    "x_crawl_e2e")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
