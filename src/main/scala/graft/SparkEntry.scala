@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Corpus, Dedup, Multimodal, PiiScan, Similarity, Sketches, TextStats, Warc}
+import graft.ext.{Corpus, Dedup, Html, Multimodal, PiiScan, Similarity, Sketches, TextStats, Warc}
 import graft.sources.Sinks
 
 /**
@@ -2732,6 +2732,31 @@ object SparkEntry {
       Warc.fileStats(Warc.parseRecords(files)).orderBy("shard")
     }),
 
+    // HTML → text extraction (the content-conversion step between a
+    // raw crawl response and WET plain text): script/style blocks and
+    // comments dropped, tags stripped, the five predefined entities
+    // decoded, whitespace collapsed. The dressing plants decoys for
+    // every rule — tags INSIDE a script string, a style body, a
+    // comment, a double-entity — and the oracle CONSTRUCTS the
+    // expected text directly (no regex on the oracle side), so the
+    // whole pipeline is pinned, not mirrored.
+    "x_html_text" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"), Html.htmlToText(htmlDressing).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // href extraction off the same dressing — the op that turns a
+    // fetched page into crawl-frontier candidates (the input to the
+    // streaming URL first-occurrence gate). posexplode keeps document
+    // order so the frontier is deterministic.
+    "x_html_links" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(Html.extractLinks(htmlDressing)).as(Seq("link_pos", "link")))
+        .orderBy("doc_id", "link_pos")
+    }),
+
     // Crawl-to-corpus funnel e2e: the whole raw-crawl ingest chain as
     // ONE DataFrame job — render raw WARC response files, parse them
     // back (record + HTTP layers), apply the WET-derivation keep
@@ -4051,6 +4076,26 @@ object SparkEntry {
         .orderBy("detector")
     })
   )
+
+  /**
+   * Deterministic HTML page dressing over the documents table — one
+   * decoy per extraction rule: a style body, a comment, a
+   * double-escaped entity, tags inside a script string, plus two
+   * href targets (one on-domain "next" link, one off-site hub link).
+   * The oracle constructs the expected plain text / link list
+   * directly from (doc_id, source, text).
+   */
+  private def htmlDressing: Column = concat(
+    lit("<html><head><title>doc "), col("doc_id").cast("string"),
+    lit("</title><style>p{color:red}</style></head><body><!-- hidden -->"),
+    lit("<h1>Doc &amp; "), col("doc_id").cast("string"), lit("</h1>"),
+    lit("<a href=\"https://"), col("source"),
+    lit(".example.com/doc/"), ((col("doc_id") + 1) % 40).cast("string"),
+    lit("\">next</a><p class=\"b\">"), col("text"),
+    lit("</p><a href=\"http://hub.example.org/t/"),
+    (col("doc_id") % 7).cast("string"),
+    lit("\">hub</a><script>var s = \"<p>not text</p>\";</script>" +
+      "</body></html>"))
 
   /**
    * Deterministic PII test corpus: customer rows with secrets planted by
@@ -6243,6 +6288,36 @@ object SparkEntry {
         |  CAST(max(length(text)) AS BIGINT) AS max_len,
         |  count(*) AS n_intact
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // Extraction replay by CONSTRUCTION: the oracle assembles the
+    // expected text from (doc_id, text) directly — 'doc N Doc & N
+    // next <text> hub' with the document's own whitespace collapsed —
+    // so any decoy surviving the engine's pipeline (script string
+    // tags, style body, comment, double entity) breaks the hash.
+    "x_html_text" ->
+      """WITH t AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'doc ' || CAST(doc_id AS VARCHAR) || ' Doc & ' ||
+        |  CAST(doc_id AS VARCHAR) || ' next ' ||
+        |  (CASE WHEN body = '' THEN '' ELSE body || ' ' END) || 'hub'
+        |    AS extracted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Frontier replay: the two planted hrefs per page, in document
+    // order.
+    "x_html_links" ->
+      """SELECT doc_id, link_pos, link FROM (
+        |  SELECT doc_id, 0 AS link_pos,
+        |    'https://' || source || '.example.com/doc/' ||
+        |      CAST((doc_id + 1) % 40 AS VARCHAR) AS link
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'http://hub.example.org/t/' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents)
+        |ORDER BY doc_id, link_pos""".stripMargin,
 
     // Funnel replay: one CTE chain replays dressing → canonical URL →
     // domain/path → HTTP keep + robots CASE → per-domain counts, with
