@@ -2779,6 +2779,51 @@ object SparkEntry {
         .orderBy("url_norm")
     }),
 
+    // Politeness scheduler over the discovered frontier: the robots
+    // fold also yields per-host Crawl-delay; each allowed URL gets a
+    // fetch slot on its host's timeline (host-PARTITIONED window —
+    // never a global sort — times the bounded delay table, broadcast).
+    // Hosts with no declared delay run at the 1 s default.
+    "x_crawl_schedule" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val crawledUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Articles/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      val crawled = d.withColumn("url", crawledUrl)
+        .select(Dedup.normalizeUrl(col("url")).as("url_norm")).distinct()
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), col("source"), lit(".example.com/Articles/"),
+        ((col("doc_id") * 3) % 53).cast("string"),
+        lit("?utm=x\">n</a><a href=\"http://hub.example.org/t/"),
+        (col("doc_id") % 7).cast("string"), lit("\">h</a>"))
+      val discovered = d
+        .select(explode(Html.extractLinks(pageHtml)).as("link"))
+        .select(Dedup.normalizeUrl(col("link")).as("url_norm")).distinct()
+        .join(crawled, Seq("url_norm"), "left_anti")
+        .withColumn("domain", Dedup.urlHost(col("url_norm")))
+        .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
+      val robots = discovered.select("domain").distinct()
+        .withColumn("content",
+          when(col("domain") === "hub.example.org",
+            lit("User-agent: *\nCrawl-delay: 5\nDisallow: /t/2\n"))
+            .otherwise(lit("User-agent: *\nDisallow: /articles/4\n")))
+      val allowed = graft.ext.Robots
+        .applyRules(discovered, graft.ext.Robots.parseRules(robots))
+        .where(!col("blocked"))
+        .select("url_norm", "domain")
+      graft.ext.Robots.schedule(allowed,
+          graft.ext.Robots.parseCrawlDelay(robots))
+        .orderBy("url_norm")
+    }),
+
     // HTML → text extraction (the content-conversion step between a
     // raw crawl response and WET plain text): script/style blocks and
     // comments dropped, tags stripped, the five predefined entities
@@ -6379,6 +6424,48 @@ object SparkEntry {
         |         THEN '/articles/4'
         |  END AS rule
         |FROM g ORDER BY url_norm""".stripMargin,
+
+    // Scheduler replay: frontier set difference, the allow filter,
+    // then the per-host slot window times the per-host delay CASE.
+    "x_crawl_schedule" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |crawled AS (SELECT DISTINCT
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u),
+        |l AS (SELECT source || '.example.com/articles/' ||
+        |        CAST((doc_id * 3) % 53 AS VARCHAR) AS url_norm
+        |      FROM documents
+        |      UNION
+        |      SELECT 'hub.example.org/t/' || CAST(doc_id % 7 AS VARCHAR)
+        |      FROM documents),
+        |f AS (SELECT url_norm FROM l
+        |      WHERE url_norm NOT IN (SELECT url_norm FROM crawled)),
+        |g AS (SELECT url_norm,
+        |    regexp_extract(url_norm, '^[^/]*') AS domain,
+        |    regexp_extract(url_norm, '(/.*)$', 1) AS path
+        |  FROM f),
+        |a AS (SELECT url_norm, domain FROM g
+        |  WHERE NOT (CASE WHEN domain = 'hub.example.org'
+        |                  THEN path LIKE '/t/2%'
+        |                  ELSE path LIKE '/articles/4%' END))
+        |SELECT url_norm, domain,
+        |  CAST((row_number() OVER (PARTITION BY domain ORDER BY url_norm)
+        |        - 1) *
+        |    (CASE WHEN domain = 'hub.example.org' THEN 5 ELSE 1 END)
+        |    AS BIGINT) AS fetch_at_s
+        |FROM a ORDER BY url_norm""".stripMargin,
 
     // Extraction replay by CONSTRUCTION: the oracle assembles the
     // expected text from (doc_id, text) directly — 'doc N Doc & N

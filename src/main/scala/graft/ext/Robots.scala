@@ -64,6 +64,67 @@ object Robots {
       .select(col(domainCol).as("domain"), explode(folded).as("prefix"))
   }
 
+  /**
+   * Per-domain `Crawl-delay` (seconds) for the given agent — the same
+   * section fold as [[parseRules]], capturing the FIRST delay seen in
+   * a governing section (conservative: later sections cannot relax
+   * it). Domains whose body names no delay are absent; callers
+   * coalesce to their default politeness.
+   */
+  def parseCrawlDelay(robots: DataFrame, agent: String = "*",
+      domainCol: String = "domain", contentCol: String = "content"): DataFrame = {
+    val lines = split(col(contentCol), "\r?\n")
+    val folded = aggregate(
+      lines,
+      struct(lit(false).as("act"), lit(false).as("ua"),
+        lit(null).cast("long").as("delay")),
+      (st, raw) => {
+        val ln = trim(regexp_replace(raw, "#.*", ""))
+        val isUa = lower(ln).startsWith("user-agent:")
+        val uaVal = trim(ln.substr(lit("user-agent:".length + 1), length(ln)))
+        val uaMatch = uaVal === agent || uaVal === "*"
+        val isDelay = lower(ln).startsWith("crawl-delay:")
+        val delayVal = nullif(trim(
+          ln.substr(lit("crawl-delay:".length + 1), length(ln))), lit(""))
+          .cast("long")
+        when(isUa,
+          struct((st("ua") && st("act") || uaMatch).as("act"),
+            lit(true).as("ua"), st("delay").as("delay")))
+          .when(isDelay && st("act") && st("delay").isNull,
+            struct(st("act").as("act"), lit(false).as("ua"),
+              delayVal.as("delay")))
+          .otherwise(struct(st("act").as("act"), lit(false).as("ua"),
+            st("delay").as("delay")))
+      },
+      st => st("delay"))
+    robots
+      .select(col(domainCol).as("domain"), folded.as("crawl_delay_s"))
+      .where(col("crawl_delay_s").isNotNull)
+  }
+
+  /**
+   * Politeness scheduler: assign each frontier URL a fetch offset on
+   * its host's timeline — `fetch_at_s = slot * crawl_delay_s` where
+   * the slot is the URL's rank within its host (deterministic order
+   * by the canonical URL). Host-PARTITIONED window (never a global
+   * sort) + a broadcast join against the bounded delay table;
+   * `defaultDelayS` covers hosts with no declared delay.
+   */
+  def schedule(frontier: DataFrame, delays: DataFrame,
+      defaultDelayS: Long = 1L, domainCol: String = "domain",
+      urlCol: String = "url_norm"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slot = row_number()
+      .over(Window.partitionBy(col(domainCol)).orderBy(col(urlCol))) - 1
+    frontier
+      .join(broadcast(delays.withColumnRenamed("domain", "__dd")),
+        col(domainCol) === col("__dd"), "left")
+      .withColumn("fetch_at_s",
+        slot.cast("long") *
+          coalesce(col("crawl_delay_s"), lit(defaultDelayS)))
+      .drop("__dd", "crawl_delay_s")
+  }
+
   /** [[parseRules]] output folded to ONE row per domain with its
     * prefix array — the bounded shape the apply broadcasts (and the
     * static side of a streaming page gate). */

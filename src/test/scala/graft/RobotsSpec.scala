@@ -38,6 +38,36 @@ class RobotsSpec extends SparkSpec {
     rulesOf("Disallow: /orphan\nUser-agent: *\nDisallow: /y\n") shouldBe Set("/y")
   }
 
+  test("parseCrawlDelay: governing sections only, first wins, absent filtered") {
+    def delayOf(content: String, agent: String = "*"): Option[Long] =
+      Robots.parseCrawlDelay(
+        Seq(("d.com", content)).toDF("domain", "content"), agent)
+        .select("crawl_delay_s").as[Long].collect().headOption
+    delayOf("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n") shouldBe Some(5L)
+    // a decoy section's delay does not leak
+    delayOf("User-agent: badbot\nCrawl-delay: 60\n\nUser-agent: *\nDisallow: /x\n") shouldBe None
+    // first governing value wins; later sections cannot relax it
+    delayOf("User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9\n") shouldBe Some(2L)
+    delayOf("User-agent: *\nDisallow: /x\n") shouldBe None
+  }
+
+  test("schedule: per-host slots times the host delay, default for undeclared hosts") {
+    val frontier = Seq(
+      ("a.com", "a.com/1"), ("a.com", "a.com/2"), ("a.com", "a.com/3"),
+      ("b.org", "b.org/1"), ("b.org", "b.org/2"))
+      .toDF("domain", "url_norm")
+    val delays = Seq(("a.com", 5L)).toDF("domain", "crawl_delay_s")
+    val out = Robots.schedule(frontier, delays).orderBy("url_norm")
+      .select("url_norm", "fetch_at_s").as[(String, Long)].collect().toSeq
+    out shouldBe Seq(("a.com/1", 0L), ("a.com/2", 5L), ("a.com/3", 10L),
+      ("b.org/1", 0L), ("b.org/2", 1L))
+    // the slot window is host-partitioned — no single-partition sort
+    val plan = Robots.schedule(frontier, delays)
+      .queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(domain")
+    plan should not include "SinglePartition"
+  }
+
   test("applyRules: broadcast prefix match, deterministic rule pick, no-rule domains pass") {
     val pages = Seq(
       (1L, "a.com", "/p/3"), (2L, "a.com", "/p/33"), (3L, "a.com", "/q"),
