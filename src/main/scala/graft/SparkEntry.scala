@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Corpus, Dedup, Html, Multimodal, PiiScan, Similarity, Sketches, TextStats, Warc}
+import graft.ext.{Corpus, Dedup, Html, Multimodal, PiiScan, Similarity, Sitemap, Sketches, TextStats, Warc}
 import graft.sources.Sinks
 
 /**
@@ -2821,6 +2821,48 @@ object SparkEntry {
         .select("url_norm", "domain")
       graft.ext.Robots.schedule(allowed,
           graft.ext.Robots.parseCrawlDelay(robots))
+        .orderBy("url_norm")
+    }),
+
+    // Sitemap-driven recrawl planning (the discovery channel beside
+    // link extraction): render per-site sitemap XML, parse it back
+    // into typed entries (lastmod DATE, priority DOUBLE), canonicalize
+    // the announced locs, collapse to the freshest announcement per
+    // canonical page, and mark which pages the crawl already has —
+    // the frame a recrawl scheduler prioritizes by (known, lastmod,
+    // priority).
+    "x_sitemap_recrawl" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val crawledUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Articles/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      val crawled = d.withColumn("url", crawledUrl)
+        .select(Dedup.normalizeUrl(col("url")).as("url_norm")).distinct()
+      val loc = concat(lit("https://"), col("source"),
+        lit(".example.com/Articles/"),
+        ((col("doc_id") * 7) % 43).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?v=2")).otherwise(lit("")))
+      val lmStr = concat(lit("2026-01-"),
+        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"))
+      val prio = when(col("doc_id") % 3 === 0, lit("0.8")).otherwise(lit("0.5"))
+      val sitemaps = Sitemap.renderSitemaps(
+        d.select(col("doc_id"), col("source").as("site"), loc.as("loc"),
+          lmStr.as("lastmod"), prio.as("priority")))
+      Sitemap.parseSitemaps(sitemaps)
+        .select(Dedup.normalizeUrl(col("loc")).as("url_norm"),
+          col("lastmod"), col("priority"))
+        .groupBy("url_norm")
+        .agg(max("lastmod").as("lastmod"), max("priority").as("priority"))
+        .join(crawled.withColumn("known", lit(true)), Seq("url_norm"), "left")
+        .withColumn("known", coalesce(col("known"), lit(false)))
         .orderBy("url_norm")
     }),
 
@@ -6466,6 +6508,42 @@ object SparkEntry {
         |    (CASE WHEN domain = 'hub.example.org' THEN 5 ELSE 1 END)
         |    AS BIGINT) AS fetch_at_s
         |FROM a ORDER BY url_norm""".stripMargin,
+
+    // Recrawl replay: announced pages constructed in canonical form
+    // with typed lastmod/priority; freshest per page; membership
+    // against the same crawled canonicalization chain as x_url_dedup.
+    "x_sitemap_recrawl" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |crawled AS (SELECT DISTINCT
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
+        |  FROM u),
+        |e AS (SELECT
+        |    source || '.example.com/articles/' ||
+        |      CAST((doc_id * 7) % 43 AS VARCHAR) AS url_norm,
+        |    CAST('2026-01-' ||
+        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+        |      AS lastmod,
+        |    CAST(CASE WHEN doc_id % 3 = 0 THEN '0.8' ELSE '0.5' END
+        |      AS DOUBLE) AS priority
+        |  FROM documents),
+        |g AS (SELECT url_norm, max(lastmod) AS lastmod,
+        |        max(priority) AS priority
+        |      FROM e GROUP BY 1)
+        |SELECT url_norm, lastmod, priority,
+        |  (url_norm IN (SELECT url_norm FROM crawled)) AS known
+        |FROM g ORDER BY url_norm""".stripMargin,
 
     // Extraction replay by CONSTRUCTION: the oracle assembles the
     // expected text from (doc_id, text) directly — 'doc N Doc & N
