@@ -374,4 +374,49 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("random corpus: WET render∘parse is an identity on marker-free payloads") {
+    import graft.ext.Warc
+    // The generator corpus has no 'WARC/1.0\r\n' marker, so every
+    // record must round-trip exactly — payload, id, declared length,
+    // intact — across arbitrary unicode, punctuation, and the \s
+    // corner separators (which sit INSIDE the Content-Length framing).
+    val framed = df
+      .withColumn("url", concat(lit("https://ex.com/"), $"doc_id"))
+      .withColumn("shard", pmod($"doc_id", lit(7)))
+    val parsed = Warc.parseRecords(Warc.renderFiles(framed))
+      .select($"rec_id", $"payload", $"intact", $"content_length")
+      .collect()
+    parsed.length shouldBe corpus.length
+    val byId = corpus.toMap
+    parsed.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id: ") {
+        r.getString(1) shouldBe byId(id)
+        r.getBoolean(2) shouldBe true
+        r.getLong(3) shouldBe byId(id).length.toLong
+      }
+    }
+  }
+
+  test("random corpus: htmlToText of a wrapped doc ≡ whitespace-collapsed doc") {
+    import graft.ext.Html
+    // Tag-wrap each ampersand/angle-free doc: extraction must return
+    // exactly the whitespace-collapsed original (the Column reference
+    // for the collapse is the same \s+ regex the kernel ends with).
+    val clean = df.where(!$"text".contains("<") && !$"text".contains("&") &&
+      !$"text".contains(">"))
+    val out = clean
+      .select($"text",
+        Html.htmlToText(concat(lit("<div id=\"d\"><p>"), $"text",
+          lit("</p><!-- c --><style>p{}</style></div>"))).as("ex"),
+        trim(regexp_replace($"text", "\\s+", " ")).as("ref"))
+      .collect()
+    out.length should be > 100 // the filter keeps most of the corpus
+    out.foreach { r =>
+      withClue(r.getString(0).take(60) + ": ") {
+        r.getString(1) shouldBe r.getString(2)
+      }
+    }
+  }
 }
