@@ -2753,8 +2753,11 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      // the crawled set is the corpus-sized side: it distincts and
+      // joins as 8-byte xxhash64 keys (the hash-identity convention),
+      // never as URL text
       val crawled = d.withColumn("url", crawledUrl)
-        .select(Dedup.normalizeUrl(col("url")).as("url_norm")).distinct()
+        .select(xxhash64(Dedup.normalizeUrl(col("url"))).as("__ch")).distinct()
       val pageHtml = concat(
         lit("<a href=\"HTTPS://"), col("source"), lit(".example.com/Articles/"),
         ((col("doc_id") * 3) % 53).cast("string"),
@@ -2765,7 +2768,7 @@ object SparkEntry {
       val discovered = d
         .select(explode(Html.extractLinks(pageHtml)).as("link"))
         .select(Dedup.normalizeUrl(col("link")).as("url_norm")).distinct()
-        .join(crawled, Seq("url_norm"), "left_anti")
+        .join(crawled, xxhash64(col("url_norm")) === col("__ch"), "left_anti")
         .withColumn("domain", Dedup.urlHost(col("url_norm")))
         .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
       val robots = discovered.select("domain").distinct()
@@ -2797,8 +2800,11 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      // the crawled set is the corpus-sized side: it distincts and
+      // joins as 8-byte xxhash64 keys (the hash-identity convention),
+      // never as URL text
       val crawled = d.withColumn("url", crawledUrl)
-        .select(Dedup.normalizeUrl(col("url")).as("url_norm")).distinct()
+        .select(xxhash64(Dedup.normalizeUrl(col("url"))).as("__ch")).distinct()
       val pageHtml = concat(
         lit("<a href=\"HTTPS://"), col("source"), lit(".example.com/Articles/"),
         ((col("doc_id") * 3) % 53).cast("string"),
@@ -2807,7 +2813,7 @@ object SparkEntry {
       val discovered = d
         .select(explode(Html.extractLinks(pageHtml)).as("link"))
         .select(Dedup.normalizeUrl(col("link")).as("url_norm")).distinct()
-        .join(crawled, Seq("url_norm"), "left_anti")
+        .join(crawled, xxhash64(col("url_norm")) === col("__ch"), "left_anti")
         .withColumn("domain", Dedup.urlHost(col("url_norm")))
         .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
       val robots = discovered.select("domain").distinct()
@@ -2844,8 +2850,11 @@ object SparkEntry {
         when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      // the crawled set is the corpus-sized side: it distincts and
+      // joins as 8-byte xxhash64 keys (the hash-identity convention),
+      // never as URL text
       val crawled = d.withColumn("url", crawledUrl)
-        .select(Dedup.normalizeUrl(col("url")).as("url_norm")).distinct()
+        .select(xxhash64(Dedup.normalizeUrl(col("url"))).as("__ch")).distinct()
       val loc = concat(lit("https://"), col("source"),
         lit(".example.com/Articles/"),
         ((col("doc_id") * 7) % 43).cast("string"),
@@ -2861,8 +2870,9 @@ object SparkEntry {
           col("lastmod"), col("priority"))
         .groupBy("url_norm")
         .agg(max("lastmod").as("lastmod"), max("priority").as("priority"))
-        .join(crawled.withColumn("known", lit(true)), Seq("url_norm"), "left")
-        .withColumn("known", coalesce(col("known"), lit(false)))
+        .join(crawled, xxhash64(col("url_norm")) === col("__ch"), "left")
+        .withColumn("known", col("__ch").isNotNull)
+        .drop("__ch")
         .orderBy("url_norm")
     }),
 
