@@ -915,6 +915,31 @@ class StreamingSpec extends SparkSpec {
       Set((1L, true), (2L, false), (3L, false), (4L, false))
   }
 
+  test("sitemap parse gates a stream of arriving site files, equal to batch") {
+    // Same posture as the WET gate: parseSitemaps is a stateless
+    // projection + generate, so the graph runs unchanged on a
+    // readStream of (site, content) sitemap documents.
+    import graft.ext.Sitemap
+    implicit val sqlCtx = spark.sqlContext
+    val entries = Seq(
+      (1L, "a", "https://a.com/1", "2026-01-03", "0.8"),
+      (2L, "a", "https://a.com/2", "2026-01-04", "0.5"),
+      (3L, "b", "https://b.org/3", "2026-01-05", "1.0"))
+      .toDF("doc_id", "site", "loc", "lastmod", "priority")
+    val files = Sitemap.renderSitemaps(entries).as[(String, String)].collect().toSeq
+    val mem = MemoryStream[(String, String)]
+    mem.addData(files: _*)
+    val q = Sitemap.parseSitemaps(mem.toDF().toDF("site", "content"))
+      .writeStream.format("memory").queryName("sitemap_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamed = spark.table("sitemap_gate").collect().map(_.toSeq).toSet
+    val batch = Sitemap.parseSitemaps(files.toDF("site", "content"))
+      .collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    streamed.size shouldBe 3
+  }
+
   test("wet parse gates a stream of arriving crawl files, equal to batch") {
     // The ingest front door: WET files land continuously; parseRecords
     // is a stateless projection + generate, so the SAME Column graph
