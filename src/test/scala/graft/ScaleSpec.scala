@@ -1164,6 +1164,25 @@ class ScaleSpec extends SparkSpec {
     plan should not include "ntile"
   }
 
+  test("crawl funnel: every row exchange keys on shard/domain/hash — never archive or URL text") {
+    val q = graft.SparkEntry.queries("x_crawl_e2e")(spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    keys should not be empty
+    keys.foreach { k =>
+      withClue(s"exchange key $k: ") {
+        (k.startsWith("shard") || k.startsWith("domain") ||
+          k.startsWith("__")) shouldBe true
+      }
+    }
+    // the frames that carry archive/page text never hash-shuffle
+    plan should not include "hashpartitioning(url_norm"
+    plan should not include "hashpartitioning(content"
+    plan should not include "hashpartitioning(payload"
+    plan should not include "hashpartitioning(uri"
+  }
+
   test("wet codec: parse is a narrow Generate with no shuffle; render is one aggregate exchange") {
     import graft.ext.Warc
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
