@@ -68,6 +68,14 @@ class RobotsSpec extends SparkSpec {
     plan should not include "SinglePartition"
   }
 
+  test("degenerate robots bodies: empty, comment-only, and rule-less parse to nothing") {
+    rulesOf("") shouldBe Set.empty
+    rulesOf("# only a comment\n\n") shouldBe Set.empty
+    rulesOf("User-agent: *\n# no rules follow\n") shouldBe Set.empty
+    Robots.parseCrawlDelay(Seq(("d", "")).toDF("domain", "content"))
+      .count() shouldBe 0L
+  }
+
   test("applyRules: broadcast prefix match, deterministic rule pick, no-rule domains pass") {
     val pages = Seq(
       (1L, "a.com", "/p/3"), (2L, "a.com", "/p/33"), (3L, "a.com", "/q"),

@@ -29,6 +29,12 @@ class SitemapSpec extends SparkSpec {
     content should endWith("</url></urlset>")
   }
 
+  test("degenerate sitemaps: empty urlset and non-sitemap content yield no entries") {
+    val raw = Seq(("a", "<urlset></urlset>"), ("b", ""), ("c", "plain text"))
+      .toDF("site", "content")
+    Sitemap.parseSitemaps(raw).count() shouldBe 0L
+  }
+
   test("optional lastmod/priority parse as nulls; parse plans no shuffle") {
     val raw = Seq(("s",
       "<urlset><url><loc>u1</loc></url>" +

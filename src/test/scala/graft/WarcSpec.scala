@@ -112,6 +112,14 @@ class WarcSpec extends SparkSpec {
     conv.getAs[Boolean]("kept") shouldBe false
   }
 
+  test("degenerate files: empty and marker-less content yield no records") {
+    val junk = Seq((0L, ""), (1L, "no markers at all"), (2L, "WARC/2.0\r\nfuture"))
+      .toDF("shard", "content")
+    // nothing parses as a record (the 2.0 version line is not a 1.0
+    // marker, so the whole file is one orphan-free non-match)
+    Warc.parseRecords(junk).where($"rec_id".isNotNull).count() shouldBe 0L
+  }
+
   test("fileStats aggregates the parse (counts, volume, intact)") {
     val stats = Warc.fileStats(Warc.parseRecords(Warc.renderFiles(corpus(
       0L -> "aaaa", 2L -> "bb", 1L -> "ccc"))))
