@@ -673,12 +673,18 @@ object Corpus {
     val p =
       if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // checkpoint: the partitioned frame feeds BOTH the offsets branch
-    // and the ranking branch, and RangePartitioner's boundary SAMPLE
-    // is seeded per-RDD — two independent computations can draw
+    // checkpoint the INPUT first: repartitionByRange's boundary
+    // SAMPLE is a separate job over the child plan, so an expensive
+    // upstream (x_logreg_calibration's per-token feature build) would
+    // otherwise run twice — once for the sample, once for the
+    // shuffle. Callers should project narrow before ranking.
+    val src = df.localCheckpoint()
+    // checkpoint the partitioned frame too: it feeds BOTH the offsets
+    // branch and the ranking branch, and the boundary sample is
+    // seeded per-RDD — two independent computations can draw
     // different boundaries, silently skewing every offset (caught by
     // the tri-sf oracle before this pin existed)
-    val parted = df.repartitionByRange(p, orderCols: _*)
+    val parted = src.repartitionByRange(p, orderCols: _*)
       .withColumn("__gr_p", spark_partition_id())
       .localCheckpoint()
     val offs = parted.groupBy("__gr_p").agg(count(lit(1)).as("__gr_c"))
