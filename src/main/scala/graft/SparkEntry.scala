@@ -2963,7 +2963,13 @@ object SparkEntry {
     // rules table broadcast-joined against the page frame. The decoy
     // `User-agent: badbot / Disallow: /` section means a parser that
     // ignored sections would block EVERY page — the oracle's
-    // per-domain CASE genuinely pins the section logic.
+    // per-domain CASE genuinely pins the section logic. RFC 9309
+    // precedence is load-bearing on both TLDs: .com pins
+    // longest-match (Disallow /p/1 vs /p/11) plus Allow-overrides
+    // (/p/12 stays crawlable inside the /p/1 block); .org pins
+    // wildcard+anchor matching (/p/*4$ catches /p/4 AND /p/14) with
+    // the exact-tie Allow override (/p/14$, same length) releasing
+    // /p/14 only.
     "x_robots_filter" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val url = concat(
@@ -2982,9 +2988,11 @@ object SparkEntry {
         .withColumn("content",
           when(col("domain").endsWith(".com"),
             lit("# policy\nUser-agent: badbot\nDisallow: /\n\n" +
-              "User-agent: *\nDisallow: /p/3\nDisallow: /p/11\n"))
+              "User-agent: *\nDisallow: /p/1\nAllow: /p/12\n" +
+              "Disallow: /p/3\nDisallow: /p/11\n"))
             .otherwise(
-              lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow:\r\n" +
+              lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow: /p/*4$\r\n" +
+                "Allow: /p/14$\r\nDisallow:\r\n" +
                 "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
       graft.ext.Robots.applyRules(pages, graft.ext.Robots.parseRules(robots))
         .orderBy("doc_id")
@@ -6633,10 +6641,12 @@ object SparkEntry {
         |FROM f GROUP BY 1 ORDER BY domain""".stripMargin,
 
     // Robots replay: same dressing + canonicalization as
-    // x_domain_stats (paths are /p/{0..14}, so every Disallow prefix
-    // matches exactly one path — equality states the prefix test);
-    // the per-TLD CASE is what the section-aware parse must recover
-    // from the decoy-laden bodies.
+    // x_domain_stats (paths are /p/{0..14}); the per-TLD CASE states
+    // the RFC 9309 outcome the section-aware parse + most-specific-
+    // match gate must recover from the decoy-laden bodies — .com pins
+    // longest-match (/p/1 vs /p/11) and the /p/12 Allow carve-out;
+    // .org pins the /p/*4$ wildcard (blocks /p/4 and /p/14) with the
+    // same-length /p/14$ Allow releasing /p/14 on the tie.
     "x_robots_filter" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
@@ -6662,11 +6672,21 @@ object SparkEntry {
         |    regexp_extract(url_norm, '(/.*)$', 1) AS path
         |  FROM h)
         |SELECT doc_id, domain, path,
-        |  CASE WHEN domain LIKE '%.com' THEN path IN ('/p/3', '/p/11')
-        |       ELSE path = '/p/7' END AS blocked,
-        |  CASE WHEN domain LIKE '%.com' AND path = '/p/3' THEN '/p/3'
-        |       WHEN domain LIKE '%.com' AND path = '/p/11' THEN '/p/11'
-        |       WHEN domain NOT LIKE '%.com' AND path = '/p/7' THEN '/p/7'
+        |  CASE WHEN domain LIKE '%.com'
+        |       THEN path IN ('/p/1', '/p/3', '/p/10', '/p/11', '/p/13', '/p/14')
+        |       ELSE path IN ('/p/4', '/p/7') END AS blocked,
+        |  CASE WHEN domain LIKE '%.com' THEN
+        |         CASE WHEN path = '/p/3' THEN '/p/3'
+        |              WHEN path = '/p/11' THEN '/p/11'
+        |              WHEN path = '/p/12' THEN '/p/12'
+        |              WHEN path IN ('/p/1', '/p/10', '/p/13', '/p/14')
+        |                THEN '/p/1'
+        |         END
+        |       ELSE
+        |         CASE WHEN path = '/p/7' THEN '/p/7'
+        |              WHEN path = '/p/4' THEN '/p/*4$'
+        |              WHEN path = '/p/14' THEN '/p/14$'
+        |         END
         |  END AS rule
         |FROM p ORDER BY doc_id""".stripMargin,
 

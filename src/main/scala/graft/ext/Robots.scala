@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
  *
  * Scale posture: the rules table is bounded by |domains| × rules-per-
  * domain (robots bodies are KB-scale by convention), so the apply is
- * a broadcast equi-join on domain with a per-pair prefix test — the
+ * a broadcast equi-join on domain with a per-pair pattern test — the
  * page side never shuffles. The parse is one fold over each body's
  * line array (a codegen'd `aggregate` HOF — no UDF), section state
  * carried through the fold exactly as a sequential robots parser
- * would: a `User-agent:` line opens a section, rules bind to the
- * most recent section, and only the requested agent's (or `*`)
- * sections contribute. Deliberately simplified vs RFC 9309: no
- * Allow-precedence or wildcard-in-path matching — Disallow prefixes
- * only, the subset both engines can replay as a pure projection.
+ * would: a `User-agent:` line opens a section (product tokens are
+ * case-insensitive per RFC 9309 §2.2.1), rules bind to the most
+ * recent section, and only the requested agent's (or `*`) sections
+ * contribute. Both `Allow` and `Disallow` rules are kept, with the
+ * RFC's most-specific-match precedence applied at gate time:
+ * longest pattern wins, `Allow` beats `Disallow` on ties, and rule
+ * paths support `*` wildcards plus the `$` end anchor. Rule paths
+ * are lowercased at parse time — the apply contract is the
+ * lowercased canonical path `normalizeUrl` produces.
  *
  * The reference has no crawl handling (it posts generated series,
  * src/main.py:959-975) — training-data-pipeline extension surface.
@@ -28,12 +32,15 @@ import org.apache.spark.sql.functions._
 object Robots {
 
   /**
-   * Parse robots bodies into `(domain, prefix)` Disallow rules for the
-   * given agent (plus `*` sections). One row per rule; empty
-   * `Disallow:` lines (allow-all markers) and comments drop out.
+   * Parse robots bodies into `(domain, pattern, allow)` rules for the
+   * given agent (plus `*` sections) — `allow = false` for Disallow
+   * lines, `true` for Allow. One row per rule; empty `Disallow:` /
+   * `Allow:` lines (no-op markers per RFC 9309 §2.2.2) and comments
+   * drop out. Patterns are lowercased (see the object contract).
    */
   def parseRules(robots: DataFrame, agent: String = "*",
       domainCol: String = "domain", contentCol: String = "content"): DataFrame = {
+    val agentLc = agent.toLowerCase
     val lines = split(col(contentCol), "\r?\n")
     // Fold state: act = does the current section govern our agent,
     // ua = was the previous line a User-agent line (RFC 9309 groups:
@@ -42,37 +49,51 @@ object Robots {
     val folded = aggregate(
       lines,
       struct(lit(false).as("act"), lit(false).as("ua"),
-        array().cast("array<string>").as("acc")),
+        array().cast("array<struct<p:string,a:boolean>>").as("acc")),
       (st, raw) => {
         val ln = trim(regexp_replace(raw, "#.*", ""))
-        val isUa = lower(ln).startsWith("user-agent:")
-        val uaVal = trim(ln.substr(lit("user-agent:".length + 1), length(ln)))
-        val uaMatch = uaVal === agent || uaVal === "*"
-        val isDis = lower(ln).startsWith("disallow:")
-        val disVal = trim(ln.substr(lit("disallow:".length + 1), length(ln)))
+        val low = lower(ln)
+        val isUa = low.startsWith("user-agent:")
+        val uaVal = lower(trim(ln.substr(lit("user-agent:".length + 1), length(ln))))
+        val uaMatch = uaVal === agentLc || uaVal === "*"
+        val isDis = low.startsWith("disallow:")
+        val disVal = lower(trim(ln.substr(lit("disallow:".length + 1), length(ln))))
+        val isAllow = low.startsWith("allow:")
+        val allowVal = lower(trim(ln.substr(lit("allow:".length + 1), length(ln))))
+        def keep(acc: Column) =
+          struct(st("act").as("act"), lit(false).as("ua"), acc.as("acc"))
         when(isUa,
           struct((st("ua") && st("act") || uaMatch).as("act"),
             lit(true).as("ua"), st("acc").as("acc")))
           .when(isDis && st("act") && disVal =!= "",
-            struct(st("act").as("act"), lit(false).as("ua"),
-              array_append(st("acc"), disVal).as("acc")))
-          .otherwise(struct(st("act").as("act"), lit(false).as("ua"),
-            st("acc").as("acc")))
+            keep(array_append(st("acc"),
+              struct(disVal.as("p"), lit(false).as("a")))))
+          .when(isAllow && st("act") && allowVal =!= "",
+            keep(array_append(st("acc"),
+              struct(allowVal.as("p"), lit(true).as("a")))))
+          .otherwise(keep(st("acc")))
       },
       st => st("acc"))
     robots
-      .select(col(domainCol).as("domain"), explode(folded).as("prefix"))
+      .select(col(domainCol).as("domain"), explode(folded).as("r"))
+      .select(col("domain"), col("r")("p").as("pattern"),
+        col("r")("a").as("allow"))
   }
 
   /**
    * Per-domain `Crawl-delay` (seconds) for the given agent — the same
-   * section fold as [[parseRules]], capturing the FIRST delay seen in
-   * a governing section (conservative: later sections cannot relax
-   * it). Domains whose body names no delay are absent; callers
-   * coalesce to their default politeness.
+   * section fold as [[parseRules]], taking the MAX across governing
+   * sections (genuinely conservative: a later section can only raise
+   * the politeness floor, never relax it). The value is matched with
+   * a digits-only full-line regexp, so a fractional or malformed
+   * delay (`Crawl-delay: 0.5`, `Crawl-delay: fast`) parses to null —
+   * never an ANSI CAST_INVALID_INPUT crash on untrusted input — and
+   * the host falls back to the caller's default politeness. Domains
+   * whose body names no (valid) delay are absent from the output.
    */
   def parseCrawlDelay(robots: DataFrame, agent: String = "*",
       domainCol: String = "domain", contentCol: String = "content"): DataFrame = {
+    val agentLc = agent.toLowerCase
     val lines = split(col(contentCol), "\r?\n")
     val folded = aggregate(
       lines,
@@ -80,19 +101,22 @@ object Robots {
         lit(null).cast("long").as("delay")),
       (st, raw) => {
         val ln = trim(regexp_replace(raw, "#.*", ""))
-        val isUa = lower(ln).startsWith("user-agent:")
-        val uaVal = trim(ln.substr(lit("user-agent:".length + 1), length(ln)))
-        val uaMatch = uaVal === agent || uaVal === "*"
-        val isDelay = lower(ln).startsWith("crawl-delay:")
-        val delayVal = nullif(trim(
-          ln.substr(lit("crawl-delay:".length + 1), length(ln))), lit(""))
+        val low = lower(ln)
+        val isUa = low.startsWith("user-agent:")
+        val uaVal = lower(trim(ln.substr(lit("user-agent:".length + 1), length(ln))))
+        val uaMatch = uaVal === agentLc || uaVal === "*"
+        // digits-only FULL value match: '0.5' or 'fast' yields null,
+        // not a partial '0' and never an ANSI cast error
+        val delayVal = nullif(
+          regexp_extract(low, "^crawl-delay:\\s*([0-9]+)\\s*$", 1), lit(""))
           .cast("long")
         when(isUa,
           struct((st("ua") && st("act") || uaMatch).as("act"),
             lit(true).as("ua"), st("delay").as("delay")))
-          .when(isDelay && st("act") && st("delay").isNull,
+          .when(low.startsWith("crawl-delay:") && st("act") &&
+              delayVal.isNotNull,
             struct(st("act").as("act"), lit(false).as("ua"),
-              delayVal.as("delay")))
+              greatest(st("delay"), delayVal).as("delay")))
           .otherwise(struct(st("act").as("act"), lit(false).as("ua"),
             st("delay").as("delay")))
       },
@@ -126,34 +150,60 @@ object Robots {
   }
 
   /** [[parseRules]] output folded to ONE row per domain with its
-    * prefix array — the bounded shape the apply broadcasts (and the
-    * static side of a streaming page gate). */
-  def rulesByDomain(rules: DataFrame): DataFrame =
-    rules.groupBy("domain")
-      .agg(array_sort(collect_list("prefix")).as("__prefixes"))
+    * rule array — the bounded shape the apply broadcasts (and the
+    * static side of a streaming page gate). Each rule carries its
+    * match machinery precompiled ON THE BOUNDED RULES SIDE: `w` says
+    * whether the pattern needs regex matching (`*` wildcard or `$`
+    * anchor) and `rx` is the RE2-safe anchored regex for it —
+    * wildcard-free rules keep the cheap `startsWith` fast path. */
+  def rulesByDomain(rules: DataFrame): DataFrame = {
+    val p = col("pattern")
+    val endsDollar = p.endsWith("$")
+    val core = when(endsDollar, p.substr(lit(1), length(p) - 1)).otherwise(p)
+    // escape every regex metacharacter except '*' (the robots
+    // wildcard), then widen '*' to '.*' and re-anchor
+    val esc = regexp_replace(core, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val rx = concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(endsDollar, lit("$")).otherwise(lit("")))
+    rules
+      .select(col("domain"),
+        struct(p.as("p"), col("allow").as("a"),
+          (p.contains("*") || endsDollar).as("w"), rx.as("rx")).as("r"))
+      .groupBy("domain")
+      .agg(array_sort(collect_list(col("r"))).as("__rules"))
+  }
 
   /**
-   * Apply parsed rules to a page frame carrying `(domain, path)`:
-   * adds `blocked` and the first (shortest, then lexical) matching
-   * prefix as `rule` — deterministic even when several rules match.
-   * One broadcast equi-join on domain against the ≤1-row-per-domain
-   * array table, then a stateless `exists`/`array_min` projection —
-   * the page side never shuffles, so the same graph gates a
-   * `readStream` of arriving pages unchanged (stream-static join,
-   * zero state).
+   * Apply parsed rules to a page frame carrying `(domain, path)` with
+   * RFC 9309 §2.2.2 precedence: among matching rules the LONGEST
+   * pattern wins, `Allow` beats `Disallow` on length ties (then
+   * lexically-greatest pattern, for determinism). Adds `blocked` and
+   * the winning pattern as `rule` (null when nothing matches — the
+   * default is allow). Paths are expected lowercased (the
+   * `normalizeUrl` canonical form; rule paths were lowercased at
+   * parse). One broadcast equi-join on domain against the
+   * ≤1-row-per-domain array table, then a single stateless
+   * filter/array_max projection pass — the page side never shuffles,
+   * so the same graph gates a `readStream` of arriving pages
+   * unchanged (stream-static join, zero state).
    */
   def applyRules(pages: DataFrame, rules: DataFrame,
       domainCol: String = "domain", pathCol: String = "path"): DataFrame = {
-    val byDomain = rulesByDomain(rules)
-      .withColumnRenamed("domain", "__rd")
-    val hits = filter(col("__prefixes"),
-      p => col(pathCol).startsWith(p))
+    val path = col(pathCol)
+    val matched = filter(col("__rules"), r =>
+      when(r("w"), regexp_like(path, r("rx")))
+        .otherwise(path.startsWith(r("p"))))
+    // most-specific-match: max of (pattern length, allow, pattern)
+    val best = array_max(transform(matched,
+      r => struct(length(r("p")).as("l"), r("a").cast("int").as("ai"),
+        r("p").as("p"), r("a").as("a"))))
     pages
-      .join(broadcast(byDomain), col(domainCol) === col("__rd"), "left")
-      .withColumn("blocked", coalesce(exists(col("__prefixes"),
-        p => col(pathCol).startsWith(p)), lit(false)))
-      .withColumn("rule", array_min(transform(hits,
-        p => struct(length(p).as("l"), p.as("p"))))("p"))
-      .drop("__rd", "__prefixes")
+      .join(broadcast(rulesByDomain(rules).withColumnRenamed("domain", "__rd")),
+        col(domainCol) === col("__rd"), "left")
+      .withColumn("__best", best)
+      .withColumn("blocked",
+        coalesce(when(col("__best").isNotNull, !col("__best")("a")), lit(false)))
+      .withColumn("rule", col("__best")("p"))
+      .drop("__rd", "__rules", "__best")
   }
 }

@@ -12,7 +12,11 @@ class RobotsSpec extends SparkSpec {
 
   private def rulesOf(content: String, agent: String = "*"): Set[String] =
     Robots.parseRules(Seq(("d.com", content)).toDF("domain", "content"), agent)
-      .select("prefix").as[String].collect().toSet
+      .where(!col("allow")).select("pattern").as[String].collect().toSet
+
+  private def allRulesOf(content: String, agent: String = "*"): Set[(String, Boolean)] =
+    Robots.parseRules(Seq(("d.com", content)).toDF("domain", "content"), agent)
+      .select("pattern", "allow").as[(String, Boolean)].collect().toSet
 
   test("sections: only the selected agent's (or *) groups contribute") {
     val body =
@@ -38,7 +42,7 @@ class RobotsSpec extends SparkSpec {
     rulesOf("Disallow: /orphan\nUser-agent: *\nDisallow: /y\n") shouldBe Set("/y")
   }
 
-  test("parseCrawlDelay: governing sections only, first wins, absent filtered") {
+  test("parseCrawlDelay: governing sections only, max wins, malformed -> null") {
     def delayOf(content: String, agent: String = "*"): Option[Long] =
       Robots.parseCrawlDelay(
         Seq(("d.com", content)).toDF("domain", "content"), agent)
@@ -46,9 +50,16 @@ class RobotsSpec extends SparkSpec {
     delayOf("User-agent: *\nCrawl-delay: 5\nDisallow: /x\n") shouldBe Some(5L)
     // a decoy section's delay does not leak
     delayOf("User-agent: badbot\nCrawl-delay: 60\n\nUser-agent: *\nDisallow: /x\n") shouldBe None
-    // first governing value wins; later sections cannot relax it
-    delayOf("User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9\n") shouldBe Some(2L)
+    // MAX of governing values — a later section can only raise the
+    // politeness floor, never relax it
+    delayOf("User-agent: *\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 9\n") shouldBe Some(9L)
+    delayOf("User-agent: *\nCrawl-delay: 9\n\nUser-agent: *\nCrawl-delay: 2\n") shouldBe Some(9L)
     delayOf("User-agent: *\nDisallow: /x\n") shouldBe None
+    // fractional / malformed values parse to null (never an ANSI cast
+    // crash on untrusted input), not a partial-digit prefix
+    delayOf("User-agent: *\nCrawl-delay: 0.5\n") shouldBe None
+    delayOf("User-agent: *\nCrawl-delay: fast\n") shouldBe None
+    delayOf("User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 3\n") shouldBe Some(3L)
   }
 
   test("schedule: per-host slots times the host delay, default for undeclared hosts") {
@@ -76,21 +87,78 @@ class RobotsSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
-  test("applyRules: broadcast prefix match, deterministic rule pick, no-rule domains pass") {
+  test("applyRules: broadcast prefix match, longest-match rule pick, no-rule domains pass") {
     val pages = Seq(
       (1L, "a.com", "/p/3"), (2L, "a.com", "/p/33"), (3L, "a.com", "/q"),
       (4L, "b.org", "/p/3")).toDF("doc_id", "domain", "path")
-    val rules = Seq(("a.com", "/p/3"), ("a.com", "/p/33")).toDF("domain", "prefix")
+    val rules = Seq(("a.com", "/p/3", false), ("a.com", "/p/33", false))
+      .toDF("domain", "pattern", "allow")
     val out = Robots.applyRules(pages, rules).orderBy("doc_id")
       .select("doc_id", "blocked", "rule")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
-    // /p/33 matches BOTH prefixes; the shortest wins deterministically.
-    out shouldBe Seq((1L, true, "/p/3"), (2L, true, "/p/3"),
+    // /p/33 matches BOTH prefixes; the most specific (longest) wins.
+    out shouldBe Seq((1L, true, "/p/3"), (2L, true, "/p/33"),
       (3L, false, null), (4L, false, null))
     val plan = Robots.applyRules(pages, rules).queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
     // the only row shuffle is the bounded rules-per-domain aggregate —
     // the page side is a stateless projection off the broadcast join
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
+  test("RFC 9309 precedence: Allow beats Disallow on ties, longest match wins") {
+    val body =
+      "User-agent: *\nDisallow: /\nAllow: /public\nDisallow: /public/private\n"
+    allRulesOf(body) shouldBe
+      Set(("/", false), ("/public", true), ("/public/private", false))
+    val pages = Seq(
+      (1L, "d.com", "/secret"), (2L, "d.com", "/public"),
+      (3L, "d.com", "/public/x"), (4L, "d.com", "/public/private/y"))
+      .toDF("doc_id", "domain", "path")
+    val rules = Robots.parseRules(
+      Seq(("d.com", body)).toDF("domain", "content"))
+    val out = Robots.applyRules(pages, rules).orderBy("doc_id")
+      .select("doc_id", "blocked", "rule")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    // Disallow: / + Allow: /public is THE canonical real-robots shape:
+    // the host stays crawlable under /public, blocked elsewhere
+    out shouldBe Seq(
+      (1L, true, "/"), (2L, false, "/public"), (3L, false, "/public"),
+      (4L, true, "/public/private"))
+  }
+
+  test("wildcard * and $ anchor patterns, with specificity by pattern length") {
+    val body =
+      "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*junk\n" +
+        "Allow: /ok*.pdf$\n"
+    val pages = Seq(
+      (1L, "d.com", "/a/report.pdf"), (2L, "d.com", "/a/report.pdf.html"),
+      (3L, "d.com", "/tmp/deep/junk"), (4L, "d.com", "/tmpjunk"),
+      (5L, "d.com", "/ok/x.pdf"), (6L, "d.com", "/plain"))
+      .toDF("doc_id", "domain", "path")
+    val rules = Robots.parseRules(
+      Seq(("d.com", body)).toDF("domain", "content"))
+    val out = Robots.applyRules(pages, rules).orderBy("doc_id")
+      .select("doc_id", "blocked", "rule")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    out shouldBe Seq(
+      // $ anchor: .pdf blocked, .pdf.html not
+      (1L, true, "/*.pdf$"), (2L, false, null),
+      // * spans path segments; also matches the empty string
+      (3L, true, "/tmp*junk"), (4L, true, "/tmp*junk"),
+      // /ok*.pdf$ (9) out-specifies /*.pdf$ (7)
+      (5L, false, "/ok*.pdf$"), (6L, false, null))
+  }
+
+  test("agent tokens match case-insensitively; rule paths lowercase at parse") {
+    val body = "User-agent: BadBot\nDisallow: /Articles/\n"
+    allRulesOf(body, agent = "badbot") shouldBe Set(("/articles/", false))
+    allRulesOf(body, agent = "BADBOT") shouldBe Set(("/articles/", false))
+    // the lowercased rule path matches the lowercased canonical path
+    val pages = Seq((1L, "d.com", "/articles/x")).toDF("doc_id", "domain", "path")
+    val rules = Robots.parseRules(
+      Seq(("d.com", body)).toDF("domain", "content"), agent = "badbot")
+    Robots.applyRules(pages, rules)
+      .select("blocked").as[Boolean].collect().toSeq shouldBe Seq(true)
   }
 }
