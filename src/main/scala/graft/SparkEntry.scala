@@ -2906,8 +2906,12 @@ object SparkEntry {
     // back (record + HTTP layers), apply the WET-derivation keep
     // filter, gate the keeps through robots rules on the CANONICAL
     // URL, then collapse to distinct canonical pages — reported as a
-    // per-domain funnel (fetched → kept → robots-blocked → pages).
-    // Counts ride xxhash64(url_norm); archive text never aggregates.
+    // per-HOST funnel (fetched → kept → robots-blocked → pages).
+    // robots.txt is a per-host resource (RFC 9309 §2.3), so both the
+    // rules fetch list and the report grain key on urlHost — the
+    // same grain the frontier queries gate on; www.foo.com and
+    // m.foo.com get independent rule sets. Counts ride
+    // xxhash64(url_norm); archive text never aggregates.
     "x_crawl_e2e" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val url = concat(
@@ -2931,30 +2935,32 @@ object SparkEntry {
       val norm = Dedup.normalizeUrl(col("uri"))
       val pages = Warc.parseHttp(Warc.parseRecords(files))
         .select(col("rec_id"), col("kept"), norm.as("url_norm"))
-        .withColumn("domain", Dedup.urlDomain(col("url_norm")))
+        .withColumn("host", Dedup.urlHost(col("url_norm")))
         .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
       // the robots fetch list comes straight off the URL projection —
-      // enumerating domains must not re-render the archive branch
+      // enumerating hosts must not re-render the archive branch
       val robots = d.withColumn("url", url)
-        .select(Dedup.urlDomain(Dedup.normalizeUrl(col("url"))).as("domain"))
+        .select(Dedup.urlHost(Dedup.normalizeUrl(col("url"))).as("host"))
         .distinct()
         .withColumn("content",
-          when(col("domain").endsWith(".com"),
+          when(col("host").endsWith(".com"),
             lit("# policy\nUser-agent: badbot\nDisallow: /\n\n" +
               "User-agent: *\nDisallow: /p/3\nDisallow: /p/11\n"))
             .otherwise(
               lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow:\r\n" +
                 "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
       val surviving = col("kept") && !col("blocked")
-      graft.ext.Robots.applyRules(pages, graft.ext.Robots.parseRules(robots))
-        .groupBy("domain")
+      graft.ext.Robots.applyRules(pages,
+          graft.ext.Robots.parseRules(robots, domainCol = "host"),
+          domainCol = "host")
+        .groupBy("host")
         .agg(count(lit(1)).as("n_fetched"),
           sum(when(surviving, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept") && col("blocked"), 1L).otherwise(0L))
             .as("n_robots_blocked"),
           countDistinct(when(surviving, xxhash64(col("url_norm"))))
             .as("n_pages"))
-        .orderBy("domain")
+        .orderBy("host")
     }),
 
     // robots.txt compliance gate: per-domain robots bodies (decoy
@@ -6594,8 +6600,9 @@ object SparkEntry {
         |ORDER BY doc_id, link_pos""".stripMargin,
 
     // Funnel replay: one CTE chain replays dressing → canonical URL →
-    // domain/path → HTTP keep + robots CASE → per-domain counts, with
-    // canonical-page distincts on url_norm TEXT where the engine
+    // host/path → HTTP keep + robots CASE → per-HOST counts (robots
+    // is a per-host resource, the grain the frontier queries share),
+    // with canonical-page distincts on url_norm TEXT where the engine
     // counts xxhash64(url_norm) (the suite's hash-identity
     // convention).
     "x_crawl_e2e" ->
@@ -6617,28 +6624,24 @@ object SparkEntry {
         |      '^https?://', ''), '^www\.', ''),
         |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm
         |  FROM u),
-        |h AS (SELECT *,
-        |    regexp_replace(regexp_extract(url_norm, '^[^/]*'),
-        |      ':[0-9]+$', '') AS host
-        |  FROM n),
         |p AS (SELECT doc_id, url_norm, status_code, mime,
-        |    COALESCE(NULLIF(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
-        |      host) AS domain,
+        |    regexp_replace(regexp_extract(url_norm, '^[^/]*'),
+        |      ':[0-9]+$', '') AS host,
         |    regexp_extract(url_norm, '(/.*)$', 1) AS path
-        |  FROM h),
-        |f AS (SELECT doc_id, domain, url_norm,
+        |  FROM n),
+        |f AS (SELECT doc_id, host, url_norm,
         |    (status_code = 200 AND mime LIKE 'text/%') AS kept,
-        |    CASE WHEN domain LIKE '%.com' THEN path IN ('/p/3', '/p/11')
+        |    CASE WHEN host LIKE '%.com' THEN path IN ('/p/3', '/p/11')
         |         ELSE path = '/p/7' END AS blocked
         |  FROM p)
-        |SELECT domain, count(*) AS n_fetched,
+        |SELECT host, count(*) AS n_fetched,
         |  CAST(sum(CASE WHEN kept AND NOT blocked THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN kept AND blocked THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_robots_blocked,
         |  count(DISTINCT CASE WHEN kept AND NOT blocked THEN url_norm END)
         |    AS n_pages
-        |FROM f GROUP BY 1 ORDER BY domain""".stripMargin,
+        |FROM f GROUP BY 1 ORDER BY host""".stripMargin,
 
     // Robots replay: same dressing + canonicalization as
     // x_domain_stats (paths are /p/{0..14}); the per-TLD CASE states

@@ -1172,8 +1172,8 @@ class ScaleSpec extends SparkSpec {
     keys should not be empty
     keys.foreach { k =>
       withClue(s"exchange key $k: ") {
-        (k.startsWith("shard") || k.startsWith("domain") ||
-          k.startsWith("__")) shouldBe true
+        (k.startsWith("shard") || k.startsWith("host") ||
+          k.startsWith("domain") || k.startsWith("__")) shouldBe true
       }
     }
     // the frames that carry archive/page text never hash-shuffle
