@@ -3031,6 +3031,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Redirect-chain resolution — the crawl-graph edge raw WARC
+    // carries and WET hides: render response records whose 3xx rows
+    // carry a Location header, parse them back, and pointer-double
+    // the (uri -> location) edge set to each source's final canonical
+    // target (the feed for urlDedup / the frontier). Dressing plants
+    // every chain shape: %17∈{2,3} rows form adjacent-id 2-cycles
+    // that must surface as looped (never hang or mis-resolve);
+    // %13==5 rows chain +13 for up to 3 hops before the div-guard
+    // breaks the run; a +13 run landing on a cycle member inherits
+    // its loop. Oracle replays the walk as a recursive CTE.
+    "x_redirect_resolve" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val urlOf = (i: Column) =>
+        concat(lit("https://redir.example.com/r/"), i.cast("string"))
+      val dstId = when(id % 17 === 2, id + 1)
+        .when(id % 17 === 3, id - 1)
+        .when(id % 13 === 5 && floor(id / 13) % 4 =!= 3, id + 13)
+      val status = when(dstId.isNotNull, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK"))
+      val files = Warc.renderFiles(
+        d.withColumn("url", urlOf(id))
+          .withColumn("shard", pmod(id, lit(8)))
+          .withColumn("http", Warc.httpPayload(status,
+            lit("text/html; charset=UTF-8"), col("text"),
+            location = when(dstId.isNotNull, urlOf(dstId)))),
+        textCol = "http", warcType = "response")
+      val edges = Warc.parseHttp(Warc.parseRecords(files))
+        .where(col("status_code").between(300, 399) &&
+          col("location").isNotNull)
+        .select(Dedup.normalizeUrl(col("uri")).as("src"),
+          Dedup.normalizeUrl(col("location")).as("dst"))
+      Warc.resolveRedirects(edges).orderBy("src")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -6708,6 +6743,35 @@ object SparkEntry {
         |SELECT doc_id, status_code, mime, body_chars,
         |  (status_code = 200 AND mime LIKE 'text/%') AS kept
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Redirect replay: the same deterministic edge dressing, then the
+    // chain walked by a recursive CTE — terminal = a target that is
+    // not itself a redirect source; sources with no terminal within
+    // the hop cap (the planted cycles, and any chain feeding them)
+    // are looped with null final/hops, matching the engine's
+    // redirect-budget flagging.
+    "x_redirect_resolve" ->
+      """WITH RECURSIVE e AS (SELECT
+        |    'redir.example.com/r/' || CAST(doc_id AS VARCHAR) AS src,
+        |    'redir.example.com/r/' || CAST(
+        |      CASE WHEN doc_id % 17 = 2 THEN doc_id + 1
+        |           WHEN doc_id % 17 = 3 THEN doc_id - 1
+        |           ELSE doc_id + 13 END AS VARCHAR) AS dst
+        |  FROM documents
+        |  WHERE doc_id % 17 IN (2, 3)
+        |     OR (doc_id % 13 = 5 AND (doc_id // 13) % 4 <> 3)),
+        |w(src, cur, hops) AS (
+        |  SELECT src, dst, 1 FROM e
+        |  UNION ALL
+        |  SELECT w.src, e2.dst, w.hops + 1
+        |  FROM w JOIN e e2 ON w.cur = e2.src
+        |  WHERE w.hops < 40),
+        |term AS (SELECT src, cur, hops FROM w
+        |  WHERE cur NOT IN (SELECT src FROM e))
+        |SELECT e.src, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,
+        |  (t.src IS NULL) AS looped
+        |FROM e LEFT JOIN term t ON e.src = t.src
+        |ORDER BY e.src""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

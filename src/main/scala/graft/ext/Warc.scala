@@ -128,12 +128,16 @@ object Warc {
 
   /**
    * HTTP message payload for a WARC *response* record (the raw-crawl
-   * layer one below WET): status line, Content-Type, a fixed Server
-   * header, blank line, body.
+   * layer one below WET): status line, Content-Type, an optional
+   * `Location` header (the 3xx redirect target — null renders no
+   * header), a fixed Server header, blank line, body.
    */
-  def httpPayload(status: Column, contentType: Column, body: Column): Column =
+  def httpPayload(status: Column, contentType: Column, body: Column,
+      location: Column = lit(null).cast("string")): Column =
     concat(lit("HTTP/1.1 "), status,
       lit("\r\nContent-Type: "), contentType,
+      when(location.isNotNull, concat(lit("\r\nLocation: "), location))
+        .otherwise(lit("")),
       lit("\r\nServer: graft/1.0\r\n"),
       lit(HeaderSep.drop(2)), body)
 
@@ -162,9 +166,74 @@ object Warc {
     parsed
       .withColumn("status_code", status)
       .withColumn("mime", mime)
+      .withColumn("location", nullif(
+        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
       .withColumn("body", body)
       .withColumn("kept",
         coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
+  }
+
+  /**
+   * Chain-resolve a redirect edge set `(src, dst)` — the 301/302
+   * `Location` pairs [[parseHttp]] surfaces — to each source's FINAL
+   * target: `(src, final_url, hops, looped)`. The canonical-target
+   * feed for `urlDedup` and the frontier (a crawler should neither
+   * refetch nor separately count a page it reaches via redirects).
+   *
+   * Pointer doubling over the FUNCTIONAL redirect map (one Location
+   * per fetched URL), the pattern proven in `Dedup.duplicateClusters`:
+   * each round composes the map with itself (`dst <- map(dst)`,
+   * accumulating hop counts), so a chain of length L resolves in
+   * ceil(log2 L) rounds of narrow joins. URLs enter the rounds as
+   * 8-byte `xxhash64` keys against a distinct `(hash, url)`
+   * dictionary — URL text never rides the iterated shuffles, only the
+   * two final re-attach joins. An entry still pointing at a redirect
+   * source after `maxRounds` rounds (chain longer than 2^maxRounds,
+   * i.e. any cycle, or a chain past the crawler's redirect budget —
+   * curl's default limit is 30 hops ≈ maxRounds 5) is flagged
+   * `looped` with null final/hops, exactly how a production fetcher
+   * treats a redirect-limit hit.
+   */
+  def resolveRedirects(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 5): DataFrame = {
+    // narrow (src, dst) projection materialized once: the dictionary,
+    // source-set, and seed map below all read it
+    val e0 = edges.select(col(srcCol).as("__su"), col(dstCol).as("__du"))
+      .localCheckpoint()
+    val dict = e0.select(col("__su").as("url"))
+      .union(e0.select(col("__du").as("url")))
+      .distinct()
+      .select(xxhash64(col("url")).as("h"), col("url"))
+      .localCheckpoint()
+    val srcs = e0.select(xxhash64(col("__su")).as("__s")).distinct()
+      .localCheckpoint()
+    var m = e0.select(xxhash64(col("__su")).as("src_h"),
+        xxhash64(col("__du")).as("dst_h"), lit(1L).as("hops"))
+      .localCheckpoint()
+    def unresolved(df: DataFrame): Long =
+      df.join(srcs, df("dst_h") === col("__s"), "left_semi").count()
+    var round = 0
+    var open = unresolved(m)
+    while (round < maxRounds && open > 0) {
+      val hop = m.select(col("src_h").as("__mid"), col("dst_h").as("__nxt"),
+        col("hops").as("__h2"))
+      m = m.join(hop, m("dst_h") === col("__mid"), "left")
+        .select(col("src_h"),
+          coalesce(col("__nxt"), col("dst_h")).as("dst_h"),
+          (col("hops") + coalesce(col("__h2"), lit(0L))).as("hops"))
+        .localCheckpoint() // truncate the doubling lineage each round
+      open = unresolved(m)
+      round += 1
+    }
+    m.join(srcs, m("dst_h") === col("__s"), "left")
+      .join(dict.select(col("h").as("__sh"), col("url").as("src")),
+        col("src_h") === col("__sh"))
+      .join(dict.select(col("h").as("__dh"), col("url").as("__durl")),
+        col("dst_h") === col("__dh"))
+      .select(col("src"),
+        when(col("__s").isNull, col("__durl")).as("final_url"),
+        when(col("__s").isNull, col("hops")).as("hops"),
+        col("__s").isNotNull.as("looped"))
   }
 
   /**

@@ -128,4 +128,62 @@ class WarcSpec extends SparkSpec {
       r.getAs[Long]("payload_chars"), r.getAs[Long]("n_intact"))).toSeq shouldBe
       Seq((0L, 2L, 6L, 2L), (1L, 1L, 3L, 1L))
   }
+
+  test("Location header renders and parses through the http layer") {
+    val docs = Seq((1L, "https://a.com/old", "moved"))
+      .toDF("doc_id", "url", "text")
+      .withColumn("shard", lit(0L))
+      .withColumn("http", Warc.httpPayload(
+        lit("301 Moved Permanently"), lit("text/html"), $"text",
+        location = lit("https://a.com/new")))
+    val row = Warc.parseHttp(Warc.parseRecords(Warc.renderFiles(
+      docs, textCol = "http", warcType = "response"))).collect().head
+    row.getAs[Int]("status_code") shouldBe 301
+    row.getAs[String]("location") shouldBe "https://a.com/new"
+    row.getAs[String]("body") shouldBe "moved"
+    row.getAs[Boolean]("kept") shouldBe false
+    // a null location renders NO header and parses back as null
+    val plain = Warc.parseHttp(Warc.parseRecords(Warc.renderFiles(
+      Seq((2L, "https://a.com/x", "ok")).toDF("doc_id", "url", "text")
+        .withColumn("shard", lit(0L))
+        .withColumn("http", Warc.httpPayload(
+          lit("200 OK"), lit("text/html"), $"text")),
+      textCol = "http", warcType = "response"))).collect().head
+    plain.isNullAt(plain.fieldIndex("location")) shouldBe true
+    plain.getAs[Boolean]("kept") shouldBe true
+  }
+
+  test("resolveRedirects: chains collapse, cycles and chains into cycles flag looped") {
+    val edges = Seq(
+      // 3-hop chain a -> b -> c -> d (d terminal)
+      ("a", "b"), ("b", "c"), ("c", "d"),
+      // 2-cycle
+      ("p", "q"), ("q", "p"),
+      // chain feeding the cycle inherits its loop
+      ("r", "p"),
+      // self-loop
+      ("s", "s"),
+      // single hop to a terminal
+      ("x", "y")).toDF("src", "dst")
+    val out = Warc.resolveRedirects(edges).orderBy("src").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("final_url"),
+        Option(r.getAs[Any]("hops")), r.getAs[Boolean]("looped"))).toSeq
+    out shouldBe Seq(
+      ("a", "d", Some(3L), false), ("b", "d", Some(2L), false),
+      ("c", "d", Some(1L), false),
+      ("p", null, None, true), ("q", null, None, true),
+      ("r", null, None, true), ("s", null, None, true),
+      ("x", "y", Some(1L), false))
+  }
+
+  test("resolveRedirects: a legit chain longer than 2^maxRounds hits the redirect budget") {
+    // chain of length 9: maxRounds=3 covers 2^3=8 composed hops —
+    // the head is flagged as over-budget (exactly how a fetcher
+    // treats a redirect-limit hit), deeper entries resolve
+    val edges = (0 until 9).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val out = Warc.resolveRedirects(edges, maxRounds = 3)
+    out.where($"looped").select("src").as[String].collect().toSeq shouldBe Seq("n0")
+    Warc.resolveRedirects(edges, maxRounds = 4)
+      .where($"looped").count() shouldBe 0L
+  }
 }
