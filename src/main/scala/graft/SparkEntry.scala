@@ -4273,15 +4273,19 @@ object SparkEntry {
   /**
    * Deterministic HTML page dressing over the documents table — one
    * decoy per extraction rule: a style body, a comment, a
-   * double-escaped entity, tags inside a script string, plus two
-   * href targets (one on-domain "next" link, one off-site hub link).
-   * The oracle constructs the expected plain text / link list
+   * double-escaped entity, tags inside a script string, numeric
+   * character references (decimal, hex, an astral surrogate pair,
+   * plus out-of-range forms that must stay literal and a
+   * double-escaped `&amp;#60;` that must decode only one level), and
+   * two href targets (one on-domain "next" link, one off-site hub
+   * link). The oracle constructs the expected plain text / link list
    * directly from (doc_id, source, text).
    */
   private def htmlDressing: Column = concat(
     lit("<html><head><title>doc "), col("doc_id").cast("string"),
     lit("</title><style>p{color:red}</style></head><body><!-- hidden -->"),
-    lit("<h1>Doc &amp; "), col("doc_id").cast("string"), lit("</h1>"),
+    lit("<h1>Doc &amp; "), col("doc_id").cast("string"),
+    lit(" em&#8212;dash &#x2019; &#65; &#x1F600; &#0; &#55296; &amp;#60;</h1>"),
     lit("<a href=\"https://"), col("source"),
     lit(".example.com/doc/"), ((col("doc_id") + 1) % 40).cast("string"),
     lit("\">next</a><p class=\"b\">"), col("text"),
@@ -6606,16 +6610,22 @@ object SparkEntry {
 
     // Extraction replay by CONSTRUCTION: the oracle assembles the
     // expected text from (doc_id, text) directly — 'doc N Doc & N
-    // next <text> hub' with the document's own whitespace collapsed —
-    // so any decoy surviving the engine's pipeline (script string
-    // tags, style body, comment, double entity) breaks the hash.
+    // em—dash ... next <text> hub' with the document's own whitespace
+    // collapsed — so any decoy surviving the engine's pipeline
+    // (script string tags, style body, comment, double entity, a
+    // numeric ref left literal or an out-of-range one decoded)
+    // breaks the hash. The decoded characters appear as UTF-8
+    // literals here: em dash U+2014 (&#8212;), right single quote
+    // U+2019 (&#x2019;), 'A' (&#65;), and the astral U+1F600 emoji
+    // assembled from its surrogate pair (&#x1F600;).
     "x_html_text" ->
       """WITH t AS (SELECT doc_id,
         |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS body
         |  FROM documents)
         |SELECT doc_id,
         |  'doc ' || CAST(doc_id AS VARCHAR) || ' Doc & ' ||
-        |  CAST(doc_id AS VARCHAR) || ' next ' ||
+        |  CAST(doc_id AS VARCHAR) ||
+        |  ' em—dash ’ A 😀 &#0; &#55296; &#60; next ' ||
         |  (CASE WHEN body = '' THEN '' ELSE body || ' ' END) || 'hub'
         |    AS extracted
         |FROM t ORDER BY doc_id""".stripMargin,

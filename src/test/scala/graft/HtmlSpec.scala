@@ -29,6 +29,27 @@ class HtmlSpec extends SparkSpec {
       """x <tag> "q" 's' & y"""
     // double-escaped input decodes exactly ONE level
     textOf("&amp;lt;") shouldBe "&lt;"
+    textOf("&amp;#60;") shouldBe "&#60;"
+  }
+
+  test("numeric character references decode; out-of-range stays literal") {
+    // decimal, hex (either case), BMP
+    textOf("a&#8212;b") shouldBe "a—b"
+    textOf("it&#8217;s &#x2019; &#X2019;") shouldBe
+      "it’s ’ ’"
+    textOf("&#65;&#x42;") shouldBe "AB"
+    // astral codepoint assembles a surrogate pair
+    textOf("hi &#x1F600;!") shouldBe "hi 😀!"
+    textOf("&#128512;") shouldBe "😀"
+    // a decoded '<' is TEXT, not a tag (tags strip before decode)
+    textOf("&#60;script&#62;x&#60;/script&#62;") shouldBe "<script>x</script>"
+    // forbidden ranges stay literal: NUL, surrogates, beyond U+10FFFF
+    textOf("&#0; &#55296; &#1114112; &#xD800;") shouldBe
+      "&#0; &#55296; &#1114112; &#xD800;"
+    // not numeric refs at all: missing ';', empty, malformed
+    textOf("&#65 &#; &#x;") shouldBe "&#65 &#; &#x;"
+    // a ref at each boundary of the string
+    textOf("&#65;mid&#66;") shouldBe "AmidB"
   }
 
   test("whitespace collapses and trims") {
