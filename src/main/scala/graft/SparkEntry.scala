@@ -2717,6 +2717,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Byte-oriented WET roundtrip: the same archive codec with
+    // Content-Length declared in UTF-8 OCTETS, over the corpus
+    // suffixed with 2-/3-/4-byte characters so the orientation
+    // genuinely diverges from character mode on every row — the
+    // contract real WET files keep. The oracle states byte lengths
+    // via strlen (DuckDB's byte counter) plus the payload identity.
+    "x_wet_bytes" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" café—😀")))
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val files = Warc.renderFiles(d
+        .withColumn("url", url)
+        .withColumn("shard", pmod(col("doc_id"), lit(8))),
+        byteOriented = true)
+      Warc.parseRecords(files, byteOriented = true)
+        .select(col("rec_id").as("doc_id"), col("uri"),
+          col("content_length"), col("payload"), col("intact"))
+        .orderBy("doc_id")
+    }),
+
     // Crawl-file ingest report off the same parse: per-file record
     // count, payload volume, length spread, intact count — the monitor
     // frame a WET ingest job alerts on. Exercises the multi-record
@@ -6473,6 +6494,20 @@ object SparkEntry {
         |    CAST(doc_id AS VARCHAR) AS uri,
         |  CAST(length(text) AS BIGINT) AS content_length,
         |  text AS payload
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Byte-orientation replay: strlen is DuckDB's OCTET counter, so
+    // the oracle states the UTF-8 byte Content-Length the engine must
+    // declare and re-slice; payload identity pins the byte-accurate
+    // slicing (an off-by-one or char-oriented slice would truncate
+    // the multi-byte suffix and break the hash).
+    "x_wet_bytes" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(strlen(text || ' café—😀') AS BIGINT) AS content_length,
+        |  text || ' café—😀' AS payload,
+        |  TRUE AS intact
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Ingest-report replay: the per-file aggregate over the same mod-8

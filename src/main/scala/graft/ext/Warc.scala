@@ -26,12 +26,18 @@ import org.apache.spark.sql.functions._
  * than silently corrupting neighbours — the standard resync
  * behaviour, pinned in WarcSpec.
  *
- * Content-Length is CHARACTER count here (the test corpus is ASCII,
- * char ≡ byte; real byte-oriented WET would run the same plan over
- * `binary` with `octet_length`). The reference has no archive
- * handling at all (it posts generated text to S3/Lambda,
- * src/main.py:959-1020) — this is training-data-pipeline extension
- * surface, not reference parity.
+ * Content-Length has BOTH orientations: the default character mode
+ * (char ≡ byte on an ASCII corpus) and `byteOriented = true`, which
+ * renders `Content-Length` as the payload's UTF-8 OCTET count and
+ * parses by slicing the declared bytes out of the record's binary
+ * form — the real WET contract, divergent from character mode on any
+ * multi-byte text. In byte mode a truncated record (early resync)
+ * yields a null payload rather than a decode of partial bytes: a
+ * byte-truncated slice can end mid-character, which is not valid
+ * UTF-8 — `intact = false` is the row's signal, exactly as in
+ * character mode. The reference has no archive handling at all (it
+ * posts generated text to S3/Lambda, src/main.py:959-1020) — this is
+ * training-data-pipeline extension surface, not reference parity.
  */
 object Warc {
 
@@ -57,15 +63,19 @@ object Warc {
    * }}}
    * Deterministic (the record id is the document id, not a random
    * uuid), so render∘parse is an identity both engines can state.
+   * `byteOriented` declares Content-Length in UTF-8 octets (the real
+   * WET contract) instead of characters.
    */
   def record(id: Column, url: Column, text: Column,
-      warcType: String = "conversion"): Column =
+      warcType: String = "conversion", byteOriented: Boolean = false): Column =
     concat(
       lit(VersionLine),
       lit(s"WARC-Type: $warcType\r\n"),
       lit("WARC-Target-URI: "), url, lit("\r\n"),
       lit("WARC-Record-ID: <urn:graft:"), id.cast("string"), lit(">\r\n"),
-      lit("Content-Length: "), length(text).cast("string"), lit("\r\n"),
+      lit("Content-Length: "),
+      (if (byteOriented) octet_length(text) else length(text)).cast("string"),
+      lit("\r\n"),
       // The last header already ends with \r\n, so the blank line that
       // closes the header block is one more \r\n, not a full HeaderSep.
       lit(HeaderSep.drop(2)),
@@ -79,11 +89,13 @@ object Warc {
    */
   def renderFiles(docs: DataFrame, shardCol: String = "shard",
       idCol: String = "doc_id", urlCol: String = "url",
-      textCol: String = "text", warcType: String = "conversion"): DataFrame =
+      textCol: String = "text", warcType: String = "conversion",
+      byteOriented: Boolean = false): DataFrame =
     docs
       .select(col(shardCol).as("shard"),
         struct(col(idCol).as("k"),
-          record(col(idCol), col(urlCol), col(textCol), warcType).as("rec")).as("e"))
+          record(col(idCol), col(urlCol), col(textCol), warcType,
+            byteOriented).as("rec")).as("e"))
       .groupBy("shard")
       .agg(array_join(transform(array_sort(collect_list(col("e"))),
         e => e("rec")), "").as("content"))
@@ -95,12 +107,17 @@ object Warc {
    * `(shard, rec_pos, rec_id, uri, content_length, payload, intact)`
    * where `rec_pos` is the record's ordinal in its file and `intact`
    * is false when fewer than `content_length` characters were
-   * available (early resync / truncated file). Pure stateless
-   * projection — streaming-safe as-is (no watermark, no state), the
-   * ingest gate a `readStream` of arriving crawl files runs first.
+   * available (early resync / truncated file). With
+   * `byteOriented = true` the declared length is UTF-8 OCTETS: the
+   * payload is sliced as `content_length` bytes out of the record's
+   * binary form and decoded back — null (with `intact = false`) when
+   * fewer bytes were available, since a byte-truncated slice can end
+   * mid-character. Pure stateless projection either way —
+   * streaming-safe as-is (no watermark, no state), the ingest gate a
+   * `readStream` of arriving crawl files runs first.
    */
   def parseRecords(files: DataFrame, shardCol: String = "shard",
-      contentCol: String = "content"): DataFrame = {
+      contentCol: String = "content", byteOriented: Boolean = false): DataFrame = {
     val rec = col("rec")
     val headers = substring_index(rec, HeaderSep, 1)
     // nullif-guard the casts: an orphan fragment (resync inside a
@@ -108,8 +125,21 @@ object Warc {
     val declared =
       nullif(regexp_extract(headers, "Content-Length: ([0-9]+)", 1), lit(""))
         .cast("long")
-    val payload = rec.substr(length(headers) + lit(HeaderSep.length + 1),
-      declared)
+    val (payload, intact) =
+      if (!byteOriented) {
+        val p = rec.substr(length(headers) + lit(HeaderSep.length + 1),
+          declared)
+        (p, length(p) >= declared)
+      } else {
+        // slice the declared OCTETS from the record's UTF-8 bytes;
+        // headers are measured in octets too (a non-ASCII URI still
+        // offsets correctly)
+        val bin = encode(rec, "UTF-8")
+        val pBin = bin.substr(octet_length(headers) + lit(HeaderSep.length + 1),
+          declared)
+        val ok = octet_length(pBin) >= declared
+        (when(ok, decode(pBin, "UTF-8")), ok)
+      }
     files
       .select(col(shardCol).as("shard"),
         posexplode(split(col(contentCol), VersionSplit)).as(Seq("rec_pos", "rec")))
@@ -123,7 +153,7 @@ object Warc {
         regexp_extract(headers, "WARC-Target-URI: ([^\r\n]*)", 1).as("uri"),
         declared.as("content_length"),
         payload.as("payload"),
-        (length(payload) >= declared).as("intact"))
+        intact.as("intact"))
   }
 
   /**

@@ -129,6 +129,42 @@ class WarcSpec extends SparkSpec {
       Seq((0L, 2L, 6L, 2L), (1L, 1L, 3L, 1L))
   }
 
+  test("byte-oriented mode: Content-Length is UTF-8 octets, multi-byte payloads roundtrip") {
+    val docs = Seq(
+      (1L, "https://a.com/é", "café — 😀"), // 2-, 3-, 4-byte chars
+      (2L, "https://a.com/p", "plain ascii"))
+      .toDF("doc_id", "url", "text")
+      .withColumn("shard", lit(0L))
+    val out = Warc.parseRecords(
+        Warc.renderFiles(docs, byteOriented = true), byteOriented = true)
+      .orderBy("rec_id").collect()
+    // café(4c/5B) + ' '(1) + —(1c/3B) + ' '(1) + 😀(1c/4B) = 8 chars, 14 bytes
+    out(0).getAs[Long]("content_length") shouldBe 14L
+    out(0).getAs[String]("payload") shouldBe "café — 😀"
+    out(0).getAs[String]("uri") shouldBe "https://a.com/é"
+    out(0).getAs[Boolean]("intact") shouldBe true
+    out(1).getAs[Long]("content_length") shouldBe 11L
+    out(1).getAs[String]("payload") shouldBe "plain ascii"
+    // char mode would declare 8 for the same first payload — the two
+    // orientations genuinely diverge on multi-byte text
+    Warc.parseRecords(Warc.renderFiles(docs))
+      .orderBy("rec_id").collect()(0)
+      .getAs[Long]("content_length") shouldBe 8L
+  }
+
+  test("byte-oriented truncation yields null payload, never a partial-character decode") {
+    // a record whose payload embeds the version marker: resync splits
+    // it early, so fewer octets than declared are available
+    val tricky = Seq((0L, "https://a.com/t",
+      "héad " + Warc.VersionLine + "tail"))
+      .toDF("doc_id", "url", "text").withColumn("shard", lit(0L))
+    val rows = Warc.parseRecords(
+        Warc.renderFiles(tricky, byteOriented = true), byteOriented = true)
+      .where($"rec_id".isNotNull).collect()
+    rows.head.getAs[Boolean]("intact") shouldBe false
+    rows.head.isNullAt(rows.head.fieldIndex("payload")) shouldBe true
+  }
+
   test("Location header renders and parses through the http layer") {
     val docs = Seq((1L, "https://a.com/old", "moved"))
       .toDF("doc_id", "url", "text")
