@@ -2852,9 +2852,13 @@ object SparkEntry {
     }),
 
     // Sitemap-driven recrawl planning (the discovery channel beside
-    // link extraction): render per-site sitemap XML, parse it back
-    // into typed entries (lastmod DATE, priority DOUBLE), canonicalize
-    // the announced locs, collapse to the freshest announcement per
+    // link extraction): render per-site sitemap XML, publish the site
+    // files through <sitemapindex> documents (the protocol's 50k-cap
+    // nesting — resolved first: index parse → child-loc join → entry
+    // parse, so a lost child loses rows and breaks the hash), parse
+    // the entries into typed rows (lastmod DATE, priority DOUBLE;
+    // malformed decoy values try_cast to null), canonicalize the
+    // announced locs, collapse to the freshest announcement per
     // canonical page, and mark which pages the crawl already has —
     // the frame a recrawl scheduler prioritizes by (known, lastmod,
     // priority).
@@ -2880,13 +2884,24 @@ object SparkEntry {
         lit(".example.com/Articles/"),
         ((col("doc_id") * 7) % 43).cast("string"),
         when(col("doc_id") % 5 === 0, lit("?v=2")).otherwise(lit("")))
-      val lmStr = concat(lit("2026-01-"),
-        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"))
-      val prio = when(col("doc_id") % 3 === 0, lit("0.8")).otherwise(lit("0.5"))
+      val lmStr = when(col("doc_id") % 97 === 13, lit("soon"))
+        .otherwise(concat(lit("2026-01-"),
+          lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")))
+      val prio = when(col("doc_id") % 89 === 7, lit("high"))
+        .when(col("doc_id") % 3 === 0, lit("0.8")).otherwise(lit("0.5"))
       val sitemaps = Sitemap.renderSitemaps(
         d.select(col("doc_id"), col("source").as("site"), loc.as("loc"),
           lmStr.as("lastmod"), prio.as("priority")))
-      Sitemap.parseSitemaps(sitemaps)
+      // publish the site files behind <sitemapindex> docs (one index
+      // per leading site letter) and resolve the nesting before the
+      // entry parse — index parse → child join on the bounded loc list
+      val childFiles = sitemaps.withColumn("loc",
+        concat(lit("https://"), col("site"), lit(".example.com/sitemap.xml")))
+      val indexes = Sitemap.renderSitemapIndex(
+        childFiles.withColumn("index_key", substring(col("site"), 1, 1)))
+      val resolved = Sitemap.parseSitemapIndex(indexes)
+        .join(childFiles.select("loc", "site", "content"), "loc")
+      Sitemap.parseSitemaps(resolved)
         .select(Dedup.normalizeUrl(col("loc")).as("url_norm"),
           col("lastmod"), col("priority"))
         .groupBy("url_norm")
@@ -6608,8 +6623,11 @@ object SparkEntry {
         |FROM a ORDER BY url_norm""".stripMargin,
 
     // Recrawl replay: announced pages constructed in canonical form
-    // with typed lastmod/priority; freshest per page; membership
-    // against the same crawled canonicalization chain as x_url_dedup.
+    // with typed lastmod/priority (malformed decoys NULL, replaying
+    // the engine's try_cast); freshest per page; membership against
+    // the same crawled canonicalization chain as x_url_dedup. The
+    // index layer is pinned implicitly: losing a child sitemap in the
+    // nesting resolve would drop that site's rows from the hash.
     "x_sitemap_recrawl" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
@@ -6630,10 +6648,12 @@ object SparkEntry {
         |e AS (SELECT
         |    source || '.example.com/articles/' ||
         |      CAST((doc_id * 7) % 43 AS VARCHAR) AS url_norm,
-        |    CAST('2026-01-' ||
-        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
-        |      AS lastmod,
-        |    CAST(CASE WHEN doc_id % 3 = 0 THEN '0.8' ELSE '0.5' END
+        |    CAST(CASE WHEN doc_id % 97 = 13 THEN NULL
+        |         ELSE '2026-01-' ||
+        |           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END
+        |      AS DATE) AS lastmod,
+        |    CAST(CASE WHEN doc_id % 89 = 7 THEN NULL
+        |         WHEN doc_id % 3 = 0 THEN '0.8' ELSE '0.5' END
         |      AS DOUBLE) AS priority
         |  FROM documents),
         |g AS (SELECT url_norm, max(lastmod) AS lastmod,

@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
  * Scale posture mirrors [[Warc]]: the SITE FILE is the unit of
  * parallelism (render is one bounded collect_list per site — the
  * 50k-URL limit of the protocol is the real-world cap), parse is a
- * stateless projection + explode with zero shuffle.
+ * stateless projection + explode with zero shuffle. That 50k cap is
+ * also why large sites ship `<sitemapindex>` files naming child
+ * sitemaps — [[renderSitemapIndex]]/[[parseSitemapIndex]] cover the
+ * nesting level (index → child locs → entries, two stateless
+ * explodes; the child-content join keys on the bounded loc list).
  *
  * The reference has no crawl handling (src/main.py:959-975) —
  * training-data-pipeline extension surface.
@@ -51,8 +55,10 @@ object Sitemap {
   /**
    * Parse sitemap documents back into typed entry rows:
    * `(site, loc, lastmod DATE, priority DOUBLE)`. Entries missing a
-   * field carry null there (nullif-guarded ANSI casts) — the
-   * protocol makes lastmod/priority optional.
+   * field carry null there — the protocol makes lastmod/priority
+   * optional — and MALFORMED values (`<lastmod>soon</lastmod>`,
+   * `<priority>high</priority>` in an untrusted feed) also parse to
+   * null via `try_cast`, never an ANSI cast crash.
    */
   def parseSitemaps(sitemaps: DataFrame, siteCol: String = "site",
       contentCol: String = "content"): DataFrame = {
@@ -65,8 +71,41 @@ object Sitemap {
         col("site"),
         regexp_extract(e, "<loc>(.*?)</loc>", 1).as("loc"),
         nullif(regexp_extract(e, "<lastmod>(.*?)</lastmod>", 1), lit(""))
-          .cast("date").as("lastmod"),
+          .try_cast("date").as("lastmod"),
         nullif(regexp_extract(e, "<priority>(.*?)</priority>", 1), lit(""))
-          .cast("double").as("priority"))
+          .try_cast("double").as("priority"))
   }
+
+  /**
+   * Assemble `(index_key, content)` sitemap-index documents — one
+   * `<sitemap><loc>…</loc></sitemap>` entry per child sitemap file,
+   * loc-sorted so the bytes are grouping-stable. The protocol's
+   * answer to the 50k-URL urlset cap: big sites publish an index of
+   * child sitemaps, and a crawler resolves the nesting first.
+   */
+  def renderSitemapIndex(children: DataFrame, indexCol: String = "index_key",
+      locCol: String = "loc"): DataFrame =
+    children
+      .select(col(indexCol).as("index_key"), col(locCol).as("loc"))
+      .groupBy("index_key")
+      .agg(concat(lit("<sitemapindex>"),
+        array_join(transform(array_sort(collect_list(col("loc"))),
+          l => concat(lit("<sitemap><loc>"), l, lit("</loc></sitemap>"))), ""),
+        lit("</sitemapindex>")).as("content"))
+
+  /**
+   * Parse sitemap-index documents into `(index_key, loc)` child
+   * references — the frame a crawler joins against its fetched child
+   * sitemaps (or feeds back into the fetch frontier). A flat urlset
+   * run through this parser yields no rows, and vice versa: the
+   * `<sitemap>` / `<url>` block tags keep the two levels disjoint.
+   */
+  def parseSitemapIndex(indexes: DataFrame, indexCol: String = "index_key",
+      contentCol: String = "content"): DataFrame =
+    indexes
+      .select(col(indexCol).as("index_key"),
+        explode(regexp_extract_all(col(contentCol),
+          lit("(?s)<sitemap>.*?</sitemap>"), lit(0))).as("entry"))
+      .select(col("index_key"),
+        regexp_extract(col("entry"), "<loc>(.*?)</loc>", 1).as("loc"))
 }
