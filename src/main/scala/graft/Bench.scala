@@ -87,8 +87,16 @@ object Bench {
     // per-query min/median maps to a repo file — committed each round,
     // so git history carries every query's timing across rounds.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_OUT", "BENCH_detail.json")
+    // Sweep id stamped into BOTH the detail file and the stdout
+    // headline: the same Bench binary runs several times a round
+    // (builder iteration + the driver's measured sweep), so matching
+    // ids are the only proof a committed detail file records the SAME
+    // sweep the round's headline came from — unmatched ids mean the
+    // per-query series and the headline must not be diffed against
+    // each other.
+    val sweepId = java.lang.Long.toHexString(System.currentTimeMillis())
     val detailJson =
-      s"""{"sf":"$sfDir","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"n_queries":${results.size},
+      s"""{"sf":"$sfDir","sweep":"$sweepId","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"n_queries":${results.size},
          |"queries_min":$qs,
          |"queries_median":$qsMed}
          |""".stripMargin
@@ -106,26 +114,34 @@ object Bench {
     // driver overwrites BENCH_detail.json every round and keeps only a
     // ~2k-char stdout tail in BENCH_rN.json, so without this the
     // cross-round per-query series needs git archaeology. The round
-    // number is inferred as 1 + the highest committed BENCH_r*.json —
-    // the round whose bench is running right now.
+    // number comes from SPARK_GRAFT_ROUND when set; otherwise it is
+    // inferred as 1 + the highest committed BENCH_r*.json — correct
+    // for the round whose bench runs ONCE, but a re-run after the
+    // round's BENCH_rN.json lands would mis-stamp N+1, which the env
+    // override avoids.
     locally {
       val dir = {
         val d = new java.io.File(detailPath).getAbsoluteFile.getParentFile
         if (d == null) new java.io.File(".") else d
       }
-      val roundRe = """BENCH_r(\d+)\.json""".r
-      val prior = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case roundRe(n) => Some(n.toInt)
-          case _          => None
-        })
-      if (prior.nonEmpty)
-        writeDetail(new java.io.File(dir,
-          s"BENCH_detail_r${prior.max + 1}.json").getPath)
+      val explicit = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      val inferred = {
+        val roundRe = """BENCH_r(\d+)\.json""".r
+        val prior = Option(dir.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case roundRe(n) => Some(n.toInt)
+            case _          => None
+          })
+        if (prior.nonEmpty) Some(prior.max + 1) else None
+      }
+      explicit.orElse(inferred).foreach { n =>
+        writeDetail(new java.io.File(dir, s"BENCH_detail_r$n.json").getPath)
+      }
     }
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"n_queries":${results.size},"sweep":"$sweepId","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,10 @@ object ScalingProbe {
     "x_global_rank",
     // round-16 second batch: the WET ingest codec (render + parse)
     "x_wet_roundtrip", "x_wet_stats", "x_warc_http", "x_robots_filter",
-    "x_crawl_e2e", "x_html_text", "x_html_links", "x_frontier", "x_crawl_schedule", "x_sitemap_recrawl")
+    "x_crawl_e2e", "x_html_text", "x_html_links", "x_frontier",
+    "x_crawl_schedule", "x_sitemap_recrawl",
+    // round-17: byte-oriented WET and redirect-chain resolution
+    "x_wet_bytes", "x_redirect_resolve")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
