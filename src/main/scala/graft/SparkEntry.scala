@@ -6814,7 +6814,11 @@ object SparkEntry {
     // not itself a redirect source; sources with no terminal within
     // the hop cap (the planted cycles, and any chain feeding them)
     // are looped with null final/hops, matching the engine's
-    // redirect-budget flagging.
+    // redirect-budget flagging. The cap is Warc.RedirectHopBudget
+    // (= 2^maxRounds = 32 composed hops) — the SAME budget the
+    // engine's pointer doubling resolves, so a legit chain of any
+    // length gets the identical resolved-vs-looped verdict on both
+    // sides.
     "x_redirect_resolve" ->
       """WITH RECURSIVE e AS (SELECT
         |    'redir.example.com/r/' || CAST(doc_id AS VARCHAR) AS src,
@@ -6830,7 +6834,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT w.src, e2.dst, w.hops + 1
         |  FROM w JOIN e e2 ON w.cur = e2.src
-        |  WHERE w.hops < 40),
+        |  WHERE w.hops < 32),
         |term AS (SELECT src, cur, hops FROM w
         |  WHERE cur NOT IN (SELECT src FROM e))
         |SELECT e.src, t.cur AS final_url, CAST(t.hops AS BIGINT) AS hops,

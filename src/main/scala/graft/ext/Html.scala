@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
  * whitespace. Plus `href` link extraction — the op that turns a
  * fetched page into crawl-frontier candidates.
  *
- * Pure nested `regexp_replace`/`regexp_extract_all` Column functions
- * — codegen'd, no UDF, and every pattern is RE2-compatible (lazy
+ * Tag stripping is nested `regexp_replace` Column functions —
+ * codegen'd, no UDF, and every pattern is RE2-compatible (lazy
  * quantifiers and `(?is)` flags only; NO backreferences — script and
  * style blocks get separate patterns for exactly this reason), so a
  * DuckDB oracle can state the same pipeline (numeric-entity rows use
  * the construct-the-expected-output oracle style, since no SQL
- * regexp can map codepoints). Deliberately NOT attempted:
+ * regexp can map codepoints). Entity decode runs as ONE native
+ * codegen'd kernel call ([[decodeEntities]]) with the pure-Column
+ * formulation retained and equality-pinned
+ * ([[decodeEntitiesColumn]]). Deliberately NOT attempted:
  * malformed-markup recovery, CDATA, or block-level layout (newline
  * placement) — scope is the deterministic text-recovery subset.
  *
@@ -27,14 +30,20 @@ import org.apache.spark.sql.functions._
  */
 object Html {
 
-  /** Entity decode order: named entities first, `&amp;` LAST so
-    * double-escaped input (`&amp;lt;`) decodes one level per pass,
-    * never two. (`&#39;` and every other numeric reference is
-    * handled by [[decodeNumericRefs]], which runs before this fold —
-    * so a fold-produced `&#NN;` from a double escape stays literal,
-    * single-decode semantics.) */
-  private[graft] val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+  /** Entity decode order — one decode level per pass: the non-amp
+    * named entities FIRST (phase A, on raw input), numeric references
+    * next (phase B), `&amp;` LAST (phase C). A-before-B protects
+    * `&#38;lt;` (numeric decode yields `&lt;`, which phase A has
+    * already passed over → stays literal); C-last protects
+    * `&amp;lt;` and `&amp;#60;` (the decoded `&` lands next to text
+    * neither earlier phase rescans). The ONE residual two-level case
+    * is `&#38;amp;`: phase B's decoded `&` merges with the trailing
+    * literal `amp;` into `&amp;`, which phase C then decodes —
+    * an input only an adversarial double-escaper produces; documented
+    * (and spec-pinned) rather than special-cased so the Column and
+    * native formulations stay in lockstep. */
+  private[graft] val NonAmpEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
 
   /** One character (or surrogate pair) for a Unicode codepoint, as
     * pure Column math: codepoint → UTF-16BE code units → hex →
@@ -61,10 +70,12 @@ object Html {
    * real-web entity class (`&#8217;` curly quotes etc. pollute tokens
    * downstream if left literal). Split on the reference pattern, map
    * each captured codepoint through [[cpToChar]], and interleave the
-   * segments back (`zip_with` keeps it one codegen'd projection).
-   * Out-of-range or forbidden codepoints (0, beyond U+10FFFF, the
-   * surrogate block) stay literal text, per the bounded-range
-   * contract.
+   * segments back. Out-of-range or forbidden codepoints (0, beyond
+   * U+10FFFF, the surrogate block) stay literal text, per the
+   * bounded-range contract. The `transform`/`zip_with` HOFs here are
+   * INTERPRETED per element — this is the spec/oracle-replay
+   * formulation; the hot path is the fused native kernel
+   * ([[decodeEntities]]).
    */
   def decodeNumericRefs(s: Column): Column = {
     val refs = regexp_extract_all(s, lit(NumRef), lit(1))
@@ -84,6 +95,28 @@ object Html {
         (d, seg) => concat(d, seg)), ""))
   }
 
+  /**
+   * Full entity decode as pure Column functions — phases A/B/C in the
+   * [[NonAmpEntities]] order. RETAINED next to the native kernel (the
+   * hot path, [[decodeEntities]]) for two reasons: the DuckDB oracle
+   * replays THIS formulation, and HtmlSpec pins the two bit-identical
+   * on the edge corpus (astral pairs, forbidden ranges, every
+   * double-escape direction).
+   */
+  def decodeEntitiesColumn(s: Column): Column = {
+    val named = NonAmpEntities.foldLeft(s) { case (c, (e, ch)) =>
+      regexp_replace(c, e, ch)
+    }
+    regexp_replace(decodeNumericRefs(named), "&amp;", "&")
+  }
+
+  /** Full entity decode — the native single-call kernel
+    * ([[graft.plans.Native.decodeEntities]]): same A/B/C semantics as
+    * [[decodeEntitiesColumn]], one codegen'd projection instead of an
+    * interpreted per-reference `transform`/`zip_with` chain. */
+  def decodeEntities(s: Column): Column =
+    graft.plans.NativeFunctions.decodeEntities(s)
+
   /** Plain text of an HTML fragment, per the pipeline above. */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html,
@@ -92,13 +125,7 @@ object Html {
       "(?is)<style\\b[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
-    // numeric refs first: a `&#NN;` the named fold later produces
-    // (from `&amp;#NN;`) must stay literal — one decode level per pass
-    val numDecoded = decodeNumericRefs(noTags)
-    val decoded = Entities.foldLeft(numDecoded) { case (c, (e, ch)) =>
-      regexp_replace(c, e, ch)
-    }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
   }
 
   /** All `href="…"` targets of a fragment, in document order. */

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
  * RFC's most-specific-match precedence applied at gate time:
  * longest pattern wins, `Allow` beats `Disallow` on ties, and rule
  * paths support `*` wildcards plus the `$` end anchor. Rule paths
- * are lowercased at parse time — the apply contract is the
- * lowercased canonical path `normalizeUrl` produces.
+ * are lowercased at parse time — a DELIBERATE deviation from RFC
+ * 9309's case-sensitive path comparison: the apply contract is the
+ * lowercased canonical path `Dedup.normalizeUrl` produces (the only
+ * path shape this engine gates), so both sides of the match are
+ * lowercase by construction. A caller passing RAW paths (`/Articles/x`)
+ * would silently never match a body's `/Articles/` rule — normalize
+ * first; the contract is stated on [[applyRules]] too.
  *
  * The reference has no crawl handling (it posts generated series,
  * src/main.py:959-975) — training-data-pipeline extension surface.
@@ -179,9 +184,18 @@ object Robots {
    * pattern wins, `Allow` beats `Disallow` on length ties (then
    * lexically-greatest pattern, for determinism). Adds `blocked` and
    * the winning pattern as `rule` (null when nothing matches — the
-   * default is allow). Paths are expected lowercased (the
+   * default is allow). Paths are REQUIRED lowercased (the
    * `normalizeUrl` canonical form; rule paths were lowercased at
-   * parse). One broadcast equi-join on domain against the
+   * parse — see the object contract: a raw mixed-case path silently
+   * never matches). Wildcard/anchored rules match via `regexp_like`
+   * with a per-rule non-foldable pattern: Spark's RLike caches only
+   * the last compiled pattern, so a page iterating several wildcard
+   * rules recompiles java.util.regex per element — acceptable while
+   * wildcard rules stay rare (bench is flat; the startsWith fast
+   * path covers the common case); if corpus-scale profiles ever show
+   * it, the mitigation is a case-class broadcast of pre-compiled
+   * Patterns in a mapPartitions gate. One broadcast equi-join on
+   * domain against the
    * ≤1-row-per-domain array table, then a single stateless
    * filter/array_max projection pass — the page side never shuffles,
    * so the same graph gates a `readStream` of arriving pages

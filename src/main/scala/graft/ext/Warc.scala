@@ -218,12 +218,20 @@ object Warc {
    * 8-byte `xxhash64` keys against a distinct `(hash, url)`
    * dictionary — URL text never rides the iterated shuffles, only the
    * two final re-attach joins. An entry still pointing at a redirect
-   * source after `maxRounds` rounds (chain longer than 2^maxRounds,
-   * i.e. any cycle, or a chain past the crawler's redirect budget —
-   * curl's default limit is 30 hops ≈ maxRounds 5) is flagged
-   * `looped` with null final/hops, exactly how a production fetcher
-   * treats a redirect-limit hit.
+   * source after `maxRounds` rounds (chain longer than
+   * [[RedirectHopBudget]] = 2^maxRounds composed hops, i.e. any
+   * cycle, or a chain past the crawler's redirect budget — curl's
+   * default limit is 30 hops ≈ maxRounds 5) is flagged `looped` with
+   * null final/hops, exactly how a production fetcher treats a
+   * redirect-limit hit. The x_redirect_resolve oracle's recursive CTE
+   * caps at the SAME 32-hop budget, so both sides give identical
+   * resolved-vs-looped verdicts at every chain length.
    */
+  /** Composed-hop budget of [[resolveRedirects]] at its default
+    * `maxRounds` — the shared constant the oracle CTE's hop cap
+    * derives from. */
+  val RedirectHopBudget: Int = 1 << 5
+
   def resolveRedirects(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxRounds: Int = 5): DataFrame = {
     // narrow (src, dst) projection materialized once: the dictionary,

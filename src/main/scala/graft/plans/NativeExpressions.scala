@@ -1056,6 +1056,89 @@ object Native {
     }
     new GenericInternalRow(Array[Any](nnz, normSq, maxCount, argmax))
   }
+
+  /** End index (exclusive, past the `;`) of a numeric character
+    * reference starting at `i` (`str(i) == '&'`), or -1 when the
+    * shape doesn't match — exactly the
+    * `&#([0-9]{1,7}|[xX][0-9a-fA-F]{1,6});` regex: a (cap+1)-th digit
+    * before the `;` fails the whole match (greedy backtracking can
+    * never succeed on a shorter prefix, the next char is a digit). */
+  private def numRefEnd(str: String, i: Int): Int = {
+    val n = str.length
+    if (i + 1 >= n || str.charAt(i + 1) != '#') return -1
+    var j = i + 2
+    val hex = j < n && (str.charAt(j) == 'x' || str.charAt(j) == 'X')
+    if (hex) j += 1
+    val ds = j
+    val cap = if (hex) 6 else 7
+    while (j < n && (j - ds) <= cap && {
+      val c = str.charAt(j)
+      if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      else c >= '0' && c <= '9'
+    }) j += 1
+    val k = j - ds
+    if (k < 1 || k > cap || j >= n || str.charAt(j) != ';') -1 else j + 1
+  }
+
+  /**
+   * decode_entities(string) → string: the full HTML entity decode in
+   * ONE native pass per phase — phase A (the named non-amp entities
+   * `&lt;` `&gt;` `&quot;`) and phase B (numeric character references,
+   * decimal `&#NN;` / hex `&#xNN;`, out-of-range and surrogate
+   * codepoints staying literal) fuse into a single scan (their matches
+   * are provably disjoint over the raw text and their outputs
+   * `<` `>` `"` / decoded codepoints can never create a new A/B
+   * match), then phase C (`&amp;` → `&`) scans the materialized A+B
+   * OUTPUT — exactly where the Column `regexp_replace` runs, so
+   * cross-boundary matches (a decoded `&#38;` followed by literal
+   * `amp;`) behave identically. Bit-identical to the retained Column
+   * formulation `graft.ext.Html.decodeEntitiesColumn` — pinned by
+   * HtmlSpec's equality property. The interpreted-HOF version this
+   * replaces (`transform`+`zip_with` per ref) was the engine's one
+   * real r17 per-query cost (x_html_text 0.43→1.7 s).
+   */
+  def decodeEntities(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    if (str.indexOf('&') < 0) return s // fast path: nothing to decode
+    val ab = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c != '&') { ab.append(c); i += 1 }
+      else if (str.startsWith("&lt;", i)) { ab.append('<'); i += 4 }
+      else if (str.startsWith("&gt;", i)) { ab.append('>'); i += 4 }
+      else if (str.startsWith("&quot;", i)) { ab.append('"'); i += 6 }
+      else {
+        val end = numRefEnd(str, i)
+        if (end < 0) { ab.append('&'); i += 1 }
+        else {
+          val hex = str.charAt(i + 2) == 'x' || str.charAt(i + 2) == 'X'
+          val cp = java.lang.Long.parseLong(
+            str.substring(if (hex) i + 3 else i + 2, end - 1),
+            if (hex) 16 else 10)
+          if (cp > 0L && cp <= 0x10FFFFL && !(cp >= 0xD800L && cp <= 0xDFFFL))
+            ab.appendCodePoint(cp.toInt)
+          else ab.append(str, i, end) // forbidden range: stays literal
+          i = end
+        }
+      }
+    }
+    // phase C over the phase-A+B output (non-overlapping left-to-right,
+    // continuing AFTER each replacement — regexp_replace semantics)
+    val m = ab.length
+    val out = new java.lang.StringBuilder(m)
+    var j = 0
+    while (j < m) {
+      if (ab.charAt(j) == '&' && j + 5 <= m && ab.charAt(j + 1) == 'a' &&
+          ab.charAt(j + 2) == 'm' && ab.charAt(j + 3) == 'p' &&
+          ab.charAt(j + 4) == ';') {
+        out.append('&'); j += 5
+      } else { out.append(ab.charAt(j)); j += 1 }
+    }
+    UTF8String.fromString(out.toString)
+  }
 }
 
 /** simhash(array<string>) → long. */
@@ -1631,10 +1714,29 @@ case class PqCodesExpr(child: Expression, books: Seq[Seq[Seq[Double]]],
     copy(child = newChild)
 }
 
+/** decode_entities(string) → string — fused HTML entity decode
+  * (named + numeric refs, `&amp;` last), one codegen'd call replacing
+  * the interpreted `transform`/`zip_with` reference-mapping chain. */
+case class DecodeEntitiesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.decodeEntities(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.decodeEntities($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeEntitiesExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object NativeFunctions {
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
+
+  def decodeEntities(str: Column): Column =
+    ColumnBridge.column(DecodeEntitiesExpr(ColumnBridge.expression(str)))
 
   def rollingHash(str: Column): Column =
     ColumnBridge.column(RollingHashExpr(ColumnBridge.expression(str)))

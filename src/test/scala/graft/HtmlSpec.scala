@@ -27,9 +27,42 @@ class HtmlSpec extends SparkSpec {
     textOf("<h1 class=\"x\">t</h1>") shouldBe "t"
     textOf("x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y") shouldBe
       """x <tag> "q" 's' & y"""
-    // double-escaped input decodes exactly ONE level
+    // double-escaped input decodes exactly ONE level — every direction:
+    // amp-escaped named, amp-escaped numeric, NUMERIC-escaped named
+    // (the phase-order case: &#38; decodes to '&' only after the named
+    // pass has gone by, so the assembled &lt; stays literal)
     textOf("&amp;lt;") shouldBe "&lt;"
     textOf("&amp;#60;") shouldBe "&#60;"
+    textOf("&#38;lt;") shouldBe "&lt;"
+    textOf("&#38;gt; &#38;quot;") shouldBe "&gt; &quot;"
+    // the ONE documented residual two-level case: &#38;amp; — phase
+    // B's decoded '&' merges with the literal 'amp;' into '&amp;',
+    // which the final amp pass then decodes (see Html.NonAmpEntities)
+    textOf("&#38;amp;") shouldBe "&"
+  }
+
+  test("native decodeEntities ≡ the retained Column formulation on the edge corpus") {
+    val edges = Seq(
+      "", "plain text", "&", "&&", "&amp;", "&amp;amp;", "&amp;lt;",
+      "&#38;lt;", "&#38;amp;", "&amp;#60;", "&lt;&gt;&quot;",
+      "x &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp; y",
+      "a&#8212;b &#x2019; &#X2019; &#65;&#x42;",
+      "hi &#x1F600;! &#128512;",                       // astral pairs
+      "&#0; &#55296; &#57343; &#1114111; &#1114112;",  // range edges
+      "&#xD800; &#x10FFFF; &#x110000;",
+      "&#65 &#; &#x; &# &#x",                          // malformed
+      "&#12345678; &#x1234567;",                       // over the digit caps
+      "&#0065; &#x0041;",                              // leading zeros
+      "&#65;mid&#66;", "tail&#65;", "&#65;head",
+      "&quot;&#34;&amp;#34;", "café 😀 already-decoded")
+    val df = edges.toDF("s")
+    val got = df.select(
+      graft.ext.Html.decodeEntities(col("s")).as("native"),
+      graft.ext.Html.decodeEntitiesColumn(col("s")).as("column"))
+      .collect()
+    got.foreach { r =>
+      withClue(s"input row: $r") { r.getString(0) shouldBe r.getString(1) }
+    }
   }
 
   test("numeric character references decode; out-of-range stays literal") {
