@@ -2754,12 +2754,21 @@ object SparkEntry {
     }),
 
     // Crawl-frontier expansion: the discovery half of the crawl loop —
-    // extract hrefs from fetched pages, canonicalize them (the links
-    // are dressed with scheme/path case and tracking params the
-    // canonical form must shed), drop pages already crawled
-    // (left_anti on the canonical key), gate the rest through robots.
-    // The /articles/4 Disallow makes PREFIX matching load-bearing: it
-    // blocks /articles/40..49 too, which only exist via discovery.
+    // extract hrefs from fetched pages, RESOLVE each against the
+    // page's own base URL (real pages are overwhelmingly relative
+    // links: the dressing plants all four RFC 3986 reference forms —
+    // absolute, protocol-relative, rooted, relative-with-dot-segments
+    // — plus a mailto decoy the http filter drops), canonicalize,
+    // drop pages already crawled (left_anti on the canonical key),
+    // gate the rest through robots. Compliance is honored at BOTH
+    // layers: a page whose <meta name="robots"> says nofollow
+    // contributes no links, and a rel="nofollow" link never enters
+    // the frontier. The /articles/4 Disallow makes PREFIX matching
+    // load-bearing: it blocks /articles/40..49 too, which only exist
+    // via discovery. The relative link's dot-segment resolution
+    // DEPENDS on the base's trailing slash (%5 rows: the /Articles/N/
+    // directory form keeps the articles segment; others pop it) — the
+    // merge rule is genuinely load-bearing, not decorative.
     "x_frontier" -> ((s, dir) => {
       import s.implicits._
       val d = tbl(s, dir, "documents")
@@ -2779,16 +2788,31 @@ object SparkEntry {
       // never as URL text
       val crawled = d.withColumn("url", crawledUrl)
         .select(xxhash64(Dedup.normalizeUrl(col("url"))).as("__ch")).distinct()
+      val metaContent = when(col("doc_id") % 19 === 0,
+          lit("noindex, nofollow"))
+        .when(col("doc_id") % 23 === 0, lit("noindex"))
+        .otherwise(lit("index, follow"))
       val pageHtml = concat(
+        lit("<meta name=\"robots\" content=\""), metaContent, lit("\">"),
         lit("<a href=\"HTTPS://"), col("source"), lit(".example.com/Articles/"),
-        ((col("doc_id") * 3) % 53).cast("string"),
-        lit("?utm=x\">n</a><a href=\"http://hub.example.org/t/"),
-        (col("doc_id") % 7).cast("string"), lit("\">h</a>"))
+        ((col("doc_id") * 3) % 53).cast("string"), lit("?utm=x\">a</a>"),
+        lit("<a href=\"//hub.example.org/t/"),
+        (col("doc_id") % 7).cast("string"), lit("\">h</a>"),
+        lit("<a href=\"/Tag/"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 13 === 0, lit("\" rel=\"nofollow\">t</a>"))
+          .otherwise(lit("\">t</a>")),
+        lit("<a href=\"../Archive/"), ((col("doc_id") * 5) % 23).cast("string"),
+        lit("/./item\">r</a><a href=\"mailto:ed@example.com\">m</a>"))
       // robots.txt is fetched per HOST (not per registered domain):
       // the gate keys on urlHost, one robots body per discovered host.
       val discovered = d
-        .select(explode(Html.extractLinks(pageHtml)).as("link"))
-        .select(Dedup.normalizeUrl(col("link")).as("url_norm")).distinct()
+        .where(!Html.metaRobots(pageHtml)("nofollow"))
+        .select(crawledUrl.as("base"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .where(!col("l")("nofollow"))
+        .select(Html.resolveHref(col("base"), col("l")("href")).as("resolved"))
+        .where(col("resolved").rlike("(?i)^https?://"))
+        .select(Dedup.normalizeUrl(col("resolved")).as("url_norm")).distinct()
         .join(crawled, xxhash64(col("url_norm")) === col("__ch"), "left_anti")
         .withColumn("domain", Dedup.urlHost(col("url_norm")))
         .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
@@ -2940,9 +2964,12 @@ object SparkEntry {
     // Crawl-to-corpus funnel e2e: the whole raw-crawl ingest chain as
     // ONE DataFrame job — render raw WARC response files, parse them
     // back (record + HTTP layers), apply the WET-derivation keep
-    // filter, gate the keeps through robots rules on the CANONICAL
-    // URL, then collapse to distinct canonical pages — reported as a
-    // per-HOST funnel (fetched → kept → robots-blocked → pages).
+    // filter, honor in-page <meta name="robots" content="noindex">
+    // (the page's own half of the compliance contract — a noindexed
+    // page is fetched and counted but never enters the kept corpus),
+    // gate the rest through robots rules on the CANONICAL URL, then
+    // collapse to distinct canonical pages — reported as a per-HOST
+    // funnel (fetched → kept → robots-blocked → noindexed → pages).
     // robots.txt is a per-host resource (RFC 9309 §2.3), so both the
     // rules fetch list and the report grain key on urlHost — the
     // same grain the frontier queries gate on; www.foo.com and
@@ -2963,14 +2990,21 @@ object SparkEntry {
         .otherwise(lit("200 OK"))
       val ctype = when(col("doc_id") % 9 === 4, lit("application/pdf"))
         .otherwise(lit("text/html; charset=UTF-8"))
+      val body = concat(
+        when(col("doc_id") % 10 === 3,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")), col("text"))
       val files = Warc.renderFiles(
         d.withColumn("url", url)
           .withColumn("shard", pmod(col("doc_id"), lit(8)))
-          .withColumn("http", Warc.httpPayload(status, ctype, col("text"))),
+          .withColumn("http", Warc.httpPayload(status, ctype, body)),
         textCol = "http", warcType = "response")
       val norm = Dedup.normalizeUrl(col("uri"))
       val pages = Warc.parseHttp(Warc.parseRecords(files))
-        .select(col("rec_id"), col("kept"), norm.as("url_norm"))
+        .select(col("rec_id"), col("kept"),
+          coalesce(Html.metaRobots(col("body"))("noindex"), lit(false))
+            .as("noindex"),
+          norm.as("url_norm"))
         .withColumn("host", Dedup.urlHost(col("url_norm")))
         .withColumn("path", regexp_extract(col("url_norm"), "(/.*)$", 1))
       // the robots fetch list comes straight off the URL projection —
@@ -2985,7 +3019,7 @@ object SparkEntry {
             .otherwise(
               lit("User-agent: *\r\nDisallow: /p/7\r\nDisallow:\r\n" +
                 "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
-      val surviving = col("kept") && !col("blocked")
+      val surviving = col("kept") && !col("blocked") && !col("noindex")
       graft.ext.Robots.applyRules(pages,
           graft.ext.Robots.parseRules(robots, domainCol = "host"),
           domainCol = "host")
@@ -2994,6 +3028,8 @@ object SparkEntry {
           sum(when(surviving, 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept") && col("blocked"), 1L).otherwise(0L))
             .as("n_robots_blocked"),
+          sum(when(col("kept") && !col("blocked") && col("noindex"), 1L)
+            .otherwise(0L)).as("n_noindexed"),
           countDistinct(when(surviving, xxhash64(col("url_norm"))))
             .as("n_pages"))
         .orderBy("host")
@@ -6537,10 +6573,16 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // Frontier replay: crawled pages via the same canonicalization
-    // chain as x_url_dedup; discovered links CONSTRUCTED in canonical
-    // form (the engine must shed the dressed scheme/path case and
-    // tracking params to match); set difference + the robots CASE
-    // with real prefix semantics (/articles/4 catches /articles/40+).
+    // chain as x_url_dedup; discovered links CONSTRUCTED in their
+    // RESOLVED canonical form — each UNION branch restates one RFC
+    // 3986 reference form's merge outcome (the engine must resolve
+    // against the page base, remove dot segments, shed the dressed
+    // scheme/path case and tracking params to match); meta-nofollow
+    // pages (%19) and rel-nofollow links (%13 rooted) contribute
+    // nothing; the relative branch's CASE restates the
+    // trailing-slash-dependent dot-segment merge. Set difference +
+    // the robots CASE with real prefix semantics (/articles/4
+    // catches /articles/40+).
     "x_frontier" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
@@ -6560,10 +6602,20 @@ object SparkEntry {
         |  FROM u),
         |l AS (SELECT source || '.example.com/articles/' ||
         |        CAST((doc_id * 3) % 53 AS VARCHAR) AS url_norm
-        |      FROM documents
+        |      FROM documents WHERE doc_id % 19 <> 0
         |      UNION
         |      SELECT 'hub.example.org/t/' || CAST(doc_id % 7 AS VARCHAR)
-        |      FROM documents),
+        |      FROM documents WHERE doc_id % 19 <> 0
+        |      UNION
+        |      SELECT source || '.example.com/tag/' ||
+        |        CAST(doc_id % 11 AS VARCHAR)
+        |      FROM documents WHERE doc_id % 19 <> 0 AND doc_id % 13 <> 0
+        |      UNION
+        |      SELECT source || '.example.com' ||
+        |        (CASE WHEN doc_id % 5 = 0 THEN '/articles/archive/'
+        |              ELSE '/archive/' END) ||
+        |        CAST((doc_id * 5) % 23 AS VARCHAR) || '/item'
+        |      FROM documents WHERE doc_id % 19 <> 0),
         |f AS (SELECT url_norm FROM l
         |      WHERE url_norm NOT IN (SELECT url_norm FROM crawled)),
         |g AS (SELECT url_norm,
@@ -6731,16 +6783,19 @@ object SparkEntry {
         |  FROM n),
         |f AS (SELECT doc_id, host, url_norm,
         |    (status_code = 200 AND mime LIKE 'text/%') AS kept,
+        |    (doc_id % 10 = 3) AS noindex,
         |    CASE WHEN host LIKE '%.com' THEN path IN ('/p/3', '/p/11')
         |         ELSE path = '/p/7' END AS blocked
         |  FROM p)
         |SELECT host, count(*) AS n_fetched,
-        |  CAST(sum(CASE WHEN kept AND NOT blocked THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept AND NOT blocked AND NOT noindex
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(sum(CASE WHEN kept AND blocked THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_robots_blocked,
-        |  count(DISTINCT CASE WHEN kept AND NOT blocked THEN url_norm END)
-        |    AS n_pages
+        |  CAST(sum(CASE WHEN kept AND NOT blocked AND noindex
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_noindexed,
+        |  count(DISTINCT CASE WHEN kept AND NOT blocked AND NOT noindex
+        |    THEN url_norm END) AS n_pages
         |FROM f GROUP BY 1 ORDER BY host""".stripMargin,
 
     // Robots replay: same dressing + canonicalization as

@@ -131,4 +131,108 @@ object Html {
   /** All `href="…"` targets of a fragment, in document order. */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)href=\"([^\"]*)\""), lit(1))
+
+  /**
+   * Each href-bearing `<a …>` / `<link …>` tag of a fragment as
+   * `struct(href, nofollow)` in document order — the frontier's
+   * compliance-aware link extraction: `rel="nofollow"` is the in-page
+   * half of the politeness contract (the page asks crawlers not to
+   * follow that edge), honored next to the robots.txt gate. Per-tag
+   * `transform` over the bounded tag list of one page (real pages
+   * carry tens of links, not thousands — not a corpus-scaled inner
+   * loop).
+   */
+  def extractLinksDetailed(html: Column): Column = {
+    val tags = filter(
+      regexp_extract_all(html, lit("(?i)<(?:a|link)\\b[^>]*>"), lit(0)),
+      t => regexp_like(t, lit("(?i)href=\"")))
+    transform(tags, t => struct(
+      regexp_extract(t, "(?i)href=\"([^\"]*)\"", 1).as("href"),
+      regexp_like(t, lit("(?i)rel=\"[^\"]*nofollow[^\"]*\"")).as("nofollow")))
+  }
+
+  /**
+   * Page-level robots directives from `<meta name="robots"
+   * content="…">`: `struct(noindex, nofollow)` — `noindex` means the
+   * page must not enter the kept corpus, `nofollow` means none of its
+   * links enter the frontier; the `none` token implies both. Multiple
+   * meta tags OR together (the conservative reading). Attribute order
+   * is the canonical name-then-content form — the deterministic
+   * subset both engines replay, same scope contract as the rest of
+   * the module (no malformed-markup recovery).
+   */
+  def metaRobots(html: Column): Column = {
+    val contents = regexp_extract_all(html,
+      lit("(?i)<meta\\s+name=\"robots\"\\s+content=\"([^\"]*)\""), lit(1))
+    def has(tok: String): Column = exists(contents, c =>
+      regexp_like(lower(c), lit("(^|[ ,])(" + tok + "|none)([ ,]|$)")))
+    struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments as a pure Column fold —
+    * RETAINED next to the native kernel (the hot path inside
+    * [[resolveHref]]) for the HtmlSpec equality pin, the
+    * [[decodeEntitiesColumn]] pattern. Rooted paths only (the shape
+    * [[resolveHref]] feeds it): `.` drops, `..` pops but never past
+    * the root marker, a trailing `.`/`..` keeps the directory form. */
+  private[graft] def removeDotSegmentsColumn(path: Column): Column = {
+    val segs = split(path, "/")
+    val folded = aggregate(segs,
+      array().cast("array<string>"),
+      (st, seg) =>
+        when(seg === ".", st)
+          .when(seg === "..",
+            when(size(st) > 1, slice(st, lit(1), size(st) - 1)).otherwise(st))
+          .otherwise(array_append(st, seg)),
+      st => array_join(st, "/"))
+    val lastSeg = element_at(segs, -1)
+    when(lastSeg === "." || lastSeg === "..", concat(folded, lit("/")))
+      .otherwise(folded)
+  }
+
+  /**
+   * Resolve an `href` against its page's base URL — RFC 3986 §5.2
+   * reduced to the hierarchical-http subset a frontier needs (real
+   * pages are overwhelmingly RELATIVE links; a frontier that only
+   * accepts absolute hrefs silently drops most of the web):
+   *
+   *  - a ref with a scheme (`https://…`, `mailto:…`) passes through;
+   *  - `//authority/path` (protocol-relative) adopts the base scheme;
+   *  - `/rooted` adopts the base scheme+authority;
+   *  - `?query` / `#frag` replace the base's query/fragment;
+   *  - an empty ref is the base itself (same-document);
+   *  - anything else merges onto the base path's directory
+   *    (`§5.2.3`: everything up to the last `/`; `/` when the base
+   *    path is empty).
+   *
+   * Dot segments (`.`/`..`) are then removed from the resolved path
+   * (`§5.2.4`, one native codegen'd call); non-hierarchical results
+   * (no `scheme://authority`) skip that step unchanged. Pure per-row
+   * projection — run BEFORE `Dedup.normalizeUrl` (this resolves, that
+   * canonicalizes).
+   */
+  def resolveHref(base: Column, href: Column): Column = {
+    val schemePat = "^[A-Za-z][A-Za-z0-9+.-]*:"
+    val prefixPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    val pathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+    val baseScheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val basePrefix = regexp_extract(base, prefixPat, 1)
+    val basePath = regexp_extract(base, pathPat, 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val abs =
+      when(regexp_like(href, lit(schemePat)), href)
+        .when(href.startsWith("//"), concat(baseScheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(basePrefix, href))
+        .when(href === "", base)
+        .when(href.startsWith("?") || href.startsWith("#"),
+          concat(basePrefix, basePath, href))
+        .otherwise(concat(basePrefix, baseDir, href))
+    val absPrefix = regexp_extract(abs, prefixPat, 1)
+    val absPath = regexp_extract(abs, pathPat, 1)
+    val absQf = regexp_extract(abs, "([?#].*)$", 1)
+    when(absPrefix === "" || absPath === "", abs)
+      .otherwise(concat(absPrefix,
+        graft.plans.NativeFunctions.removeDotSegments(absPath), absQf))
+  }
 }

@@ -1139,6 +1139,38 @@ object Native {
     }
     UTF8String.fromString(out.toString)
   }
+
+  /**
+   * remove_dot_segments(path) → path: RFC 3986 §5.2.4 over a ROOTED
+   * path (`/a/./b/../c`) — split on `/`, a `.` segment drops, a `..`
+   * segment pops (never past the root marker, the leading empty
+   * segment), a trailing `.`/`..` leaves the directory form (trailing
+   * `/`). Bit-identical to the retained Column fold
+   * (`graft.ext.Html.removeDotSegmentsColumn`) — pinned by HtmlSpec.
+   * One native call keeps [[graft.ext.Html.resolveHref]]'s per-link
+   * projection inside whole-stage codegen where the `aggregate` HOF
+   * formulation interprets per segment.
+   */
+  def removeDotSegments(path: UTF8String): UTF8String = {
+    val str = path.toString
+    val segs = str.split("/", -1)
+    val stack = new Array[String](segs.length)
+    var top = 0
+    var i = 0
+    while (i < segs.length) {
+      val s = segs(i)
+      if (s == ".") ()
+      else if (s == "..") { if (top > 1) top -= 1 }
+      else { stack(top) = s; top += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(str.length)
+    var k = 0
+    while (k < top) { if (k > 0) sb.append('/'); sb.append(stack(k)); k += 1 }
+    val last = segs(segs.length - 1)
+    if (last == "." || last == "..") sb.append('/')
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** simhash(array<string>) → long. */
@@ -1730,8 +1762,25 @@ case class DecodeEntitiesExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** remove_dot_segments(string) → string — RFC 3986 §5.2.4 over a
+  * rooted path, one codegen'd call. */
+case class RemoveDotSegmentsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.removeDotSegments(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.removeDotSegments($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RemoveDotSegmentsExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object NativeFunctions {
+  def removeDotSegments(path: Column): Column =
+    ColumnBridge.column(RemoveDotSegmentsExpr(ColumnBridge.expression(path)))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 

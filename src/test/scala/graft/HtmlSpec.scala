@@ -95,4 +95,84 @@ class HtmlSpec extends SparkSpec {
       Seq("u1", "u2", "")
     linksOf("no links here") shouldBe Seq.empty
   }
+
+  private def resolve(base: String, href: String): String =
+    Seq((base, href)).toDF("b", "h")
+      .select(Html.resolveHref(col("b"), col("h"))).as[String].head()
+
+  test("resolveHref: RFC 3986 merge — all reference forms") {
+    val base = "https://www.ex.com:443/a/b/c?q=1#f"
+    // absolute and non-hierarchical pass through
+    resolve(base, "HTTP://other.org/x") shouldBe "HTTP://other.org/x"
+    resolve(base, "mailto:e@x.com") shouldBe "mailto:e@x.com"
+    // protocol-relative adopts the base scheme (case preserved)
+    resolve(base, "//cdn.ex.com/i.js") shouldBe "https://cdn.ex.com/i.js"
+    resolve("HTTP://h/p", "//x/y") shouldBe "HTTP://x/y"
+    // rooted adopts scheme+authority (port intact — normalize later)
+    resolve(base, "/rooted/x") shouldBe "https://www.ex.com:443/rooted/x"
+    // query/fragment replacement; empty = same document
+    resolve(base, "?page=2") shouldBe "https://www.ex.com:443/a/b/c?page=2"
+    resolve(base, "#top") shouldBe "https://www.ex.com:443/a/b/c#top"
+    resolve(base, "") shouldBe base
+    // relative merges onto the base DIRECTORY (up to the last /)
+    resolve(base, "d") shouldBe "https://www.ex.com:443/a/b/d"
+    resolve("https://h/a/b/", "d") shouldBe "https://h/a/b/d"
+    resolve("https://h", "d") shouldBe "https://h/d" // empty base path
+    // dot segments resolve; .. never climbs past the root
+    resolve(base, "../x") shouldBe "https://www.ex.com:443/a/x"
+    resolve(base, "./x/./y") shouldBe "https://www.ex.com:443/a/b/x/y"
+    resolve(base, "../../../../x") shouldBe "https://www.ex.com:443/x"
+    resolve(base, "..") shouldBe "https://www.ex.com:443/a/"
+    // a ref's own query survives resolution
+    resolve(base, "../x?v=2") shouldBe "https://www.ex.com:443/a/x?v=2"
+    // dot segments in an ABSOLUTE ref resolve too
+    resolve(base, "https://h/a/../b") shouldBe "https://h/b"
+  }
+
+  test("removeDotSegments: native kernel ≡ the retained Column fold") {
+    val paths = Seq("/", "/a", "/a/", "/a/./b", "/a/../b", "/a/b/..",
+      "/a/b/.", "/..", "/.", "/../../a", "/a//b/../c", "/a/b/c/../../d",
+      "/.hidden/..a/a..", "/a/.../b")
+    val df = paths.toDF("p")
+    val got = df.select(
+      graft.plans.NativeFunctions.removeDotSegments(col("p")).as("native"),
+      Html.removeDotSegmentsColumn(col("p")).as("column")).collect()
+    got.foreach { r =>
+      withClue(s"row: $r") { r.getString(0) shouldBe r.getString(1) }
+    }
+    // spot-pin the RFC examples
+    resolve("https://h/a/b/c", "../../../x") shouldBe "https://h/x"
+  }
+
+  test("metaRobots parses directives; extractLinksDetailed carries nofollow") {
+    def mr(html: String): (Boolean, Boolean) = {
+      val r = Seq(html).toDF("h")
+        .select(Html.metaRobots(col("h")).as("m"))
+        .select(col("m")("noindex"), col("m")("nofollow"))
+        .as[(Boolean, Boolean)].head()
+      r
+    }
+    mr("""<meta name="robots" content="noindex, nofollow">""") shouldBe
+      (true, true)
+    mr("""<META name="robots" content="NOINDEX">""") shouldBe (true, false)
+    mr("""<meta name="robots" content="none">""") shouldBe (true, true)
+    mr("""<meta name="robots" content="index, follow">""") shouldBe
+      (false, false)
+    // token match, not substring: 'nofollowing' is not a directive
+    mr("""<meta name="robots" content="nofollowing">""") shouldBe
+      (false, false)
+    mr("no meta at all") shouldBe (false, false)
+    // two tags OR together
+    mr("""<meta name="robots" content="noindex"><meta name="robots" content="nofollow">""") shouldBe
+      (true, true)
+
+    val links = Seq(
+      """<a href="u1">x</a><a href="u2" rel="nofollow">y</a>""" +
+        """<link rel="nofollow" href="u3"><a rel="x">no href</a>""")
+      .toDF("h")
+      .select(explode(Html.extractLinksDetailed(col("h"))).as("l"))
+      .select(col("l")("href"), col("l")("nofollow"))
+      .as[(String, Boolean)].collect().toSeq
+    links shouldBe Seq(("u1", false), ("u2", true), ("u3", true))
+  }
 }
