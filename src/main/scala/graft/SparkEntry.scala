@@ -2738,6 +2738,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-record gzip WARC (the real .warc.gz disk contract: one gzip
+    // MEMBER per record, concatenated): render member-wise compressed
+    // files, inflate them in the typed kernel, and run the UNCHANGED
+    // byte-oriented Column parse downstream — the same multi-byte
+    // dressing as x_wet_bytes, so the roundtrip pins that compression
+    // is transparent to the record layer (construct-the-output
+    // oracle; a lost or mis-framed member loses rows and breaks the
+    // hash).
+    "x_warc_gzip" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" café—😀")))
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val gz = Warc.renderGzipFiles(d
+        .withColumn("url", url)
+        .withColumn("shard", pmod(col("doc_id"), lit(8))),
+        byteOriented = true)
+      Warc.parseRecords(Warc.inflateGzipFiles(gz), byteOriented = true)
+        .select(col("rec_id").as("doc_id"), col("uri"),
+          col("content_length"), col("payload"), col("intact"))
+        .orderBy("doc_id")
+    }),
+
     // Crawl-file ingest report off the same parse: per-file record
     // count, payload volume, length spread, intact count — the monitor
     // frame a WET ingest job alerts on. Exercises the multi-record
@@ -3100,6 +3123,43 @@ object SparkEntry {
       Warc.parseHttp(Warc.parseRecords(files))
         .select(col("rec_id").as("doc_id"), col("status_code"), col("mime"),
           length(col("body")).cast("long").as("body_chars"), col("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Charset-aware body decode (the real-crawl contract one step
+    // below x_warc_http): bodies are BYTES in the charset the
+    // Content-Type header declares — the dressing plants latin-1
+    // (é as ONE byte), utf-8 (multi-byte em-dash + astral emoji), and
+    // a charset-less text/plain that exercises the utf-8 fallback.
+    // The whole archive rides the latin-1 byte-view bijection
+    // (decode(bytes,'ISO-8859-1') chars ≡ bytes), so the standard
+    // character-mode WARC framing IS byte framing; parseHttpCharset
+    // re-decodes each body per its declared charset. The oracle
+    // CONSTRUCTS the expected decoded text per residue — a decoder
+    // that ignored charset= would hand back mojibake and break the
+    // hash.
+    "x_warc_charset" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), id.cast("string"))
+      val bodyBytes = when(id % 3 === 0,
+          encode(concat(col("text"), lit(" café")), "ISO-8859-1"))
+        .when(id % 3 === 1,
+          encode(concat(col("text"), lit(" café—😀")), "UTF-8"))
+        .otherwise(encode(col("text"), "UTF-8"))
+      val ctype = when(id % 3 === 0, lit("text/html; charset=ISO-8859-1"))
+        .when(id % 3 === 1, lit("text/html; charset=UTF-8"))
+        .otherwise(lit("text/plain"))
+      val files = Warc.renderFiles(
+        d.withColumn("url", url)
+          .withColumn("shard", pmod(id, lit(8)))
+          .withColumn("http", Warc.httpPayload(lit("200 OK"), ctype,
+            decode(bodyBytes, "ISO-8859-1"))),
+        textCol = "http", warcType = "response")
+      Warc.parseHttpCharset(Warc.parseRecords(files))
+        .select(col("rec_id").as("doc_id"), col("mime"), col("charset"),
+          col("body"), col("kept"))
         .orderBy("doc_id")
     }),
 
@@ -6561,6 +6621,17 @@ object SparkEntry {
         |  TRUE AS intact
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Gzip replay: identical to the x_wet_bytes identity — the
+    // compression layer must be invisible to the parsed rows.
+    "x_warc_gzip" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.com/doc/' ||
+        |    CAST(doc_id AS VARCHAR) AS uri,
+        |  CAST(strlen(text || ' café—😀') AS BIGINT) AS content_length,
+        |  text || ' café—😀' AS payload,
+        |  TRUE AS intact
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Ingest-report replay: the per-file aggregate over the same mod-8
     // sharding; every record of the ASCII corpus parses intact, so
     // n_intact = n_records.
@@ -6863,6 +6934,22 @@ object SparkEntry {
         |SELECT doc_id, status_code, mime, body_chars,
         |  (status_code = 200 AND mime LIKE 'text/%') AS kept
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Charset replay: the expected DECODED body constructed per
+    // residue — the latin-1 é and the utf-8 em-dash/emoji must come
+    // back as the characters themselves, pinning that the engine
+    // re-decoded the declared charset rather than echoing bytes.
+    "x_warc_charset" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'text/plain'
+        |       ELSE 'text/html' END AS mime,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1'
+        |       WHEN doc_id % 3 = 1 THEN 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 3 = 0 THEN text || ' café'
+        |       WHEN doc_id % 3 = 1 THEN text || ' café—😀'
+        |       ELSE text END AS body,
+        |  TRUE AS kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Redirect replay: the same deterministic edge dressing, then the
     // chain walked by a recursive CTE — terminal = a target that is

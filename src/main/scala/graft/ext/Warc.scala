@@ -100,6 +100,95 @@ object Warc {
       .agg(array_join(transform(array_sort(collect_list(col("e"))),
         e => e("rec")), "").as("content"))
 
+  /** One deterministic gzip member (Java's fixed header: MTIME 0,
+    * XFL 0, OS 0) holding exactly `bytes` — the per-RECORD unit of
+    * real WARC compression. */
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /**
+   * Render per-record-gzipped WARC files — the REAL Common Crawl disk
+   * contract (`.warc.gz` is a concatenation of gzip MEMBERS, one per
+   * record, so a reader can seek to any record and inflate it alone):
+   * `(shard, content: binary)` where `content` is the member-wise
+   * gzip of the same id-ordered records [[renderFiles]] lays out.
+   * The grouped aggregate collects the bounded per-shard record list
+   * (the caller's shard key bounds file size, the [[renderFiles]]
+   * contract), then a typed `mapPartitions` kernel deflates each
+   * record into its own member — variable-length binary assembly is
+   * exactly the shape the [[MediaCodecs]] kernel path exists for;
+   * everything before it is the unchanged Column render.
+   */
+  def renderGzipFiles(docs: DataFrame, shardCol: String = "shard",
+      idCol: String = "doc_id", urlCol: String = "url",
+      textCol: String = "text", warcType: String = "conversion",
+      byteOriented: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(shardCol).cast("long").as("shard"),
+        struct(col(idCol).as("k"),
+          record(col(idCol), col(urlCol), col(textCol), warcType,
+            byteOriented).as("rec")).as("e"))
+      .groupBy("shard")
+      .agg(transform(array_sort(collect_list(col("e"))),
+        e => e("rec")).as("recs"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        rows.map { case (shard, recs) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          recs.foreach { r =>
+            bos.write(gzipMember(
+              r.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+          (shard, bos.toByteArray)
+        }
+      }
+      .toDF("shard", "content")
+  }
+
+  /**
+   * Inflate per-record-gzipped WARC files back to the plain-text file
+   * form: `(shard, content: string, gz_ok)` — concatenated gzip
+   * members inflate to the concatenated records, so the unchanged
+   * Column [[parseRecords]] runs downstream and the whole gz ingest
+   * is `parseRecords(inflateGzipFiles(gz))`. A corrupt file DEGRADES
+   * (`content` null, `gz_ok` false) instead of killing the stage — at
+   * 100 TB a bad shard is a row to quarantine, not a job failure.
+   * Typed `mapPartitions` kernel (stream inflation is imperative by
+   * nature); the file stays the unit of parallelism, zero shuffle.
+   */
+  def inflateGzipFiles(gz: DataFrame, shardCol: String = "shard",
+      contentCol: String = "content"): DataFrame = {
+    val spark = gz.sparkSession
+    import spark.implicits._
+    gz.select(col(shardCol).cast("long").as("shard"),
+        col(contentCol).as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val buf = new Array[Byte](65536)
+        rows.map { case (shard, bytes) =>
+          try {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(bytes), 65536)
+            val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+            (shard, new String(out.toByteArray,
+              java.nio.charset.StandardCharsets.UTF_8), true)
+          } catch {
+            case _: java.io.IOException => (shard, null: String, false)
+          }
+        }
+      }
+      .toDF("shard", "content", "gz_ok")
+  }
+
   /**
    * Parse WET-style files back into records: split `content` on the
    * version line, explode, extract the headers, slice the payload to
@@ -196,6 +285,81 @@ object Warc {
     parsed
       .withColumn("status_code", status)
       .withColumn("mime", mime)
+      .withColumn("location", nullif(
+        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
+      .withColumn("body", body)
+      .withColumn("kept",
+        coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
+  }
+
+  /** Windows-1252's 0x80–0x9F gremlin block as a `translate` pair
+    * over the latin-1 byte view: cp1252 differs from ISO-8859-1 ONLY
+    * in those 32 positions, 27 of which map to punctuation/letters
+    * (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ); the 5
+    * undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) pass through as their
+    * same-value control codepoints per the WHATWG encoding standard
+    * (what browsers do on real web bytes; Java's decoder would emit
+    * U+FFFD there — pinned in WarcSpec). */
+  private val Cp1252From =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A" +
+    "\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097" +
+    "\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+  private val Cp1252To =
+    "€‚ƒ„…†‡ˆ‰Š" +
+    "‹ŒŽ‘’“”•–—" +
+    "˜™š›œžŸ"
+
+  /**
+   * Charset-aware HTTP parse — [[parseHttp]] upgraded to honor the
+   * Content-Type `charset=` parameter, the real-crawl contract
+   * ([[parseHttp]] assumes the payload is already correctly-decoded
+   * text; real WARCs carry latin-1 / windows-1252 / utf-8 BYTES).
+   *
+   * The payload column must be the LATIN-1 BYTE VIEW of the raw HTTP
+   * message: ISO-8859-1 decoding is a lossless byte↔char bijection,
+   * so a binary payload rides the existing string machinery with
+   * char positions ≡ byte offsets — `decode(bin, "ISO-8859-1")` turns
+   * any byte stream into this view, and the character-mode
+   * [[record]]/[[parseRecords]] framing over view strings IS
+   * byte-oriented framing of the underlying bytes. Headers are ASCII
+   * (self-equal in the view); the body is re-decoded per the declared
+   * charset: utf-8 via encode-back + decode, latin-1/us-ascii is the
+   * view itself, windows-1252 is the view with the 0x80–0x9F gremlin
+   * block translated ([[Cp1252From]] — exact, since cp1252 is
+   * latin-1 everywhere else). A missing or unrecognized charset falls
+   * back to `defaultCharset` (utf-8, the WET convention). Adds
+   * `charset` (the declared parameter, lowercased, null when absent)
+   * next to [[parseHttp]]'s columns. Pure stateless projection —
+   * same zero-shuffle / streaming-safe posture.
+   */
+  def parseHttpCharset(parsed: DataFrame,
+      defaultCharset: String = "utf-8"): DataFrame = {
+    val payload = col("payload")
+    val httpHeaders = substring_index(payload, HeaderSep, 1)
+    val status = nullif(
+      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
+      .cast("int")
+    val ctypeRaw = regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1)
+    val mime = nullif(trim(substring_index(ctypeRaw, ";", 1)), lit(""))
+    val charset = lower(nullif(
+      regexp_extract(ctypeRaw, "(?i)charset=\"?([0-9A-Za-z._-]+)", 1),
+      lit("")))
+    val bodyView = when(status.isNotNull,
+      payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
+        length(payload)))
+    val cs = coalesce(charset, lit(defaultCharset.toLowerCase))
+    val body = when(bodyView.isNull, lit(null).cast("string"))
+      .when(cs.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"),
+        bodyView)
+      .when(cs.isin("windows-1252", "cp1252"),
+        translate(bodyView, Cp1252From, Cp1252To))
+      // utf-8 and the unknown-charset fallback: encode the view back
+      // to its bytes, decode those as UTF-8
+      .otherwise(decode(encode(bodyView, "ISO-8859-1"), "UTF-8"))
+    parsed
+      .withColumn("status_code", status)
+      .withColumn("mime", mime)
+      .withColumn("charset", charset)
       .withColumn("location", nullif(
         regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
       .withColumn("body", body)

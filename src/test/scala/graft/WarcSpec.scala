@@ -112,6 +112,121 @@ class WarcSpec extends SparkSpec {
     conv.getAs[Boolean]("kept") shouldBe false
   }
 
+  test("charset-aware http layer: declared charsets decode, fallback is utf-8") {
+    // bodies as BYTES in four encodings, framed through the latin-1
+    // byte view (chars ≡ bytes, so character-mode framing is byte
+    // framing)
+    val accented = "naïve café résumé"      // latin-1-encodable
+    val emoji = "dash — emoji 😀"           // multi-byte utf-8
+    val gremlins = "“smart” — €99 café" // cp1252
+    val docs = Seq(
+      (0L, accented, "ISO-8859-1", "text/html; charset=ISO-8859-1"),
+      (1L, emoji, "UTF-8", "text/html; charset=utf-8"),
+      (2L, gremlins, "windows-1252", "text/html; charset=Windows-1252"),
+      (3L, emoji, "UTF-8", "text/plain"), // no charset → utf-8 fallback
+      (4L, accented, "ISO-8859-1", "text/html; charset=\"latin-1\""))
+    // build each body's byte VIEW on the driver (Column encode takes
+    // only a constant charset, and the dressing mixes three)
+    val byRow = docs.map { case (id, text, enc, ct) =>
+      val bytes = text.getBytes(java.nio.charset.Charset.forName(enc))
+      val view = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      (id, view, ct)
+    }.toDF("doc_id", "text", "ct")
+      .withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+      .withColumn("http", Warc.httpPayload(lit("200 OK"), col("ct"), col("text")))
+    val out = Warc.parseHttpCharset(Warc.parseRecords(
+        Warc.renderFiles(byRow, textCol = "http", warcType = "response")))
+      .orderBy("rec_id")
+      .select("rec_id", "charset", "body", "kept").collect()
+    val expected = Seq(
+      (0L, "iso-8859-1", accented), (1L, "utf-8", emoji),
+      (2L, "windows-1252", gremlins), (3L, null, emoji),
+      (4L, "latin-1", accented))
+    for ((r, (id, cs, body)) <- out.zip(expected)) {
+      withClue(s"doc $id: ") {
+        r.getAs[String]("charset") shouldBe cs
+        r.getAs[String]("body") shouldBe body
+        r.getAs[Boolean]("kept") shouldBe true
+      }
+    }
+  }
+
+  test("windows-1252 translate table ≡ Java's own cp1252 decoder on every byte") {
+    // every single byte 0x00..0xFF decoded by the engine's
+    // view+translate path must equal Java's windows-1252 decoder —
+    // EXCEPT the five undefined cp1252 bytes (0x81 0x8D 0x8F 0x90
+    // 0x9D), where Java emits U+FFFD but the engine follows the
+    // WHATWG encoding standard (what browsers do on real web bytes):
+    // pass through as the same-value control codepoint
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    val undefinedPassthrough = Set(0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    val rows = (0 until 256).map { b =>
+      val view = new String(Array(b.toByte), java.nio.charset.StandardCharsets.ISO_8859_1)
+      val expected =
+        if (undefinedPassthrough(b)) view
+        else new String(Array(b.toByte), cp1252)
+      (b.toLong, view, expected)
+    }
+    val framed = rows.map { case (id, view, _) => (id, view) }
+      .toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+      .withColumn("http", Warc.httpPayload(lit("200 OK"),
+        lit("text/html; charset=windows-1252"), col("text")))
+    val got = Warc.parseHttpCharset(Warc.parseRecords(
+        Warc.renderFiles(framed, textCol = "http", warcType = "response")))
+      .orderBy("rec_id").select("rec_id", "body").as[(Long, String)]
+      .collect()
+    for (((id, body), (_, _, expected)) <- got.zip(rows)) {
+      withClue(s"byte $id: ") { body shouldBe expected }
+    }
+  }
+
+  test("gzip files: one member per record, inflate∘render is an identity, corruption degrades") {
+    val texts = Seq(
+      0L -> "plain words",
+      1L -> "unicode — naïve café ☕ 😀",
+      2L -> "embedded\r\nnewlines\r\n\r\nblank",
+      3L -> "")
+    val gz = Warc.renderGzipFiles(corpus(texts: _*)).orderBy("shard").collect()
+    gz.length shouldBe 2
+    // member-wise framing: each file is EXACTLY the concatenation of
+    // per-record gzip members (id order), so a reader can seek and
+    // inflate any single record — pin by re-gzipping independently
+    def gzipOne(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def record(id: Long, txt: String): String = {
+      val bytes = txt.getBytes("UTF-8").length
+      s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: https://ex.com/$id\r\n" +
+        s"WARC-Record-ID: <urn:graft:$id>\r\n" +
+        s"Content-Length: $bytes\r\n\r\n$txt\r\n\r\n"
+    }
+    val evenFile = gz.find(_.getAs[Long]("shard") == 0L).get
+      .getAs[Array[Byte]]("content")
+    val expected = Seq(0L, 2L)
+      .map(id => gzipOne(record(id, texts.find(_._1 == id).get._2)))
+      .reduce(_ ++ _)
+    evenFile.toSeq shouldBe expected.toSeq
+    // the whole gz path roundtrips through the unchanged Column parse
+    val parsed = Warc.parseRecords(
+        Warc.inflateGzipFiles(Warc.renderGzipFiles(corpus(texts: _*))),
+        byteOriented = true)
+      .orderBy("rec_id").select("rec_id", "payload", "intact")
+      .as[(Long, String, Boolean)].collect().toSeq
+    parsed shouldBe texts.map { case (id, t) => (id, t, true) }
+    // a corrupt file degrades to (null, gz_ok=false), never throws
+    val corrupt = Seq((9L, Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3)))
+      .toDF("shard", "content")
+    val bad = Warc.inflateGzipFiles(corrupt).collect().head
+    bad.getAs[Boolean]("gz_ok") shouldBe false
+    bad.isNullAt(bad.fieldIndex("content")) shouldBe true
+  }
+
   test("degenerate files: empty and marker-less content yield no records") {
     val junk = Seq((0L, ""), (1L, "no markers at all"), (2L, "WARC/2.0\r\nfuture"))
       .toDF("shard", "content")
