@@ -2959,6 +2959,71 @@ object SparkEntry {
         .orderBy("url_norm")
     }),
 
+    // Conditional-recrawl policy — the If-Modified-Since ECONOMICS a
+    // recrawl scheduler runs over the sitemap channel: join the
+    // freshest announcement per canonical page against the crawl
+    // HISTORY (last fetch date per known page) and decide fetch/skip —
+    // fetch_new (never crawled), refetch_stale (announced lastmod
+    // newer than our copy), refetch_unknown (announcement carries no
+    // usable lastmod — the try_cast'd decoys — so fetch
+    // conservatively), skip_fresh (our copy is current). Each decision
+    // carries a staleness-weighted score (priority × days since
+    // lastmod at the as-of date) — the ordering a fetch-budget
+    // allocator would spend down. Same narrow-aggregate +
+    // hash-key-join shape as x_sitemap_recrawl; history is one more
+    // groupBy max over 8-byte keys.
+    "x_recrawl_policy" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val crawledUrl = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTP://")),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Articles/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("?utm_source=feed&ref=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit("")))
+      // crawl history: last fetch date per known canonical page —
+      // dates ride the same 8-byte keys as every crawled-set join
+      val hist = d.withColumn("url", crawledUrl)
+        .select(xxhash64(Dedup.normalizeUrl(col("url"))).as("__ch"),
+          date_add(to_date(lit("2026-01-01")),
+            pmod(col("doc_id") * 11, lit(28)).cast("int")).as("f"))
+        .groupBy("__ch").agg(max("f").as("last_fetched"))
+      val loc = concat(lit("https://"), col("source"),
+        lit(".example.com/Articles/"),
+        ((col("doc_id") * 7) % 43).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?v=2")).otherwise(lit("")))
+      val lmStr = when(col("doc_id") % 97 === 13, lit("soon"))
+        .otherwise(concat(lit("2026-01-"),
+          lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")))
+      val prio = when(col("doc_id") % 89 === 7, lit("high"))
+        .when(col("doc_id") % 3 === 0, lit("0.8")).otherwise(lit("0.5"))
+      val sitemaps = Sitemap.renderSitemaps(
+        d.select(col("doc_id"), col("source").as("site"), loc.as("loc"),
+          lmStr.as("lastmod"), prio.as("priority")))
+      val asof = to_date(lit("2026-03-01"))
+      Sitemap.parseSitemaps(sitemaps)
+        .select(Dedup.normalizeUrl(col("loc")).as("url_norm"),
+          col("lastmod"), col("priority"))
+        .groupBy("url_norm")
+        .agg(max("lastmod").as("lastmod"), max("priority").as("priority"))
+        .join(hist, xxhash64(col("url_norm")) === col("__ch"), "left")
+        .withColumn("known", col("__ch").isNotNull)
+        .drop("__ch")
+        .withColumn("decision",
+          when(!col("known"), lit("fetch_new"))
+            .when(col("lastmod").isNull, lit("refetch_unknown"))
+            .when(col("lastmod") > col("last_fetched"), lit("refetch_stale"))
+            .otherwise(lit("skip_fresh")))
+        .withColumn("score",
+          coalesce(col("priority"), lit(0.5)) *
+            datediff(asof, coalesce(col("lastmod"), to_date(lit("2026-01-01")))))
+        .orderBy("url_norm")
+    }),
+
     // HTML → text extraction (the content-conversion step between a
     // raw crawl response and WET plain text): script/style blocks and
     // comments dropped, tags stripped, the five predefined entities
@@ -6785,6 +6850,55 @@ object SparkEntry {
         |SELECT url_norm, lastmod, priority,
         |  (url_norm IN (SELECT url_norm FROM crawled)) AS known
         |FROM g ORDER BY url_norm""".stripMargin,
+
+    // Policy replay: the same announced-page collapse joined to the
+    // reconstructed fetch history, then the decision CASE and the
+    // staleness-weighted score restated in SQL date arithmetic.
+    "x_recrawl_policy" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    source || '.example.com' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |    '/Articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '?utm_source=feed&ref=abc' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |h AS (SELECT
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(lower(url), '[?#].*', ''),
+        |      '^https?://', ''), '^www\.', ''),
+        |      '^([^/:]+):(80|443)(/|$)', '\1\3'), '/+$', '') AS url_norm,
+        |    DATE '2026-01-01' + CAST((doc_id * 11) % 28 AS INTEGER) AS f
+        |  FROM u),
+        |hist AS (SELECT url_norm, max(f) AS last_fetched
+        |         FROM h GROUP BY 1),
+        |e AS (SELECT
+        |    source || '.example.com/articles/' ||
+        |      CAST((doc_id * 7) % 43 AS VARCHAR) AS url_norm,
+        |    CAST(CASE WHEN doc_id % 97 = 13 THEN NULL
+        |         ELSE '2026-01-' ||
+        |           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') END
+        |      AS DATE) AS lastmod,
+        |    CAST(CASE WHEN doc_id % 89 = 7 THEN NULL
+        |         WHEN doc_id % 3 = 0 THEN '0.8' ELSE '0.5' END
+        |      AS DOUBLE) AS priority
+        |  FROM documents),
+        |g AS (SELECT url_norm, max(lastmod) AS lastmod,
+        |        max(priority) AS priority
+        |      FROM e GROUP BY 1)
+        |SELECT g.url_norm, g.lastmod, g.priority, hist.last_fetched,
+        |  (hist.url_norm IS NOT NULL) AS known,
+        |  CASE WHEN hist.url_norm IS NULL THEN 'fetch_new'
+        |       WHEN g.lastmod IS NULL THEN 'refetch_unknown'
+        |       WHEN g.lastmod > hist.last_fetched THEN 'refetch_stale'
+        |       ELSE 'skip_fresh' END AS decision,
+        |  coalesce(g.priority, 0.5) *
+        |    (DATE '2026-03-01' - coalesce(g.lastmod, DATE '2026-01-01'))
+        |    AS score
+        |FROM g LEFT JOIN hist ON g.url_norm = hist.url_norm
+        |ORDER BY g.url_norm""".stripMargin,
 
     // Extraction replay by CONSTRUCTION: the oracle assembles the
     // expected text from (doc_id, text) directly — 'doc N Doc & N

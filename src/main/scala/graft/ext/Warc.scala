@@ -439,6 +439,41 @@ object Warc {
   }
 
   /**
+   * Stateless redirect gate — the STREAMING twin of
+   * [[resolveRedirects]] (pointer doubling is a batch shape; a
+   * `readStream` of arriving pages can't iterate): broadcast the
+   * bounded batch-resolved `(src → final)` map into a stream-static
+   * equi-join on the 8-byte canonical-URL hash, the same posture as
+   * the Bloom decontaminator and the robots rules gate. An arriving
+   * page whose canonical URL is a redirect source adopts the chain's
+   * final target as its crawl identity (`final_norm`,
+   * `redirected = true`), so a stream dedups/counts against final
+   * targets exactly as the batch pipeline does; a looped source keeps
+   * its own URL and flags `looped`; everything else passes through.
+   * Zero state, no watermark — the same plan gates a batch frame
+   * identically (stream ≡ batch pinned in StreamingSpec).
+   * `resolved`'s src/final_url must be canonical already (they come
+   * from `normalizeUrl`-ed edges); the gate canonicalizes the
+   * arriving side.
+   */
+  def gateRedirects(pages: DataFrame, resolved: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val map = broadcast(resolved.select(
+      xxhash64(col("src")).as("__rh"),
+      col("final_url").as("__final"), col("looped").as("__lp")))
+    pages
+      .withColumn("url_norm", Dedup.normalizeUrl(col(urlCol)))
+      .join(map, xxhash64(col("url_norm")) === col("__rh"), "left")
+      .withColumn("final_norm",
+        when(coalesce(col("__lp"), lit(false)), col("url_norm"))
+          .otherwise(coalesce(col("__final"), col("url_norm"))))
+      .withColumn("redirected",
+        coalesce(!col("__lp") && col("__final").isNotNull, lit(false)))
+      .withColumn("looped", coalesce(col("__lp"), lit(false)))
+      .drop("__rh", "__final", "__lp")
+  }
+
+  /**
    * Per-file ingest report off [[parseRecords]]: record count, payload
    * volume, length spread, and how many records survived intact — the
    * frame a crawl-ingest monitor alerts on. One narrow aggregate

@@ -969,4 +969,51 @@ class StreamingSpec extends SparkSpec {
     streamed shouldBe batch
     streamed.size shouldBe 4
   }
+
+  test("redirect gate rewrites a stream of pages to final targets, equal to batch") {
+    // The streaming twin of resolveRedirects: pointer doubling runs in
+    // batch; the resolved (src -> final) map broadcasts into a
+    // stream-static join that rewrites arriving pages to their crawl
+    // identity — zero state, so stream ≡ batch exactly.
+    import graft.ext.{Dedup, Warc}
+    implicit val sqlCtx = spark.sqlContext
+    // chain a -> b -> c, 2-cycle d <-> e, plain page f
+    val edges = Seq(
+      ("https://ex.com/a", "https://ex.com/b"),
+      ("https://ex.com/b", "https://ex.com/c"),
+      ("https://ex.com/d", "https://ex.com/e"),
+      ("https://ex.com/e", "https://ex.com/d"))
+      .toDF("src", "dst")
+      .select(Dedup.normalizeUrl(col("src")).as("src"),
+        Dedup.normalizeUrl(col("dst")).as("dst"))
+    val resolved = Warc.resolveRedirects(edges).localCheckpoint()
+    // arriving pages dressed with case/scheme noise the gate must shed
+    val pages = Seq(
+      (0L, "HTTPS://ex.com/a"), (1L, "http://EX.com/b"),
+      (2L, "https://ex.com/c"), (3L, "https://ex.com/d"),
+      (4L, "https://ex.com/f"))
+    val cols = Seq("doc_id", "url_norm", "final_norm", "redirected", "looped")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(pages: _*)
+    val q = Warc.gateRedirects(mem.toDF().toDF("doc_id", "url"), resolved)
+      .writeStream.format("memory").queryName("redirect_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamed = spark.table("redirect_gate")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val batch = Warc.gateRedirects(pages.toDF("doc_id", "url"), resolved)
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    // and the semantics themselves: a/b rewrite to c, d flags looped,
+    // c and f pass through
+    val byId = spark.table("redirect_gate").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("final_norm"), r.getAs[Boolean]("redirected"),
+          r.getAs[Boolean]("looped")))).toMap
+    byId(0L) shouldBe (("ex.com/c", true, false))
+    byId(1L) shouldBe (("ex.com/c", true, false))
+    byId(2L) shouldBe (("ex.com/c", false, false))
+    byId(3L) shouldBe (("ex.com/d", false, true))
+    byId(4L) shouldBe (("ex.com/f", false, false))
+  }
 }
