@@ -206,12 +206,20 @@ object Html {
    *    path is empty).
    *
    * Dot segments (`.`/`..`) are then removed from the resolved path
-   * (`§5.2.4`, one native codegen'd call); non-hierarchical results
-   * (no `scheme://authority`) skip that step unchanged. Pure per-row
-   * projection — run BEFORE `Dedup.normalizeUrl` (this resolves, that
-   * canonicalizes).
+   * (`§5.2.4`); non-hierarchical results (no `scheme://authority`)
+   * skip that step unchanged. Pure per-row projection — run BEFORE
+   * `Dedup.normalizeUrl` (this resolves, that canonicalizes). ONE
+   * native codegen'd call ([[graft.plans.Native.resolveHref]]) — the
+   * frontier's per-link inner loop, where the Column formulation
+   * re-evaluates its regexp subtrees per branch.
    */
-  def resolveHref(base: Column, href: Column): Column = {
+  def resolveHref(base: Column, href: Column): Column =
+    graft.plans.NativeFunctions.resolveHref(base, href)
+
+  /** Pure-Column formulation of [[resolveHref]] — RETAINED for the
+    * HtmlSpec equality pin over the base×ref matrix, the
+    * [[decodeEntitiesColumn]] pattern. */
+  private[graft] def resolveHrefColumn(base: Column, href: Column): Column = {
     val schemePat = "^[A-Za-z][A-Za-z0-9+.-]*:"
     val prefixPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
     val pathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
@@ -232,7 +240,6 @@ object Html {
     val absPath = regexp_extract(abs, pathPat, 1)
     val absQf = regexp_extract(abs, "([?#].*)$", 1)
     when(absPrefix === "" || absPath === "", abs)
-      .otherwise(concat(absPrefix,
-        graft.plans.NativeFunctions.removeDotSegments(absPath), absQf))
+      .otherwise(concat(absPrefix, removeDotSegmentsColumn(absPath), absQf))
   }
 }

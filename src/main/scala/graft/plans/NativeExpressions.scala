@@ -1171,6 +1171,88 @@ object Native {
     if (last == "." || last == "..") sb.append('/')
     UTF8String.fromString(sb.toString)
   }
+
+  /** Index of the `:` closing a leading URI scheme
+    * (`^[A-Za-z][A-Za-z0-9+.-]*:`), or -1. */
+  private def schemeEnd(s: String): Int = {
+    if (s.isEmpty) return -1
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z'))) return -1
+    var i = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ':') return i
+      val ok = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return -1
+      i += 1
+    }
+    -1
+  }
+
+  /** End index of `^scheme://[^/?#]*` (the scheme+authority prefix),
+    * or -1 when the string is not hierarchical. */
+  private def prefixEnd(s: String): Int = {
+    val se = schemeEnd(s)
+    if (se < 0 || !s.startsWith("://", se)) return -1
+    var i = se + 3
+    while (i < s.length && {
+      val c = s.charAt(i); c != '/' && c != '?' && c != '#'
+    }) i += 1
+    i
+  }
+
+  /** End index of the path run (`[^?#]*`) starting at `from`. */
+  private def pathEnd(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && { val c = s.charAt(i); c != '?' && c != '#' }) i += 1
+    i
+  }
+
+  /**
+   * resolve_href(base, href) → string: the RFC 3986 §5.2 reference
+   * merge as ONE native call — scheme'd refs pass through,
+   * `//authority` adopts the base scheme, `/rooted` adopts
+   * scheme+authority, `?`/`#` refs replace query/fragment, empty is
+   * the base, everything else merges onto the base path directory;
+   * the resolved hierarchical path then gets [[removeDotSegments]].
+   * Bit-identical to the retained Column formulation
+   * (`graft.ext.Html.resolveHrefColumn`) — pinned by HtmlSpec over a
+   * base×ref matrix. The Column version evaluates the heavy
+   * `regexp_extract` subtrees several times per link (the frontier's
+   * per-link inner loop); this is one scan-based call inside
+   * whole-stage codegen.
+   */
+  def resolveHref(base: UTF8String, href: UTF8String): UTF8String = {
+    val b = base.toString
+    val h = href.toString
+    val bpe = prefixEnd(b)
+    val basePrefix = if (bpe < 0) "" else b.substring(0, bpe)
+    val basePath = if (bpe < 0) "" else b.substring(bpe, pathEnd(b, bpe))
+    val abs: String =
+      if (schemeEnd(h) >= 0) h
+      else if (h.startsWith("//")) {
+        val se = schemeEnd(b)
+        (if (se < 0) "" else b.substring(0, se)) + ":" + h
+      } else if (h.startsWith("/")) basePrefix + h
+      else if (h.isEmpty) b
+      else if (h.startsWith("?") || h.startsWith("#"))
+        basePrefix + basePath + h
+      else {
+        val dir =
+          if (basePath.isEmpty) "/"
+          else basePath.substring(0, basePath.lastIndexOf('/') + 1)
+        basePrefix + dir + h
+      }
+    val ape = prefixEnd(abs)
+    if (ape < 0) return UTF8String.fromString(abs) // non-hierarchical
+    val apEnd = pathEnd(abs, ape)
+    if (apEnd == ape) return UTF8String.fromString(abs) // no path
+    val resolved = removeDotSegments(
+      UTF8String.fromString(abs.substring(ape, apEnd))).toString
+    UTF8String.fromString(
+      abs.substring(0, ape) + resolved + abs.substring(apEnd))
+  }
 }
 
 /** simhash(array<string>) → long. */
@@ -1777,10 +1859,32 @@ case class RemoveDotSegmentsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** resolve_href(base, href) → string — RFC 3986 §5.2 merge + §5.2.4
+  * dot-segment removal, one codegen'd call. */
+case class ResolveHrefExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(base: Any, href: Any): Any =
+    Native.resolveHref(base.asInstanceOf[UTF8String],
+      href.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, h) => s"graft.plans.Native.resolveHref($b, $h)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ResolveHrefExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object NativeFunctions {
   def removeDotSegments(path: Column): Column =
     ColumnBridge.column(RemoveDotSegmentsExpr(ColumnBridge.expression(path)))
+
+  def resolveHref(base: Column, href: Column): Column =
+    ColumnBridge.column(ResolveHrefExpr(ColumnBridge.expression(base),
+      ColumnBridge.expression(href)))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 

@@ -129,6 +129,28 @@ class HtmlSpec extends SparkSpec {
     resolve(base, "https://h/a/../b") shouldBe "https://h/b"
   }
 
+  test("resolveHref: native kernel ≡ the retained Column formulation on a base×ref matrix") {
+    val bases = Seq(
+      "https://www.ex.com:443/a/b/c?q=1#f", "HTTP://h/p", "https://h",
+      "https://h/", "https://h/a/b/", "ex.com/no-scheme", "",
+      "mailto:e@x.com", "a:///x")
+    val hrefs = Seq(
+      "", "d", "./x", "../x", "../../../../x", "..", ".", "/rooted",
+      "//cdn.ex.com/i.js", "HTTP://other.org/x", "mailto:e@x.com",
+      "?page=2", "#top", "../x?v=2&w=3#f", "a:b", "a/b/../c/./d",
+      "//x", "/", "x//y")
+    val df = (for (b <- bases; h <- hrefs) yield (b, h)).toDF("b", "h")
+    val got = df.select(
+      Html.resolveHref(col("b"), col("h")).as("native"),
+      Html.resolveHrefColumn(col("b"), col("h")).as("column"),
+      col("b"), col("h")).collect()
+    got.foreach { r =>
+      withClue(s"base=${r.getString(2)} href=${r.getString(3)}: ") {
+        r.getString(0) shouldBe r.getString(1)
+      }
+    }
+  }
+
   test("removeDotSegments: native kernel ≡ the retained Column fold") {
     val paths = Seq("/", "/a", "/a/", "/a/./b", "/a/../b", "/a/b/..",
       "/a/b/.", "/..", "/.", "/../../a", "/a//b/../c", "/a/b/c/../../d",
