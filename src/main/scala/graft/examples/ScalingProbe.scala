@@ -39,7 +39,11 @@ object ScalingProbe {
     "x_crawl_e2e", "x_html_text", "x_html_links", "x_frontier",
     "x_crawl_schedule", "x_sitemap_recrawl",
     // round-17: byte-oriented WET and redirect-chain resolution
-    "x_wet_bytes", "x_redirect_resolve")
+    "x_wet_bytes", "x_redirect_resolve",
+    // round-18: charset decode, gzip members, recrawl policy (the
+    // changed frontier/funnel/html queries re-probe under their old
+    // names above)
+    "x_warc_charset", "x_warc_gzip", "x_recrawl_policy")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
