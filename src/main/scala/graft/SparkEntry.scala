@@ -3024,6 +3024,93 @@ object SparkEntry {
         .orderBy("url_norm")
     }),
 
+    // Sitemap discovery via robots.txt — how a crawler actually
+    // LEARNS a site's sitemap URLs (sitemaps.org protocol: `Sitemap:`
+    // directives in robots.txt, section-INDEPENDENT unlike rules).
+    // Dressing plants a commented-out decoy, an indented directive,
+    // lowercase field casing, and a second (news) sitemap on
+    // vowel-initial hosts; the badbot section around them must not
+    // scope them.
+    "x_sitemap_discovery" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val hosts = d.select(
+        concat(col("source"), lit(".example.com")).as("host")).distinct()
+      val content = concat(
+        lit("User-agent: *\nDisallow: /tmp\n" +
+          "# Sitemap: https://decoy.example.com/no.xml\n"),
+        lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n"),
+        when(col("host").rlike("^[aeiou]"),
+          concat(lit("  sitemap: https://"), col("host"),
+            lit("/news-sitemap.xml\n"))).otherwise(lit("")),
+        lit("User-agent: badbot\nDisallow: /\n"))
+      graft.ext.Robots.sitemapDirectives(
+          hosts.withColumn("content", content), domainCol = "host")
+        .orderBy("domain", "sitemap_url")
+    }),
+
+    // <base href> honored in link resolution (WHATWG HTML §4.2.3: the
+    // document base overrides the page URL; first tag wins; the base
+    // may itself be RELATIVE and resolves against the page URL — the
+    // empty-ref trick makes one resolveHref call cover presence and
+    // absence uniformly). Three page shapes: absolute cdn base,
+    // relative ./v2/ base, no base; two link forms each.
+    "x_base_links" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val pageUrl = concat(lit("https://"), col("source"),
+        lit(".example.com/Articles/"), (id % 40).cast("string"))
+      val baseTag = when(id % 3 === 0,
+          concat(lit("<base href=\"https://cdn."), col("source"),
+            lit(".example.org/pages/\">")))
+        .when(id % 3 === 1, lit("<base href=\"./v2/\">"))
+        .otherwise(lit(""))
+      val html = concat(baseTag,
+        lit("<a href=\"item/"), (id % 9).cast("string"),
+        lit("\">i</a><a href=\"/rooted/"), (id % 5).cast("string"),
+        lit("\">r</a>"))
+      val effBase = Html.resolveHref(pageUrl,
+        coalesce(Html.baseHref(html), lit("")))
+      // extractLinksDetailed, not extractLinks: the <base> tag's own
+      // href= must not enter the link list
+      d.select(id.as("doc_id"), effBase.as("__b"),
+          posexplode(Html.extractLinksDetailed(html))
+            .as(Seq("link_pos", "l")))
+        .select(col("doc_id"), col("link_pos"),
+          Html.resolveHref(col("__b"), col("l")("href")).as("resolved"))
+        .orderBy("doc_id", "link_pos")
+    }),
+
+    // rel=canonical dedup — the strongest IN-PAGE dedup signal a
+    // crawl carries: URL variants (mobile m. subdomain, tracking
+    // params) declare the clean canonical; identity = the declared
+    // canonical resolved against the page URL (relative canonicals
+    // keep the variant HOST — the %21 rows pin that real subtlety),
+    // falling back to the page's own canonicalized URL. One narrow
+    // groupBy on the canonical key, the urlDedup aggregate shape.
+    "x_canonical_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val pageUrl = concat(
+        when(id % 3 === 1, lit("https://m.")).otherwise(lit("https://")),
+        col("source"), lit(".example.com/a/"), (id % 25).cast("string"),
+        when(id % 4 === 0, lit("?utm=x")).otherwise(lit("")))
+      val canonTag = when(id % 3 === 1 || id % 4 === 0,
+          when(id % 7 === 0,
+            concat(lit("<link rel=\"canonical\" href=\"/a/"),
+              (id % 25).cast("string"), lit("\">")))
+            .otherwise(concat(
+              lit("<link rel=\"canonical\" href=\"https://"), col("source"),
+              lit(".example.com/a/"), (id % 25).cast("string"), lit("\">"))))
+        .otherwise(lit(""))
+      val html = concat(canonTag, lit("<p>body</p>"))
+      val canon = Dedup.normalizeUrl(coalesce(
+        Html.resolveHref(pageUrl, Html.canonicalUrl(html)), pageUrl))
+      d.select(canon.as("canonical_norm"), id)
+        .groupBy("canonical_norm")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_pages"))
+        .orderBy("canonical_norm")
+    }),
+
     // HTML → text extraction (the content-conversion step between a
     // raw crawl response and WET plain text): script/style blocks and
     // comments dropped, tags stripped, the five predefined entities
@@ -6899,6 +6986,61 @@ object SparkEntry {
         |    AS score
         |FROM g LEFT JOIN hist ON g.url_norm = hist.url_norm
         |ORDER BY g.url_norm""".stripMargin,
+
+    // Discovery replay: every host announces /sitemap.xml; vowel
+    // hosts add the news sitemap; the commented decoy contributes
+    // nothing (a parser that didn't strip comments would emit it and
+    // break the hash).
+    "x_sitemap_discovery" ->
+      """WITH h AS (SELECT DISTINCT source || '.example.com' AS domain
+        |           FROM documents)
+        |SELECT domain, sitemap_url FROM (
+        |  SELECT domain,
+        |    'https://' || domain || '/sitemap.xml' AS sitemap_url
+        |  FROM h
+        |  UNION ALL
+        |  SELECT domain, 'https://' || domain || '/news-sitemap.xml'
+        |  FROM h WHERE regexp_matches(domain, '^[aeiou]'))
+        |ORDER BY domain, sitemap_url""".stripMargin,
+
+    // Base-href replay: each residue class's merge outcome restated —
+    // cdn-dir base, relative ./v2/ base resolved against the page,
+    // and the no-base fallback to the page's own directory.
+    "x_base_links" ->
+      """SELECT doc_id, link_pos, resolved FROM (
+        |  SELECT doc_id, 0 AS link_pos,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://cdn.' || source ||
+        |           '.example.org/pages/item/' || CAST(doc_id % 9 AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN 'https://' || source ||
+        |           '.example.com/Articles/v2/item/' ||
+        |           CAST(doc_id % 9 AS VARCHAR)
+        |         ELSE 'https://' || source || '.example.com/Articles/item/'
+        |           || CAST(doc_id % 9 AS VARCHAR) END AS resolved
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https://cdn.' || source ||
+        |           '.example.org/rooted/' || CAST(doc_id % 5 AS VARCHAR)
+        |         ELSE 'https://' || source || '.example.com/rooted/' ||
+        |           CAST(doc_id % 5 AS VARCHAR) END
+        |  FROM documents)
+        |ORDER BY doc_id, link_pos""".stripMargin,
+
+    // Canonical replay: the declared-canonical identity per residue —
+    // absolute canonicals land on the desktop host, RELATIVE
+    // canonicals keep the variant host (m. pages), undeclared pages
+    // fall back to their own canonicalized URL.
+    "x_canonical_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 AND doc_id % 7 = 0
+        |           THEN 'm.' || source || '.example.com/a/' ||
+        |             CAST(doc_id % 25 AS VARCHAR)
+        |         ELSE source || '.example.com/a/' ||
+        |             CAST(doc_id % 25 AS VARCHAR) END AS canonical_norm
+        |  FROM documents)
+        |SELECT canonical_norm, min(doc_id) AS keep_id,
+        |  count(*) AS n_pages
+        |FROM c GROUP BY 1 ORDER BY canonical_norm""".stripMargin,
 
     // Extraction replay by CONSTRUCTION: the oracle assembles the
     // expected text from (doc_id, text) directly — 'doc N Doc & N

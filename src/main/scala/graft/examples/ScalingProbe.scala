@@ -43,7 +43,10 @@ object ScalingProbe {
     // round-18: charset decode, gzip members, recrawl policy (the
     // changed frontier/funnel/html queries re-probe under their old
     // names above)
-    "x_warc_charset", "x_warc_gzip", "x_recrawl_policy")
+    "x_warc_charset", "x_warc_gzip", "x_recrawl_policy",
+    // round-18 second batch: robots-announced sitemaps, base-href
+    // resolution, rel=canonical dedup
+    "x_sitemap_discovery", "x_base_links", "x_canonical_dedup")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

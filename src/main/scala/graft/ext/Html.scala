@@ -169,6 +169,27 @@ object Html {
     struct(has("noindex").as("noindex"), has("nofollow").as("nofollow"))
   }
 
+  /** First `<base href="…">` of the page — the HTML-spec document
+    * base that overrides the page URL for relative-link resolution
+    * (first one wins per WHATWG HTML §4.2.3); null when absent. May
+    * itself be relative: resolve it against the page URL first —
+    * `resolveHref(pageUrl, coalesce(baseHref(h), lit("")))` yields
+    * the effective base either way, since an empty ref resolves to
+    * the base itself. Canonical attr order, the [[metaRobots]]
+    * deterministic-subset contract. */
+  def baseHref(html: Column): Column =
+    nullif(regexp_extract(html, "(?i)<base\\s+href=\"([^\"]*)\"", 1), lit(""))
+
+  /** `<link rel="canonical" href="…">` target — the page's own
+    * declaration of its canonical URL (the strongest in-page dedup
+    * signal a crawl corpus carries: URL variants of one document all
+    * point at the same canonical); null when absent, first wins. May
+    * be relative — resolve against the page base before use.
+    * Canonical attr order, the [[metaRobots]] contract. */
+  def canonicalUrl(html: Column): Column =
+    nullif(regexp_extract(html,
+      "(?i)<link\\s+rel=\"canonical\"\\s+href=\"([^\"]*)\"", 1), lit(""))
+
   /** RFC 3986 §5.2.4 remove_dot_segments as a pure Column fold —
     * RETAINED next to the native kernel (the hot path inside
     * [[resolveHref]]) for the HtmlSpec equality pin, the

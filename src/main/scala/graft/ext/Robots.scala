@@ -154,6 +154,27 @@ object Robots {
       .drop("__dd", "crawl_delay_s")
   }
 
+  /**
+   * `Sitemap:` directives — the discovery channel robots.txt actually
+   * provides (sitemaps.org protocol: a crawler learns a site's
+   * sitemap URLs from its robots.txt). Unlike rules, Sitemap lines
+   * are SECTION-INDEPENDENT (they apply regardless of the surrounding
+   * User-agent group), so this is a plain line filter, no fold:
+   * `(domain, sitemap_url)`, one row per directive in body order,
+   * comments stripped, case-insensitive field name, value kept
+   * verbatim (sitemap URLs are absolute per the protocol — the caller
+   * canonicalizes). Domains announcing none are absent.
+   */
+  def sitemapDirectives(robots: DataFrame,
+      domainCol: String = "domain", contentCol: String = "content"): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(contentCol), "\r?\n")).as("ln"))
+      .select(col("domain"),
+        trim(regexp_extract(regexp_replace(col("ln"), "#.*", ""),
+          "(?i)^\\s*sitemap:(.*)$", 1)).as("sitemap_url"))
+      .where(col("sitemap_url") =!= "")
+
   /** [[parseRules]] output folded to ONE row per domain with its
     * rule array — the bounded shape the apply broadcasts (and the
     * static side of a streaming page gate). Each rule carries its

@@ -197,4 +197,22 @@ class HtmlSpec extends SparkSpec {
       .as[(String, Boolean)].collect().toSeq
     links shouldBe Seq(("u1", false), ("u2", true), ("u3", true))
   }
+
+  test("baseHref and canonicalUrl extract (first wins), null when absent") {
+    def one(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        html: String): Option[String] =
+      Seq(html).toDF("h").select(c(col("h"))).as[Option[String]].head()
+    one(Html.baseHref, """<head><BASE href="/v2/"><base href="/v3/"></head>""") shouldBe
+      Some("/v2/")
+    one(Html.baseHref, "<p>no base</p>") shouldBe None
+    one(Html.canonicalUrl,
+      """<link rel="canonical" href="https://ex.com/a"><link rel="canonical" href="/b">""") shouldBe
+      Some("https://ex.com/a")
+    one(Html.canonicalUrl, """<link rel="stylesheet" href="s.css">""") shouldBe
+      None
+    // the <base> tag's href must NOT appear in the link list
+    Seq("""<base href="/v2/"><a href="x">l</a>""").toDF("h")
+      .select(explode(Html.extractLinksDetailed(col("h"))).as("l"))
+      .select(col("l")("href")).as[String].collect().toSeq shouldBe Seq("x")
+  }
 }

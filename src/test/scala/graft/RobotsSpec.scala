@@ -161,4 +161,24 @@ class RobotsSpec extends SparkSpec {
     Robots.applyRules(pages, rules)
       .select("blocked").as[Boolean].collect().toSeq shouldBe Seq(true)
   }
+
+  test("Sitemap: directives parse section-independently; comments and case handled") {
+    val body =
+      "User-agent: badbot\nDisallow: /\n" +
+        "Sitemap: https://d.com/inside-badbot.xml\n" + // NOT scoped to badbot
+        "# Sitemap: https://d.com/commented.xml\n" +
+        "  sitemap: https://d.com/indented.xml\n" +
+        "User-agent: *\nDisallow: /tmp\n" +
+        "SITEMAP: https://d.com/upper.xml\n" +
+        "Sitemap:\n" // empty value drops
+    val got = Robots.sitemapDirectives(
+        Seq(("d.com", body)).toDF("domain", "content"))
+      .select("sitemap_url").as[String].collect().toSet
+    got shouldBe Set("https://d.com/inside-badbot.xml",
+      "https://d.com/indented.xml", "https://d.com/upper.xml")
+    // a body with no directives yields no rows
+    Robots.sitemapDirectives(
+      Seq(("e.com", "User-agent: *\nDisallow: /x\n"))
+        .toDF("domain", "content")).count() shouldBe 0L
+  }
 }
