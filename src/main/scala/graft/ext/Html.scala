@@ -220,8 +220,11 @@ object Html {
    *  - a ref with a scheme (`https://…`, `mailto:…`) passes through;
    *  - `//authority/path` (protocol-relative) adopts the base scheme;
    *  - `/rooted` adopts the base scheme+authority;
-   *  - `?query` / `#frag` replace the base's query/fragment;
-   *  - an empty ref is the base itself (same-document);
+   *  - `?query` replaces the base's query AND fragment; `#frag`
+   *    replaces only the fragment (the base query survives); an
+   *    empty ref is the base minus its fragment — all three exactly
+   *    RFC 3986 §5.3 (pinned against `java.net.URI.resolve` in
+   *    HtmlSpec);
    *  - anything else merges onto the base path's directory
    *    (`§5.2.3`: everything up to the last `/`; `/` when the base
    *    path is empty).
@@ -249,13 +252,18 @@ object Html {
     val basePath = regexp_extract(base, pathPat, 1)
     val baseDir = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    // RFC 3986 §5.3: an empty ref keeps the base query but drops its
+    // fragment; a `#` ref replaces only the fragment; a `?` ref
+    // replaces both
+    val baseNoFrag = regexp_replace(base, "#.*$", "")
+    val baseNoQf = regexp_replace(base, "[?#].*$", "")
     val abs =
       when(regexp_like(href, lit(schemePat)), href)
         .when(href.startsWith("//"), concat(baseScheme, lit(":"), href))
         .when(href.startsWith("/"), concat(basePrefix, href))
-        .when(href === "", base)
-        .when(href.startsWith("?") || href.startsWith("#"),
-          concat(basePrefix, basePath, href))
+        .when(href === "", baseNoFrag)
+        .when(href.startsWith("?"), concat(baseNoQf, href))
+        .when(href.startsWith("#"), concat(baseNoFrag, href))
         .otherwise(concat(basePrefix, baseDir, href))
     val absPrefix = regexp_extract(abs, prefixPat, 1)
     val absPath = regexp_extract(abs, pathPat, 1)

@@ -1229,15 +1229,26 @@ object Native {
     val bpe = prefixEnd(b)
     val basePrefix = if (bpe < 0) "" else b.substring(0, bpe)
     val basePath = if (bpe < 0) "" else b.substring(bpe, pathEnd(b, bpe))
+    // base minus fragment / minus query+fragment (RFC 3986 §5.3: an
+    // empty ref keeps the base query but drops its fragment; a `#`
+    // ref replaces only the fragment; a `?` ref replaces both)
+    def noFrag(s: String): String = {
+      val f = s.indexOf('#'); if (f < 0) s else s.substring(0, f)
+    }
+    def noQf(s: String): String = {
+      val q = s.indexOf('?'); val f = s.indexOf('#')
+      val cut = if (q < 0) f else if (f < 0) q else math.min(q, f)
+      if (cut < 0) s else s.substring(0, cut)
+    }
     val abs: String =
       if (schemeEnd(h) >= 0) h
       else if (h.startsWith("//")) {
         val se = schemeEnd(b)
         (if (se < 0) "" else b.substring(0, se)) + ":" + h
       } else if (h.startsWith("/")) basePrefix + h
-      else if (h.isEmpty) b
-      else if (h.startsWith("?") || h.startsWith("#"))
-        basePrefix + basePath + h
+      else if (h.isEmpty) noFrag(b)
+      else if (h.startsWith("?")) noQf(b) + h
+      else if (h.startsWith("#")) noFrag(b) + h
       else {
         val dir =
           if (basePath.isEmpty) "/"

@@ -108,12 +108,16 @@ class HtmlSpec extends SparkSpec {
     // protocol-relative adopts the base scheme (case preserved)
     resolve(base, "//cdn.ex.com/i.js") shouldBe "https://cdn.ex.com/i.js"
     resolve("HTTP://h/p", "//x/y") shouldBe "HTTP://x/y"
-    // rooted adopts scheme+authority (port intact — normalize later)
+    // rooted adopts scheme+authority (port intact — normalize later);
+    // dot segments in a ROOTED ref resolve too (§5.2.2 — the JDK
+    // skips this, see the URI-pin test's exclusions)
     resolve(base, "/rooted/x") shouldBe "https://www.ex.com:443/rooted/x"
-    // query/fragment replacement; empty = same document
+    resolve(base, "/r/./s/../t") shouldBe "https://www.ex.com:443/r/t"
+    // RFC 3986 §5.3: '?' replaces query+fragment, '#' replaces only
+    // the fragment (base query survives), '' drops only the fragment
     resolve(base, "?page=2") shouldBe "https://www.ex.com:443/a/b/c?page=2"
-    resolve(base, "#top") shouldBe "https://www.ex.com:443/a/b/c#top"
-    resolve(base, "") shouldBe base
+    resolve(base, "#top") shouldBe "https://www.ex.com:443/a/b/c?q=1#top"
+    resolve(base, "") shouldBe "https://www.ex.com:443/a/b/c?q=1"
     // relative merges onto the base DIRECTORY (up to the last /)
     resolve(base, "d") shouldBe "https://www.ex.com:443/a/b/d"
     resolve("https://h/a/b/", "d") shouldBe "https://h/a/b/d"
@@ -149,6 +153,45 @@ class HtmlSpec extends SparkSpec {
         r.getString(0) shouldBe r.getString(1)
       }
     }
+  }
+
+  test("resolveHref ≡ java.net.URI.resolve (the JDK's RFC 3986 §5.2) on hierarchical http refs") {
+    // Independent reference model: the JDK implements the same RFC.
+    // Exclusions, all DOCUMENTED JDK deviations from the RFC (where
+    // this engine follows the RFC): the empty ref (URI.resolve("")
+    // returns the base WITH its fragment; §5.3 drops it),
+    // over-popping ../ chains (URI.normalize leaves leading "../"
+    // where §5.2.4 removes them — so refs here pop at most the
+    // base's depth), dot segments inside ROOTED refs (JDK skips
+    // remove_dot_segments for absolute-path refs; §5.2.2 applies it —
+    // the engine's "/r/./s/../t" → "/r/t" is pinned in the RFC-merge
+    // test above instead), and query-only refs (JDK resolves "?q=2"
+    // per the superseded RFC 2396 — merges onto the base DIRECTORY,
+    // dropping the last segment — where §5.3 keeps the base path
+    // whole; the engine's behavior is pinned above).
+    val bases = Seq(
+      "https://h/a/b/c", "https://h/a/b/", "https://h/", "https://h/a",
+      "https://www.ex.com:8080/x/y?q=1", "https://h/a/b/c?q=1#f",
+      "http://h/a%20b/c")
+    val refs = Seq(
+      "d", "./d", "../d", "d/e", "./d/../e", "/rooted", "/r/s/t",
+      "//h2/p", "https://abs.org/p?x=1#y", "#frag", "a:b",
+      "d?x=1#y", ".", "..")
+    val rows = for {
+      b <- bases; r <- refs
+      // skip pops past the root for the URI comparison (JDK deviation)
+      depth = b.drop("https://".length).count(_ == '/')
+      if r.split("/").count(_ == "..") < depth
+    } yield (b, r, new java.net.URI(b).resolve(r).toString)
+    val got = rows.toDF("b", "h", "jdk")
+      .select(Html.resolveHref(col("b"), col("h")).as("ours"),
+        col("jdk"), col("b"), col("h")).collect()
+    got.foreach { r =>
+      withClue(s"base=${r.getString(2)} ref=${r.getString(3)}: ") {
+        r.getString(0) shouldBe r.getString(1)
+      }
+    }
+    rows.size should be > 80 // the matrix actually covered something
   }
 
   test("removeDotSegments: native kernel ≡ the retained Column fold") {
