@@ -2761,6 +2761,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WARC revisit records — how real archives dedup refetches
+    // (Common Crawl stores a `revisit` record with WARC-Refers-To
+    // instead of a payload its digest set already holds): the first
+    // capture in file order is the original, later captures of the
+    // same payload flag is_revisit + refers_to. The %100 body
+    // dressing makes every payload recur across shards, so the
+    // min-struct choice (shard, then in-file position) is genuinely
+    // load-bearing.
+    "x_warc_revisit" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/doc/"), id.cast("string"))
+      val files = Warc.renderFiles(d
+        .withColumn("url", url)
+        .withColumn("shard", pmod(id, lit(8)))
+        .withColumn("body", concat(lit("body "), (id % 100).cast("string"))),
+        textCol = "body")
+      Warc.markRevisits(Warc.parseRecords(files))
+        .select(col("rec_id").as("doc_id"), col("shard"), col("rec_pos"),
+          col("is_revisit"), col("refers_to"))
+        .orderBy("doc_id")
+    }),
+
     // Crawl-file ingest report off the same parse: per-file record
     // count, payload volume, length spread, intact count — the monitor
     // frame a WET ingest job alerts on. Exercises the multi-record
@@ -3248,6 +3272,41 @@ object SparkEntry {
                 "Allow: /p/14$\r\nDisallow:\r\n" +
                 "# tail comment\r\nUser-agent: badbot\r\nDisallow: /\r\n")))
       graft.ext.Robots.applyRules(pages, graft.ext.Robots.parseRules(robots))
+        .orderBy("doc_id")
+    }),
+
+    // Robots availability semantics (RFC 9309 §2.3.1): the gate's
+    // verdict depends on how the robots.txt FETCH went — 4xx means no
+    // robots exists (allow all, the parsed /p/1 block LIFTS on m-org
+    // hosts), 5xx means unreachable (assume complete disallow, every
+    // org-503 page blocked with the 'unreachable' sentinel), 2xx
+    // applies the rules (.com hosts, incl. the /p/12 Allow
+    // carve-out). All three host classes share the SAME robots body —
+    // only the status differs, so a gate ignoring availability gets
+    // every class wrong.
+    "x_robots_availability" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(id % 3 === 0, lit("www.")).otherwise(lit("m.")),
+        col("source"),
+        when(id % 4 === 0, lit(".com")).otherwise(lit(".org")),
+        lit("/p/"), (id % 15).cast("string"))
+      val norm = Dedup.normalizeUrl(col("url"))
+      val pages = d.withColumn("url", url)
+        .select(id.as("doc_id"), Dedup.urlHost(norm).as("host"),
+          regexp_extract(norm, "(/.*)$", 1).as("path"))
+      val hosts = pages.select("host").distinct()
+      val robots = hosts.withColumn("content",
+        lit("User-agent: *\nDisallow: /p/1\nAllow: /p/12\n"))
+      val status = hosts.withColumn("robots_status",
+        when(col("host").endsWith(".com"), lit(200))
+          .when(col("host").startsWith("m."), lit(404))
+          .otherwise(lit(503)))
+      graft.ext.Robots.applyWithAvailability(pages,
+          graft.ext.Robots.parseRules(robots, domainCol = "host"),
+          status, domainCol = "host")
         .orderBy("doc_id")
     }),
 
@@ -6784,6 +6843,26 @@ object SparkEntry {
         |  TRUE AS intact
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Revisit replay: the same file layout reconstructed (rec_pos =
+    // in-shard rank by id), then first-capture-per-payload via window
+    // functions over (shard, rec_pos) order.
+    "x_warc_revisit" ->
+      """WITH p AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |      - 1 AS rec_pos,
+        |    'body ' || CAST(doc_id % 100 AS VARCHAR) AS payload
+        |  FROM documents),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY payload
+        |      ORDER BY shard, rec_pos) AS rk,
+        |    first_value(doc_id) OVER (PARTITION BY payload
+        |      ORDER BY shard, rec_pos) AS orig
+        |  FROM p)
+        |SELECT doc_id, shard, CAST(rec_pos AS INTEGER) AS rec_pos,
+        |  (rk > 1) AS is_revisit,
+        |  CASE WHEN rk > 1 THEN orig END AS refers_to
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     // Ingest-report replay: the per-file aggregate over the same mod-8
     // sharding; every record of the ASCII corpus parses intact, so
     // n_intact = n_records.
@@ -7124,6 +7203,28 @@ object SparkEntry {
         |  count(DISTINCT CASE WHEN kept AND NOT blocked AND NOT noindex
         |    THEN url_norm END) AS n_pages
         |FROM f GROUP BY 1 ORDER BY host""".stripMargin,
+
+    // Availability replay: per host class — .com applies the rules
+    // (longest-match + the /p/12 Allow), m-org's 404 lifts
+    // everything, org's 503 blocks everything with the sentinel.
+    "x_robots_availability" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'm.' END) ||
+        |    source ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '.com' ELSE '.org' END) AS host,
+        |    '/p/' || CAST(doc_id % 15 AS VARCHAR) AS path
+        |  FROM documents)
+        |SELECT doc_id, host, path,
+        |  CASE WHEN host LIKE '%.com'
+        |         THEN (path LIKE '/p/1%' AND path <> '/p/12')
+        |       WHEN host LIKE 'm.%' THEN FALSE
+        |       ELSE TRUE END AS blocked,
+        |  CASE WHEN host LIKE '%.com' AND path = '/p/12' THEN '/p/12'
+        |       WHEN host LIKE '%.com' AND path LIKE '/p/1%' THEN '/p/1'
+        |       WHEN host NOT LIKE '%.com' AND host NOT LIKE 'm.%'
+        |         THEN 'unreachable'
+        |  END AS rule
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // Robots replay: same dressing + canonicalization as
     // x_domain_stats (paths are /p/{0..14}); the per-TLD CASE states

@@ -155,6 +155,36 @@ object Robots {
   }
 
   /**
+   * Availability semantics (RFC 9309 §2.3.1) over [[applyRules]]: the
+   * gate's verdict also depends on how the robots.txt FETCH itself
+   * went — a 4xx ("unavailable") means the site has no robots file
+   * and crawling is unrestricted (rules ignored, allow all); a 5xx /
+   * network failure ("unreachable") means the crawler MUST assume
+   * complete disallow. `status` carries one `(domain,
+   * robots_status)` row per fetched host (bounded — broadcast like
+   * the rules); hosts absent from it apply their parsed rules
+   * normally (≡ 2xx). Blocked-by-unreachability rows carry the
+   * sentinel rule `"unreachable"`; 4xx hosts carry a null rule.
+   */
+  def applyWithAvailability(pages: DataFrame, rules: DataFrame,
+      status: DataFrame, domainCol: String = "domain",
+      pathCol: String = "path"): DataFrame = {
+    val st = broadcast(status.select(col(domainCol).as("__sd"),
+      col("robots_status").as("__st")))
+    applyRules(pages, rules, domainCol, pathCol)
+      .join(st, col(domainCol) === col("__sd"), "left")
+      .withColumn("rule",
+        when(col("__st").between(500, 599), lit("unreachable"))
+          .when(col("__st").between(400, 499), lit(null).cast("string"))
+          .otherwise(col("rule")))
+      .withColumn("blocked",
+        when(col("__st").between(500, 599), lit(true))
+          .when(col("__st").between(400, 499), lit(false))
+          .otherwise(col("blocked")))
+      .drop("__sd", "__st")
+  }
+
+  /**
    * `Sitemap:` directives — the discovery channel robots.txt actually
    * provides (sitemaps.org protocol: a crawler learns a site's
    * sitemap URLs from its robots.txt). Unlike rules, Sitemap lines

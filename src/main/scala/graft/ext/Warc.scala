@@ -439,6 +439,33 @@ object Warc {
   }
 
   /**
+   * Mark WARC *revisit* records — how real archives dedup refetches
+   * (Common Crawl emits a `revisit` record with `WARC-Refers-To`
+   * instead of re-storing a payload whose digest it already holds):
+   * within a parsed record set, the FIRST capture of each payload
+   * (smallest `(shard, rec_pos)` — file order, the crawl timeline) is
+   * the original; every later capture is flagged `is_revisit` with
+   * `refers_to` = the original's record id. Adds the two columns.
+   *
+   * Scale shape: one narrow groupBy on the 8-byte `xxhash64(payload)`
+   * key taking a min-struct (the exactKeepBest aggregate shape), then
+   * an equi-join back on the same key — payload text never rides
+   * either exchange (the hash-identity convention).
+   */
+  def markRevisits(parsed: DataFrame): DataFrame = {
+    val keyed = parsed.withColumn("__pk", xxhash64(col("payload")))
+    val firsts = keyed.groupBy("__pk")
+      .agg(min(struct(col("shard"), col("rec_pos"), col("rec_id"))).as("__f"))
+    keyed.join(firsts, "__pk")
+      .withColumn("is_revisit",
+        !(col("shard") === col("__f")("shard") &&
+          col("rec_pos") === col("__f")("rec_pos")))
+      .withColumn("refers_to",
+        when(col("is_revisit"), col("__f")("rec_id")))
+      .drop("__pk", "__f")
+  }
+
+  /**
    * Stateless redirect gate — the STREAMING twin of
    * [[resolveRedirects]] (pointer doubling is a batch shape; a
    * `readStream` of arriving pages can't iterate): broadcast the

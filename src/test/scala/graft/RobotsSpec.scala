@@ -162,6 +162,27 @@ class RobotsSpec extends SparkSpec {
       .select("blocked").as[Boolean].collect().toSeq shouldBe Seq(true)
   }
 
+  test("availability: 4xx lifts all rules, 5xx blocks everything, 2xx/absent applies them") {
+    val body = "User-agent: *\nDisallow: /p\n"
+    val robots = Seq(("a.com", body), ("b.com", body), ("c.com", body),
+      ("d.com", body)).toDF("domain", "content")
+    val pages = Seq(("a.com", "/p/1"), ("b.com", "/p/1"), ("c.com", "/p/1"),
+      ("d.com", "/p/1"), ("c.com", "/ok"))
+      .toDF("domain", "path")
+    val status = Seq(("a.com", 404), ("b.com", 503), ("c.com", 200))
+      .toDF("domain", "robots_status") // d.com absent ≡ normal
+    val got = Robots.applyWithAvailability(pages,
+        Robots.parseRules(robots), status)
+      .select("domain", "path", "blocked", "rule")
+      .as[(String, String, Boolean, Option[String])].collect().toSet
+    got shouldBe Set(
+      ("a.com", "/p/1", false, None),               // 404: no robots
+      ("b.com", "/p/1", true, Some("unreachable")), // 503: full disallow
+      ("c.com", "/p/1", true, Some("/p")),          // 200: rules apply
+      ("c.com", "/ok", false, None),
+      ("d.com", "/p/1", true, Some("/p")))          // absent ≡ 2xx
+  }
+
   test("Sitemap: directives parse section-independently; comments and case handled") {
     val body =
       "User-agent: badbot\nDisallow: /\n" +

@@ -227,6 +227,27 @@ class WarcSpec extends SparkSpec {
     bad.isNullAt(bad.fieldIndex("content")) shouldBe true
   }
 
+  test("markRevisits: first capture in file order is the original, later ones refer to it") {
+    // ids 0..5 in two shards (even/odd); payload repeats across the
+    // id%3 classes, so originals and revisits interleave shards
+    val texts = (0L to 5L).map(id => id -> s"pay${id % 3}")
+    val out = Warc.markRevisits(Warc.parseRecords(
+        Warc.renderFiles(corpus(texts: _*))))
+      .orderBy("rec_id")
+      .select("rec_id", "is_revisit", "refers_to")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    // shard 0 holds ids 0,2,4; shard 1 holds 1,3,5 — file order makes
+    // 0,2,4 (shard 0) the originals of pay0/pay2/pay1... payload of
+    // id: pay(id%3): 0→pay0 1→pay1 2→pay2 3→pay0 4→pay1 5→pay2.
+    // min(shard,rec_pos) per payload: pay0 → id0 (s0,p0); pay2 → id2
+    // (s0,p1); pay1 → id4 (s0,p2) — shard order beats id order for
+    // pay1 (id1 sits in shard 1): the struct-min is genuinely
+    // (shard, pos), not min id.
+    out shouldBe Seq(
+      (0L, false, None), (1L, true, Some(4L)), (2L, false, None),
+      (3L, true, Some(0L)), (4L, false, None), (5L, true, Some(2L)))
+  }
+
   test("degenerate files: empty and marker-less content yield no records") {
     val junk = Seq((0L, ""), (1L, "no markers at all"), (2L, "WARC/2.0\r\nfuture"))
       .toDF("shard", "content")
