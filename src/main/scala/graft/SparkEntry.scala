@@ -3409,6 +3409,24 @@ object SparkEntry {
       Warc.resolveRedirects(edges).orderBy("src")
     }),
 
+    // Frontier URL-trap hygiene: the admission filters between link
+    // discovery and the fetch queue — depth caps, length caps, and
+    // the cyclic-path-trap signature (a segment recurring 3+ times:
+    // calendar/session mazes). Mutually-exclusive dressing branches
+    // (first residue wins) so the oracle restates each trap class
+    // directly.
+    "x_url_traps" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val path = when(id % 11 === 0, lit("/d/1/2/3/4/5/6/7/8/9"))
+        .when(id % 13 === 0, lit("/p/q/p/q/p/q"))
+        .when(id % 17 === 0, concat(lit("/"), rpad(lit("z"), 110, "z")))
+        .otherwise(concat(lit("/a/"), (id % 30).cast("string")))
+      val urls = d.select(id.as("doc_id"),
+        concat(col("source"), lit(".example.com"), path).as("url_norm"))
+      Dedup.urlTrapFlags(urls).orderBy("doc_id")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -7340,6 +7358,29 @@ object SparkEntry {
         |  (t.src IS NULL) AS looped
         |FROM e LEFT JOIN term t ON e.src = t.src
         |ORDER BY e.src""".stripMargin,
+
+    // Trap replay: each residue class's flags restated — depth and
+    // looping by branch, length computed on the same constructed
+    // string.
+    "x_url_traps" ->
+      """WITH u AS (SELECT doc_id,
+        |    source || '.example.com' ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '/d/1/2/3/4/5/6/7/8/9'
+        |         WHEN doc_id % 13 = 0 THEN '/p/q/p/q/p/q'
+        |         WHEN doc_id % 17 = 0 THEN '/' || repeat('z', 110)
+        |         ELSE '/a/' || CAST(doc_id % 30 AS VARCHAR) END AS url_norm,
+        |    CASE WHEN doc_id % 11 = 0 THEN 10
+        |         WHEN doc_id % 13 = 0 THEN 6
+        |         WHEN doc_id % 17 = 0 THEN 1 ELSE 2 END AS depth,
+        |    (doc_id % 11 <> 0 AND doc_id % 13 = 0) AS looping
+        |  FROM documents)
+        |SELECT doc_id, url_norm, CAST(depth AS INTEGER) AS depth,
+        |  CAST(length(url_norm) AS INTEGER) AS url_len,
+        |  (depth > 8) AS too_deep,
+        |  (length(url_norm) > 120) AS too_long,
+        |  looping,
+        |  (depth > 8 OR length(url_norm) > 120 OR looping) AS trapped
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

@@ -47,8 +47,9 @@ object ScalingProbe {
     // round-18 second batch: robots-announced sitemaps, base-href
     // resolution, rel=canonical dedup
     "x_sitemap_discovery", "x_base_links", "x_canonical_dedup",
-    // round-18 third batch: revisit records, robots availability
-    "x_warc_revisit", "x_robots_availability")
+    // round-18 third batch: revisit records, robots availability,
+    // frontier trap hygiene
+    "x_warc_revisit", "x_robots_availability", "x_url_traps")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

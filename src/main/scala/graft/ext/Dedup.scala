@@ -130,6 +130,35 @@ object Dedup {
   }
 
   /**
+   * Frontier URL-hygiene flags — the crawl-trap filters every
+   * production frontier runs before admitting a discovered URL
+   * (calendar pages, session mazes, and cyclic path traps generate
+   * unbounded URL spaces under a finite site): over CANONICAL URLs,
+   * `depth` (path segment count) with `too_deep` past `maxDepth`,
+   * `url_len` with `too_long` past `maxLen`, `looping` when some
+   * path segment recurs ≥ 3 times (`/p/q/p/q/p/q…` — the cyclic-trap
+   * signature), and `trapped` = any of the three. Pure per-row
+   * projection, zero shuffle; the loop test is a per-URL
+   * `exists`/`filter` over the segment array — O(depth²) on a
+   * depth-bounded list, not corpus-scaled work.
+   */
+  def urlTrapFlags(urls: DataFrame, urlCol: String = "url_norm",
+      maxDepth: Int = 8, maxLen: Int = 120): DataFrame = {
+    val path = regexp_extract(col(urlCol), "(/.*)$", 1)
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val depth = size(segs)
+    val looping = exists(segs, s => size(filter(segs, x => x === s)) >= 3)
+    urls
+      .withColumn("depth", depth)
+      .withColumn("url_len", length(col(urlCol)))
+      .withColumn("too_deep", depth > maxDepth)
+      .withColumn("too_long", col("url_len") > maxLen)
+      .withColumn("looping", coalesce(looping, lit(false)))
+      .withColumn("trapped",
+        col("too_deep") || col("too_long") || col("looping"))
+  }
+
+  /**
    * Quality-aware exact dedup: within each duplicate group keep the
    * HIGHEST-`scoreCol` copy (ties → smallest id) instead of [[exact]]'s
    * min-id convention — the production keep rule when copies differ in

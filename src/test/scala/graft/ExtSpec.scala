@@ -2769,4 +2769,30 @@ class ExtSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Similarity.pqTrain(vecs, m = 3, k = 2, dims = 4)
   }
+
+  test("urlTrapFlags: thresholds are strict, 2x repeats are not loops, pathless URLs pass") {
+    val urls = Seq(
+      (0L, "h.com/a/b"),                        // normal
+      (1L, "h.com/" + Seq.tabulate(8)(i => s"s$i").mkString("/")), // depth exactly 8: NOT deep
+      (2L, "h.com/" + Seq.tabulate(9)(i => s"s$i").mkString("/")), // 9 > 8: deep
+      (3L, "h.com/p/q/p/q"),                    // 2x repeat: NOT looping
+      (4L, "h.com/p/q/p/q/p"),                  // 3rd p: looping
+      (5L, "h.com"),                            // no path at all
+      (6L, "h.com/" + "z" * 114),               // len exactly 120: NOT long
+      (7L, "h.com/" + "z" * 115))               // 121: long
+      .toDF("doc_id", "url_norm")
+    val got = graft.ext.Dedup.urlTrapFlags(urls)
+      .orderBy("doc_id")
+      .select("depth", "too_deep", "too_long", "looping", "trapped")
+      .as[(Int, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    got shouldBe Seq(
+      (2, false, false, false, false),
+      (8, false, false, false, false),
+      (9, true, false, false, true),
+      (4, false, false, false, false),
+      (5, false, false, true, true),
+      (0, false, false, false, false),
+      (1, false, false, false, false),
+      (1, false, true, false, true))
+  }
 }
