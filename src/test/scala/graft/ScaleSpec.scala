@@ -1183,6 +1183,22 @@ class ScaleSpec extends SparkSpec {
     plan should not include "hashpartitioning(uri"
   }
 
+  test("revisit marking: exchanges key on the 8-byte payload hash, never payload text") {
+    val q = graft.SparkEntry.queries("x_warc_revisit")(spark,
+      "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    keys should not be empty
+    keys.foreach { k =>
+      withClue(s"exchange key $k: ") {
+        (k.startsWith("shard") || k.startsWith("__")) shouldBe true
+      }
+    }
+    plan should not include "hashpartitioning(payload"
+    plan should not include "hashpartitioning(content"
+  }
+
   test("wet codec: parse is a narrow Generate with no shuffle; render is one aggregate exchange") {
     import graft.ext.Warc
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
