@@ -3427,6 +3427,46 @@ object SparkEntry {
       Dedup.urlTrapFlags(urls).orderBy("doc_id")
     }),
 
+    // Crawl-identity resolution e2e — the composition the redirect
+    // family exists for: parse the raw archive, pull its 3xx edge
+    // set, pointer-double it to final targets, then gate EVERY
+    // fetched page through the resolved map (gateRedirects — the same
+    // stateless join the streaming twin runs) so each page carries
+    // its crawl identity: redirect sources adopt their chain's final
+    // target, cycles keep their own URL flagged looped, plain pages
+    // pass through. Gives the gate a full DuckDB oracle (the
+    // recursive-CTE walk joined back over all pages) next to its
+    // stream≡batch spec pin.
+    "x_redirect_identity" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val urlOf = (i: Column) =>
+        concat(lit("https://redir.example.com/r/"), i.cast("string"))
+      val dstId = when(id % 17 === 2, id + 1)
+        .when(id % 17 === 3, id - 1)
+        .when(id % 13 === 5 && floor(id / 13) % 4 =!= 3, id + 13)
+      val status = when(dstId.isNotNull, lit("301 Moved Permanently"))
+        .otherwise(lit("200 OK"))
+      val files = Warc.renderFiles(
+        d.withColumn("url", urlOf(id))
+          .withColumn("shard", pmod(id, lit(8)))
+          .withColumn("http", Warc.httpPayload(status,
+            lit("text/html; charset=UTF-8"), col("text"),
+            location = when(dstId.isNotNull, urlOf(dstId)))),
+        textCol = "http", warcType = "response")
+      val parsed = Warc.parseHttp(Warc.parseRecords(files))
+      val edges = parsed
+        .where(col("status_code").between(300, 399) &&
+          col("location").isNotNull)
+        .select(Dedup.normalizeUrl(col("uri")).as("src"),
+          Dedup.normalizeUrl(col("location")).as("dst"))
+      Warc.gateRedirects(
+          parsed.select(col("rec_id").as("doc_id"), col("uri").as("url")),
+          Warc.resolveRedirects(edges))
+        .select("doc_id", "url_norm", "final_norm", "redirected", "looped")
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -7381,6 +7421,40 @@ object SparkEntry {
         |  looping,
         |  (depth > 8 OR length(url_norm) > 120 OR looping) AS trapped
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Identity replay: the same recursive walk as x_redirect_resolve,
+    // LEFT-joined back over EVERY fetched page — non-sources pass
+    // through, looped sources keep their own URL.
+    "x_redirect_identity" ->
+      """WITH RECURSIVE e AS (SELECT
+        |    'redir.example.com/r/' || CAST(doc_id AS VARCHAR) AS src,
+        |    'redir.example.com/r/' || CAST(
+        |      CASE WHEN doc_id % 17 = 2 THEN doc_id + 1
+        |           WHEN doc_id % 17 = 3 THEN doc_id - 1
+        |           ELSE doc_id + 13 END AS VARCHAR) AS dst
+        |  FROM documents
+        |  WHERE doc_id % 17 IN (2, 3)
+        |     OR (doc_id % 13 = 5 AND (doc_id // 13) % 4 <> 3)),
+        |w(src, cur, hops) AS (
+        |  SELECT src, dst, 1 FROM e
+        |  UNION ALL
+        |  SELECT w.src, e2.dst, w.hops + 1
+        |  FROM w JOIN e e2 ON w.cur = e2.src
+        |  WHERE w.hops < 32),
+        |term AS (SELECT src, cur FROM w
+        |  WHERE cur NOT IN (SELECT src FROM e)),
+        |r AS (SELECT e.src, t.cur AS final, (t.src IS NULL) AS lp
+        |      FROM e LEFT JOIN term t ON e.src = t.src),
+        |p AS (SELECT doc_id,
+        |    'redir.example.com/r/' || CAST(doc_id AS VARCHAR) AS url_norm
+        |  FROM documents)
+        |SELECT p.doc_id, p.url_norm,
+        |  CASE WHEN r.src IS NULL OR r.lp THEN p.url_norm
+        |       ELSE r.final END AS final_norm,
+        |  (r.src IS NOT NULL AND NOT r.lp) AS redirected,
+        |  coalesce(r.lp, FALSE) AS looped
+        |FROM p LEFT JOIN r ON p.url_norm = r.src
+        |ORDER BY p.doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

@@ -49,7 +49,8 @@ object ScalingProbe {
     "x_sitemap_discovery", "x_base_links", "x_canonical_dedup",
     // round-18 third batch: revisit records, robots availability,
     // frontier trap hygiene
-    "x_warc_revisit", "x_robots_availability", "x_url_traps")
+    "x_warc_revisit", "x_robots_availability", "x_url_traps",
+    "x_redirect_identity")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
