@@ -1016,4 +1016,31 @@ class StreamingSpec extends SparkSpec {
     byId(3L) shouldBe (("ex.com/d", false, true))
     byId(4L) shouldBe (("ex.com/f", false, false))
   }
+
+  test("url trap gate filters a stream of discovered URLs, equal to batch") {
+    // The frontier's admission point: discovered URLs arrive
+    // continuously; urlTrapFlags is a stateless per-row projection,
+    // so the SAME graph gates a readStream with no rewrite.
+    import graft.ext.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val urls = Seq(
+      (0L, "h.com/a/b"), (1L, "h.com/p/q/p/q/p"),
+      (2L, "h.com/" + Seq.tabulate(9)(i => s"s$i").mkString("/")),
+      (3L, "h.com/" + "z" * 130))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(urls: _*)
+    val q = Dedup.urlTrapFlags(mem.toDF().toDF("doc_id", "url_norm"))
+      .writeStream.format("memory").queryName("trap_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val cols = Seq("doc_id", "depth", "too_deep", "too_long", "looping",
+      "trapped")
+    val streamed = spark.table("trap_gate")
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val batch = Dedup.urlTrapFlags(urls.toDF("doc_id", "url_norm"))
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    streamed shouldBe batch
+    spark.table("trap_gate").where(col("trapped"))
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 2L, 3L)
+  }
 }
