@@ -242,8 +242,16 @@ object Html {
 
   /** Pure-Column formulation of [[resolveHref]] — RETAINED for the
     * HtmlSpec equality pin over the base×ref matrix, the
-    * [[decodeEntitiesColumn]] pattern. */
-  private[graft] def resolveHrefColumn(base: Column, href: Column): Column = {
+    * [[decodeEntitiesColumn]] pattern. Null-propagating like the
+    * native kernel (a null base or href yields null — without the
+    * explicit guard a scheme'd href would pass through a null base,
+    * silently breaking the pinned equivalence on nulls; null rows sit
+    * in the HtmlSpec matrix). */
+  private[graft] def resolveHrefColumn(base: Column, href: Column): Column =
+    when(base.isNull || href.isNull, lit(null).cast("string"))
+      .otherwise(resolveHrefColumnNotNull(base, href))
+
+  private def resolveHrefColumnNotNull(base: Column, href: Column): Column = {
     val schemePat = "^[A-Za-z][A-Za-z0-9+.-]*:"
     val prefixPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
     val pathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"

@@ -165,6 +165,12 @@ object Robots {
    * the rules); hosts absent from it apply their parsed rules
    * normally (≡ 2xx). Blocked-by-unreachability rows carry the
    * sentinel rule `"unreachable"`; 4xx hosts carry a null rule.
+   * ONLY 400–499 and 500–599 branch: any other status value (a 3xx
+   * the caller didn't follow, a 1xx/2xx, or an out-of-range sentinel
+   * like 0 or -1) falls through to apply-parsed-rules exactly like a
+   * 2xx — a caller encoding network failure as a sentinel must map it
+   * into 500–599 first (RFC 9309 gives non-2xx-non-4xx-non-5xx no
+   * defined semantics; redirects are resolved at fetch time).
    */
   def applyWithAvailability(pages: DataFrame, rules: DataFrame,
       status: DataFrame, domainCol: String = "domain",

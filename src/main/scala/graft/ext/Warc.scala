@@ -153,14 +153,89 @@ object Warc {
   }
 
   /**
+   * Inflate a concatenation of gzip members MEMBER BY MEMBER (RFC
+   * 1952 framing walked explicitly), validating each member's header,
+   * CRC32, and ISIZE and requiring the members to tile the input
+   * exactly. Java's `GZIPInputStream` would instead treat an
+   * unparseable *subsequent* member header as a clean end-of-stream —
+   * a file whose first member is valid but whose later member is
+   * corrupt would inflate to silently truncated content; here any
+   * leftover bytes, bad magic, truncated deflate stream, or
+   * CRC/length mismatch throws `IOException` (the caller degrades the
+   * row to `gz_ok = false`). Pinned by WarcSpec's
+   * corrupt-second-member case.
+   */
+  private def inflateMembers(bytes: Array[Byte]): Array[Byte] = {
+    def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.isEmpty) fail("empty gzip file")
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    val buf = new Array[Byte](65536)
+    var off = 0
+    while (off < bytes.length) {
+      // member header: magic 1f 8b, CM 8 (deflate), then FLG fields
+      if (off + 10 > bytes.length) fail("truncated member header")
+      if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b ||
+          bytes(off + 2) != 8) fail("bad member magic/method")
+      val flg = bytes(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        if (p + 2 > bytes.length) fail("truncated FEXTRA")
+        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p > bytes.length) fail("truncated member header fields")
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val crc = new java.util.zip.CRC32()
+        var isize = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                fail("corrupt deflate data: " + e.getMessage)
+            }
+          if (n == 0 && !inf.finished()) fail("truncated deflate stream")
+          out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
+        }
+        // trailer sits right after the compressed bytes this member
+        // actually consumed
+        val tp = p + (bytes.length - p - inf.getRemaining)
+        if (tp + 8 > bytes.length) fail("truncated member trailer")
+        if (le32(tp) != crc.getValue) fail("member CRC mismatch")
+        if (le32(tp + 4) != (isize & 0xffffffffL)) fail("member ISIZE mismatch")
+        off = tp + 8
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  /**
    * Inflate per-record-gzipped WARC files back to the plain-text file
    * form: `(shard, content: string, gz_ok)` — concatenated gzip
    * members inflate to the concatenated records, so the unchanged
    * Column [[parseRecords]] runs downstream and the whole gz ingest
    * is `parseRecords(inflateGzipFiles(gz))`. A corrupt file DEGRADES
    * (`content` null, `gz_ok` false) instead of killing the stage — at
-   * 100 TB a bad shard is a row to quarantine, not a job failure.
-   * Typed `mapPartitions` kernel (stream inflation is imperative by
+   * 100 TB a bad shard is a row to quarantine, not a job failure —
+   * and corruption ANYWHERE in the file is detected: members are
+   * walked one by one ([[inflateMembers]]) with per-member CRC/ISIZE
+   * checks and an exact-tiling requirement, where a plain
+   * `GZIPInputStream` loop would silently truncate at the first
+   * unparseable later member and report success. Typed
+   * `mapPartitions` kernel (stream inflation is imperative by
    * nature); the file stays the unit of parallelism, zero shuffle.
    */
   def inflateGzipFiles(gz: DataFrame, shardCol: String = "shard",
@@ -171,15 +246,9 @@ object Warc {
         col(contentCol).as("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        val buf = new Array[Byte](65536)
         rows.map { case (shard, bytes) =>
           try {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(bytes), 65536)
-            val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            (shard, new String(out.toByteArray,
+            (shard, new String(inflateMembers(bytes),
               java.nio.charset.StandardCharsets.UTF_8), true)
           } catch {
             case _: java.io.IOException => (shard, null: String, false)
@@ -443,9 +512,14 @@ object Warc {
    * (Common Crawl emits a `revisit` record with `WARC-Refers-To`
    * instead of re-storing a payload whose digest it already holds):
    * within a parsed record set, the FIRST capture of each payload
-   * (smallest `(shard, rec_pos)` — file order, the crawl timeline) is
-   * the original; every later capture is flagged `is_revisit` with
-   * `refers_to` = the original's record id. Adds the two columns.
+   * (smallest `(shard, rec_pos)` — a DETERMINISTIC order, not
+   * necessarily fetch chronology: shard is whatever partition key the
+   * caller rendered with, so a chronologically earlier capture in a
+   * higher-numbered shard is flagged as the revisit; pass records
+   * through a real fetch-timestamp sort upstream if the archive
+   * carries one) is the original; every later capture is flagged
+   * `is_revisit` with `refers_to` = the original's record id. Adds
+   * the two columns.
    *
    * Scale shape: one narrow groupBy on the 8-byte `xxhash64(payload)`
    * key taking a min-struct (the exactKeepBest aggregate shape), then

@@ -143,7 +143,14 @@ class HtmlSpec extends SparkSpec {
       "//cdn.ex.com/i.js", "HTTP://other.org/x", "mailto:e@x.com",
       "?page=2", "#top", "../x?v=2&w=3#f", "a:b", "a/b/../c/./d",
       "//x", "/", "x//y")
-    val df = (for (b <- bases; h <- hrefs) yield (b, h)).toDF("b", "h")
+    // null rows: both formulations null-propagate (a null base with a
+    // scheme'd href is the case a non-guarded Column version would
+    // pass through)
+    val nullRows = Seq(
+      (null: String, "HTTP://other.org/x"), (null: String, "d"),
+      ("https://h/a", null: String), (null: String, null: String))
+    val df = ((for (b <- bases; h <- hrefs) yield (b, h)) ++ nullRows)
+      .toDF("b", "h")
     val got = df.select(
       Html.resolveHref(col("b"), col("h")).as("native"),
       Html.resolveHrefColumn(col("b"), col("h")).as("column"),
@@ -151,6 +158,7 @@ class HtmlSpec extends SparkSpec {
     got.foreach { r =>
       withClue(s"base=${r.getString(2)} href=${r.getString(3)}: ") {
         r.getString(0) shouldBe r.getString(1)
+        if (r.isNullAt(2) || r.isNullAt(3)) r.isNullAt(0) shouldBe true
       }
     }
   }

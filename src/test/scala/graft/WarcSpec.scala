@@ -227,6 +227,34 @@ class WarcSpec extends SparkSpec {
     bad.isNullAt(bad.fieldIndex("content")) shouldBe true
   }
 
+  test("gzip files: a corrupt SECOND member fails the whole file, not a silent truncation") {
+    def gzipOne(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val m1 = gzipOne("first record, fully valid")
+    val m2 = gzipOne("second record that must not be silently dropped")
+    // three corruption shapes, all AFTER a valid first member — Java's
+    // GZIPInputStream treats each as a clean EOF and returns only the
+    // first member's content with no error
+    val badMagic = m2.clone(); badMagic(0) = 0x00 // unparseable header
+    val badCrc = m2.clone(); badCrc(badCrc.length - 5) =
+      (badCrc(badCrc.length - 5) ^ 0xff).toByte // trailer CRC flip
+    val truncated = m2.take(m2.length - 12) // deflate stream cut short
+    val files = Seq(
+      (0L, m1 ++ badMagic), (1L, m1 ++ badCrc), (2L, m1 ++ truncated),
+      (3L, m1 ++ m2)) // control: the intact concatenation stays ok
+      .toDF("shard", "content")
+    val got = Warc.inflateGzipFiles(files).orderBy("shard").collect()
+    for (i <- 0 to 2) withClue(s"shard $i: ") {
+      got(i).getAs[Boolean]("gz_ok") shouldBe false
+      got(i).isNullAt(got(i).fieldIndex("content")) shouldBe true
+    }
+    got(3).getAs[Boolean]("gz_ok") shouldBe true
+    got(3).getAs[String]("content") should include("second record")
+  }
+
   test("markRevisits: first capture in file order is the original, later ones refer to it") {
     // ids 0..5 in two shards (even/odd); payload repeats across the
     // id%3 classes, so originals and revisits interleave shards
