@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.blueprint.{BlueprintParser, Config}
 import graft.functions.Rng
 import graft.operators.{AsOfJoin, Dispatch, Engine, Generators, Replay, Transforms}
-import graft.ext.{Corpus, Dedup, Html, Multimodal, PiiScan, Similarity, Sitemap, Sketches, TextStats, Warc}
+import graft.ext.{Corpus, Dedup, Html, LinkGraph, Multimodal, PiiScan, Similarity, Sitemap, Sketches, TextStats, Warc}
 import graft.sources.Sinks
 
 /**
@@ -3465,6 +3465,68 @@ object SparkEntry {
           Warc.resolveRedirects(edges))
         .select("doc_id", "url_norm", "final_norm", "redirected", "looped")
         .orderBy("doc_id")
+    }),
+
+    // Link-graph host centrality — the curation quality prior
+    // (CC-Net/RefinedWeb lineage): pages render <a> tags in three RFC
+    // 3986 reference forms (absolute with uppercase scheme,
+    // protocol-relative, rooted + dotted relative — the latter two
+    // resolve to the page's own host and must vanish as self-edges),
+    // links resolve and canonicalize through the standard frontier
+    // pipeline, collapse to the distinct host→host edge set, and a
+    // 10-round fixed-point PageRank (damping 85/100) ranks the hosts.
+    // INTEGER fixed-point throughout (10^12 units, floor division) —
+    // double summation is addition-order-dependent and could never
+    // hash-match; the DuckDB oracle replays the identical recurrence
+    // as a recursive CTE sharing K, the damping fraction, and the
+    // scale constant.
+    "x_host_rank" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 53),
+        lit("/p/"), id.cast("string"))
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), host((id * 2 + 1) % 53),
+        lit("/x/"), (id % 10).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"//"), host((id * 3 + 7) % 53), lit("/y\">b</a>"),
+        lit("<a href=\"/local/"), (id % 5).cast("string"), lit("\">c</a>"),
+        lit("<a href=\"../up/"), (id % 3).cast("string"), lit("\">d</a>"))
+      val links = d
+        .select(pageUrl.as("url"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .select(col("url"),
+          Html.resolveHref(col("url"), col("l")("href")).as("link"))
+      LinkGraph.hostRank(LinkGraph.hostEdges(links)).orderBy("host")
+    }),
+
+    // The prior put to work: each host's document quota is
+    // floor(rank · budget / scale) — exact integer arithmetic, quotas
+    // sum to ≤ budget — and the host's first-quota docs by id are
+    // kept. Host-partitioned window over the doc frame; the
+    // host-bounded rank table broadcasts.
+    "x_rank_weighted_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 53),
+        lit("/p/"), id.cast("string"))
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), host((id * 2 + 1) % 53),
+        lit("/x/"), (id % 10).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"//"), host((id * 3 + 7) % 53), lit("/y\">b</a>"))
+      val links = d
+        .select(pageUrl.as("url"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .select(col("url"),
+          Html.resolveHref(col("url"), col("l")("href")).as("link"))
+      val ranks = LinkGraph.hostRank(LinkGraph.hostEdges(links))
+      LinkGraph.rankWeightedSelect(
+          d.select(host(id % 53).as("host"), col("doc_id")),
+          ranks, totalBudget = 300L)
+        .orderBy("host", "doc_id")
     }),
 
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
@@ -7455,6 +7517,86 @@ object SparkEntry {
         |  coalesce(r.lp, FALSE) AS looped
         |FROM p LEFT JOIN r ON p.url_norm = r.src
         |ORDER BY p.doc_id""".stripMargin,
+
+    // Power-iteration replay: the identical integer fixed-point
+    // recurrence as a recursive CTE — same K (10), damping (85/100),
+    // and scale (10^12); per-host dummy self-loops (w=0) keep every
+    // host in the recursive working set so no-in-link hosts settle at
+    // the teleport base exactly as the engine's left join does.
+    // (`hosts` uses DISTINCT-over-UNION-ALL: under WITH RECURSIVE,
+    // DuckDB treats a plain UNION CTE body as a recursive union and
+    // skips the dedup.)
+    "x_host_rank" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hosts),
+        |e2 AS (SELECT src, dst, 1 AS w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, 1000000000000 // n FROM hosts CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
+        |         + (85 * SUM(CASE WHEN e2.w = 1
+        |                          THEN pr.rank // d.outdeg ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst)
+        |SELECT host, CAST(rank AS BIGINT) AS rank
+        |FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
+
+    // Same recurrence, then quota = floor(rank · 300 / 10^12) and the
+    // host's first-quota doc ids via a host-partitioned row_number.
+    "x_rank_weighted_select" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hosts),
+        |e2 AS (SELECT src, dst, 1 AS w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, 1000000000000 // n FROM hosts CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
+        |         + (85 * SUM(CASE WHEN e2.w = 1
+        |                          THEN pr.rank // d.outdeg ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst),
+        |quota AS (SELECT host,
+        |    CAST((rank * 300) // 1000000000000 AS BIGINT) AS quota
+        |  FROM pr WHERE iter = 10),
+        |docs AS (SELECT
+        |    'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com' AS host,
+        |    doc_id,
+        |    row_number() OVER (PARTITION BY doc_id % 53 ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT d.host, d.doc_id, q.quota
+        |FROM docs d JOIN quota q ON d.host = q.host
+        |WHERE d.rn <= q.quota
+        |ORDER BY d.host, d.doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

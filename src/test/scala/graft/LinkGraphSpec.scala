@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.LinkGraph
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference model: the same integer fixed-point
+    * recurrence in plain Scala over an adjacency list. */
+  private def refRank(edges: Seq[(String, String)], iterations: Int = 10,
+      num: Long = 85L, den: Long = 100L): Map[String, Long] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val hosts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = hosts.size.toLong
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = ((den - num) * LinkGraph.RankScale / den) / n
+    var r = hosts.map(_ -> LinkGraph.RankScale / n).toMap
+    for (_ <- 0 until iterations) {
+      val inc = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = hosts.map(h => h -> (base + num * inc.getOrElse(h, 0L) / den)).toMap
+    }
+    r
+  }
+
+  private def rankOf(edges: Seq[(String, String)],
+      iterations: Int = 10): Map[String, Long] =
+    LinkGraph.hostRank(edges.toDF("src_host", "dst_host"),
+        iterations = iterations)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hostRank: exact fixed-point values on a hand-checked triangle") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    // pinned against the DuckDB recursive-CTE oracle AND the Scala
+    // reference model (both give these exact units)
+    rankOf(edges) shouldBe Map(
+      "a" -> 388913058797L, "b" -> 214416470594L, "c" -> 396670470599L)
+    rankOf(edges) shouldBe refRank(edges)
+  }
+
+  test("hostRank ≡ the Scala reference model on a messier graph") {
+    // hub-and-spoke + chain + dangling sink + duplicate and self
+    // edges (both must be ignored)
+    val edges = Seq(
+      "hub" -> "a", "hub" -> "b", "hub" -> "c",
+      "a" -> "hub", "b" -> "hub", "c" -> "hub",
+      "a" -> "b", "b" -> "c", "c" -> "sink",
+      "c" -> "sink", // duplicate
+      "a" -> "a") // self-loop
+    rankOf(edges) shouldBe refRank(edges)
+    rankOf(edges, iterations = 3) shouldBe refRank(edges, iterations = 3)
+  }
+
+  test("hostRank: no in-links settles at base; dangling mass leaks") {
+    // x -> y only: x has no in-links, y is dangling
+    val r = rankOf(Seq("x" -> "y"))
+    val base = ((100L - 85L) * LinkGraph.RankScale / 100L) / 2L
+    r("x") shouldBe base
+    // y: base + 85% of x's full previous rank; total < RankScale (leak)
+    r.values.sum should be < LinkGraph.RankScale
+    r("y") should be > r("x")
+  }
+
+  test("hostRank: zero iterations returns the uniform init; empty edges yield empty") {
+    rankOf(Seq("a" -> "b", "b" -> "a"), iterations = 0) shouldBe Map(
+      "a" -> LinkGraph.RankScale / 2, "b" -> LinkGraph.RankScale / 2)
+    LinkGraph.hostRank(Seq.empty[(String, String)]
+      .toDF("src_host", "dst_host")).count() shouldBe 0L
+  }
+
+  test("hostEdges: canonicalizes both endpoints and drops self-edges") {
+    val links = Seq(
+      ("HTTPS://WWW.A.com:443/p?q=1", "http://b.com/x"), // → a.com -> b.com
+      ("https://a.com/p2", "https://www.B.com/y"), // dup after canon
+      ("https://a.com/p3", "https://a.com:443/other-page"), // self → drop
+      ("http://c.com/", "https://a.com/z"))
+      .toDF("url", "link")
+    LinkGraph.hostEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe Set(
+      "a.com" -> "b.com", "c.com" -> "a.com")
+  }
+
+  test("rankWeightedSelect: per-host quotas are floor(rank·budget/scale), first ids win") {
+    val ranks = Seq(
+      ("big", 500000000000L), // 0.5 → quota 5 at budget 10
+      ("mid", 250000000000L), // 0.25 → 2 (floor of 2.5)
+      ("tiny", 40000000000L)) // 0.04 → 0
+      .toDF("host", "rank")
+    val docs = (for (h <- Seq("big", "mid", "tiny"); i <- 1L to 6L)
+      yield (h, i * 10L)).toDF("host", "doc_id")
+    val got = LinkGraph.rankWeightedSelect(docs, ranks, totalBudget = 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    got shouldBe (
+      (1L to 5L).map(i => "big" -> i * 10).toSet ++
+        (1L to 2L).map(i => "mid" -> i * 10).toSet)
+  }
+}
