@@ -3529,6 +3529,61 @@ object SparkEntry {
         .orderBy("host", "doc_id")
     }),
 
+    // HTTP wire-coding decode — the layer BELOW charsets a real raw
+    // crawl carries: five body classes (identity / chunked /
+    // Content-Encoding gzip / chunked-over-gzip / truncated gzip) are
+    // RENDERED with the engine's own deterministic gzip member and
+    // two-chunk framing over the latin-1 byte view, framed into WARC
+    // response records, then parseHttpEncoded strips the chunked
+    // framing (native dechunk kernel), inflates the gzip members
+    // (member-walking gunzip kernel), and charset-decodes — the
+    // corrupt class degrades to (body null, body_ok false), a row to
+    // quarantine. Construct-the-output oracle: every decoded body
+    // must equal the base text column verbatim, so the oracle states
+    // the expectation WITHOUT mirroring any codec.
+    "x_warc_encoding" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val cls = id % 5
+      val plainView = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
+      val gzView = decode(
+        graft.plans.NativeFunctions.gzip(encode(col("text"), "UTF-8")),
+        "ISO-8859-1")
+      def chunked(v: Column): Column = {
+        val l = length(v)
+        val len1 = floor(l / 2).cast("int")
+        val len2 = (l - len1).cast("int")
+        when(l >= 2, concat(
+            lower(hex(len1)), lit("\r\n"), v.substr(lit(1), len1),
+            lit("\r\n"), lower(hex(len2)), lit("\r\n"),
+            v.substr(len1 + 1, len2), lit("\r\n0\r\n\r\n")))
+          .when(l === 1, concat(lit("1\r\n"), v, lit("\r\n0\r\n\r\n")))
+          .otherwise(lit("0\r\n\r\n"))
+      }
+      val body = when(cls === 0, plainView)
+        .when(cls === 1, chunked(plainView))
+        .when(cls === 2, gzView)
+        .when(cls === 3, chunked(gzView))
+        // drop the last 6 bytes: trailer gone → member walk fails
+        .otherwise(gzView.substr(lit(1), (length(gzView) - 6).cast("int")))
+      val extra = when(cls === 1, lit("\r\nTransfer-Encoding: chunked"))
+        .when(cls === 2 || cls === 4, lit("\r\nContent-Encoding: gzip"))
+        .when(cls === 3,
+          lit("\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip"))
+        .otherwise(lit(""))
+      val files = Warc.renderFiles(d
+        .withColumn("url", concat(lit("https://enc.example.com/d/"),
+          id.cast("string")))
+        .withColumn("shard", pmod(id, lit(8)))
+        .withColumn("http", Warc.httpPayload(lit("200 OK"),
+          lit("text/plain; charset=utf-8"), body, extraHeaders = extra)),
+        textCol = "http", warcType = "response")
+      Warc.parseHttpEncoded(Warc.parseRecords(files))
+        .select(col("rec_id").as("doc_id"), col("transfer_encoding"),
+          col("content_encoding"), col("body_ok"), col("body"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-aware exact dedup: keep the highest-n_chars copy of each
     // duplicate group (tie → smallest id) — the production keep rule
     // when mirrors differ in metadata; one max_by-struct aggregate on
@@ -7597,6 +7652,20 @@ object SparkEntry {
         |FROM docs d JOIN quota q ON d.host = q.host
         |WHERE d.rn <= q.quota
         |ORDER BY d.host, d.doc_id""".stripMargin,
+
+    // Construct-the-output identity: whatever wire coding the engine
+    // rendered, the decoded body must equal the base text verbatim
+    // (and the corrupt class must flag, not fail) — the oracle never
+    // re-states a codec.
+    "x_warc_encoding" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 IN (1, 3) THEN 'chunked' END
+        |    AS transfer_encoding,
+        |  CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 'gzip' END
+        |    AS content_encoding,
+        |  (doc_id % 5 <> 4) AS body_ok,
+        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner
     // per digest group via max_by on the same (score, -id) pair the

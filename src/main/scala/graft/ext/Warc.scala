@@ -102,14 +102,11 @@ object Warc {
 
   /** One deterministic gzip member (Java's fixed header: MTIME 0,
     * XFL 0, OS 0) holding exactly `bytes` — the per-RECORD unit of
-    * real WARC compression. */
-  private def gzipMember(bytes: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(bytes)
-    gz.close()
-    bos.toByteArray
-  }
+    * real WARC compression. The codec itself lives in
+    * [[graft.plans.Native.gzipMember]], shared with the per-row
+    * `gzip` expression. */
+  private def gzipMember(bytes: Array[Byte]): Array[Byte] =
+    graft.plans.Native.gzipMember(bytes)
 
   /**
    * Render per-record-gzipped WARC files — the REAL Common Crawl disk
@@ -163,64 +160,12 @@ object Warc {
    * leftover bytes, bad magic, truncated deflate stream, or
    * CRC/length mismatch throws `IOException` (the caller degrades the
    * row to `gz_ok = false`). Pinned by WarcSpec's
-   * corrupt-second-member case.
+   * corrupt-second-member case. The member walk itself lives in
+   * [[graft.plans.Native.gunzipMembers]], shared with the per-row
+   * `gunzip_try` expression ([[parseHttpEncoded]]'s body decode).
    */
-  private def inflateMembers(bytes: Array[Byte]): Array[Byte] = {
-    def fail(msg: String): Nothing = throw new java.io.IOException(msg)
-    def le32(off: Int): Long =
-      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
-        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    if (bytes.isEmpty) fail("empty gzip file")
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
-    val buf = new Array[Byte](65536)
-    var off = 0
-    while (off < bytes.length) {
-      // member header: magic 1f 8b, CM 8 (deflate), then FLG fields
-      if (off + 10 > bytes.length) fail("truncated member header")
-      if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b ||
-          bytes(off + 2) != 8) fail("bad member magic/method")
-      val flg = bytes(off + 3) & 0xff
-      var p = off + 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
-        if (p + 2 > bytes.length) fail("truncated FEXTRA")
-        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
-      }
-      if ((flg & 8) != 0) { // FNAME: zero-terminated
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 2) != 0) p += 2 // FHCRC
-      if (p > bytes.length) fail("truncated member header fields")
-      val inf = new java.util.zip.Inflater(true)
-      try {
-        inf.setInput(bytes, p, bytes.length - p)
-        val crc = new java.util.zip.CRC32()
-        var isize = 0L
-        while (!inf.finished()) {
-          val n =
-            try inf.inflate(buf)
-            catch {
-              case e: java.util.zip.DataFormatException =>
-                fail("corrupt deflate data: " + e.getMessage)
-            }
-          if (n == 0 && !inf.finished()) fail("truncated deflate stream")
-          out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
-        }
-        // trailer sits right after the compressed bytes this member
-        // actually consumed
-        val tp = p + (bytes.length - p - inf.getRemaining)
-        if (tp + 8 > bytes.length) fail("truncated member trailer")
-        if (le32(tp) != crc.getValue) fail("member CRC mismatch")
-        if (le32(tp + 4) != (isize & 0xffffffffL)) fail("member ISIZE mismatch")
-        off = tp + 8
-      } finally inf.end()
-    }
-    out.toByteArray
-  }
+  private def inflateMembers(bytes: Array[Byte]): Array[Byte] =
+    graft.plans.Native.gunzipMembers(bytes)
 
   /**
    * Inflate per-record-gzipped WARC files back to the plain-text file
@@ -318,14 +263,19 @@ object Warc {
    * HTTP message payload for a WARC *response* record (the raw-crawl
    * layer one below WET): status line, Content-Type, an optional
    * `Location` header (the 3xx redirect target — null renders no
-   * header), a fixed Server header, blank line, body.
+   * header), any extra raw header lines (`extraHeaders`, each
+   * including its own leading CRLF — e.g.
+   * `"\r\nTransfer-Encoding: chunked"`), a fixed Server header,
+   * blank line, body.
    */
   def httpPayload(status: Column, contentType: Column, body: Column,
-      location: Column = lit(null).cast("string")): Column =
+      location: Column = lit(null).cast("string"),
+      extraHeaders: Column = lit("")): Column =
     concat(lit("HTTP/1.1 "), status,
       lit("\r\nContent-Type: "), contentType,
       when(location.isNotNull, concat(lit("\r\nLocation: "), location))
         .otherwise(lit("")),
+      coalesce(extraHeaders, lit("")),
       lit("\r\nServer: graft/1.0\r\n"),
       lit(HeaderSep.drop(2)), body)
 
@@ -401,6 +351,19 @@ object Warc {
    * next to [[parseHttp]]'s columns. Pure stateless projection —
    * same zero-shuffle / streaming-safe posture.
    */
+  /** Decode a latin-1 byte-view body per its declared charset `cs`
+    * (already lowercased, non-null) — the [[parseHttpCharset]] /
+    * [[parseHttpEncoded]] shared last step. */
+  private def decodeViewCharset(bodyView: Column, cs: Column): Column =
+    when(bodyView.isNull, lit(null).cast("string"))
+      .when(cs.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"),
+        bodyView)
+      .when(cs.isin("windows-1252", "cp1252"),
+        translate(bodyView, Cp1252From, Cp1252To))
+      // utf-8 and the unknown-charset fallback: encode the view back
+      // to its bytes, decode those as UTF-8
+      .otherwise(decode(encode(bodyView, "ISO-8859-1"), "UTF-8"))
+
   def parseHttpCharset(parsed: DataFrame,
       defaultCharset: String = "utf-8"): DataFrame = {
     val payload = col("payload")
@@ -417,23 +380,95 @@ object Warc {
       payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
         length(payload)))
     val cs = coalesce(charset, lit(defaultCharset.toLowerCase))
-    val body = when(bodyView.isNull, lit(null).cast("string"))
-      .when(cs.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"),
-        bodyView)
-      .when(cs.isin("windows-1252", "cp1252"),
-        translate(bodyView, Cp1252From, Cp1252To))
-      // utf-8 and the unknown-charset fallback: encode the view back
-      // to its bytes, decode those as UTF-8
-      .otherwise(decode(encode(bodyView, "ISO-8859-1"), "UTF-8"))
     parsed
       .withColumn("status_code", status)
       .withColumn("mime", mime)
       .withColumn("charset", charset)
       .withColumn("location", nullif(
         regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
-      .withColumn("body", body)
+      .withColumn("body", decodeViewCharset(bodyView, cs))
       .withColumn("kept",
         coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
+  }
+
+  /**
+   * Content-decoding HTTP parse — [[parseHttpCharset]] upgraded to
+   * honor the two wire codings real raw crawls carry BELOW the
+   * charset layer: `Transfer-Encoding: chunked` framing (removed
+   * first — it is the hop-by-hop layer the sender applied last) and
+   * `Content-Encoding: gzip`/`x-gzip` bodies (inflated second), then
+   * the declared charset decodes the result exactly as before.
+   * Without this step a gzip body parses as compressed garbage text —
+   * the silent-corruption mode this closes.
+   *
+   * Same latin-1 byte-view contract as [[parseHttpCharset]]: framing
+   * and compressed bytes ride view strings (char ≡ byte), the chunked
+   * framing is removed by the native `dechunk_try` kernel, gzip by
+   * the member-walking `gunzip_try` kernel (both single codegen'd
+   * calls; corruption degrades per-row). Adds `transfer_encoding` and
+   * `content_encoding` (lowercased header values, null when absent)
+   * and `body_ok` next to [[parseHttpCharset]]'s columns: `body_ok`
+   * is false — with a null `body` — when a declared coding is
+   * malformed (corrupt gzip, bad chunk framing) OR unsupported (e.g.
+   * `deflate`, `br`: flagged for quarantine rather than passed
+   * through as garbage). Identity codings and bodiless rows are
+   * trivially ok. `kept` additionally requires `body_ok` here (a WET
+   * derivation must not keep a page whose body never decoded). Pure
+   * stateless projection — zero-shuffle / streaming-safe as the rest
+   * of the family.
+   */
+  def parseHttpEncoded(parsed: DataFrame,
+      defaultCharset: String = "utf-8"): DataFrame = {
+    val payload = col("payload")
+    val httpHeaders = substring_index(payload, HeaderSep, 1)
+    val status = nullif(
+      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
+      .cast("int")
+    val ctypeRaw = regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1)
+    val mime = nullif(trim(substring_index(ctypeRaw, ";", 1)), lit(""))
+    val charset = lower(nullif(
+      regexp_extract(ctypeRaw, "(?i)charset=\"?([0-9A-Za-z._-]+)", 1),
+      lit("")))
+    val te = lower(nullif(trim(regexp_extract(httpHeaders,
+      "(?i)Transfer-Encoding: ([^\r\n]*)", 1)), lit("")))
+    val ce = lower(nullif(trim(regexp_extract(httpHeaders,
+      "(?i)Content-Encoding: ([^\r\n]*)", 1)), lit("")))
+    val bodyView = when(status.isNotNull,
+      payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
+        length(payload)))
+    // layer 1: transfer coding (chunked framing off first)
+    val chunkRes = graft.plans.NativeFunctions.dechunkTry(bodyView)
+    val teIdentity = te.isNull || te === "identity"
+    val teOk = when(bodyView.isNull || teIdentity, lit(true))
+      .when(te === "chunked", coalesce(chunkRes("ok"), lit(false)))
+      .otherwise(lit(false)) // unsupported transfer coding
+    val view1 = when(teIdentity, bodyView)
+      .when(te === "chunked", chunkRes("text"))
+    // layer 2: content coding (gzip members off the de-framed bytes)
+    val gzRes = graft.plans.NativeFunctions.gunzipTry(
+      encode(view1, "ISO-8859-1"))
+    val ceIdentity = ce.isNull || ce === "identity"
+    val isGzip = ce.isin("gzip", "x-gzip")
+    val ceOk = when(view1.isNull || ceIdentity, lit(true))
+      .when(isGzip, coalesce(gzRes("ok"), lit(false)))
+      .otherwise(lit(false)) // unsupported content coding
+    val view2 = when(ceIdentity, view1)
+      .when(isGzip, decode(gzRes("data"), "ISO-8859-1"))
+    val bodyOk = teOk && ceOk
+    val cs = coalesce(charset, lit(defaultCharset.toLowerCase))
+    parsed
+      .withColumn("status_code", status)
+      .withColumn("mime", mime)
+      .withColumn("charset", charset)
+      .withColumn("transfer_encoding", te)
+      .withColumn("content_encoding", ce)
+      .withColumn("location", nullif(
+        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
+      .withColumn("body_ok", bodyOk)
+      .withColumn("body", when(bodyOk, decodeViewCharset(view2, cs)))
+      .withColumn("kept",
+        coalesce(status === 200 && mime.startsWith("text/"), lit(false)) &&
+          bodyOk)
   }
 
   /**

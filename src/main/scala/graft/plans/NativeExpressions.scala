@@ -1264,6 +1264,163 @@ object Native {
     UTF8String.fromString(
       abs.substring(0, ape) + resolved + abs.substring(apEnd))
   }
+
+  /** One deterministic gzip member (RFC 1952; Java's fixed header —
+    * MTIME 0, XFL 0, OS 0) holding exactly `bytes`: the per-record
+    * unit of real WARC compression and the `Content-Encoding: gzip`
+    * body codec. Same output bytes on every engine/partition/retry
+    * (fixed deflate level), so gzip-valued columns stay
+    * oracle-constructible. */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /**
+   * Inflate a concatenation of gzip members MEMBER BY MEMBER (RFC
+   * 1952 framing walked explicitly), validating each member's header,
+   * CRC32, and ISIZE and requiring the members to tile the input
+   * exactly. Java's `GZIPInputStream` treats an unparseable
+   * *subsequent* member header as a clean end-of-stream — corruption
+   * after the first member would inflate to silently truncated
+   * content; here any leftover bytes, bad magic, truncated deflate
+   * stream, or CRC/length mismatch throws `IOException` (callers
+   * degrade to a quarantine flag). Shared by the WARC file inflater
+   * ([[graft.ext.Warc.inflateGzipFiles]]) and the per-row
+   * `gunzip_try` expression.
+   */
+  def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.isEmpty) fail("empty gzip input")
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    val buf = new Array[Byte](65536)
+    var off = 0
+    while (off < bytes.length) {
+      // member header: magic 1f 8b, CM 8 (deflate), then FLG fields
+      if (off + 10 > bytes.length) fail("truncated member header")
+      if ((bytes(off) & 0xff) != 0x1f || (bytes(off + 1) & 0xff) != 0x8b ||
+          bytes(off + 2) != 8) fail("bad member magic/method")
+      val flg = bytes(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length
+        if (p + 2 > bytes.length) fail("truncated FEXTRA")
+        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p > bytes.length) fail("truncated member header fields")
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, p, bytes.length - p)
+        val crc = new java.util.zip.CRC32()
+        var isize = 0L
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                fail("corrupt deflate data: " + e.getMessage)
+            }
+          if (n == 0 && !inf.finished()) fail("truncated deflate stream")
+          out.write(buf, 0, n); crc.update(buf, 0, n); isize += n
+        }
+        // trailer sits right after the compressed bytes this member
+        // actually consumed
+        val tp = p + (bytes.length - p - inf.getRemaining)
+        if (tp + 8 > bytes.length) fail("truncated member trailer")
+        if (le32(tp) != crc.getValue) fail("member CRC mismatch")
+        if (le32(tp + 4) != (isize & 0xffffffffL)) fail("member ISIZE mismatch")
+        off = tp + 8
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
+  /** gunzip_try(binary) → struct(ok, data): [[gunzipMembers]] with
+    * corruption degraded to `(false, null)` — the per-row
+    * `Content-Encoding: gzip` body decode, where a bad body is a row
+    * to flag, not a task failure. */
+  def gunzipTry(bytes: Array[Byte]): InternalRow =
+    try new GenericInternalRow(Array[Any](true, gunzipMembers(bytes)))
+    catch {
+      case _: java.io.IOException =>
+        new GenericInternalRow(Array[Any](false, null))
+    }
+
+  /**
+   * dechunk_try(view) → struct(ok, text): remove HTTP/1.1
+   * `Transfer-Encoding: chunked` framing (RFC 9112 §7.1) from the
+   * latin-1 BYTE-VIEW string of a message body — hex chunk-size line
+   * (chunk extensions after `;` ignored), CRLF, exactly-size data,
+   * CRLF, repeating until the 0-size last chunk, then any trailer
+   * lines and the final CRLF. char ≡ byte in the view, so character
+   * arithmetic IS the byte framing. Malformed framing (bad size line,
+   * missing CRLF, short data, trailing garbage past the terminator)
+   * degrades to `(false, null)`.
+   */
+  def dechunkTry(view: UTF8String): InternalRow = {
+    val s = view.toString
+    val n = s.length
+    def fail = new GenericInternalRow(Array[Any](false, null))
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (true) {
+      // chunk-size: 1+ hex digits, then optional extensions to CRLF
+      val start = i
+      var size = 0L
+      var c = ' '
+      while (i < n && {
+        c = s.charAt(i)
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')
+      }) {
+        size = size * 16 +
+          (if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10)
+        if (size > n) return fail // can't fit in what's left anyway
+        i += 1
+      }
+      if (i == start) return fail // no hex digits where a size is due
+      while (i < n && s.charAt(i) != '\r') i += 1 // ;ext=... ignored
+      if (i + 1 >= n || s.charAt(i + 1) != '\n') return fail
+      i += 2
+      if (size == 0L) {
+        // trailer section: zero or more non-empty lines, then CRLF
+        while (true) {
+          if (i + 1 < n && s.charAt(i) == '\r' && s.charAt(i + 1) == '\n') {
+            i += 2
+            return if (i == n)
+              new GenericInternalRow(
+                Array[Any](true, UTF8String.fromString(out.toString)))
+            else fail // trailing garbage past the terminator
+          }
+          val ls = i
+          while (i < n && s.charAt(i) != '\r') i += 1
+          if (i == ls || i + 1 >= n || s.charAt(i + 1) != '\n') return fail
+          i += 2
+        }
+      }
+      if (i + size > n) return fail // short data
+      out.append(s, i, i + size.toInt)
+      i += size.toInt
+      if (i + 1 >= n || s.charAt(i) != '\r' || s.charAt(i + 1) != '\n')
+        return fail
+      i += 2
+    }
+    fail // unreachable
+  }
 }
 
 /** simhash(array<string>) → long. */
@@ -1888,6 +2045,55 @@ case class ResolveHrefExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** gzip(binary) → binary — one deterministic RFC 1952 member. */
+case class GzipMemberExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.gzipMember(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.gzipMember($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GzipMemberExpr =
+    copy(child = newChild)
+}
+
+/** gunzip_try(binary) → struct(ok, data) — member-walking inflate,
+  * corruption degraded to (false, null). */
+case class GunzipTryExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("data", BinaryType, nullable = true)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.gunzipTry(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.gunzipTry($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GunzipTryExpr =
+    copy(child = newChild)
+}
+
+/** dechunk_try(string) → struct(ok, text) — HTTP/1.1 chunked
+  * transfer framing removed from a latin-1 byte-view string,
+  * malformed framing degraded to (false, null). */
+case class DechunkTryExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.dechunkTry(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.dechunkTry($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DechunkTryExpr =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object NativeFunctions {
   def removeDotSegments(path: Column): Column =
@@ -1896,6 +2102,15 @@ object NativeFunctions {
   def resolveHref(base: Column, href: Column): Column =
     ColumnBridge.column(ResolveHrefExpr(ColumnBridge.expression(base),
       ColumnBridge.expression(href)))
+
+  def gzip(bytes: Column): Column =
+    ColumnBridge.column(GzipMemberExpr(ColumnBridge.expression(bytes)))
+
+  def gunzipTry(bytes: Column): Column =
+    ColumnBridge.column(GunzipTryExpr(ColumnBridge.expression(bytes)))
+
+  def dechunkTry(view: Column): Column =
+    ColumnBridge.column(DechunkTryExpr(ColumnBridge.expression(view)))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 

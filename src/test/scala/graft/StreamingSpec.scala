@@ -505,6 +505,65 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[Int]("n_tokens") shouldBe 5
   }
 
+  test("parseHttpEncoded gates a stream of raw WARC files statelessly, equal to batch") {
+    // rendering is a batch aggregate, but PARSE + wire-coding decode
+    // is the stateless ingest gate a readStream of arriving crawl
+    // files runs first — identical plan on stream and batch frames
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Warc
+    import org.apache.spark.sql.functions.{encode => senc, decode => sdec}
+    val texts = Seq(
+      0L -> "identity body", 1L -> "chunked body here",
+      2L -> "gzip body compresses", 3L -> "chunked over gzip stack",
+      4L -> "truncated gzip flags")
+    val id = $"doc_id"
+    val plainView = sdec(senc($"text", "UTF-8"), "ISO-8859-1")
+    val gzView = sdec(
+      graft.plans.NativeFunctions.gzip(senc($"text", "UTF-8")), "ISO-8859-1")
+    def chunked(v: org.apache.spark.sql.Column) = {
+      val l = org.apache.spark.sql.functions.length(v)
+      val len1 = org.apache.spark.sql.functions.floor(l / 2).cast("int")
+      concat(lower(hex(len1)), lit("\r\n"), v.substr(lit(1), len1),
+        lit("\r\n"), lower(hex((l - len1).cast("int"))), lit("\r\n"),
+        v.substr(len1 + 1, (l - len1).cast("int")), lit("\r\n0\r\n\r\n"))
+    }
+    val body = when(id === 0, plainView)
+      .when(id === 1, chunked(plainView))
+      .when(id === 2, gzView)
+      .when(id === 3, chunked(gzView))
+      .otherwise(gzView.substr(lit(1),
+        (org.apache.spark.sql.functions.length(gzView) - 6).cast("int")))
+    val extra = when(id === 1, lit("\r\nTransfer-Encoding: chunked"))
+      .when(id === 2 || id === 4, lit("\r\nContent-Encoding: gzip"))
+      .when(id === 3,
+        lit("\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip"))
+      .otherwise(lit(""))
+    val files = Warc.renderFiles(
+      texts.toDF("doc_id", "text")
+        .withColumn("url", concat(lit("https://enc.ex.com/"), id))
+        .withColumn("shard", pmod(id, lit(2)))
+        .withColumn("http", Warc.httpPayload(lit("200 OK"),
+          lit("text/plain; charset=utf-8"), body, extraHeaders = extra)),
+      textCol = "http", warcType = "response")
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      Warc.parseHttpEncoded(Warc.parseRecords(df))
+        .select("rec_id", "transfer_encoding", "content_encoding",
+          "body_ok", "body", "kept")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(files.as[(Long, String)].collect().toIndexedSeq: _*)
+    val q = gate(mem.toDF().toDF("shard", "content"))
+      .writeStream.format("memory").queryName("enc_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamRows = spark.table("enc_gate").orderBy("rec_id")
+      .collect().map(_.toSeq).toSeq
+    val batchRows = gate(files).orderBy("rec_id")
+      .collect().map(_.toSeq).toSeq
+    streamRows shouldBe batchRows
+    batchRows.map(r => (r(0), r(3))) shouldBe
+      texts.map { case (i, _) => (i, i != 4L) }
+  }
+
   test("round-12 kernels score a stream statelessly, equal to batch") {
     // cdc chunking, hashing-trick stats, and the batch-trained NB
     // lookup scorer are stateless projections — identical Column

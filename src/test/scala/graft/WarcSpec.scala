@@ -1,6 +1,8 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{length => slen}
 import graft.ext.Warc
 
 /**
@@ -385,5 +387,110 @@ class WarcSpec extends SparkSpec {
     out.where($"looped").select("src").as[String].collect().toSeq shouldBe Seq("n0")
     Warc.resolveRedirects(edges, maxRounds = 4)
       .where($"looped").count() shouldBe 0L
+  }
+
+  test("dechunkTry: RFC 9112 chunked framing — extensions, trailers, and every malformed shape") {
+    def dechunk(s: String): Option[String] = {
+      val r = Seq(Tuple1(s)).toDF("v")
+        .select(graft.plans.NativeFunctions.dechunkTry(col("v")).as("r"))
+        .select("r.ok", "r.text").collect().head
+      if (r.getBoolean(0)) Some(r.getString(1)) else { r.isNullAt(1) shouldBe true; None }
+    }
+    dechunk("b\r\nhello world\r\n0\r\n\r\n") shouldBe Some("hello world")
+    dechunk("B\r\nhello world\r\n0\r\n\r\n") shouldBe Some("hello world")
+    dechunk("3;ext=1\r\nabc\r\n2\r\nde\r\n0\r\n\r\n") shouldBe Some("abcde")
+    dechunk("3\r\nabc\r\n0\r\nExpires: never\r\n\r\n") shouldBe Some("abc")
+    dechunk("0\r\n\r\n") shouldBe Some("") // empty body, just the terminator
+    // chunk data may contain CRLF and hex-lookalike text
+    dechunk("9\r\nab\r\n3\r\ncd\r\n0\r\n\r\n") shouldBe Some("ab\r\n3\r\ncd")
+    dechunk("3\r\nab\r\n0\r\n\r\n") shouldBe None // short data
+    dechunk("z\r\nabc\r\n0\r\n\r\n") shouldBe None // no hex size
+    dechunk("3\r\nabc\r\n0\r\n\r\nX") shouldBe None // garbage past terminator
+    dechunk("3\r\nabc\r\n") shouldBe None // missing last chunk
+    dechunk("3\nabc\n0\n\n") shouldBe None // LF-only framing
+    dechunk("") shouldBe None
+  }
+
+  test("gzip/gunzipTry expressions: roundtrip, member concatenation, corruption degrades") {
+    val gz = graft.plans.NativeFunctions.gzip(encode(col("t"), "UTF-8"))
+    val got = Seq(Tuple1("packet of text — naïve ☕")).toDF("t")
+      .select(graft.plans.NativeFunctions.gunzipTry(gz).as("r"))
+      .select("r.ok", "r.data").collect().head
+    got.getBoolean(0) shouldBe true
+    new String(got.getAs[Array[Byte]](1), "UTF-8") shouldBe "packet of text — naïve ☕"
+    // two members inflate to the concatenation; a flipped byte fails
+    val two = Seq(("ab", "cd")).toDF("a", "b")
+      .select(graft.plans.NativeFunctions.gunzipTry(concat(
+        graft.plans.NativeFunctions.gzip(encode(col("a"), "UTF-8")),
+        graft.plans.NativeFunctions.gzip(encode(col("b"), "UTF-8")))).as("r"))
+      .select("r.ok", "r.data").collect().head
+    new String(two.getAs[Array[Byte]](1), "UTF-8") shouldBe "abcd"
+    val badRow = Seq(Tuple1("x")).toDF("t")
+      .select(graft.plans.NativeFunctions.gzip(encode(col("t"), "UTF-8")).as("g"))
+      .select(graft.plans.NativeFunctions.gunzipTry(
+        expr("substring(g, 1, length(g) - 4)")).as("r"))
+      .select("r.ok").collect().head
+    badRow.getBoolean(0) shouldBe false
+  }
+
+  test("parseHttpEncoded: chunked/gzip/combined bodies decode; corrupt and unsupported codings flag") {
+    val texts = Seq(
+      0L -> "identity body — naïve café ☕",
+      1L -> "chunked body with\r\nline breaks",
+      2L -> "gzip body compresses fine",
+      3L -> "chunked OVER gzip, the full stack",
+      4L -> "this gzip body will be truncated",
+      5L -> "x", // 1-char chunked body (single-chunk framing path)
+      6L -> "brotli declared but unsupported")
+    val id = col("doc_id")
+    val plainView = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
+    val gzView = decode(
+      graft.plans.NativeFunctions.gzip(encode(col("text"), "UTF-8")),
+      "ISO-8859-1")
+    def chunked(v: Column): Column = {
+      val l = slen(v)
+      val len1 = floor(l / 2).cast("int")
+      val len2 = (l - len1).cast("int")
+      when(l >= 2, concat(
+          lower(hex(len1)), lit("\r\n"), v.substr(lit(1), len1), lit("\r\n"),
+          lower(hex(len2)), lit("\r\n"), v.substr(len1 + 1, len2),
+          lit("\r\n0\r\n\r\n")))
+        .when(l === 1, concat(lit("1\r\n"), v, lit("\r\n0\r\n\r\n")))
+        .otherwise(lit("0\r\n\r\n"))
+    }
+    val body = when(id === 0, plainView)
+      .when(id === 1 || id === 5, chunked(plainView))
+      .when(id === 2, gzView)
+      .when(id === 3, chunked(gzView))
+      .when(id === 4, gzView.substr(lit(1), (slen(gzView) - 6).cast("int")))
+      .otherwise(plainView)
+    val extra = when(id === 1 || id === 5, lit("\r\nTransfer-Encoding: chunked"))
+      .when(id === 2 || id === 4, lit("\r\nContent-Encoding: gzip"))
+      .when(id === 3,
+        lit("\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip"))
+      .when(id === 6, lit("\r\nContent-Encoding: br"))
+      .otherwise(lit(""))
+    val files = Warc.renderFiles(
+      texts.toDF("doc_id", "text")
+        .withColumn("url", concat(lit("https://enc.ex.com/"), id))
+        .withColumn("shard", lit(0L))
+        .withColumn("http", Warc.httpPayload(lit("200 OK"),
+          lit("text/plain; charset=utf-8"), body, extraHeaders = extra)),
+      textCol = "http", warcType = "response")
+    val got = Warc.parseHttpEncoded(Warc.parseRecords(files))
+      .orderBy("rec_id")
+      .select("rec_id", "transfer_encoding", "content_encoding",
+        "body_ok", "body", "kept")
+      .collect()
+    val expected = Seq(
+      (0L, null, null, true, texts(0)._2, true),
+      (1L, "chunked", null, true, texts(1)._2, true),
+      (2L, null, "gzip", true, texts(2)._2, true),
+      (3L, "chunked", "gzip", true, texts(3)._2, true),
+      (4L, null, "gzip", false, null, false),
+      (5L, "chunked", null, true, texts(5)._2, true),
+      (6L, null, "br", false, null, false))
+    got.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getBoolean(3), r.getString(4), r.getBoolean(5))).toSeq shouldBe expected
   }
 }
