@@ -185,6 +185,18 @@ object SparkEntry {
         Config.of("""{"num_points":300,"formula":"1 if t == 0 else (2 if t == 1 else (datapoints[-1] % 13) + (datapoints[t-2] % 5) + (t % 7))","signal_min":1,"signal_max":20}""")))
         .orderBy("t")),
 
+    // Absolute-anchor custom formula — Python's non-negative list
+    // indexing (datapoints[j], constant j): each point reads the
+    // FIRST TWO points ever generated (the normalize-by-initial-value
+    // shape) next to the previous point, guarded at t<2 exactly as a
+    // Python formula must guard IndexError. Closes the last
+    // reference-surface indexing form short of arbitrary expressions.
+    // Oracle: RECURSIVE CTE threading (v, anchor0, anchor1).
+    "g_custom_index" -> ((s, _) =>
+      Transforms.intCast(Generators.custom(s, "ts5i",
+        Config.of("""{"num_points":300,"formula":"1 if t == 0 else (2 if t == 1 else (datapoints[0] % 9) + (datapoints[1] % 4) + (datapoints[-1] % 6) + (t % 7))","signal_min":1,"signal_max":20}""")))
+        .orderBy("t")),
+
     // Replay (S3 "real" shape) driven from the events table: line N ≡
     // event_id N. Zero-pad/truncate to 2000 slots, scale to [1,100].
     "g_replay" -> ((s, dir) => {
@@ -459,6 +471,27 @@ object SparkEntry {
          |base AS (SELECT t, v FROM rec),
          |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
          |SELECT 'ts5l' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
+         |FROM base, stats ORDER BY t""".stripMargin,
+
+    // the anchor recurrence replayed step-by-step: rec carries
+    // (slot, value, first point, second point) — a0 is fixed by the
+    // seed row, a1 latches at slot 1 via the lateral alias nv and is
+    // constant after; the t=1 literal branch never touches the NULL a1
+    "g_custom_index" ->
+      s"""WITH RECURSIVE rec(t, v, a0, a1) AS (
+         |  SELECT 0, CAST(1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(NULL AS DOUBLE)
+         |  UNION ALL
+         |  SELECT t + 1,
+         |         CASE WHEN t + 1 = 1 THEN CAST(2 AS DOUBLE)
+         |              ELSE (a0 % 9) + (a1 % 4) + (v % 6)
+         |                + CAST((t + 1) % 7 AS DOUBLE)
+         |         END AS nv,
+         |         a0,
+         |         CASE WHEN t + 1 = 1 THEN nv ELSE a1 END
+         |  FROM rec WHERE t < 299),
+         |base AS (SELECT t, v FROM rec),
+         |stats AS (SELECT min(v) AS mn, max(v) AS mx FROM base)
+         |SELECT 'ts5i' AS generator_id, t, ${scaleSql(1.0, 20.0)} AS value
          |FROM base, stats ORDER BY t""".stripMargin,
 
     "g_replay" ->
@@ -3581,6 +3614,75 @@ object SparkEntry {
       Warc.parseHttpEncoded(Warc.parseRecords(files))
         .select(col("rec_id").as("doc_id"), col("transfer_encoding"),
           col("content_encoding"), col("body_ok"), col("body"))
+        .orderBy("doc_id")
+    }),
+
+    // Anchor-text corpus: aggregate what the web SAYS about each page
+    // — pages render <a> elements whose inner markup carries nested
+    // tags and entities (both must clean), a nofollow edge (excluded,
+    // the frontier convention), and an empty image-style anchor
+    // (dropped); targets resolve through resolveHref (absolute,
+    // protocol-relative, and rooted forms), canonicalize, and the
+    // per-target aggregate keys on the 8-byte URL hash with sorted
+    // distinct anchors capped at 8 entries × 20 chars. The oracle
+    // CONSTRUCTS the expected (target, anchor) pairs from doc_id
+    // arithmetic — no oracle-side mirroring of the HTML cleanup.
+    "x_anchor_text" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val base = concat(lit("https://h"), (id % 31).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      val html = concat(
+        lit("<a href=\"https://t.example.org/a/"), (id % 40).cast("string"),
+        lit("\"><b>Article</b> "), (id % 40).cast("string"),
+        lit(" v"), (id % 9).cast("string"), lit("</a>"),
+        lit("<a href=\"/local/"), (id % 7).cast("string"),
+        lit("\">Local &amp; More "), (id % 7).cast("string"),
+        lit(" with a long tail</a>"),
+        lit("<a href=\"//t.example.org/a/"), ((id * 3) % 40).cast("string"),
+        lit("\" rel=\"nofollow\">skip me</a>"),
+        lit("<a href=\"https://t.example.org/a/"), (id % 40).cast("string"),
+        lit("\"></a>"))
+      val anchors = d
+        .select(base.as("base"), explode(Html.extractAnchors(html)).as("an"))
+        .where(!col("an")("nofollow"))
+        .select(Html.resolveHref(col("base"), col("an")("href")).as("url"),
+          col("an")("anchor").as("anchor"))
+      LinkGraph.anchorCorpus(anchors, maxAnchors = 8, maxLen = 20)
+        .orderBy("url_norm")
+    }),
+
+    // Multi-byte charset decode — the CJK extension of the charset
+    // layer: three declared charsets (shift_jis / euc-jp / gb18030)
+    // rotate per row, each body planted as the charset's own BYTES
+    // (pre-encoded at query-build time into the latin-1 view) plus an
+    // ASCII suffix; the per-row decode_charset kernel must recover
+    // the original text exactly (Spark's decode only takes constant
+    // charsets — this is the bounded-table kernel path). Construct
+    // oracle: the expected text restated as UTF-8 literals.
+    "x_warc_charset_cjk" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+      def viewOf(text: String, jdkName: String): String = new String(
+        text.getBytes(java.nio.charset.Charset.forName(jdkName)), iso)
+      val cls = id % 3
+      val bodyView = concat(
+        when(cls === 0, lit(viewOf("日本語テキスト", "Shift_JIS")))
+          .when(cls === 1, lit(viewOf("かな漢字混じり文", "EUC-JP")))
+          .otherwise(lit(viewOf("简体中文内容", "GB18030"))),
+        lit(" #"), (id % 10).cast("string"))
+      val ctype = when(cls === 0, lit("text/html; charset=shift_jis"))
+        .when(cls === 1, lit("text/html; charset=EUC-JP"))
+        .otherwise(lit("text/html; charset=gb18030"))
+      val files = Warc.renderFiles(d
+        .withColumn("url", concat(lit("https://cjk.example.com/d/"),
+          id.cast("string")))
+        .withColumn("shard", pmod(id, lit(8)))
+        .withColumn("http", Warc.httpPayload(lit("200 OK"), ctype, bodyView)),
+        textCol = "http", warcType = "response")
+      Warc.parseHttpCharset(Warc.parseRecords(files))
+        .select(col("rec_id").as("doc_id"), col("charset"), col("body"))
         .orderBy("doc_id")
     }),
 
@@ -7665,6 +7767,38 @@ object SparkEntry {
         |    AS content_encoding,
         |  (doc_id % 5 <> 4) AS body_ok,
         |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS body
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Construct-the-expected-pairs oracle: the cleaned anchor text and
+    // canonical target of every followed link restated from doc_id
+    // arithmetic, then the same capped distinct-sort aggregate.
+    "x_anchor_text" ->
+      """WITH l(url, a) AS (
+        |  SELECT 't.example.org/a/' || CAST(doc_id % 40 AS VARCHAR),
+        |         'Article ' || CAST(doc_id % 40 AS VARCHAR) ||
+        |           ' v' || CAST(doc_id % 9 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 31 AS VARCHAR) ||
+        |           '.example.com/local/' || CAST(doc_id % 7 AS VARCHAR),
+        |         substr('Local & More ' || CAST(doc_id % 7 AS VARCHAR) ||
+        |           ' with a long tail', 1, 20)
+        |  FROM documents)
+        |SELECT url AS url_norm, count(*) AS n_links,
+        |  count(DISTINCT a) AS n_distinct,
+        |  array_to_string(list_sort(list_distinct(list(a)))[1:8], ' | ')
+        |    AS anchors
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Construct-the-output oracle: the planted CJK bytes must decode
+    // back to these exact UTF-8 literals (plus the ASCII suffix).
+    "x_warc_charset_cjk" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp'
+        |       ELSE 'gb18030' END AS charset,
+        |  (CASE doc_id % 3 WHEN 0 THEN '日本語テキスト'
+        |        WHEN 1 THEN 'かな漢字混じり文' ELSE '简体中文内容' END)
+        |    || ' #' || CAST(doc_id % 10 AS VARCHAR) AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Keep-best replay: the argmax (n_chars desc, doc_id asc) winner

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
  *   unary   := '-' unary | power
  *   power   := atom ('**' unary)?          // right-assoc, binds over unary-
  *   atom    := NUMBER | ident | ident '(' args ')' | '(' expr ')'
- *            | 'datapoints' '[' ('-' INT | 't' '-' INT) ']'   // bounded lag
+ *            | 'datapoints' '[' ('-' INT | 't' '-' INT | INT) ']'
+ *                                  // bounded lag / absolute anchor
  * }}}
  *
  * Identifiers: `t` (slot index), `datapoint_max` (reference anomaly scope,
@@ -32,8 +33,12 @@ import org.apache.spark.sql.functions._
  * accumulating `datapoints` list, src/main.py:464-477). Bounded lag
  * indexing `datapoints[-k]` / `datapoints[t-k]` (constant k ≥ 1) reads the
  * k-th most recent prior point on the same prefix path — the lagged-
- * feedback form reference eval formulas use (main.py:473-475); a general
- * index expression stays out of grammar. Math functions:
+ * feedback form reference eval formulas use (main.py:473-475) — and
+ * ABSOLUTE anchor indexing `datapoints[j]` (constant j ≥ 0) reads the
+ * j-th point ever generated (Python's non-negative list indexing: the
+ * normalize-by-initial-value form), carried as a (j+1)-slot anchor
+ * prefix on the same fold; a general index EXPRESSION stays out of
+ * grammar. Math functions:
  * min, max, abs, sin, cos, tan, exp, log, sqrt, floor, ceil, pow.
  *
  * Conditionals follow Python semantics exactly: `X if C else Y` evaluates
@@ -59,6 +64,12 @@ object Formula {
     * a k-deep ring buffer on the sequential fold; a general index
     * expression would need the whole history and stays out of grammar. */
   final case class Lag(k: Int) extends Ast
+  /** `datapoints[j]` — the j-th point ever generated (0-based absolute
+    * index, Python's non-negative indexing exactly: reading at a slot
+    * where only `0..t-1` exist and j ≥ t throws ↔ IndexError). j is a
+    * NON-NEGATIVE integer literal; the fold carries the first j+1
+    * points as a bounded anchor array. */
+  final case class Idx(j: Int) extends Ast
   final case class Neg(e: Ast) extends Ast
   final case class Bin(op: String, l: Ast, r: Ast) extends Ast
   final case class Call(fn: String, args: List[Ast]) extends Ast
@@ -96,9 +107,9 @@ object Formula {
     case Call("max", List(Ref("datapoints"))) => col(DpMaxCol)
     case Call("min", List(Ref("datapoints"))) => col(DpMinCol)
     case Call("len", List(Ref("datapoints"))) => col(DpLenCol)
-    case Lag(_) =>
+    case Lag(_) | Idx(_) =>
       // unreachable through Generators.custom (usesPrefix dispatches
-      // lag formulas to the fold path) — defensive for direct callers
+      // indexing formulas to the fold path) — defensive for direct callers
       throw new IllegalArgumentException(
         "datapoints[...] indexing needs the prefix evaluation path (evalPrefix)")
     case Call("min", args) if args.size == 2 =>
@@ -151,7 +162,7 @@ object Formula {
     * fold ([[evalPrefix]]). */
   def usesPrefix(ast: Ast): Boolean = ast match {
     case Call("max" | "min" | "len", List(Ref("datapoints"))) => true
-    case Lag(_)             => true
+    case Lag(_) | Idx(_)    => true
     case Num(_) | Ref(_)    => false
     case Neg(e)             => usesPrefix(e)
     case Not(e)             => usesPrefix(e)
@@ -166,6 +177,7 @@ object Formula {
     * ring buffer the sequential fold carries. */
   def maxLag(ast: Ast): Int = ast match {
     case Lag(k)          => k
+    case Idx(_)          => 0
     case Num(_) | Ref(_) => 0
     case Neg(e)          => maxLag(e)
     case Not(e)          => maxLag(e)
@@ -174,6 +186,21 @@ object Formula {
     case BoolOp(_, l, r) => math.max(maxLag(l), maxLag(r))
     case Cond(c, a, b)   => math.max(maxLag(c), math.max(maxLag(a), maxLag(b)))
     case Call(_, args)   => args.foldLeft(0)((m, a) => math.max(m, maxLag(a)))
+  }
+
+  /** Deepest absolute anchor index the formula reads (-1 when it reads
+    * none) — sizes the anchor array the sequential fold carries. */
+  def maxIdx(ast: Ast): Int = ast match {
+    case Idx(j)          => j
+    case Lag(_)          => -1
+    case Num(_) | Ref(_) => -1
+    case Neg(e)          => maxIdx(e)
+    case Not(e)          => maxIdx(e)
+    case Bin(_, l, r)    => math.max(maxIdx(l), maxIdx(r))
+    case Cmp(_, l, r)    => math.max(maxIdx(l), maxIdx(r))
+    case BoolOp(_, l, r) => math.max(maxIdx(l), maxIdx(r))
+    case Cond(c, a, b)   => math.max(maxIdx(c), math.max(maxIdx(a), maxIdx(b)))
+    case Call(_, args)   => args.foldLeft(-1)((m, a) => math.max(m, maxIdx(a)))
   }
 
   /**
@@ -196,7 +223,9 @@ object Formula {
   def evalPrefix(ast: Ast, t: Long, prefixLen: Long,
       prefixMax: => Double, prefixMin: => Double,
       lagAt: Int => Double = k => throw new IllegalArgumentException(
-        s"datapoints[-$k] needs a lag-carrying evaluator (Generators.custom wires one)")): Double = {
+        s"datapoints[-$k] needs a lag-carrying evaluator (Generators.custom wires one)"),
+      idxAt: Int => Double = j => throw new IllegalArgumentException(
+        s"datapoints[$j] needs an anchor-carrying evaluator (Generators.custom wires one)")): Double = {
     def num(a: Ast): Double = a match {
       case Num(v)   => v
       case Ref("t") => t.toDouble
@@ -234,6 +263,13 @@ object Formula {
         if (k > prefixLen) throw new IllegalArgumentException(
           s"datapoints[-$k] with only $prefixLen prior points (guard with 'if t < $k')")
         else lagAt(k)
+      case Idx(j) =>
+        // Python non-negative indexing exactly: datapoints[j] with
+        // j >= len(datapoints) is an IndexError the author must guard
+        // ('V if t <= j else ...').
+        if (j >= prefixLen) throw new IllegalArgumentException(
+          s"datapoints[$j] with only $prefixLen prior points (guard with 'if t <= $j')")
+        else idxAt(j)
       case Call("min", List(a0, b0)) => math.min(num(a0), num(b0))
       case Call("max", List(a0, b0)) => math.max(num(a0), num(b0))
       case Call("abs", List(a0))   => math.abs(num(a0))
@@ -386,10 +422,12 @@ object Formula {
       } else fail(s"unexpected char '${c}' at $pos")
     }
 
-    // datapoints[-K] | datapoints[t-K], K a positive integer literal —
-    // the bounded-lag indexing forms (both mean "K-th most recent").
-    // Anything else inside the brackets (t+1, a variable k, a bare
-    // index, floats) is a parse error, keeping the grammar closed.
+    // datapoints[-K] | datapoints[t-K] (K a positive integer literal —
+    // the bounded-lag forms, both meaning "K-th most recent") |
+    // datapoints[J] (J a non-negative integer literal — the absolute
+    // anchor form, "J-th point ever generated", Python's non-negative
+    // indexing exactly). Anything else inside the brackets (t+1, a
+    // variable k, floats) is a parse error, keeping the grammar closed.
     //
     // DELIBERATE DEVIATION from the reference's raw Python eval
     // (main.py:475) for the [t-K] spelling read too early: with
@@ -403,12 +441,21 @@ object Formula {
     // (IndexError <-> throw).
     private def parseLagIndex(): Ast = {
       skipWs()
+      if (peek.isDigit) { // absolute anchor: datapoints[J]
+        val ds = pos
+        while (pos < src.length && src(pos).isDigit) pos += 1
+        val j = src.substring(ds, pos).toInt
+        skipWs()
+        if (peek != ']') fail(s"expected ']' at $pos")
+        pos += 1
+        return Idx(j)
+      }
       val relative = peek == 't' &&
         (pos + 1 >= src.length ||
           { val c = src(pos + 1); !c.isLetterOrDigit && c != '_' })
       if (relative) { pos += 1; skipWs() }
       if (peek != '-')
-        fail(s"expected '-' in datapoints[...] at $pos (only datapoints[-k] / datapoints[t-k] are supported)")
+        fail(s"expected '-' in datapoints[...] at $pos (only datapoints[-k] / datapoints[t-k] / datapoints[j] are supported)")
       pos += 1
       skipWs()
       val ds = pos

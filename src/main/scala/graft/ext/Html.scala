@@ -152,6 +152,31 @@ object Html {
   }
 
   /**
+   * Each `<a …>inner</a>` element as `struct(href, anchor, nofollow)`
+   * in document order — [[extractLinksDetailed]] plus the ANCHOR
+   * TEXT, the standard training-data/retrieval signal the detailed
+   * extraction drops (aggregated anchor text per target is how a
+   * corpus describes pages it links to). `anchor` is the element's
+   * inner markup reduced by the deterministic text-recovery subset:
+   * tags stripped, entities decoded (one native kernel call),
+   * whitespace collapsed — an image-only or empty element yields
+   * `""` (callers drop empties). Elements without an `href` are
+   * skipped. Per-element `transform` over the bounded tag list of
+   * one page, the [[extractLinksDetailed]] posture.
+   */
+  def extractAnchors(html: Column): Column = {
+    val els = filter(
+      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>.*?</a>"), lit(0)),
+      e => regexp_like(e, lit("(?i)href=\"")))
+    transform(els, e => struct(
+      regexp_extract(e, "(?i)href=\"([^\"]*)\"", 1).as("href"),
+      trim(regexp_replace(decodeEntities(regexp_replace(
+        regexp_extract(e, "(?is)<a\\b[^>]*>(.*?)</a>", 1),
+        "(?s)<[^>]*>", " ")), "\\s+", " ")).as("anchor"),
+      regexp_like(e, lit("(?i)rel=\"[^\"]*nofollow[^\"]*\"")).as("nofollow")))
+  }
+
+  /**
    * Page-level robots directives from `<meta name="robots"
    * content="…">`: `struct(noindex, nofollow)` — `noindex` means the
    * page must not enter the kept corpus, `nofollow` means none of its

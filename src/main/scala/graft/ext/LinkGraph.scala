@@ -133,6 +133,47 @@ object LinkGraph {
   }
 
   /**
+   * Anchor-text corpus — aggregate what the web SAYS about each page:
+   * one row per canonical target URL with the distinct anchor texts
+   * pointing at it (`[[Html.extractAnchors]]` upstream provides the
+   * (resolved target URL, anchor) pairs; callers drop nofollow edges
+   * first, the frontier convention). Emits `(url_norm, n_links,
+   * n_distinct, anchors)` where `anchors` is the sorted distinct
+   * anchor list capped at `maxAnchors` entries of ≤ `maxLen` chars
+   * each, joined with `" | "` — the bounded per-target description a
+   * retrieval index or quality scorer consumes.
+   *
+   * Caps apply BEFORE the aggregate (length) and inside it (count),
+   * so no unbounded anchor mass ever accumulates per key — a
+   * Wikipedia-shaped target with millions of in-links carries at most
+   * `maxAnchors · maxLen` chars out of the groupBy. The exchange key
+   * is the 8-byte `xxhash64` of the canonical URL; URL text joins
+   * back once at the end (hash-identity convention). Empty anchors
+   * (image-only elements) are dropped.
+   */
+  def anchorCorpus(anchors: DataFrame, urlCol: String = "url",
+      anchorCol: String = "anchor", maxAnchors: Int = 8,
+      maxLen: Int = 100): DataFrame = {
+    require(maxAnchors > 0 && maxLen > 0, "caps must be positive")
+    val rows = anchors.select(
+        Dedup.normalizeUrl(col(urlCol)).as("__u"),
+        substring(col(anchorCol), 1, maxLen).as("__a"))
+      .where(col("__a") =!= "")
+      .select(xxhash64(col("__u")).as("__uh"), col("__u"), col("__a"))
+    val agg = rows.groupBy("__uh").agg(
+      count(lit(1)).as("n_links"),
+      size(array_distinct(collect_list(col("__a")))).cast("long")
+        .as("n_distinct"),
+      array_join(slice(array_sort(array_distinct(collect_list(col("__a")))),
+        1, maxAnchors), " | ").as("anchors"))
+    val dict = rows.select(col("__uh").as("__dh"), col("__u").as("url_norm"))
+      .distinct()
+    agg.join(dict, col("__uh") === col("__dh"))
+      .select(col("url_norm"), col("n_links"), col("n_distinct"),
+        col("anchors"))
+  }
+
+  /**
    * Rank-weighted document selection — the prior put to work: each
    * host gets a document quota proportional to its rank,
    * `quota(h) = (rank(h) * totalBudget) div RankScale` (fixed-point

@@ -353,13 +353,22 @@ object Warc {
    */
   /** Decode a latin-1 byte-view body per its declared charset `cs`
     * (already lowercased, non-null) — the [[parseHttpCharset]] /
-    * [[parseHttpEncoded]] shared last step. */
+    * [[parseHttpEncoded]] shared last step. Single-byte charsets stay
+    * pure Column work (the view itself / the cp1252 translate / the
+    * utf-8 encode-back); multi-byte CJK charsets (shift_jis, euc-jp,
+    * gb18030, gbk, euc-kr, big5 + WHATWG label aliases) dispatch
+    * per-row through the bounded `decode_charset` kernel — Spark's
+    * `decode` takes only constant charsets and no translate trick
+    * extends to multi-byte codecs. */
   private def decodeViewCharset(bodyView: Column, cs: Column): Column =
     when(bodyView.isNull, lit(null).cast("string"))
       .when(cs.isin("iso-8859-1", "latin-1", "latin1", "us-ascii", "ascii"),
         bodyView)
       .when(cs.isin("windows-1252", "cp1252"),
         translate(bodyView, Cp1252From, Cp1252To))
+      .when(cs.isin(graft.plans.Native.cjkLabels.map(x => x: Any): _*),
+        graft.plans.NativeFunctions.decodeCharset(
+          encode(bodyView, "ISO-8859-1"), cs))
       // utf-8 and the unknown-charset fallback: encode the view back
       // to its bytes, decode those as UTF-8
       .otherwise(decode(encode(bodyView, "ISO-8859-1"), "UTF-8"))

@@ -156,11 +156,19 @@ object Generators {
             val ring = if (lagDepth > 0) new Array[Double](lagDepth) else null
             val lagAt: Int => Double =
               k => ring((((len - k) % lagDepth + lagDepth) % lagDepth).toInt)
+            // absolute-anchor state: the first J+1 points, captured as
+            // generated (J = deepest datapoints[j] in the formula; -1 ⇒
+            // no anchors at all) — O(J) memory regardless of num_points
+            val idxDepth = Formula.maxIdx(ast)
+            val anchors =
+              if (idxDepth >= 0) new Array[Double](idxDepth + 1) else null
+            val idxAt: Int => Double = j => anchors(j)
             ts.iterator.map { t =>
-              val v = Formula.evalPrefix(ast, t, len, mx, mn, lagAt)
+              val v = Formula.evalPrefix(ast, t, len, mx, mn, lagAt, idxAt)
               mx = if (len == 0) v else math.max(mx, v)
               mn = if (len == 0) v else math.min(mn, v)
               if (lagDepth > 0) ring((len % lagDepth).toInt) = v
+              if (anchors != null && len <= idxDepth) anchors(len.toInt) = v
               len += 1
               (gid, t, v)
             }

@@ -1360,6 +1360,51 @@ object Native {
         new GenericInternalRow(Array[Any](false, null))
     }
 
+  /** Bounded multi-byte (CJK) charset table — WHATWG encoding labels
+    * → JDK charsets (the WHATWG `gb2312` label decodes as GBK, per the
+    * encoding standard). The Column charset dispatch guards on
+    * [[cjkLabels]], so [[decodeCharset]] only ever sees these; unknown
+    * labels defensively fall back to UTF-8 (the WET convention). */
+  private val CjkCharsets: java.util.Map[String, java.nio.charset.Charset] = {
+    val m = new java.util.HashMap[String, java.nio.charset.Charset]()
+    def put(label: String, name: String): Unit =
+      m.put(label, java.nio.charset.Charset.forName(name))
+    put("shift_jis", "Shift_JIS"); put("shift-jis", "Shift_JIS")
+    put("sjis", "Shift_JIS")
+    put("euc-jp", "EUC-JP"); put("euc_jp", "EUC-JP")
+    put("gb18030", "GB18030"); put("gbk", "GBK"); put("gb2312", "GBK")
+    put("euc-kr", "EUC-KR"); put("big5", "Big5")
+    m
+  }
+
+  /** The labels [[decodeCharset]] handles, for the Column-side guard. */
+  def cjkLabels: Seq[String] = {
+    val it = CjkCharsets.keySet().iterator()
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result().sorted
+  }
+
+  /**
+   * decode_charset(bytes, label) → string: per-row MULTI-BYTE charset
+   * decode for the bounded CJK table — Spark's `decode` takes only a
+   * CONSTANT charset, and the cp1252 translate trick cannot extend to
+   * multi-byte codecs, so per-row dispatch over crawl-declared CJK
+   * charsets needs a kernel. Malformed sequences and unmappable
+   * characters decode to U+FFFD (CodingErrorAction.REPLACE — what
+   * browsers do on real web bytes), never an error; deterministic for
+   * fixed input bytes.
+   */
+  def decodeCharset(bytes: Array[Byte], charset: UTF8String): UTF8String = {
+    val cs = CjkCharsets.get(charset.toString)
+    val c = if (cs == null) java.nio.charset.StandardCharsets.UTF_8 else cs
+    val dec = c.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+  }
+
   /**
    * dechunk_try(view) → struct(ok, text): remove HTTP/1.1
    * `Transfer-Encoding: chunked` framing (RFC 9112 §7.1) from the
@@ -2076,6 +2121,25 @@ case class GunzipTryExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** decode_charset(binary, string) → string — per-row bounded-table
+  * multi-byte charset decode, malformed bytes → U+FFFD. */
+case class DecodeCharsetExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(bytes: Any, charset: Any): Any =
+    Native.decodeCharset(bytes.asInstanceOf[Array[Byte]],
+      charset.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, c) => s"graft.plans.Native.decodeCharset($b, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DecodeCharsetExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** dechunk_try(string) → struct(ok, text) — HTTP/1.1 chunked
   * transfer framing removed from a latin-1 byte-view string,
   * malformed framing degraded to (false, null). */
@@ -2111,6 +2175,10 @@ object NativeFunctions {
 
   def dechunkTry(view: Column): Column =
     ColumnBridge.column(DechunkTryExpr(ColumnBridge.expression(view)))
+
+  def decodeCharset(bytes: Column, charset: Column): Column =
+    ColumnBridge.column(DecodeCharsetExpr(ColumnBridge.expression(bytes),
+      ColumnBridge.expression(charset)))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 

@@ -120,7 +120,8 @@ class FormulaSpec extends SparkSpec {
     Formula.maxLag(Formula.parse(
       "0 if t < 3 else datapoints[-1] + datapoints[t-3]")) shouldBe 3
     // the grammar stays closed: general index expressions don't parse
-    an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[0]")
+    // (a bare non-negative integer is the absolute-anchor form Idx —
+    // covered in its own test below)
     an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[t+1]")
     an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[t]")
     an[IllegalArgumentException] should be thrownBy Formula.parse("datapoints[-0]")
@@ -145,6 +146,45 @@ class FormulaSpec extends SparkSpec {
     (0 until 60).foreach { t =>
       dps += (if (t < 3) t + 1.0
         else (dps(t - 1) % 11) + (dps(t - 3) % 4) + (t % 5))
+    }
+    val mn = dps.min; val mx = dps.max
+    val expected = dps.map(v =>
+      math.ceil(BigDecimal((v - mn) / (mx - mn) * 9.0 + 1.0)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    seriesOf(out).map(_._2) shouldBe expected.toSeq
+  }
+
+  test("absolute-anchor indexing: datapoints[j] parses, guards like Python IndexError, fold replays") {
+    import Formula.{Idx, Lag}
+    Formula.parse("datapoints[0]") shouldBe Idx(0)
+    Formula.parse("datapoints[ 2 ]") shouldBe Idx(2)
+    Formula.maxIdx(Formula.parse(
+      "datapoints[1] + datapoints[4] + datapoints[-2]")) shouldBe 4
+    Formula.maxLag(Formula.parse(
+      "datapoints[1] + datapoints[4] + datapoints[-2]")) shouldBe 2
+    // mixed forms keep their identities
+    Formula.parse("datapoints[t-1]") shouldBe Lag(1)
+    // floats / expressions inside brackets stay parse errors
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[1.5]")
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[t+1]")
+    // reading at or past the prefix end throws (Python IndexError)
+    an[IllegalArgumentException] should be thrownBy
+      Formula.evalPrefix(Formula.parse("datapoints[3]"), 3L, 3L, 0.0, 0.0)
+    // ...and the guarded branch never touches it (lazy if/else)
+    Formula.evalPrefix(Formula.parse("5 if t <= 1 else datapoints[1]"),
+      0L, 0L, 0.0, 0.0) shouldBe 5.0
+    // full generator fold vs a literal Python-loop replay: anchors 0
+    // and 2 next to lag 1
+    import graft.blueprint.Config
+    import graft.operators.Generators
+    val out = Generators.custom(spark, "gi",
+      Config.of("""{"num_points":60,"formula":"t + 2 if t < 3 else (datapoints[0] % 7) + (datapoints[2] % 3) + (datapoints[-1] % 11) + (t % 5)","signal_min":1,"signal_max":10}"""))
+    val dps = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until 60).foreach { t =>
+      dps += (if (t < 3) t + 2.0
+        else (dps(0) % 7) + (dps(2) % 3) + (dps(t - 1) % 11) + (t % 5))
     }
     val mn = dps.min; val mx = dps.max
     val expected = dps.map(v =>

@@ -249,6 +249,23 @@ class HtmlSpec extends SparkSpec {
     links shouldBe Seq(("u1", false), ("u2", true), ("u3", true))
   }
 
+  test("extractAnchors: inner text cleans (tags, entities, whitespace); empties and no-href skip") {
+    val html = "<a href=\"/a\"><b>Bold</b>  link &amp; more</a>" +
+      "<a href=\"/b\" rel=\"nofollow\">no follow</a>" +
+      "<a href=\"/c\"><img src=\"x.png\"/></a>" + // image-only → empty anchor
+      "<a name=\"no-href\">skipped entirely</a>" +
+      "<A HREF=\"/d\">caps &#8217; quote</A>"
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select("a.href", "a.anchor", "a.nofollow")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    got.toSeq shouldBe Seq(
+      ("/a", "Bold link & more", false),
+      ("/b", "no follow", true),
+      ("/c", "", false),
+      ("/d", "caps ’ quote", false))
+  }
+
   test("baseHref and canonicalUrl extract (first wins), null when absent") {
     def one(c: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
         html: String): Option[String] =

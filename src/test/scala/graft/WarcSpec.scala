@@ -389,6 +389,33 @@ class WarcSpec extends SparkSpec {
       .where($"looped").count() shouldBe 0L
   }
 
+  test("CJK charsets decode per-row: shift_jis/euc-jp/gb18030/big5/euc-kr roundtrip; malformed → U+FFFD") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def viewOf(text: String, jdkName: String): String =
+      new String(text.getBytes(java.nio.charset.Charset.forName(jdkName)), iso)
+    val cases = Seq(
+      (0L, "shift_jis", viewOf("日本語のテキストです", "Shift_JIS"),
+        "日本語のテキストです"),
+      (1L, "euc-jp", viewOf("漢字とかなのまぜがき", "EUC-JP"),
+        "漢字とかなのまぜがき"),
+      (2L, "gb18030", viewOf("简体中文文本内容", "GB18030"), "简体中文文本内容"),
+      (3L, "big5", viewOf("繁體中文文字", "Big5"), "繁體中文文字"),
+      (4L, "euc-kr", viewOf("한국어 텍스트", "EUC-KR"), "한국어 텍스트"),
+      // a dangling shift_jis lead byte decodes to U+FFFD, never throws
+      (5L, "shift_jis", "ok" + 0x82.toChar, "ok�"))
+    val framed = cases.map { case (id, cs, view, _) => (id, cs, view) }
+      .toDF("doc_id", "cs", "text")
+      .withColumn("url", concat(lit("https://cjk.ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+      .withColumn("http", Warc.httpPayload(lit("200 OK"),
+        concat(lit("text/html; charset="), col("cs")), col("text")))
+    val got = Warc.parseHttpCharset(Warc.parseRecords(
+        Warc.renderFiles(framed, textCol = "http", warcType = "response")))
+      .orderBy("rec_id").select("rec_id", "charset", "body")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    got.toSeq shouldBe cases.map { case (id, cs, _, exp) => (id, cs, exp) }
+  }
+
   test("dechunkTry: RFC 9112 chunked framing — extensions, trailers, and every malformed shape") {
     def dechunk(s: String): Option[String] = {
       val r = Seq(Tuple1(s)).toDF("v")
