@@ -50,7 +50,11 @@ object ScalingProbe {
     // round-18 third batch: revisit records, robots availability,
     // frontier trap hygiene
     "x_warc_revisit", "x_robots_availability", "x_url_traps",
-    "x_redirect_identity")
+    "x_redirect_identity",
+    // round-19: host centrality + quota select, HTTP wire codings,
+    // anchor-text corpus, CJK charsets
+    "x_host_rank", "x_rank_weighted_select", "x_warc_encoding",
+    "x_anchor_text", "x_warc_charset_cjk")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

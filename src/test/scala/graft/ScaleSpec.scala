@@ -1221,5 +1221,53 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     parsePlan should include("Generate posexplode")
     parsePlan should not include "Exchange"
+    // the wire-coding decode layer stays a pure projection too: the
+    // dechunk/gunzip/charset kernels add ZERO shuffle to the parse
+    val encPlan = Warc.parseHttpEncoded(Warc.parseRecords(fileFrame))
+      .queryExecution.executedPlan.toString
+    encPlan should not include "Exchange"
+  }
+
+  test("host rank: exchanges key on 8-byte host hashes; quota select broadcasts the rank table") {
+    // hostRank runs its K rounds eagerly (localCheckpoint per round);
+    // the returned frame is the final hash→text re-attach — pin that
+    // every hash exchange leads with the 8-byte key or a bounded host
+    // string, never a URL
+    val q = graft.SparkEntry.queries("x_host_rank")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    keys.foreach { k =>
+      withClue(s"exchange key $k: ") {
+        (k.startsWith("h") || k.startsWith("host") ||
+          k.startsWith("__")) shouldBe true
+      }
+    }
+    plan should not include "hashpartitioning(url"
+    // rankWeightedSelect: the host-bounded quota table BROADCASTS into
+    // the doc frame; the row_number window is host-PARTITIONED (the
+    // plan's window spec carries a partition column, never a global
+    // single-partition sort)
+    val q2 = graft.SparkEntry.queries("x_rank_weighted_select")(
+      spark, "/root/testdata/sf0.001")
+    val plan2 = q2.queryExecution.executedPlan.toString
+    plan2 should include("BroadcastExchange")
+    plan2 should include("Window")
+    plan2 should not include "hashpartitioning(url"
+  }
+
+  test("anchor corpus: every exchange leads with the 8-byte URL hash, never anchor or URL text") {
+    val q = graft.SparkEntry.queries("x_anchor_text")(
+      spark, "/root/testdata/sf0.001")
+    val plan = q.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    keys should not be empty
+    keys.foreach { k =>
+      withClue(s"exchange key $k: ") { k.startsWith("__") shouldBe true }
+    }
+    plan should not include "hashpartitioning(url_norm"
+    plan should not include "hashpartitioning(anchor"
   }
 }
