@@ -90,10 +90,21 @@ object LinkGraph {
    * driver-side action is a `count` of the host dictionary (the
    * bounded vertex set — the `resolveRedirects` convergence-count
    * posture).
+   *
+   * Lineage is truncated every `checkpointEvery` rounds (not every
+   * round): unlike `resolveRedirects` — whose pointer doubling reads
+   * its own frame TWICE per round and counts driver-side — each
+   * iteration here is a single-consumer chain (pr → contrib → inc →
+   * pr'), so a few un-checkpointed rounds just nest narrow joins in
+   * one plan; checkpointing each round would pay one eager
+   * materialization job per round for no reuse. Every 3 rounds keeps
+   * the plan shallow while cutting the fixed per-query job floor.
    */
   def hostRank(edges: DataFrame, srcCol: String = "src_host",
       dstCol: String = "dst_host", iterations: Int = 10,
-      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
+      dampingNum: Long = 85L, dampingDen: Long = 100L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     require(iterations >= 0, "iterations must be non-negative")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "damping must be a fraction in [0, 1]")
@@ -126,8 +137,9 @@ object LinkGraph {
         .select(col("h"),
           expr(s"${base}L + (${dampingNum}L * coalesce(inc, 0L))" +
             s" div ${dampingDen}L").as("rank"))
-        .localCheckpoint() // truncate the per-round lineage
       k += 1
+      if (k % checkpointEvery == 0 && k < iterations)
+        pr = pr.localCheckpoint() // periodic lineage truncation
     }
     pr.join(dict, "h").select(col("host"), col("rank"))
   }
@@ -160,12 +172,14 @@ object LinkGraph {
         substring(col(anchorCol), 1, maxLen).as("__a"))
       .where(col("__a") =!= "")
       .select(xxhash64(col("__u")).as("__uh"), col("__u"), col("__a"))
-    val agg = rows.groupBy("__uh").agg(
-      count(lit(1)).as("n_links"),
-      size(array_distinct(collect_list(col("__a")))).cast("long")
-        .as("n_distinct"),
-      array_join(slice(array_sort(array_distinct(collect_list(col("__a")))),
-        1, maxAnchors), " | ").as("anchors"))
+    // one collect_list buffer per group; distinct/sort/cap are
+    // projection work over it (codegen CSEs the shared subtree)
+    val agg = rows.groupBy("__uh")
+      .agg(count(lit(1)).as("n_links"), collect_list(col("__a")).as("__as"))
+      .select(col("__uh"), col("n_links"),
+        size(array_distinct(col("__as"))).cast("long").as("n_distinct"),
+        array_join(slice(array_sort(array_distinct(col("__as"))),
+          1, maxAnchors), " | ").as("anchors"))
     val dict = rows.select(col("__uh").as("__dh"), col("__u").as("url_norm"))
       .distinct()
     agg.join(dict, col("__uh") === col("__dh"))

@@ -1229,10 +1229,10 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("host rank: exchanges key on 8-byte host hashes; quota select broadcasts the rank table") {
-    // hostRank runs its K rounds eagerly (localCheckpoint per round);
-    // the returned frame is the final hash→text re-attach — pin that
-    // every hash exchange leads with the 8-byte key or a bounded host
-    // string, never a URL
+    // hostRank checkpoints every few rounds, so the returned plan
+    // carries the tail rounds' joins/aggregates next to the final
+    // hash→text re-attach — pin that every hash exchange leads with
+    // an 8-byte hash key (h / src_h / dst_h / __*), never a URL
     val q = graft.SparkEntry.queries("x_host_rank")(
       spark, "/root/testdata/sf0.001")
     val plan = q.queryExecution.executedPlan.toString
@@ -1240,8 +1240,8 @@ class ScaleSpec extends SparkSpec {
       .findAllMatchIn(plan).map(_.group(1)).toSet
     keys.foreach { k =>
       withClue(s"exchange key $k: ") {
-        (k.startsWith("h") || k.startsWith("host") ||
-          k.startsWith("__")) shouldBe true
+        (k == "h" || k.startsWith("src_h") || k.startsWith("dst_h") ||
+          k.startsWith("host") || k.startsWith("__")) shouldBe true
       }
     }
     plan should not include "hashpartitioning(url"
