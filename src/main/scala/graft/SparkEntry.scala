@@ -3562,6 +3562,41 @@ object SparkEntry {
         .orderBy("host", "doc_id")
     }),
 
+    // The prior feeding the CRAWL side: discovered frontier URLs
+    // prioritized by their target host's centrality (quality-first
+    // scheduling, the OPIC-lineage policy) — distinct resolved
+    // targets join the host-bounded rank table (broadcastable) and
+    // take a per-HOST politeness slot (host-partitioned window, never
+    // a global sort); output ordered best-host-first.
+    "x_frontier_priority" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 53),
+        lit("/p/"), id.cast("string"))
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), host((id * 2 + 1) % 53),
+        lit("/x/"), (id % 10).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"//"), host((id * 3 + 7) % 53), lit("/y\">b</a>"))
+      val links = d
+        .select(pageUrl.as("url"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .select(col("url"),
+          Html.resolveHref(col("url"), col("l")("href")).as("link"))
+      val targets = links
+        .select(Dedup.normalizeUrl(col("link")).as("url_norm")).distinct()
+        .withColumn("host", Dedup.urlHost(col("url_norm")))
+      val ranks = LinkGraph.hostRank(LinkGraph.hostEdges(links))
+      targets.join(broadcast(ranks), "host")
+        .withColumn("slot", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("url_norm")))
+          .cast("long"))
+        .select("url_norm", "host", "rank", "slot")
+        .orderBy(col("rank").desc, col("url_norm"))
+    }),
+
     // HTTP wire-coding decode — the layer BELOW charsets a real raw
     // crawl carries: five body classes (identity / chunked /
     // Content-Encoding gzip / chunked-over-gzip / truncated gzip) are
@@ -7754,6 +7789,56 @@ object SparkEntry {
         |FROM docs d JOIN quota q ON d.host = q.host
         |WHERE d.rn <= q.quota
         |ORDER BY d.host, d.doc_id""".stripMargin,
+
+    // Same recurrence, then the frontier targets restated from doc_id
+    // arithmetic, each joined to its host's rank with a per-host slot.
+    "x_frontier_priority" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hosts),
+        |e2 AS (SELECT src, dst, 1 AS w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, 1000000000000 // n FROM hosts CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
+        |         + (85 * SUM(CASE WHEN e2.w = 1
+        |                          THEN pr.rank // d.outdeg ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst),
+        |final AS (SELECT host, CAST(rank AS BIGINT) AS rank
+        |          FROM pr WHERE iter = 10),
+        |turl AS (SELECT DISTINCT url, host FROM (
+        |  SELECT 'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) ||
+        |           '.example.com/x/' || CAST(doc_id % 10 AS VARCHAR) AS url,
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) ||
+        |           '.example.com' AS host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) ||
+        |           '.example.com/y',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) ||
+        |           '.example.com'
+        |  FROM documents)),
+        |slotted AS (SELECT url AS url_norm, host,
+        |    row_number() OVER (PARTITION BY host ORDER BY url) AS slot
+        |  FROM turl)
+        |SELECT s.url_norm, s.host, f.rank, s.slot
+        |FROM slotted s JOIN final f ON s.host = f.host
+        |ORDER BY f.rank DESC, s.url_norm""".stripMargin,
 
     // Construct-the-output identity: whatever wire coding the engine
     // rendered, the decoded body must equal the base text verbatim

@@ -49,6 +49,82 @@ class KernelPropertySpec extends SparkSpec {
 
   private lazy val df = corpus.toDF("doc_id", "text")
 
+  test("random corpus: gunzip_try ∘ gzip is the identity; random chunk splits dechunk back") {
+    // gzip roundtrip over the seeded corpus (unicode, empties, soup)
+    val gz = df.select($"doc_id", $"text",
+        NativeFunctions.gunzipTry(
+          NativeFunctions.gzip(encode($"text", "UTF-8"))).as("r"))
+      .select($"text", $"r.ok", $"r.data").collect()
+    gz.foreach { r =>
+      r.getBoolean(1) shouldBe true
+      new String(r.getAs[Array[Byte]](2), "UTF-8") shouldBe r.getString(0)
+    }
+    // chunked framing: split each doc's latin-1 view at a seeded
+    // pseudo-random set of points, frame it, dechunk — identity.
+    // (Chunk construction is a Scala model here, NOT the engine's
+    // Column builder: an independent framing of the same contract.)
+    val rnd = new scala.util.Random(42)
+    val framed = corpus.map { case (id, text) =>
+      val view = new String(text.getBytes("UTF-8"),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < view.length) {
+        val n = math.min(1 + rnd.nextInt(7), view.length - i)
+        sb.append(n.toHexString).append("\r\n")
+          .append(view.substring(i, i + n)).append("\r\n")
+        i += n
+      }
+      sb.append("0\r\n\r\n")
+      (id, view, sb.toString)
+    }
+    val got = framed.toDF("doc_id", "view", "chunked")
+      .select($"view", NativeFunctions.dechunkTry($"chunked").as("r"))
+      .select($"view", $"r.ok", $"r.text").collect()
+    got.foreach { r =>
+      r.getBoolean(1) shouldBe true
+      r.getString(2) shouldBe r.getString(0)
+    }
+  }
+
+  test("random corpus: decode_charset ≡ Java decoder on every CJK charset (random CJK text)") {
+    val cjkChar: Gen[Char] = Gen.frequency(
+      (4, Gen.choose(0x3041, 0x3096).map(_.toChar)), // hiragana
+      (4, Gen.choose(0x30A1, 0x30FA).map(_.toChar)), // katakana
+      (6, Gen.choose(0x4E00, 0x9FA5).map(_.toChar)), // CJK unified
+      (2, Gen.choose(0xAC00, 0xD7A3).map(_.toChar)), // hangul
+      (3, Gen.alphaNumChar), (1, Gen.const(' ')))
+    val cjkDoc: Gen[String] =
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, cjkChar).map(_.mkString))
+    val docs = Gen.listOfN(120, cjkDoc)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val labels = Seq("shift_jis" -> "Shift_JIS", "euc-jp" -> "EUC-JP",
+      "gb18030" -> "GB18030", "gbk" -> "GBK", "euc-kr" -> "EUC-KR",
+      "big5" -> "Big5")
+    val rows = for (d <- docs; (label, jdk) <- labels) yield {
+      val cs = java.nio.charset.Charset.forName(jdk)
+      // encode with REPLACE (chars outside the charset's repertoire
+      // become '?'), then the expected decode via the same Java
+      // decoder the kernel wraps
+      val enc = cs.newEncoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      val bytes = {
+        val bb = enc.encode(java.nio.CharBuffer.wrap(d))
+        val a = new Array[Byte](bb.remaining()); bb.get(a); a
+      }
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      (bytes, label, dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    }
+    val got = rows.toDF("bytes", "label", "expected")
+      .select($"expected",
+        NativeFunctions.decodeCharset($"bytes", $"label").as("got"))
+      .collect()
+    got.foreach(r => r.getString(1) shouldBe r.getString(0))
+  }
+
   test("random corpus: fused tokenizer ≡ Column formulation") {
     df.select(TextStats.tokens($"text").as("a"),
         TextStats.tokensColumnar($"text").as("b"))
