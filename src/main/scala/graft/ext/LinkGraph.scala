@@ -188,6 +188,30 @@ object LinkGraph {
   }
 
   /**
+   * Stateless host-prior gate — the STREAMING twin of the rank
+   * consumption (power iteration is a batch shape; a `readStream` of
+   * arriving pages can't iterate): broadcast the bounded
+   * batch-computed `(host, rank)` table into a stream-static
+   * equi-join on the 8-byte host hash — the `Warc.gateRedirects` /
+   * Bloom-decontaminator posture. Each arriving page gains
+   * `host` (canonical) and `host_rank` (its host's prior;
+   * `defaultRank` for hosts the graph never saw — new hosts carry no
+   * endorsement yet). Zero state, no watermark — the same plan gates
+   * a batch frame identically (stream ≡ batch pinned in
+   * StreamingSpec).
+   */
+  def gateHostPrior(pages: DataFrame, ranks: DataFrame,
+      urlCol: String = "url", defaultRank: Long = 0L): DataFrame = {
+    val map = broadcast(ranks.select(
+      xxhash64(col("host")).as("__rh"), col("rank").as("__rk")))
+    pages
+      .withColumn("host", Dedup.urlHost(Dedup.normalizeUrl(col(urlCol))))
+      .join(map, xxhash64(col("host")) === col("__rh"), "left")
+      .withColumn("host_rank", coalesce(col("__rk"), lit(defaultRank)))
+      .drop("__rh", "__rk")
+  }
+
+  /**
    * Rank-weighted document selection — the prior put to work: each
    * host gets a document quota proportional to its rank,
    * `quota(h) = (rank(h) * totalBudget) div RankScale` (fixed-point

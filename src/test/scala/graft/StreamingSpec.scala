@@ -505,6 +505,41 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[Int]("n_tokens") shouldBe 5
   }
 
+  test("host-rank prior gates a stream of arriving pages statelessly, equal to batch") {
+    // the power iteration is batch work; its (host, rank) product
+    // broadcasts into a stream-static join — arriving pages adopt
+    // their host's prior, unseen hosts get the default
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.LinkGraph
+    val ranks = LinkGraph.hostRank(Seq(
+      ("a.com", "b.com"), ("b.com", "c.com"), ("c.com", "a.com"))
+      .toDF("src_host", "dst_host"))
+    val pages = Seq(
+      (1L, "HTTPS://WWW.A.com:443/page?x=1"), // canonicalizes to a.com
+      (2L, "http://b.com/other"),
+      (3L, "https://never-seen.org/x")) // not in the graph → default
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      LinkGraph.gateHostPrior(df, ranks).select("doc_id", "host", "host_rank")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(pages: _*)
+    val q = gate(mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("prior_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamRows = spark.table("prior_gate").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batchRows = gate(pages.toDF("doc_id", "url")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    streamRows shouldBe batchRows
+    val byId = batchRows.map(r => r.head -> (r(1), r(2))).toMap
+    byId(1L)._1 shouldBe "a.com"
+    byId(3L) shouldBe ("never-seen.org", 0L)
+    // seen hosts carry their exact batch rank
+    val rankOf = ranks.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byId(1L)._2 shouldBe rankOf("a.com")
+    byId(2L)._2 shouldBe rankOf("b.com")
+  }
+
   test("parseHttpEncoded gates a stream of raw WARC files statelessly, equal to batch") {
     // rendering is a batch aggregate, but PARSE + wire-coding decode
     // is the stateless ingest gate a readStream of arriving crawl
