@@ -3534,6 +3534,33 @@ object SparkEntry {
       LinkGraph.hostRank(LinkGraph.hostEdges(links)).orderBy("host")
     }),
 
+    // Weighted variant: edges keep their page-level MULTIPLICITY (a
+    // host linking somewhere from many pages endorses it more than a
+    // single footnote), each source splitting its mass proportionally
+    // — contrib = (rank div total_out_weight) · weight, still exact
+    // integer arithmetic. Same recursive-CTE oracle with the distinct
+    // replaced by a count-weighted group.
+    "x_host_rank_weighted" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 53),
+        lit("/p/"), id.cast("string"))
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), host((id * 2 + 1) % 53),
+        lit("/x/"), (id % 10).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"//"), host((id * 3 + 7) % 53), lit("/y\">b</a>"))
+      val links = d
+        .select(pageUrl.as("url"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .select(col("url"),
+          Html.resolveHref(col("url"), col("l")("href")).as("link"))
+      LinkGraph.hostRank(LinkGraph.hostEdgesWeighted(links),
+          weightCol = "weight")
+        .orderBy("host")
+    }),
+
     // The prior put to work: each host's document quota is
     // floor(rank · budget / scale) — exact integer arithmetic, quotas
     // sum to ≤ budget — and the host's first-quota docs by id are
@@ -7741,6 +7768,40 @@ object SparkEntry {
         |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
         |         + (85 * SUM(CASE WHEN e2.w = 1
         |                          THEN pr.rank // d.outdeg ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst)
+        |SELECT host, CAST(rank AS BIGINT) AS rank
+        |FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
+
+    // The weighted recurrence: the distinct becomes a count-weighted
+    // group, sources split mass proportionally to edge weight.
+    "x_host_rank_weighted" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT src, dst, count(*) AS w FROM raw
+        |          WHERE src <> dst GROUP BY 1, 2),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, SUM(w) AS totw FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hosts),
+        |e2 AS (SELECT src, dst, w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, 1000000000000 // n FROM hosts CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
+        |         + (85 * SUM(CASE WHEN e2.w > 0
+        |                          THEN (pr.rank // d.totw) * e2.w
+        |                          ELSE 0 END)) // 100
         |  FROM pr JOIN e2 ON pr.host = e2.src
         |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
         |  WHERE pr.iter < 10

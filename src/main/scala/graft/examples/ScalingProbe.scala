@@ -54,7 +54,8 @@ object ScalingProbe {
     // round-19: host centrality + quota select, HTTP wire codings,
     // anchor-text corpus, CJK charsets
     "x_host_rank", "x_rank_weighted_select", "x_warc_encoding",
-    "x_anchor_text", "x_warc_charset_cjk", "x_frontier_priority")
+    "x_anchor_text", "x_warc_charset_cjk", "x_frontier_priority",
+    "x_host_rank_weighted")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {

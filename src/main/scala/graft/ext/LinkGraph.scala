@@ -65,6 +65,21 @@ object LinkGraph {
       .where(col("src_host") =!= col("dst_host"))
       .distinct()
 
+  /** [[hostEdges]] keeping MULTIPLICITY: `(src_host, dst_host,
+    * weight)` where weight counts the page-level links behind each
+    * host pair — the weighted-graph reduction (a host linking
+    * somewhere ten thousand times endorses it more than a single
+    * footnote does; the distinct form treats them equally). Same
+    * single-exchange collapse, the groupBy replacing the distinct. */
+  def hostEdgesWeighted(links: DataFrame, srcUrlCol: String = "url",
+      dstUrlCol: String = "link"): DataFrame =
+    links.select(
+        Dedup.urlHost(Dedup.normalizeUrl(col(srcUrlCol))).as("src_host"),
+        Dedup.urlHost(Dedup.normalizeUrl(col(dstUrlCol))).as("dst_host"))
+      .where(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("weight"))
+
   /**
    * Fixed-K PageRank power iteration over a host edge set:
    * `(host, rank)` with `rank` in [[RankScale]] fixed-point units.
@@ -99,19 +114,34 @@ object LinkGraph {
    * one plan; checkpointing each round would pay one eager
    * materialization job per round for no reuse. Every 3 rounds keeps
    * the plan shallow while cutting the fixed per-query job floor.
+   *
+   * With a non-empty `weightCol` the iteration runs WEIGHTED
+   * PageRank: duplicate `(src, dst)` rows combine by summing their
+   * weights, each source splits its mass proportionally —
+   * `contrib(e) = (rank(src) div totw(src)) · w(e)` where `totw` is
+   * the source's total out-weight — and non-positive weights drop.
+   * All-1 weights over a deduplicated edge set reproduce the
+   * unweighted recurrence exactly (spec-pinned); overflow-safe since
+   * `(rank div totw)·w ≤ rank` for every edge.
    */
   def hostRank(edges: DataFrame, srcCol: String = "src_host",
       dstCol: String = "dst_host", iterations: Int = 10,
       dampingNum: Long = 85L, dampingDen: Long = 100L,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 3, weightCol: String = ""): DataFrame = {
     require(checkpointEvery > 0, "checkpointEvery must be positive")
     require(iterations >= 0, "iterations must be non-negative")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       "damping must be a fraction in [0, 1]")
-    val e0 = edges
-      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-      .where(col(srcCol) =!= col(dstCol))
-      .distinct()
+    val e0 = (if (weightCol.isEmpty)
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+        .where(col(srcCol) =!= col(dstCol))
+        .distinct()
+        .withColumn("__w", lit(1L))
+    else
+      edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+          col(weightCol).cast("long").as("__w0"))
+        .where(col(srcCol) =!= col(dstCol) && col(weightCol) > 0)
+        .groupBy("__s", "__d").agg(sum(col("__w0")).as("__w")))
       .localCheckpoint()
     val dict = e0.select(col("__s").as("host"))
       .union(e0.select(col("__d").as("host")))
@@ -122,15 +152,15 @@ object LinkGraph {
     if (n == 0L)
       return dict.select(col("host"), lit(0L).as("rank"))
     val eh = e0.select(xxhash64(col("__s")).as("src_h"),
-      xxhash64(col("__d")).as("dst_h"))
-    val deg = eh.groupBy("src_h").agg(count(lit(1)).as("outdeg"))
+      xxhash64(col("__d")).as("dst_h"), col("__w").as("w"))
+    val deg = eh.groupBy("src_h").agg(sum(col("w")).as("totw"))
     val edgesDeg = eh.join(deg, "src_h").localCheckpoint()
     val base = ((dampingDen - dampingNum) * RankScale / dampingDen) / n
     var pr = dict.select(col("h"), lit(RankScale / n).as("rank"))
     var k = 0
     while (k < iterations) {
       val contrib = pr.join(edgesDeg, pr("h") === edgesDeg("src_h"))
-        .select(col("dst_h"), expr("rank div outdeg").as("c"))
+        .select(col("dst_h"), expr("(rank div totw) * w").as("c"))
       val inc = contrib.groupBy("dst_h").agg(sum(col("c")).as("inc"))
       pr = dict.select(col("h"))
         .join(inc, col("h") === col("dst_h"), "left")

@@ -53,6 +53,60 @@ class LinkGraphSpec extends SparkSpec {
     rankOf(edges, iterations = 3) shouldBe refRank(edges, iterations = 3)
   }
 
+  /** Weighted reference model: sources split mass proportionally. */
+  private def refRankWeighted(edges: Seq[(String, String, Long)],
+      iterations: Int = 10, num: Long = 85L,
+      den: Long = 100L): Map[String, Long] = {
+    val e = edges.filter { case (s, d, w) => s != d && w > 0 }
+      .groupBy(t => (t._1, t._2)).map { case ((s, d), ts) =>
+        (s, d, ts.map(_._3).sum) }.toSeq
+    val hosts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = hosts.size.toLong
+    val totw = e.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = ((den - num) * LinkGraph.RankScale / den) / n
+    var r = hosts.map(_ -> LinkGraph.RankScale / n).toMap
+    for (_ <- 0 until iterations) {
+      val inc = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) / totw(s) * w }.sum).toMap
+      r = hosts.map(h => h -> (base + num * inc.getOrElse(h, 0L) / den)).toMap
+    }
+    r
+  }
+
+  test("hostRank weighted: proportional mass split ≡ reference model; all-1 weights ≡ unweighted") {
+    val wEdges = Seq(
+      ("a", "b", 9L), ("a", "c", 1L), // a endorses b 9x harder
+      ("b", "a", 1L), ("c", "a", 1L),
+      ("a", "b", 2L), // duplicate pair: combines to 11
+      ("a", "a", 5L), // self-loop ignored
+      ("c", "d", 0L)) // non-positive weight drops (d vanishes)
+    val got = LinkGraph.hostRank(
+        wEdges.toDF("src_host", "dst_host", "weight"), weightCol = "weight")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe refRankWeighted(wEdges)
+    got.keySet should not contain "d"
+    got("b") should be > got("c") // the 11:1 split shows in the ranks
+    // all-1 weights over a deduplicated edge set ≡ the unweighted path
+    val plain = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val viaWeights = LinkGraph.hostRank(
+        plain.map { case (s, d) => (s, d, 1L) }
+          .toDF("src_host", "dst_host", "weight"), weightCol = "weight")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    viaWeights shouldBe rankOf(plain)
+  }
+
+  test("hostEdgesWeighted: multiplicity survives as weight, self-edges drop") {
+    val links = Seq(
+      ("https://a.com/1", "http://b.com/x"),
+      ("https://a.com/2", "https://WWW.B.com/y"), // same host pair
+      ("https://a.com/3", "https://a.com/other"), // self → drop
+      ("http://c.com/", "https://a.com/z"))
+      .toDF("url", "link")
+    LinkGraph.hostEdgesWeighted(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet shouldBe Set(("a.com", "b.com", 2L), ("c.com", "a.com", 1L))
+  }
+
   test("hostRank: no in-links settles at base; dangling mass leaks") {
     // x -> y only: x has no in-links, y is dangling
     val r = rankOf(Seq("x" -> "y"))
