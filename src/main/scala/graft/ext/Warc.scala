@@ -411,10 +411,14 @@ object Warc {
    * the silent-corruption mode this closes.
    *
    * Same latin-1 byte-view contract as [[parseHttpCharset]]: framing
-   * and compressed bytes ride view strings (char ≡ byte), the chunked
-   * framing is removed by the native `dechunk_try` kernel, gzip by
-   * the member-walking `gunzip_try` kernel (both single codegen'd
-   * calls; corruption degrades per-row). Adds `transfer_encoding` and
+   * and compressed bytes ride view strings (char ≡ byte), both
+   * codings removed by ONE fused `decode_http_body` kernel call
+   * (chunked walk then member-walking inflate in a single imperative
+   * pass — the two-kernel Column composition re-evaluated the chain
+   * per output column, ~3× the parse cost; the composed
+   * `dechunk_try`/`gunzip_try` expressions remain for spec/direct
+   * use, equality-pinned on the same body classes). Corruption
+   * degrades per-row. Adds `transfer_encoding` and
    * `content_encoding` (lowercased header values, null when absent)
    * and `body_ok` next to [[parseHttpCharset]]'s columns: `body_ok`
    * is false — with a null `body` — when a declared coding is
@@ -445,25 +449,12 @@ object Warc {
     val bodyView = when(status.isNotNull,
       payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
         length(payload)))
-    // layer 1: transfer coding (chunked framing off first)
-    val chunkRes = graft.plans.NativeFunctions.dechunkTry(bodyView)
-    val teIdentity = te.isNull || te === "identity"
-    val teOk = when(bodyView.isNull || teIdentity, lit(true))
-      .when(te === "chunked", coalesce(chunkRes("ok"), lit(false)))
-      .otherwise(lit(false)) // unsupported transfer coding
-    val view1 = when(teIdentity, bodyView)
-      .when(te === "chunked", chunkRes("text"))
-    // layer 2: content coding (gzip members off the de-framed bytes)
-    val gzRes = graft.plans.NativeFunctions.gunzipTry(
-      encode(view1, "ISO-8859-1"))
-    val ceIdentity = ce.isNull || ce === "identity"
-    val isGzip = ce.isin("gzip", "x-gzip")
-    val ceOk = when(view1.isNull || ceIdentity, lit(true))
-      .when(isGzip, coalesce(gzRes("ok"), lit(false)))
-      .otherwise(lit(false)) // unsupported content coding
-    val view2 = when(ceIdentity, view1)
-      .when(isGzip, decode(gzRes("data"), "ISO-8859-1"))
-    val bodyOk = teOk && ceOk
+    // one fused kernel call removes both coding layers; null te/ce
+    // pre-coalesce to "" (≡ absent ≡ identity). A bodiless row gives
+    // a null struct: trivially ok, null body.
+    val res = graft.plans.NativeFunctions.decodeHttpBody(bodyView,
+      coalesce(te, lit("")), coalesce(ce, lit("")))
+    val bodyOk = coalesce(res("ok"), lit(true))
     val cs = coalesce(charset, lit(defaultCharset.toLowerCase))
     parsed
       .withColumn("status_code", status)
@@ -474,7 +465,8 @@ object Warc {
       .withColumn("location", nullif(
         regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
       .withColumn("body_ok", bodyOk)
-      .withColumn("body", when(bodyOk, decodeViewCharset(view2, cs)))
+      // a failed decode carries a null body in the struct already
+      .withColumn("body", decodeViewCharset(res("body"), cs))
       .withColumn("kept",
         coalesce(status === 200 && mime.startsWith("text/"), lit(false)) &&
           bodyOk)

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -1417,9 +1417,15 @@ object Native {
    * degrades to `(false, null)`.
    */
   def dechunkTry(view: UTF8String): InternalRow = {
-    val s = view.toString
+    val t = dechunkCore(view.toString)
+    if (t == null) new GenericInternalRow(Array[Any](false, null))
+    else new GenericInternalRow(Array[Any](true, UTF8String.fromString(t)))
+  }
+
+  /** The [[dechunkTry]] walk itself: de-framed body, or null on any
+    * malformed shape. */
+  private def dechunkCore(s: String): String = {
     val n = s.length
-    def fail = new GenericInternalRow(Array[Any](false, null))
     val out = new java.lang.StringBuilder(n)
     var i = 0
     while (true) {
@@ -1434,37 +1440,78 @@ object Native {
       }) {
         size = size * 16 +
           (if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10)
-        if (size > n) return fail // can't fit in what's left anyway
+        if (size > n) return null // can't fit in what's left anyway
         i += 1
       }
-      if (i == start) return fail // no hex digits where a size is due
+      if (i == start) return null // no hex digits where a size is due
       while (i < n && s.charAt(i) != '\r') i += 1 // ;ext=... ignored
-      if (i + 1 >= n || s.charAt(i + 1) != '\n') return fail
+      if (i + 1 >= n || s.charAt(i + 1) != '\n') return null
       i += 2
       if (size == 0L) {
         // trailer section: zero or more non-empty lines, then CRLF
         while (true) {
           if (i + 1 < n && s.charAt(i) == '\r' && s.charAt(i + 1) == '\n') {
             i += 2
-            return if (i == n)
-              new GenericInternalRow(
-                Array[Any](true, UTF8String.fromString(out.toString)))
-            else fail // trailing garbage past the terminator
+            return if (i == n) out.toString
+            else null // trailing garbage past the terminator
           }
           val ls = i
           while (i < n && s.charAt(i) != '\r') i += 1
-          if (i == ls || i + 1 >= n || s.charAt(i + 1) != '\n') return fail
+          if (i == ls || i + 1 >= n || s.charAt(i + 1) != '\n') return null
           i += 2
         }
       }
-      if (i + size > n) return fail // short data
+      if (i + size > n) return null // short data
       out.append(s, i, i + size.toInt)
       i += size.toInt
       if (i + 1 >= n || s.charAt(i) != '\r' || s.charAt(i + 1) != '\n')
-        return fail
+        return null
       i += 2
     }
-    fail // unreachable
+    null // unreachable
+  }
+
+  /**
+   * decode_http_body(view, te, ce) → struct(ok, body): the FUSED HTTP
+   * wire-coding decode — remove `Transfer-Encoding: chunked` framing,
+   * then inflate `Content-Encoding: gzip`/`x-gzip` members, in ONE
+   * imperative pass over the latin-1 byte-view body. `te`/`ce` are
+   * the lowercased header values with null pre-coalesced to `""`
+   * (≡ absent ≡ `identity`); any other coding, malformed framing, or
+   * corrupt gzip yields `(false, null)`. Exists because the two-kernel
+   * Column composition re-evaluated the chain per OUTPUT COLUMN
+   * (every `gunzip_try` reference re-ran the dechunk feeding it —
+   * measured ~3× the parse cost); this is one call whose result
+   * fields the projection shares. Bit-identical to the composed
+   * `dechunk_try`/`gunzip_try` path (WarcSpec pins the composition on
+   * the same five body classes).
+   */
+  def decodeHttpBody(view: UTF8String, te: UTF8String,
+      ce: UTF8String): InternalRow = {
+    def fail = new GenericInternalRow(Array[Any](false, null))
+    val teS = te.toString
+    val ceS = ce.toString
+    // layer 1: transfer coding (chunked framing off first)
+    var v: String = view.toString
+    if (teS == "chunked") {
+      v = dechunkCore(v)
+      if (v == null) return fail
+    } else if (!(teS.isEmpty || teS == "identity")) return fail
+    // layer 2: content coding (gzip members off the de-framed bytes)
+    if (ceS == "gzip" || ceS == "x-gzip") {
+      val bytes = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) { bytes(i) = v.charAt(i).toByte; i += 1 }
+      val out =
+        try gunzipMembers(bytes)
+        catch { case _: java.io.IOException => null }
+      if (out == null) return fail
+      val sb = new java.lang.StringBuilder(out.length)
+      var j = 0
+      while (j < out.length) { sb.append((out(j) & 0xff).toChar); j += 1 }
+      v = sb.toString
+    } else if (!(ceS.isEmpty || ceS == "identity")) return fail
+    new GenericInternalRow(Array[Any](true, UTF8String.fromString(v)))
   }
 }
 
@@ -2140,6 +2187,27 @@ case class DecodeCharsetExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** decode_http_body(view, te, ce) → struct(ok, body) — fused
+  * chunked-then-gzip wire-coding decode, one pass per row. */
+case class DecodeHttpBodyExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("body", StringType, nullable = true)))
+
+  override protected def nullSafeEval(view: Any, te: Any, ce: Any): Any =
+    Native.decodeHttpBody(view.asInstanceOf[UTF8String],
+      te.asInstanceOf[UTF8String], ce.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, t, c) => s"graft.plans.Native.decodeHttpBody($v, $t, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): DecodeHttpBodyExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** dechunk_try(string) → struct(ok, text) — HTTP/1.1 chunked
   * transfer framing removed from a latin-1 byte-view string,
   * malformed framing degraded to (false, null). */
@@ -2179,6 +2247,10 @@ object NativeFunctions {
   def decodeCharset(bytes: Column, charset: Column): Column =
     ColumnBridge.column(DecodeCharsetExpr(ColumnBridge.expression(bytes),
       ColumnBridge.expression(charset)))
+
+  def decodeHttpBody(view: Column, te: Column, ce: Column): Column =
+    ColumnBridge.column(DecodeHttpBodyExpr(ColumnBridge.expression(view),
+      ColumnBridge.expression(te), ColumnBridge.expression(ce)))
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashExpr(ColumnBridge.expression(tokens)))
 

@@ -460,6 +460,59 @@ class WarcSpec extends SparkSpec {
     badRow.getBoolean(0) shouldBe false
   }
 
+  test("decode_http_body fused kernel ≡ the composed dechunk_try/gunzip_try chain") {
+    import graft.plans.NativeFunctions
+    def gzipOne(s: String): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    def chunk1(s: String): String =
+      if (s.isEmpty) "0\r\n\r\n"
+      else s.length.toHexString + "\r\n" + s + "\r\n0\r\n\r\n"
+    val rows = Seq(
+      ("plain body", "", ""),
+      ("plain body", "identity", "identity"),
+      (chunk1("hello there"), "chunked", ""),
+      (gzipOne("zzz compressed"), "", "gzip"),
+      (gzipOne("stacked"), "", "x-gzip"),
+      (chunk1(gzipOne("both layers")), "chunked", "gzip"),
+      ("junk framing", "chunked", ""), // malformed chunk framing
+      ("not gzip bytes", "", "gzip"), // corrupt member
+      (chunk1("ok"), "chunked", "br"), // unsupported content coding
+      ("x", "deflate", ""), // unsupported transfer coding
+      ("", "", "")) // empty identity body
+    val df = rows.toDF("v", "te", "ce")
+    // the composed two-kernel chain, exactly as parseHttpEncoded was
+    // first written
+    val teI = col("te") === "" || col("te") === "identity"
+    val ch = NativeFunctions.dechunkTry(col("v"))
+    val teOk = when(teI, lit(true))
+      .when(col("te") === "chunked", coalesce(ch("ok"), lit(false)))
+      .otherwise(lit(false))
+    val v1 = when(teI, col("v")).when(col("te") === "chunked", ch("text"))
+    val gz = NativeFunctions.gunzipTry(encode(v1, "ISO-8859-1"))
+    val ceI = col("ce") === "" || col("ce") === "identity"
+    val isG = col("ce").isin("gzip", "x-gzip")
+    val ceOk = when(v1.isNull || ceI, lit(true))
+      .when(isG, coalesce(gz("ok"), lit(false)))
+      .otherwise(lit(false))
+    val v2 = when(ceI, v1).when(isG, decode(gz("data"), "ISO-8859-1"))
+    val composedOk = teOk && ceOk
+    val fused = NativeFunctions.decodeHttpBody(col("v"), col("te"), col("ce"))
+    val got = df.select(col("v"), col("te"), col("ce"),
+        fused("ok").as("fok"), fused("body").as("fbody"),
+        composedOk.as("cok"), when(composedOk, v2).as("cbody"))
+      .collect()
+    got.foreach { r =>
+      withClue(s"te=${r.getString(1)} ce=${r.getString(2)}: ") {
+        r.getBoolean(3) shouldBe r.getBoolean(5)
+        r.getString(4) shouldBe r.getString(6)
+      }
+    }
+  }
+
   test("parseHttpEncoded: chunked/gzip/combined bodies decode; corrupt and unsupported codings flag") {
     val texts = Seq(
       0L -> "identity body — naïve café ☕",
