@@ -422,6 +422,22 @@ object Formula {
       } else fail(s"unexpected char '${c}' at $pos")
     }
 
+    /** Digit-literal index bound: [[Ast.Idx]] anchors size the
+      * generator's `anchors` array (`J+1` doubles), so an
+      * out-of-Int-range literal (`datapoints[99999999999]`) or a
+      * huge-but-valid one (`datapoints[2000000000]` → a 16 GB array)
+      * must die HERE with the parser's own error type, not as a
+      * NumberFormatException or an executor OOM. 10^6 points is far
+      * past any blueprint's series length. */
+    private val MaxIndexLiteral = 1000000
+
+    private def boundedIndex(digits: String, at: Int): Int = {
+      if (digits.length > 7 || digits.toLong > MaxIndexLiteral)
+        fail(s"index literal in datapoints[...] at $at exceeds the " +
+          s"$MaxIndexLiteral cap: $digits")
+      digits.toInt
+    }
+
     // datapoints[-K] | datapoints[t-K] (K a positive integer literal —
     // the bounded-lag forms, both meaning "K-th most recent") |
     // datapoints[J] (J a non-negative integer literal — the absolute
@@ -444,7 +460,7 @@ object Formula {
       if (peek.isDigit) { // absolute anchor: datapoints[J]
         val ds = pos
         while (pos < src.length && src(pos).isDigit) pos += 1
-        val j = src.substring(ds, pos).toInt
+        val j = boundedIndex(src.substring(ds, pos), ds)
         skipWs()
         if (peek != ']') fail(s"expected ']' at $pos")
         pos += 1
@@ -461,7 +477,7 @@ object Formula {
       val ds = pos
       while (pos < src.length && src(pos).isDigit) pos += 1
       if (pos == ds) fail(s"expected integer lag in datapoints[...] at $pos")
-      val k = src.substring(ds, pos).toInt
+      val k = boundedIndex(src.substring(ds, pos), ds)
       if (k < 1) fail(s"lag in datapoints[...] must be >= 1, got $k")
       skipWs()
       if (peek != ']') fail(s"expected ']' at $pos")

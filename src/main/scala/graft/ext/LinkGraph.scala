@@ -119,7 +119,10 @@ object LinkGraph {
    * PageRank: duplicate `(src, dst)` rows combine by summing their
    * weights, each source splits its mass proportionally —
    * `contrib(e) = (rank(src) div totw(src)) · w(e)` where `totw` is
-   * the source's total out-weight — and non-positive weights drop.
+   * the source's total out-weight. Weights cast to long FIRST; any
+   * edge whose casted weight is non-positive drops (so a fractional
+   * weight in (0,1) drops rather than truncating to a 0 that would
+   * poison `totw` — integral weight columns are the contract).
    * All-1 weights over a deduplicated edge set reproduce the
    * unweighted recurrence exactly (spec-pinned); overflow-safe since
    * `(rank div totw)·w ≤ rank` for every edge.
@@ -138,9 +141,12 @@ object LinkGraph {
         .distinct()
         .withColumn("__w", lit(1L))
     else
+      // filter on the CASTED value: a fractional weight in (0,1)
+      // passes a raw-column test but truncates to 0, leaking mass
+      // into a 0-divisor totw — cast first, then drop non-positives
       edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
           col(weightCol).cast("long").as("__w0"))
-        .where(col(srcCol) =!= col(dstCol) && col(weightCol) > 0)
+        .where(col("__s") =!= col("__d") && col("__w0") > 0)
         .groupBy("__s", "__d").agg(sum(col("__w0")).as("__w")))
       .localCheckpoint()
     val dict = e0.select(col("__s").as("host"))
@@ -185,13 +191,21 @@ object LinkGraph {
    * each, joined with `" | "` — the bounded per-target description a
    * retrieval index or quality scorer consumes.
    *
-   * Caps apply BEFORE the aggregate (length) and inside it (count),
-   * so no unbounded anchor mass ever accumulates per key — a
-   * Wikipedia-shaped target with millions of in-links carries at most
-   * `maxAnchors · maxLen` chars out of the groupBy. The exchange key
-   * is the 8-byte `xxhash64` of the canonical URL; URL text joins
-   * back once at the end (hash-identity convention). Empty anchors
-   * (image-only elements) are dropped.
+   * Caps apply BEFORE the aggregate: length pre-aggregate
+   * (`substring` to `maxLen`), and count via a per-key
+   * `row_number <= maxAnchors` over the DISTINCT `(url, anchor)`
+   * pair frame — so the `collect_list` buffer holds at most
+   * `maxAnchors` entries per key and no unbounded anchor mass ever
+   * accumulates. A Wikipedia-shaped target with millions of in-links
+   * hash-aggregates its pairs across partitions (partial-agg keys are
+   * the PAIRS, never one hot target key), ranks the survivors inside
+   * one host-hash partition, and carries at most `maxAnchors · maxLen`
+   * chars into and out of the final groupBy. `n_links` (uncapped link
+   * count) and `n_distinct` (uncapped distinct-anchor count) are
+   * cheap count aggregates over the same frames — counters, not
+   * buffers. The exchange key is the 8-byte `xxhash64` of the
+   * canonical URL; URL text joins back once at the end (hash-identity
+   * convention). Empty anchors (image-only elements) are dropped.
    */
   def anchorCorpus(anchors: DataFrame, urlCol: String = "url",
       anchorCol: String = "anchor", maxAnchors: Int = 8,
@@ -202,17 +216,27 @@ object LinkGraph {
         substring(col(anchorCol), 1, maxLen).as("__a"))
       .where(col("__a") =!= "")
       .select(xxhash64(col("__u")).as("__uh"), col("__u"), col("__a"))
-    // one collect_list buffer per group; distinct/sort/cap are
-    // projection work over it (codegen CSEs the shared subtree)
-    val agg = rows.groupBy("__uh")
-      .agg(count(lit(1)).as("n_links"), collect_list(col("__a")).as("__as"))
-      .select(col("__uh"), col("n_links"),
-        size(array_distinct(col("__as"))).cast("long").as("n_distinct"),
-        array_join(slice(array_sort(array_distinct(col("__as"))),
-          1, maxAnchors), " | ").as("anchors"))
+    // uncapped link count — a counter aggregate, O(1) buffer per key
+    val counts = rows.groupBy("__uh").agg(count(lit(1)).as("n_links"))
+    // bound the collect's INPUT: distinct pairs (partial aggregation
+    // keys on the pair, so a hot target never concentrates in one
+    // buffer), then keep only the first maxAnchors anchors per key
+    val pairs = rows.select(col("__uh"), col("__a")).distinct()
+    val ranked = pairs
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__uh").orderBy("__a")))
+      .withColumn("__nd", count(lit(1)).over(Window.partitionBy("__uh")))
+      .where(col("__rn") <= maxAnchors)
+    // collect_list sees <= maxAnchors rows per key by construction;
+    // the groupBy reuses the window's __uh partitioning (no exchange)
+    val top = ranked.groupBy("__uh")
+      .agg(max(col("__nd")).as("n_distinct"),
+        array_join(array_sort(collect_list(col("__a"))), " | ")
+          .as("anchors"))
     val dict = rows.select(col("__uh").as("__dh"), col("__u").as("url_norm"))
       .distinct()
-    agg.join(dict, col("__uh") === col("__dh"))
+    counts.join(top, "__uh")
+      .join(dict, col("__uh") === col("__dh"))
       .select(col("url_norm"), col("n_links"), col("n_distinct"),
         col("anchors"))
   }

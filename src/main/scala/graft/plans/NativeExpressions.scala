@@ -1444,6 +1444,10 @@ object Native {
         i += 1
       }
       if (i == start) return null // no hex digits where a size is due
+      // RFC 9112 §7.1.1: anything after the size must be a chunk-ext,
+      // and chunk-ext MUST begin with ';' — '3XYZ' is malformed, not
+      // "size 3 with junk". Accept only ';'-led extensions or CR here.
+      if (i < n && s.charAt(i) != '\r' && s.charAt(i) != ';') return null
       while (i < n && s.charAt(i) != '\r') i += 1 // ;ext=... ignored
       if (i + 1 >= n || s.charAt(i + 1) != '\n') return null
       i += 2

@@ -169,6 +169,19 @@ class FormulaSpec extends SparkSpec {
       Formula.parse("datapoints[1.5]")
     an[IllegalArgumentException] should be thrownBy
       Formula.parse("datapoints[t+1]")
+    // index literals past the 10^6 cap fail AT PARSE with the
+    // parser's own error type — both the out-of-Int-range literal
+    // (would otherwise NumberFormatException) and the huge-but-valid
+    // one (would otherwise size a J+1-element anchors array)
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[99999999999]")
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[2000000000]")
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[1000001]")
+    an[IllegalArgumentException] should be thrownBy
+      Formula.parse("datapoints[-99999999999]") // lag form, same cap
+    Formula.parse("datapoints[1000000]") shouldBe Idx(1000000) // at cap
     // reading at or past the prefix end throws (Python IndexError)
     an[IllegalArgumentException] should be thrownBy
       Formula.evalPrefix(Formula.parse("datapoints[3]"), 3L, 3L, 0.0, 0.0)

@@ -150,4 +150,45 @@ class LinkGraphSpec extends SparkSpec {
       (1L to 5L).map(i => "big" -> i * 10).toSet ++
         (1L to 2L).map(i => "mid" -> i * 10).toSet)
   }
+
+  test("hostRank weighted: fractional weights drop on the CASTED value, never truncate to 0") {
+    // all weights in (0,1): each truncates to 0 long — with the raw-
+    // column filter they'd pass, totw would be 0, and 'rank div totw'
+    // would NULL-leak; cast-first filtering drops them all → empty
+    val frac = Seq(("a", "b", 0.9), ("b", "c", 0.5), ("c", "a", 0.1))
+      .toDF("src_host", "dst_host", "weight")
+    LinkGraph.hostRank(frac, weightCol = "weight").count() shouldBe 0L
+    // mixed: the fractional edge drops, the integral ones survive
+    val mixed = Seq(("a", "b", 2.0), ("b", "a", 1.0), ("a", "c", 0.5))
+      .toDF("src_host", "dst_host", "weight")
+    val got = LinkGraph.hostRank(mixed, weightCol = "weight")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe refRankWeighted(
+      Seq(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
+  test("anchorCorpus: caps bound the aggregate, counts stay uncapped, hot key survives") {
+    // one hot target with 20 distinct anchors x 3 duplicate rows each,
+    // plus a small target — maxAnchors=3 keeps the first 3 sorted
+    // distinct anchors while n_links/n_distinct count the full mass
+    val hot = for (i <- 0 until 20; _ <- 0 until 3)
+      yield ("https://hot.example.com/page", f"anchor $i%02d")
+    val cold = Seq(("https://cold.example.com/p", "only one"))
+    val df = (hot ++ cold).toDF("url", "anchor")
+    val got = LinkGraph.anchorCorpus(df, maxAnchors = 3, maxLen = 100)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    got("hot.example.com/page") shouldBe ((60L, 20L,
+      "anchor 00 | anchor 01 | anchor 02"))
+    got("cold.example.com/p") shouldBe ((1L, 1L, "only one"))
+    // length cap applies before distinct: two anchors equal after
+    // truncation collapse to one
+    val trunc = Seq(("https://t.com/x", "same-prefix-AAAA"),
+      ("https://t.com/x", "same-prefix-BBBB")).toDF("url", "anchor")
+    val g2 = LinkGraph.anchorCorpus(trunc, maxAnchors = 8, maxLen = 11)
+      .collect().head
+    (g2.getLong(1), g2.getLong(2), g2.getString(3)) shouldBe
+      ((2L, 1L, "same-prefix"))
+  }
 }

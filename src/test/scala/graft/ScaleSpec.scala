@@ -1269,5 +1269,13 @@ class ScaleSpec extends SparkSpec {
     }
     plan should not include "hashpartitioning(url_norm"
     plan should not include "hashpartitioning(anchor"
+    // the collect_list aggregate's INPUT is bounded (the r19 weak,
+    // fixed): a row_number rank filter over the distinct pair frame
+    // sits below the collect, so the aggregation buffer holds at most
+    // maxAnchors entries per key — never a hot target's full in-link
+    // anchor mass
+    plan should include("collect_list")
+    plan should include("Window")
+    plan should include regex "_rn#\\d+ <= 8"
   }
 }

@@ -432,6 +432,10 @@ class WarcSpec extends SparkSpec {
     dechunk("9\r\nab\r\n3\r\ncd\r\n0\r\n\r\n") shouldBe Some("ab\r\n3\r\ncd")
     dechunk("3\r\nab\r\n0\r\n\r\n") shouldBe None // short data
     dechunk("z\r\nabc\r\n0\r\n\r\n") shouldBe None // no hex size
+    // chunk-ext MUST begin with ';' (RFC 9112 §7.1.1) — junk between
+    // the size digits and CR is malformed, not an ignorable extension
+    dechunk("3XYZ\r\nabc\r\n0\r\n\r\n") shouldBe None
+    dechunk("3 ;ext=1\r\nabc\r\n0\r\n\r\n") shouldBe None // BWS not accepted
     dechunk("3\r\nabc\r\n0\r\n\r\nX") shouldBe None // garbage past terminator
     dechunk("3\r\nabc\r\n") shouldBe None // missing last chunk
     dechunk("3\nabc\n0\n\n") shouldBe None // LF-only framing
