@@ -3624,6 +3624,34 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("url_norm"))
     }),
 
+    // Host-graph connected components — mirror-site / site-family
+    // clustering (the second standard graph prior after centrality:
+    // cluster a family of mirrored hosts before sampling so it can't
+    // dominate a mixture once per mirror). Pages plant a 60-host
+    // graph whose links shift by +12/+24 mod 60, so reachability
+    // never leaves a residue class mod 12 — exactly 12 components of
+    // 5 hosts each, labeled by their lexicographically smallest host.
+    // Engine runs hash-min contraction to the exact fixpoint; the
+    // DuckDB oracle derives the identical partition from PURE
+    // reachability (a recursive CTE closes (host, reachable-label)
+    // pairs, then min per host) — construct-the-output, no hash and
+    // no contraction mirrored.
+    "x_host_components" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 60),
+        lit("/p/"), id.cast("string"))
+      val links = d.select(pageUrl.as("url"),
+        explode(array(
+          concat(lit("https://"), host((id + 12) % 60), lit("/m")),
+          concat(lit("https://"), host((id + 24) % 60), lit("/m"))))
+          .as("link"))
+      LinkGraph.hostComponents(LinkGraph.hostEdges(links))
+        .orderBy("host")
+    }),
+
     // HTTP wire-coding decode — the layer BELOW charsets a real raw
     // crawl carries: five body classes (identity / chunked /
     // Content-Encoding gzip / chunked-over-gzip / truncated gzip) are
@@ -7900,6 +7928,39 @@ object SparkEntry {
         |SELECT s.url_norm, s.host, f.rank, s.slot
         |FROM slotted s JOIN final f ON s.host = f.host
         |ORDER BY f.rank DESC, s.url_norm""".stripMargin,
+
+    // Pure-reachability replay: the recursive CTE closes
+    // (host, reachable-host) pairs over the SYMMETRIZED edge set
+    // (recursive-UNION dedup terminates the closure), then the
+    // component label is simply the minimum reachable name — no
+    // contraction, no hash, nothing of the engine's algorithm
+    // restated. (`sym`/`hosts` use DISTINCT-over-UNION-ALL: under
+    // WITH RECURSIVE, DuckDB treats a plain UNION in a non-recursive
+    // CTE body as UNION ALL and skips the dedup.)
+    "x_host_components" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 12) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 24) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |sym AS (SELECT DISTINCT a, b FROM
+        |  (SELECT src AS a, dst AS b FROM edges
+        |   UNION ALL SELECT dst, src FROM edges)),
+        |hosts AS (SELECT DISTINCT a AS host FROM sym),
+        |r(host, lbl) AS (
+        |  SELECT host, host FROM hosts
+        |  UNION
+        |  SELECT s.a, r.lbl FROM r JOIN sym s ON r.host = s.b),
+        |c AS (SELECT host, min(lbl) AS component FROM r GROUP BY host),
+        |sz AS (SELECT component, count(*) AS comp_size
+        |       FROM c GROUP BY component)
+        |SELECT c.host, c.component, sz.comp_size
+        |FROM c JOIN sz ON c.component = sz.component
+        |ORDER BY c.host""".stripMargin,
 
     // Construct-the-output identity: whatever wire coding the engine
     // rendered, the decoded body must equal the base text verbatim

@@ -181,6 +181,103 @@ object LinkGraph {
   }
 
   /**
+   * Host-graph connected components — the mirror-site / site-family
+   * clustering a curation pipeline runs BEFORE sampling (CC-style
+   * pipelines cluster mirrored hosts so one family can't dominate a
+   * mixture the way its duplicate hosts would individually; the
+   * second standard graph prior after centrality). Direction is
+   * ignored — endorsement runs one way, "same operator" runs both.
+   * Emits `(host, component, comp_size)` where `component` is the
+   * lexicographically smallest host NAME in the component (a stable,
+   * engine-independent canonical id — the DuckDB oracle reproduces it
+   * from pure reachability with no hash in sight) and `comp_size`
+   * counts the component's hosts.
+   *
+   * Algorithm: hash-min CONTRACTION. Hosts iterate as 8-byte
+   * `xxhash64` keys (hash-identity convention; text joins back once
+   * at the end). Each round, over the CONTRACTED label graph:
+   * {{{
+   * m(v)    = min(v, min over neighbors of v)      // local min
+   * comp(h) = m(comp(h))                           // compose mapping
+   * E'      = { (m(a), m(b)) : (a,b) ∈ E, m(a) ≠ m(b) } distinct
+   * }}}
+   * — every vertex with a smaller neighbor merges into it and LEAVES
+   * the edge set, so the working graph shrinks geometrically
+   * (expected O(log n) rounds under hash-randomized labels — xxhash64
+   * order is independent of host names, so adversarial monotone
+   * chains don't exist in practice; `maxIterations` is the runaway
+   * bound, not a precision knob). Contrast with one-hop label
+   * propagation, which pays O(diameter) rounds over the FULL edge set
+   * every round; here later rounds ride edge frames orders of
+   * magnitude smaller. The component's minimum hash can never merge
+   * away (it is its own local min), so when the edge set empties,
+   * every component has contracted onto exactly its min-hash vertex —
+   * the exact fixpoint, reached when the driver-side edge count (the
+   * accepted `resolveRedirects` action posture) hits zero. Per-round
+   * frames are read twice (mapping composition + edge relabel) —
+   * `localCheckpoint` per round, the twice-read cadence, unlike
+   * `hostRank`'s single-consumer chain.
+   *
+   * All iteration exchanges key on 8-byte hashes; `min` is exactly
+   * associative/commutative, so the fixpoint is bit-reproducible
+   * across partitionings and retries (no fixed-point arithmetic even
+   * needed — easier than [[hostRank]]).
+   */
+  def hostComponents(edges: DataFrame, srcCol: String = "src_host",
+      dstCol: String = "dst_host", maxIterations: Int = 50): DataFrame = {
+    require(maxIterations > 0, "maxIterations must be positive")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col(srcCol) =!= col(dstCol))
+      .distinct()
+      .localCheckpoint()
+    val dict = e0.select(col("__s").as("host"))
+      .union(e0.select(col("__d").as("host")))
+      .distinct()
+      .select(xxhash64(col("host")).as("h"), col("host"))
+      .localCheckpoint()
+    val eh = e0.select(xxhash64(col("__s")).as("a"), xxhash64(col("__d")).as("b"))
+    // undirected: symmetrize once; hash-keyed from here on (and the
+    // relabel step preserves symmetry, so it stays symmetrized)
+    var e = eh.union(eh.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var comp = dict.select(col("h"), col("h").as("lbl"))
+    var k = 0
+    var remaining = e.count()
+    while (remaining > 0L && k < maxIterations) {
+      // local min per still-live label vertex (symmetric e: one side
+      // suffices); vertices already contracted away keep their label
+      val m = e.groupBy("a").agg(min(col("b")).as("__mb"))
+        .select(col("a").as("__v"), least(col("a"), col("__mb")).as("__m"))
+        .localCheckpoint()
+      comp = comp.join(m, comp("lbl") === col("__v"), "left")
+        .select(col("h"), coalesce(col("__m"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      e = e
+        .join(m.select(col("__v").as("__va"), col("__m").as("__ma")),
+          col("a") === col("__va"))
+        .join(m.select(col("__v").as("__vb"), col("__m").as("__mb2")),
+          col("b") === col("__vb"))
+        .select(col("__ma").as("a"), col("__mb2").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      remaining = e.count()
+      k += 1
+    }
+    require(remaining == 0L,
+      s"hostComponents did not converge in $maxIterations rounds " +
+        s"($remaining contracted edges remain)")
+    val lbl = comp
+    // hash label → canonical NAME label: the component's min host name
+    val named = lbl.join(dict, "h")
+    val comps = named.groupBy("lbl")
+      .agg(min(col("host")).as("component"), count(lit(1)).as("comp_size"))
+    named.join(comps, "lbl")
+      .select(col("host"), col("component"), col("comp_size"))
+  }
+
+  /**
    * Anchor-text corpus — aggregate what the web SAYS about each page:
    * one row per canonical target URL with the distinct anchor texts
    * pointing at it (`[[Html.extractAnchors]]` upstream provides the

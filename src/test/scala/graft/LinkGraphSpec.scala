@@ -191,4 +191,77 @@ class LinkGraphSpec extends SparkSpec {
     (g2.getLong(1), g2.getLong(2), g2.getString(3)) shouldBe
       ((2L, 1L, "same-prefix"))
   }
+
+  /** Independent reference model: textbook union-find over the same
+    * edge list, component labeled by its min host name. */
+  private def refComponents(
+      edges: Seq[(String, String)]): Map[String, (String, Long)] = {
+    val e = edges.filter { case (s, d) => s != d }
+    val hosts = (e.map(_._1) ++ e.map(_._2)).distinct
+    val parent = scala.collection.mutable.Map(hosts.map(h => h -> h): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    e.foreach { case (s, d) =>
+      val (rs, rd) = (find(s), find(d)); if (rs != rd) parent(rs) = rd }
+    val byRoot = hosts.groupBy(find)
+    byRoot.values.flatMap { members =>
+      val label = members.min
+      val size = members.size.toLong
+      members.map(_ -> ((label, size)))
+    }.toMap
+  }
+
+  private def compsOf(
+      edges: Seq[(String, String)]): Map[String, (String, Long)] =
+    LinkGraph.hostComponents(edges.toDF("src_host", "dst_host"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+
+  test("hostComponents: direction ignored, min-name labels, sizes; ≡ union-find reference") {
+    // two components: a 4-cycle (direction mixed) and a directed pair;
+    // self-loop and duplicate edges must not disturb anything
+    val edges = Seq(
+      "b" -> "a", "a" -> "c", "d" -> "c", "b" -> "d", // component {a,b,c,d}
+      "z" -> "y", // component {y,z} — reachable only AGAINST direction
+      "z" -> "y", // duplicate
+      "q" -> "q") // self-loop: q never enters the vertex set
+    val got = compsOf(edges)
+    got shouldBe refComponents(edges)
+    got("a") shouldBe (("a", 4L))
+    got("d") shouldBe (("a", 4L))
+    got("y") shouldBe (("y", 2L))
+    got("z") shouldBe (("y", 2L))
+    got.keySet should not contain "q"
+  }
+
+  test("hostComponents: long chain converges in log-ish rounds (contraction) and labels by min name") {
+    // a 40-host chain — diameter 39; one-hop propagation would need
+    // 39 rounds, contraction must land well inside a log-ish bound
+    val chain = (0 until 39).map(i => f"h$i%02d" -> f"h${i + 1}%02d")
+    val got = compsOf(chain)
+    got.keySet.size shouldBe 40
+    got.values.toSet shouldBe Set(("h00", 40L))
+    // a tight runaway bound still suffices (hash-randomized local
+    // minima thin the chain geometrically: ~log rounds, never 39)
+    LinkGraph.hostComponents(chain.toDF("src_host", "dst_host"),
+        maxIterations = 10)
+      .collect().map(_.getString(1)).toSet shouldBe Set("h00")
+    got shouldBe refComponents(chain)
+  }
+
+  test("hostComponents: many small components ≡ reference; empty edges yield empty") {
+    // 12 residue-class components of 5 hosts each (the planted
+    // x_host_components shape in miniature)
+    val edges = for (k <- 0 until 12; i <- 0 until 4)
+      yield f"m${k + 12 * i}%03d" -> f"m${k + 12 * (i + 1)}%03d"
+    val got = compsOf(edges)
+    got shouldBe refComponents(edges)
+    got.values.map(_._1).toSet.size shouldBe 12
+    got.values.foreach { case (_, size) => size shouldBe 5L }
+    LinkGraph.hostComponents(
+      Seq.empty[(String, String)].toDF("src_host", "dst_host"))
+      .count() shouldBe 0L
+  }
 }

@@ -1278,4 +1278,32 @@ class ScaleSpec extends SparkSpec {
     plan should include("Window")
     plan should include regex "_rn#\\d+ <= 8"
   }
+
+  test("host components: iteration exchanges key on 8-byte hashes, never host text") {
+    // the contraction loop runs eagerly (per-round localCheckpoint +
+    // driver-side edge count), so pin the per-round frames directly:
+    // the relabel join and local-min aggregate must exchange on the
+    // 8-byte hash columns (a/b/__v), and the returned plan's final
+    // hash→text re-attach on h/lbl — nothing keyed on host text
+    import graft.ext.LinkGraph
+    val edges = spark.range(200).selectExpr(
+      "concat('s', id % 40) AS src_host",
+      "concat('s', (id + 8) % 40) AS dst_host")
+    val out = LinkGraph.hostComponents(edges)
+    val plan = out.queryExecution.executedPlan.toString
+    val keys = "hashpartitioning\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    keys should not be empty
+    keys.foreach { k =>
+      withClue(s"exchange key $k: ") {
+        (k == "h" || k == "lbl" || k == "a" || k == "b" ||
+          k.startsWith("__") || k == "component") shouldBe true
+      }
+    }
+    plan should not include "hashpartitioning(host"
+    plan should not include "hashpartitioning(src_host"
+    plan should not include "hashpartitioning(dst_host"
+    // 8 residue classes mod gcd(8,40)=8, 5 hosts each
+    out.select("component").distinct().count() shouldBe 8L
+  }
 }
