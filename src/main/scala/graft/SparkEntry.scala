@@ -3653,25 +3653,34 @@ object SparkEntry {
     }),
 
     // HTTP wire-coding decode — the layer BELOW charsets a real raw
-    // crawl carries: five body classes (identity / chunked /
-    // Content-Encoding gzip / chunked-over-gzip / truncated gzip) are
-    // RENDERED with the engine's own deterministic gzip member and
-    // two-chunk framing over the latin-1 byte view, framed into WARC
-    // response records, then parseHttpEncoded strips the chunked
-    // framing (native dechunk kernel), inflates the gzip members
-    // (member-walking gunzip kernel), and charset-decodes — the
-    // corrupt class degrades to (body null, body_ok false), a row to
+    // crawl carries: nine body classes (identity / chunked /
+    // Content-Encoding gzip / chunked-over-gzip / truncated gzip /
+    // zlib deflate / RAW deflate, the classic server misconfiguration
+    // / the RFC 7230 §3.3.1 coding LIST `Transfer-Encoding: gzip,
+    // chunked`, removed right-to-left / unsupported `br`) are
+    // RENDERED with the engine's own deterministic gzip + zlib
+    // members and two-chunk framing over the latin-1 byte view,
+    // framed into WARC response records, then parseHttpEncoded strips
+    // the framing and inflates every coding in ONE fused kernel call
+    // and charset-decodes — the corrupt-gzip and unsupported-br
+    // classes degrade to (body null, body_ok false), rows to
     // quarantine. Construct-the-output oracle: every decoded body
     // must equal the base text column verbatim, so the oracle states
     // the expectation WITHOUT mirroring any codec.
     "x_warc_encoding" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val id = col("doc_id")
-      val cls = id % 5
+      val cls = id % 9
       val plainView = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
       val gzView = decode(
         graft.plans.NativeFunctions.gzip(encode(col("text"), "UTF-8")),
         "ISO-8859-1")
+      val zlView = decode(
+        graft.plans.NativeFunctions.zlib(encode(col("text"), "UTF-8")),
+        "ISO-8859-1")
+      // raw deflate ≡ the zlib stream minus its 2-byte header and
+      // 4-byte Adler trailer (same Deflater bits)
+      val rawView = zlView.substr(lit(3), (length(zlView) - 6).cast("int"))
       def chunked(v: Column): Column = {
         val l = length(v)
         val len1 = floor(l / 2).cast("int")
@@ -3688,11 +3697,19 @@ object SparkEntry {
         .when(cls === 2, gzView)
         .when(cls === 3, chunked(gzView))
         // drop the last 6 bytes: trailer gone → member walk fails
-        .otherwise(gzView.substr(lit(1), (length(gzView) - 6).cast("int")))
+        .when(cls === 4,
+          gzView.substr(lit(1), (length(gzView) - 6).cast("int")))
+        .when(cls === 5, zlView)
+        .when(cls === 6, rawView)
+        .when(cls === 7, chunked(gzView)) // TE list: gzipped THEN chunked
+        .otherwise(plainView) // 8: the br coding quarantines regardless
       val extra = when(cls === 1, lit("\r\nTransfer-Encoding: chunked"))
         .when(cls === 2 || cls === 4, lit("\r\nContent-Encoding: gzip"))
         .when(cls === 3,
           lit("\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip"))
+        .when(cls === 5 || cls === 6, lit("\r\nContent-Encoding: deflate"))
+        .when(cls === 7, lit("\r\nTransfer-Encoding: gzip, chunked"))
+        .when(cls === 8, lit("\r\nContent-Encoding: br"))
         .otherwise(lit(""))
       val files = Warc.renderFiles(d
         .withColumn("url", concat(lit("https://enc.example.com/d/"),
@@ -7968,12 +7985,15 @@ object SparkEntry {
     // re-states a codec.
     "x_warc_encoding" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 5 IN (1, 3) THEN 'chunked' END
+        |  CASE WHEN doc_id % 9 IN (1, 3) THEN 'chunked'
+        |       WHEN doc_id % 9 = 7 THEN 'gzip, chunked' END
         |    AS transfer_encoding,
-        |  CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 'gzip' END
+        |  CASE WHEN doc_id % 9 IN (2, 3, 4) THEN 'gzip'
+        |       WHEN doc_id % 9 IN (5, 6) THEN 'deflate'
+        |       WHEN doc_id % 9 = 8 THEN 'br' END
         |    AS content_encoding,
-        |  (doc_id % 5 <> 4) AS body_ok,
-        |  CASE WHEN doc_id % 5 = 4 THEN NULL ELSE text END AS body
+        |  (doc_id % 9 NOT IN (4, 8)) AS body_ok,
+        |  CASE WHEN doc_id % 9 IN (4, 8) THEN NULL ELSE text END AS body
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Construct-the-expected-pairs oracle: the cleaned anchor text and

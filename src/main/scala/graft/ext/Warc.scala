@@ -402,13 +402,18 @@ object Warc {
 
   /**
    * Content-decoding HTTP parse — [[parseHttpCharset]] upgraded to
-   * honor the two wire codings real raw crawls carry BELOW the
-   * charset layer: `Transfer-Encoding: chunked` framing (removed
-   * first — it is the hop-by-hop layer the sender applied last) and
-   * `Content-Encoding: gzip`/`x-gzip` bodies (inflated second), then
-   * the declared charset decodes the result exactly as before.
-   * Without this step a gzip body parses as compressed garbage text —
-   * the silent-corruption mode this closes.
+   * honor the wire codings real raw crawls carry BELOW the charset
+   * layer: transfer codings removed first (hop-by-hop, the layer the
+   * sender applied last), content codings second, then the declared
+   * charset decodes the result exactly as before. Supported codings:
+   * `chunked` framing, `gzip`/`x-gzip` member-walking inflate, and
+   * `deflate` (zlib-sniffed with a raw-deflate fallback — the classic
+   * server misconfiguration; real crawls carry deflate second only to
+   * gzip). Either header may carry a comma-separated CODING LIST
+   * (RFC 7230 §3.3.1: `Transfer-Encoding: gzip, chunked` means
+   * gzipped then chunked — the kernel removes the list right-to-left).
+   * Without this step a compressed body parses as garbage text — the
+   * silent-corruption mode this closes.
    *
    * Same latin-1 byte-view contract as [[parseHttpCharset]]: framing
    * and compressed bytes ride view strings (char ≡ byte), both
@@ -422,9 +427,9 @@ object Warc {
    * `content_encoding` (lowercased header values, null when absent)
    * and `body_ok` next to [[parseHttpCharset]]'s columns: `body_ok`
    * is false — with a null `body` — when a declared coding is
-   * malformed (corrupt gzip, bad chunk framing) OR unsupported (e.g.
-   * `deflate`, `br`: flagged for quarantine rather than passed
-   * through as garbage). Identity codings and bodiless rows are
+   * malformed (corrupt gzip/deflate, bad chunk framing) OR
+   * unsupported (e.g. `br`, `zstd`: flagged for quarantine rather
+   * than passed through as garbage). Identity codings and bodiless rows are
    * trivially ok. `kept` additionally requires `body_ok` here (a WET
    * derivation must not keep a page whose body never decoded). Pure
    * stateless projection — zero-shuffle / streaming-safe as the rest

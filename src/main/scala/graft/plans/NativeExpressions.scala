@@ -1475,46 +1475,138 @@ object Native {
     null // unreachable
   }
 
+  /** One deterministic zlib stream (RFC 1950: 2-byte header, deflate
+    * body, Adler-32 trailer) holding exactly `bytes` — the
+    * `Content-Encoding: deflate` body codec as the spec means it.
+    * Fixed deflate level, so zlib-valued columns stay
+    * oracle-constructible (the [[gzipMember]] determinism contract).
+    */
+  def zlibMember(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+      val buf = new Array[Byte](65536)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Inflate ONE deflate-coded body (`Content-Encoding: deflate`):
+    * zlib-wrapped (RFC 1950 — what the spec means; sniffed by its
+    * 2-byte header: CM 8, CINFO ≤ 7, (CMF·256+FLG) % 31 == 0, the
+    * browser heuristic) with RAW deflate (RFC 1951 — the classic
+    * server misconfiguration) as the fallback when the header doesn't
+    * sniff zlib OR the zlib parse fails. Strict on either path: the
+    * stream must finish AND consume the input exactly (zlib's
+    * Adler-32 included); leftover bytes, truncation, or corrupt data
+    * throw `IOException` (callers degrade to the quarantine flag).
+    */
+  def inflateDeflate(bytes: Array[Byte]): Array[Byte] = {
+    def one(raw: Boolean): Array[Byte] = {
+      def fail(msg: String): Nothing = throw new java.io.IOException(msg)
+      if (bytes.isEmpty) fail("empty deflate input")
+      val inf = new java.util.zip.Inflater(raw)
+      try {
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+        val buf = new Array[Byte](65536)
+        while (!inf.finished()) {
+          val n =
+            try inf.inflate(buf)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                fail("corrupt deflate data: " + e.getMessage)
+            }
+          if (n == 0 && !inf.finished()) fail("truncated deflate stream")
+          out.write(buf, 0, n)
+        }
+        if (inf.getRemaining != 0) fail("trailing garbage after deflate")
+        out.toByteArray
+      } finally inf.end()
+    }
+    val zlibShaped = bytes.length >= 2 && (bytes(0) & 0x0f) == 8 &&
+      ((bytes(0) & 0xf0) >>> 4) <= 7 &&
+      ((bytes(0) & 0xff) * 256 + (bytes(1) & 0xff)) % 31 == 0
+    if (zlibShaped)
+      try one(raw = false)
+      catch { case _: java.io.IOException => one(raw = true) }
+    else one(raw = true)
+  }
+
   /**
    * decode_http_body(view, te, ce) → struct(ok, body): the FUSED HTTP
-   * wire-coding decode — remove `Transfer-Encoding: chunked` framing,
-   * then inflate `Content-Encoding: gzip`/`x-gzip` members, in ONE
-   * imperative pass over the latin-1 byte-view body. `te`/`ce` are
-   * the lowercased header values with null pre-coalesced to `""`
-   * (≡ absent ≡ `identity`); any other coding, malformed framing, or
-   * corrupt gzip yields `(false, null)`. Exists because the two-kernel
-   * Column composition re-evaluated the chain per OUTPUT COLUMN
-   * (every `gunzip_try` reference re-ran the dechunk feeding it —
-   * measured ~3× the parse cost); this is one call whose result
-   * fields the projection shares. Bit-identical to the composed
-   * `dechunk_try`/`gunzip_try` path (WarcSpec pins the composition on
-   * the same five body classes).
+   * wire-coding decode — remove every transfer coding, then every
+   * content coding, in ONE imperative pass over the latin-1 byte-view
+   * body. `te`/`ce` are the lowercased header values with null
+   * pre-coalesced to `""` (≡ absent ≡ `identity`); each may be a
+   * COMMA-SEPARATED CODING LIST (RFC 7230 §3.3.1 / RFC 9110 §8.4:
+   * the sender applied codings left-to-right, so the receiver removes
+   * them right-to-left — `Transfer-Encoding: gzip, chunked` is
+   * "gzipped, then chunked": unframe the chunks, then inflate).
+   * Supported codings: `chunked` (framing walk), `gzip`/`x-gzip`
+   * (member-walking inflate), `deflate` (zlib-sniffed with raw
+   * fallback), `identity`/empty (no-op). Any other coding, malformed
+   * framing, or corrupt compressed data yields `(false, null)` —
+   * quarantine, never garbage passed through as text. Exists because
+   * the two-kernel Column composition re-evaluated the chain per
+   * OUTPUT COLUMN (every `gunzip_try` reference re-ran the dechunk
+   * feeding it — measured ~3× the parse cost); this is one call whose
+   * result fields the projection shares. Bit-identical to the
+   * composed `dechunk_try`/`gunzip_try` path on single codings
+   * (WarcSpec pins the composition on the same body classes).
    */
   def decodeHttpBody(view: UTF8String, te: UTF8String,
       ce: UTF8String): InternalRow = {
     def fail = new GenericInternalRow(Array[Any](false, null))
-    val teS = te.toString
-    val ceS = ce.toString
-    // layer 1: transfer coding (chunked framing off first)
-    var v: String = view.toString
-    if (teS == "chunked") {
-      v = dechunkCore(v)
-      if (v == null) return fail
-    } else if (!(teS.isEmpty || teS == "identity")) return fail
-    // layer 2: content coding (gzip members off the de-framed bytes)
-    if (ceS == "gzip" || ceS == "x-gzip") {
+    def viewBytes(v: String): Array[Byte] = {
       val bytes = new Array[Byte](v.length)
       var i = 0
       while (i < v.length) { bytes(i) = v.charAt(i).toByte; i += 1 }
-      val out =
-        try gunzipMembers(bytes)
-        catch { case _: java.io.IOException => null }
-      if (out == null) return fail
+      bytes
+    }
+    def bytesView(out: Array[Byte]): String = {
       val sb = new java.lang.StringBuilder(out.length)
       var j = 0
       while (j < out.length) { sb.append((out(j) & 0xff).toChar); j += 1 }
-      v = sb.toString
-    } else if (!(ceS.isEmpty || ceS == "identity")) return fail
+      sb.toString
+    }
+    // right-to-left walk over one coding list; null = malformed/unsupported
+    def removeCodings(v0: String, list: String): String = {
+      var v = v0
+      val toks = list.split(",", -1)
+      var t = toks.length - 1
+      while (t >= 0) {
+        val tok = toks(t).trim
+        tok match {
+          case "" | "identity" => // no-op (also covers the absent case)
+          case "chunked" =>
+            v = dechunkCore(v)
+            if (v == null) return null
+          case "gzip" | "x-gzip" =>
+            val out =
+              try gunzipMembers(viewBytes(v))
+              catch { case _: java.io.IOException => null }
+            if (out == null) return null
+            v = bytesView(out)
+          case "deflate" =>
+            val out =
+              try inflateDeflate(viewBytes(v))
+              catch { case _: java.io.IOException => null }
+            if (out == null) return null
+            v = bytesView(out)
+          case _ => return null // br, zstd, compress, … → quarantine
+        }
+        t -= 1
+      }
+      v
+    }
+    var v: String = view.toString
+    v = removeCodings(v, te.toString) // transfer codings first
+    if (v == null) return fail
+    v = removeCodings(v, ce.toString) // then content codings
+    if (v == null) return fail
     new GenericInternalRow(Array[Any](true, UTF8String.fromString(v)))
   }
 }
@@ -2155,6 +2247,21 @@ case class GzipMemberExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** zlib(binary) → binary: one deterministic RFC 1950 zlib stream —
+  * the `Content-Encoding: deflate` render twin of [[GzipMemberExpr]]. */
+case class ZlibMemberExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Native.zlibMember(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Native.zlibMember($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZlibMemberExpr =
+    copy(child = newChild)
+}
+
 /** gunzip_try(binary) → struct(ok, data) — member-walking inflate,
   * corruption degraded to (false, null). */
 case class GunzipTryExpr(child: Expression) extends UnaryExpression {
@@ -2241,6 +2348,9 @@ object NativeFunctions {
 
   def gzip(bytes: Column): Column =
     ColumnBridge.column(GzipMemberExpr(ColumnBridge.expression(bytes)))
+
+  def zlib(bytes: Column): Column =
+    ColumnBridge.column(ZlibMemberExpr(ColumnBridge.expression(bytes)))
 
   def gunzipTry(bytes: Column): Column =
     ColumnBridge.column(GunzipTryExpr(ColumnBridge.expression(bytes)))

@@ -485,7 +485,11 @@ class WarcSpec extends SparkSpec {
       ("junk framing", "chunked", ""), // malformed chunk framing
       ("not gzip bytes", "", "gzip"), // corrupt member
       (chunk1("ok"), "chunked", "br"), // unsupported content coding
-      ("x", "deflate", ""), // unsupported transfer coding
+      // deflate: the composed chain predates it and always fails the
+      // row; 'x' is not a deflate stream so the fused kernel fails it
+      // too — parity holds on this matrix (fused-only deflate
+      // coverage lives in its own spec below)
+      ("x", "deflate", ""),
       ("", "", "")) // empty identity body
     val df = rows.toDF("v", "te", "ce")
     // the composed two-kernel chain, exactly as parseHttpEncoded was
@@ -525,12 +529,19 @@ class WarcSpec extends SparkSpec {
       3L -> "chunked OVER gzip, the full stack",
       4L -> "this gzip body will be truncated",
       5L -> "x", // 1-char chunked body (single-chunk framing path)
-      6L -> "brotli declared but unsupported")
+      6L -> "brotli declared but unsupported",
+      7L -> "zlib-wrapped deflate body — the spec meaning",
+      8L -> "raw deflate body — the classic misconfiguration",
+      9L -> "TE list: gzipped then chunked, removed right-to-left")
     val id = col("doc_id")
     val plainView = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
     val gzView = decode(
       graft.plans.NativeFunctions.gzip(encode(col("text"), "UTF-8")),
       "ISO-8859-1")
+    val zlView = decode(
+      graft.plans.NativeFunctions.zlib(encode(col("text"), "UTF-8")),
+      "ISO-8859-1")
+    val rawView = zlView.substr(lit(3), (slen(zlView) - 6).cast("int"))
     def chunked(v: Column): Column = {
       val l = slen(v)
       val len1 = floor(l / 2).cast("int")
@@ -545,14 +556,18 @@ class WarcSpec extends SparkSpec {
     val body = when(id === 0, plainView)
       .when(id === 1 || id === 5, chunked(plainView))
       .when(id === 2, gzView)
-      .when(id === 3, chunked(gzView))
+      .when(id === 3 || id === 9, chunked(gzView))
       .when(id === 4, gzView.substr(lit(1), (slen(gzView) - 6).cast("int")))
+      .when(id === 7, zlView)
+      .when(id === 8, rawView)
       .otherwise(plainView)
     val extra = when(id === 1 || id === 5, lit("\r\nTransfer-Encoding: chunked"))
       .when(id === 2 || id === 4, lit("\r\nContent-Encoding: gzip"))
       .when(id === 3,
         lit("\r\nTransfer-Encoding: chunked\r\nContent-Encoding: gzip"))
       .when(id === 6, lit("\r\nContent-Encoding: br"))
+      .when(id === 7 || id === 8, lit("\r\nContent-Encoding: deflate"))
+      .when(id === 9, lit("\r\nTransfer-Encoding: gzip, chunked"))
       .otherwise(lit(""))
     val files = Warc.renderFiles(
       texts.toDF("doc_id", "text")
@@ -573,8 +588,70 @@ class WarcSpec extends SparkSpec {
       (3L, "chunked", "gzip", true, texts(3)._2, true),
       (4L, null, "gzip", false, null, false),
       (5L, "chunked", null, true, texts(5)._2, true),
-      (6L, null, "br", false, null, false))
+      (6L, null, "br", false, null, false),
+      (7L, null, "deflate", true, texts(7)._2, true),
+      (8L, null, "deflate", true, texts(8)._2, true),
+      (9L, "gzip, chunked", null, true, texts(9)._2, true))
     got.map(r => (r.getLong(0), r.getString(1), r.getString(2),
       r.getBoolean(3), r.getString(4), r.getBoolean(5))).toSeq shouldBe expected
+  }
+
+  test("decode_http_body: deflate (zlib + raw), coding lists right-to-left, corruption degrades") {
+    import graft.plans.NativeFunctions
+    def decodeBody(v: String, te: String, ce: String): (Boolean, String) = {
+      val fused = NativeFunctions.decodeHttpBody(col("v"), col("te"), col("ce"))
+      val r = Seq((v, te, ce)).toDF("v", "te", "ce")
+        .select(fused("ok").as("ok"), fused("body").as("b")).collect().head
+      (r.getBoolean(0), if (r.isNullAt(1)) null else r.getString(1))
+    }
+    def viewOf(bytes: Array[Byte]): String =
+      new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def gzipOne(s: String): String =
+      viewOf(graft.plans.Native.gzipMember(s.getBytes("UTF-8")))
+    def zlibOne(s: String): String =
+      viewOf(graft.plans.Native.zlibMember(s.getBytes("UTF-8")))
+    def rawOne(s: String): String = {
+      val z = zlibOne(s); z.substring(2, z.length - 4)
+    }
+    // compress a VIEW string's own bytes (latin-1, char ≡ byte) —
+    // for stacking codings over already-coded layers
+    def gzipView(v: String): String =
+      viewOf(graft.plans.Native.gzipMember(
+        v.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    def chunk1(s: String): String =
+      if (s.isEmpty) "0\r\n\r\n"
+      else s.length.toHexString + "\r\n" + s + "\r\n0\r\n\r\n"
+    val msg = "deflate payload — naïve ☕"
+    // the kernel returns the latin-1 BYTE VIEW (char ≡ byte) of the
+    // decoded UTF-8 bytes — the charset layer above decodes it
+    val msgView = viewOf(msg.getBytes("UTF-8"))
+    // zlib-wrapped and raw deflate both decode; Adler-32 is honored
+    decodeBody(zlibOne(msg), "", "deflate") shouldBe ((true, msgView))
+    decodeBody(rawOne(msg), "", "deflate") shouldBe ((true, msgView))
+    decodeBody(zlibOne(""), "", "deflate") shouldBe ((true, ""))
+    // truncated zlib (trailer gone), flipped byte, garbage, trailing
+    // junk after a complete stream: all quarantine
+    val z = zlibOne(msg)
+    decodeBody(z.substring(0, z.length - 4), "", "deflate")._1 shouldBe false
+    decodeBody(z.substring(0, 2) + "ÿ" + z.substring(3), "",
+      "deflate")._1 shouldBe false
+    decodeBody("not deflate at all", "", "deflate")._1 shouldBe false
+    decodeBody(z + "X", "", "deflate")._1 shouldBe false
+    decodeBody("", "", "deflate")._1 shouldBe false
+    // coding LISTS remove right-to-left (RFC 7230 §3.3.1): the sender
+    // gzipped THEN chunked, so the receiver dechunks THEN inflates
+    decodeBody(chunk1(gzipOne(msg)), "gzip, chunked", "") shouldBe ((true, msgView))
+    // ...and the other sender order works symmetrically
+    decodeBody(gzipView(chunk1(msgView)), "chunked, gzip", "") shouldBe ((true, msgView))
+    // content-coding list: deflate applied first, gzip second
+    decodeBody(gzipView(zlibOne(msg)), "", "deflate, gzip") shouldBe ((true, msgView))
+    // whitespace-tolerant tokens; identity no-ops inside a list
+    decodeBody(chunk1(gzipOne(msg)), " gzip ,  chunked ", "") shouldBe ((true, msgView))
+    decodeBody(gzipOne(msg), "", "identity, gzip, identity") shouldBe ((true, msgView))
+    // an unknown token anywhere in a list quarantines the row
+    decodeBody(chunk1(msg), "br, chunked", "")._1 shouldBe false
+    decodeBody(gzipOne(msg), "", "gzip, zstd")._1 shouldBe false
+    // wrong list order = wrong layer order = corrupt at some layer
+    decodeBody(chunk1(gzipOne(msg)), "chunked, gzip", "")._1 shouldBe false
   }
 }
