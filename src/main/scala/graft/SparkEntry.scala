@@ -3561,6 +3561,37 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // SEEDED variant — the TrustRank shape: all teleport mass
+    // concentrates on a curated 5-host seed set, so trust flows
+    // outward from the seeds along links and a host unreachable from
+    // every seed settles at exactly 0 (not the uniform floor) — the
+    // standard spam-demotion / allowlist-proximity prior. Same
+    // integer fixed-point recurrence; the oracle's recursive CTE
+    // carries the per-host seed flag into both the init and the base
+    // term.
+    "x_host_rank_seeded" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 53),
+        lit("/p/"), id.cast("string"))
+      val pageHtml = concat(
+        lit("<a href=\"HTTPS://"), host((id * 2 + 1) % 53),
+        lit("/x/"), (id % 10).cast("string"), lit("\">a</a>"),
+        lit("<a href=\"//"), host((id * 3 + 7) % 53), lit("/y\">b</a>"))
+      val links = d
+        .select(pageUrl.as("url"),
+          explode(Html.extractLinksDetailed(pageHtml)).as("l"))
+        .select(col("url"),
+          Html.resolveHref(col("url"), col("l")("href")).as("link"))
+      val seeds = s.range(5).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.com"))
+          .as("host"))
+      LinkGraph.hostRankSeeded(LinkGraph.hostEdges(links), seeds)
+        .orderBy("host")
+    }),
+
     // The prior put to work: each host's document quota is
     // floor(rank · budget / scale) — exact integer arithmetic, quotas
     // sum to ≤ budget — and the host's first-quota docs by id are
@@ -3650,6 +3681,36 @@ object SparkEntry {
           .as("link"))
       LinkGraph.hostComponents(LinkGraph.hostEdges(links))
         .orderBy("host")
+    }),
+
+    // The component prior put to work — family-capped selection: docs
+    // join their host's mirror-family label (the host-bounded
+    // component table broadcasts, the rankWeightedSelect posture) and
+    // each FAMILY keeps its first 5 docs by id — so a family of five
+    // mirrored hosts contributes 5 docs total where host-level
+    // sampling would take 5 EACH. Component-partitioned window, never
+    // global.
+    "x_mirror_family_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 60),
+        lit("/p/"), id.cast("string"))
+      val links = d.select(pageUrl.as("url"),
+        explode(array(
+          concat(lit("https://"), host((id + 12) % 60), lit("/m")),
+          concat(lit("https://"), host((id + 24) % 60), lit("/m"))))
+          .as("link"))
+      import org.apache.spark.sql.expressions.Window
+      val comps = LinkGraph.hostComponents(LinkGraph.hostEdges(links))
+      d.select(host(id % 60).as("host"), col("doc_id"))
+        .join(broadcast(comps.select("host", "component")), "host")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("component")).orderBy(col("doc_id"))))
+        .where(col("rn") <= 5)
+        .select(col("component"), col("host"), col("doc_id"))
+        .orderBy("component", "doc_id")
     }),
 
     // HTTP wire-coding decode — the layer BELOW charsets a real raw
@@ -7820,6 +7881,47 @@ object SparkEntry {
         |SELECT host, CAST(rank AS BIGINT) AS rank
         |FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
 
+    // The seeded recurrence: per-host seed flag rides the recursion —
+    // init is s·(scale // nSeeds), the base term is s·base (so
+    // non-seeds have NO teleport floor and unreachable hosts stay 0).
+    "x_host_rank_seeded" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 2 + 1) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 53 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id * 3 + 7) % 53 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |hostf AS (SELECT host,
+        |    CASE WHEN host IN ('h0.example.com', 'h1.example.com',
+        |      'h2.example.com', 'h3.example.com', 'h4.example.com')
+        |      THEN 1 ELSE 0 END AS s
+        |  FROM hosts),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hostf WHERE s = 1),
+        |e2 AS (SELECT src, dst, 1 AS w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, s * (1000000000000 // n)
+        |  FROM hostf CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         max(hf.s) * (((100 - 85) * 1000000000000 // 100) // max(nn.n))
+        |         + (85 * SUM(CASE WHEN e2.w = 1
+        |                          THEN pr.rank // d.outdeg ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src
+        |  JOIN hostf hf ON hf.host = e2.dst
+        |  CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst)
+        |SELECT host, CAST(rank AS BIGINT) AS rank
+        |FROM pr WHERE iter = 10 ORDER BY host""".stripMargin,
+
     // The weighted recurrence: the distinct becomes a count-weighted
     // group, sources split mass proportionally to edge weight.
     "x_host_rank_weighted" ->
@@ -7978,6 +8080,38 @@ object SparkEntry {
         |SELECT c.host, c.component, sz.comp_size
         |FROM c JOIN sz ON c.component = sz.component
         |ORDER BY c.host""".stripMargin,
+
+    // Same reachability closure, then docs join their host's family
+    // label and each family keeps its first 5 docs by id.
+    "x_mirror_family_select" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 12) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 24) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |sym AS (SELECT DISTINCT a, b FROM
+        |  (SELECT src AS a, dst AS b FROM edges
+        |   UNION ALL SELECT dst, src FROM edges)),
+        |hosts AS (SELECT DISTINCT a AS host FROM sym),
+        |r(host, lbl) AS (
+        |  SELECT host, host FROM hosts
+        |  UNION
+        |  SELECT s.a, r.lbl FROM r JOIN sym s ON r.host = s.b),
+        |c AS (SELECT host, min(lbl) AS component FROM r GROUP BY host),
+        |docs AS (SELECT
+        |    'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com' AS host,
+        |    doc_id
+        |  FROM documents),
+        |sel AS (SELECT c.component, d.host, d.doc_id,
+        |    row_number() OVER (PARTITION BY c.component
+        |                       ORDER BY d.doc_id) AS rn
+        |  FROM docs d JOIN c ON d.host = c.host)
+        |SELECT component, host, doc_id FROM sel
+        |WHERE rn <= 5 ORDER BY component, doc_id""".stripMargin,
 
     // Construct-the-output identity: whatever wire coding the engine
     // rendered, the decoded body must equal the base text verbatim

@@ -181,6 +181,74 @@ object LinkGraph {
   }
 
   /**
+   * SEEDED host rank (the TrustRank shape, Gyöngyi/Garcia-Molina/
+   * Pedersen 2004): the same damped power iteration as [[hostRank]]
+   * but with ALL teleport mass concentrated on a curated seed set —
+   * {{{
+   * rank'(h) = seed(h)·base + (dampingNum · Σ contrib) div dampingDen
+   * base     = ((dampingDen − dampingNum) · RankScale div dampingDen) div nSeeds
+   * }}}
+   * — so trust flows OUTWARD from the seeds along links: a host
+   * unreachable from every seed settles at exactly 0 (not the uniform
+   * teleport floor), which is precisely what makes the seeded variant
+   * the standard spam-demotion / quality-propagation prior for corpus
+   * curation (rank a crawl by proximity to a vetted allowlist instead
+   * of raw popularity). Same INTEGER fixed-point arithmetic, same
+   * 8-byte-hash iteration shape, same fixed-K reproducibility-and-
+   * oracle rationale as [[hostRank]]. Seeds that never appear in the
+   * edge set are ignored (they carry no links to propagate over);
+   * requires at least one seed present. Initial rank is `RankScale
+   * div nSeeds` on seeds, 0 elsewhere.
+   */
+  def hostRankSeeded(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src_host", dstCol: String = "dst_host",
+      seedCol: String = "host", iterations: Int = 10,
+      dampingNum: Long = 85L, dampingDen: Long = 100L,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
+    require(iterations >= 0, "iterations must be non-negative")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      "damping must be a fraction in [0, 1]")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .where(col(srcCol) =!= col(dstCol))
+      .distinct()
+      .localCheckpoint()
+    val seedSet = seeds.select(col(seedCol).as("host")).distinct()
+      .withColumn("__seed", lit(1L))
+    val dict = e0.select(col("__s").as("host"))
+      .union(e0.select(col("__d").as("host")))
+      .distinct()
+      .join(seedSet, Seq("host"), "left")
+      .select(xxhash64(col("host")).as("h"), col("host"),
+        coalesce(col("__seed"), lit(0L)).as("s"))
+      .localCheckpoint()
+    val ns = dict.where(col("s") === 1L).count() // seeds IN the graph
+    require(ns > 0L, "no seed host appears in the edge set")
+    val eh = e0.select(xxhash64(col("__s")).as("src_h"),
+      xxhash64(col("__d")).as("dst_h"))
+    val deg = eh.groupBy("src_h").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = eh.join(deg, "src_h").localCheckpoint()
+    val base = ((dampingDen - dampingNum) * RankScale / dampingDen) / ns
+    var pr = dict.select(col("h"),
+      (col("s") * lit(RankScale / ns)).as("rank"))
+    var k = 0
+    while (k < iterations) {
+      val contrib = pr.join(edgesDeg, pr("h") === edgesDeg("src_h"))
+        .select(col("dst_h"), expr("(rank div outdeg)").as("c"))
+      val inc = contrib.groupBy("dst_h").agg(sum(col("c")).as("inc"))
+      pr = dict.select(col("h"), col("s"))
+        .join(inc, col("h") === col("dst_h"), "left")
+        .select(col("h"),
+          expr(s"s * ${base}L + (${dampingNum}L * coalesce(inc, 0L))" +
+            s" div ${dampingDen}L").as("rank"))
+      k += 1
+      if (k % checkpointEvery == 0 && k < iterations)
+        pr = pr.localCheckpoint() // periodic lineage truncation
+    }
+    pr.join(dict, "h").select(col("host"), col("rank"))
+  }
+
+  /**
    * Host-graph connected components — the mirror-site / site-family
    * clustering a curation pipeline runs BEFORE sampling (CC-style
    * pipelines cluster mirrored hosts so one family can't dominate a

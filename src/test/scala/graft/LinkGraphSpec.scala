@@ -192,6 +192,52 @@ class LinkGraphSpec extends SparkSpec {
       ((2L, 1L, "same-prefix"))
   }
 
+  /** Seeded reference model: teleport mass concentrated on the seed
+    * set, non-seeds get no base term — the TrustRank recurrence. */
+  private def refRankSeeded(edges: Seq[(String, String)],
+      seeds: Set[String], iterations: Int = 10, num: Long = 85L,
+      den: Long = 100L): Map[String, Long] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val hosts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val ns = hosts.count(seeds).toLong
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = ((den - num) * LinkGraph.RankScale / den) / ns
+    var r = hosts.map(h =>
+      h -> (if (seeds(h)) LinkGraph.RankScale / ns else 0L)).toMap
+    for (_ <- 0 until iterations) {
+      val inc = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outdeg(s) }.sum).toMap
+      r = hosts.map(h => h -> ((if (seeds(h)) base else 0L) +
+        num * inc.getOrElse(h, 0L) / den)).toMap
+    }
+    r
+  }
+
+  test("hostRankSeeded: trust flows from seeds only; unreachable hosts settle at exactly 0") {
+    // seed s0 feeds a chain s0→a→b; island x→y is unreachable from
+    // the seed and must settle at 0, not the uniform teleport floor
+    val edges = Seq("s0" -> "a", "a" -> "b", "b" -> "s0", "x" -> "y")
+    val got = LinkGraph.hostRankSeeded(
+        edges.toDF("src_host", "dst_host"),
+        Seq("s0", "ghost-seed-not-in-graph").toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe refRankSeeded(edges, Set("s0"))
+    got("x") shouldBe 0L
+    got("y") shouldBe 0L
+    got("s0") should be > 0L
+    got("a") should be > got("b") // trust attenuates along the chain
+    // two seeds split the teleport mass; reference model agrees
+    val got2 = LinkGraph.hostRankSeeded(
+        edges.toDF("src_host", "dst_host"), Seq("s0", "x").toDF("host"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got2 shouldBe refRankSeeded(edges, Set("s0", "x"))
+    got2("y") should be > 0L // now fed from seed x
+    // no seed present in the graph → contract violation
+    an[IllegalArgumentException] should be thrownBy
+      LinkGraph.hostRankSeeded(edges.toDF("src_host", "dst_host"),
+        Seq("nope").toDF("host")).collect()
+  }
+
   /** Independent reference model: textbook union-find over the same
     * edge list, component labeled by its min host name. */
   private def refComponents(

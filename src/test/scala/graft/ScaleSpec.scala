@@ -1305,5 +1305,14 @@ class ScaleSpec extends SparkSpec {
     plan should not include "hashpartitioning(dst_host"
     // 8 residue classes mod gcd(8,40)=8, 5 hosts each
     out.select("component").distinct().count() shouldBe 8L
+    // the component prior put to work: the host-bounded family table
+    // BROADCASTS into the doc frame and the keep-first window is
+    // component-PARTITIONED (never a global single-partition sort)
+    val q2 = graft.SparkEntry.queries("x_mirror_family_select")(
+      spark, "/root/testdata/sf0.001")
+    val plan2 = q2.queryExecution.executedPlan.toString
+    plan2 should include("BroadcastExchange")
+    plan2 should include("Window")
+    plan2 should include regex "windowspecdefinition\\(component"
   }
 }
