@@ -55,7 +55,11 @@ object ScalingProbe {
     // anchor-text corpus, CJK charsets
     "x_host_rank", "x_rank_weighted_select", "x_warc_encoding",
     "x_anchor_text", "x_warc_charset_cjk", "x_frontier_priority",
-    "x_host_rank_weighted")
+    "x_host_rank_weighted",
+    // round-20: connected components + family-capped select, seeded
+    // (TrustRank-shape) rank; the capped anchor corpus and the
+    // 9-class wire-coding matrix re-probe under their old names above
+    "x_host_components", "x_mirror_family_select", "x_host_rank_seeded")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
