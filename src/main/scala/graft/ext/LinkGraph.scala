@@ -431,6 +431,34 @@ object LinkGraph {
   }
 
   /**
+   * Stateless mirror-family gate — the STREAMING twin of the
+   * component consumption (contraction is a batch shape; a
+   * `readStream` of arriving pages can't iterate): broadcast the
+   * bounded batch-computed `(host, component, comp_size)` table into
+   * a stream-static equi-join on the 8-byte host hash — the
+   * [[gateHostPrior]] posture. Each arriving page gains `host`
+   * (canonical), `family` (its host's component label; the host
+   * ITSELF when the graph never clustered it — an unseen host is its
+   * own singleton family), and `family_size` (1 for unseen). Zero
+   * state, no watermark — the same plan gates a batch frame
+   * identically (stream ≡ batch pinned in StreamingSpec). Downstream,
+   * family-keyed quotas/dedup run on `family` exactly as host-keyed
+   * ones run on `host`.
+   */
+  def gateMirrorFamily(pages: DataFrame, components: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val map = broadcast(components.select(
+      xxhash64(col("host")).as("__ch"), col("component").as("__cf"),
+      col("comp_size").as("__cs")))
+    pages
+      .withColumn("host", Dedup.urlHost(Dedup.normalizeUrl(col(urlCol))))
+      .join(map, xxhash64(col("host")) === col("__ch"), "left")
+      .withColumn("family", coalesce(col("__cf"), col("host")))
+      .withColumn("family_size", coalesce(col("__cs"), lit(1L)))
+      .drop("__ch", "__cf", "__cs")
+  }
+
+  /**
    * Rank-weighted document selection — the prior put to work: each
    * host gets a document quota proportional to its rank,
    * `quota(h) = (rank(h) * totalBudget) div RankScale` (fixed-point

@@ -87,6 +87,60 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("random corpus: deflate roundtrips (zlib + raw), random coding stacks decode right-to-left, garbage never crashes") {
+    // zlib → inflate identity over the seeded corpus
+    val zl = df.select($"text",
+        NativeFunctions.decodeHttpBody(
+          decode(NativeFunctions.zlib(encode($"text", "UTF-8")),
+            "ISO-8859-1"),
+          lit(""), lit("deflate")).as("r"))
+      .select($"text", $"r.ok", $"r.body").collect()
+    zl.foreach { r =>
+      r.getBoolean(1) shouldBe true
+      new String(r.getString(2).toCharArray.map(_.toByte),
+        "UTF-8") shouldBe r.getString(0)
+    }
+    // random 1–3-deep coding stacks: apply codings left-to-right with
+    // an independent Scala model, decode with the kernel via the
+    // header list — identity on every doc
+    val rnd = new scala.util.Random(7)
+    def viewOf(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def bytesOf(v: String): Array[Byte] = v.toCharArray.map(_.toByte)
+    def applyOne(v: String, tok: String): String = tok match {
+      case "gzip" => viewOf(graft.plans.Native.gzipMember(bytesOf(v)))
+      case "deflate" => viewOf(graft.plans.Native.zlibMember(bytesOf(v)))
+      case "chunked" =>
+        if (v.isEmpty) "0\r\n\r\n"
+        else v.length.toHexString + "\r\n" + v + "\r\n0\r\n\r\n"
+      case _ => v // identity
+    }
+    val toks = Array("gzip", "deflate", "chunked", "identity")
+    val stacked = corpus.map { case (id, text) =>
+      val view = viewOf(text.getBytes("UTF-8"))
+      val stack = Seq.fill(1 + rnd.nextInt(3))(toks(rnd.nextInt(toks.length)))
+      (id, view, stack.foldLeft(view)(applyOne), stack.mkString(", "))
+    }
+    val got = stacked.toDF("doc_id", "view", "body", "ce")
+      .select($"view",
+        NativeFunctions.decodeHttpBody($"body", lit(""), $"ce").as("r"))
+      .select($"view", $"r.ok", $"r.body").collect()
+    got.foreach { r =>
+      r.getBoolean(1) shouldBe true
+      r.getString(2) shouldBe r.getString(0)
+    }
+    // random garbage under every declared coding: degrades to
+    // (false, null) or decodes clean — NEVER throws (the quarantine
+    // contract); raw-deflate sniff must not crash on any 2-byte prefix
+    val junk = corpus.take(50).map { case (id, text) =>
+      (id, viewOf(text.getBytes("UTF-8")).reverse, toks(rnd.nextInt(3)))
+    }
+    val jr = junk.toDF("doc_id", "body", "ce")
+      .select(NativeFunctions.decodeHttpBody($"body", lit(""), $"ce").as("r"))
+      .select($"r.ok", $"r.body").collect()
+    jr.foreach { r => if (!r.getBoolean(0)) r.isNullAt(1) shouldBe true }
+  }
+
   test("random corpus: decode_charset ≡ Java decoder on every CJK charset (random CJK text)") {
     val cjkChar: Gen[Char] = Gen.frequency(
       (4, Gen.choose(0x3041, 0x3096).map(_.toChar)), // hiragana

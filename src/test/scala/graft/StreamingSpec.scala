@@ -540,6 +540,40 @@ class StreamingSpec extends SparkSpec {
     byId(2L)._2 shouldBe rankOf("b.com")
   }
 
+  test("mirror-family gate: arriving pages adopt their host's component statelessly, equal to batch") {
+    // contraction is batch work; its (host, component, comp_size)
+    // product broadcasts into a stream-static join — arriving pages
+    // adopt their host's family, unseen hosts become singleton
+    // families of themselves
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.LinkGraph
+    val comps = LinkGraph.hostComponents(Seq(
+      ("a.com", "b.com"), ("b.com", "c.com"), ("x.org", "y.org"))
+      .toDF("src_host", "dst_host"))
+    val pages = Seq(
+      (1L, "HTTPS://WWW.B.com:443/page?x=1"), // canonicalizes to b.com
+      (2L, "http://y.org/other"),
+      (3L, "https://never-seen.net/x")) // not in the graph → singleton
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      LinkGraph.gateMirrorFamily(df, comps)
+        .select("doc_id", "host", "family", "family_size")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(pages: _*)
+    val q = gate(mem.toDF().toDF("doc_id", "url"))
+      .writeStream.format("memory").queryName("family_gate")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) shouldBe true
+    val streamRows = spark.table("family_gate").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batchRows = gate(pages.toDF("doc_id", "url")).orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    streamRows shouldBe batchRows
+    val byId = batchRows.map(r => r.head -> ((r(1), r(2), r(3)))).toMap
+    byId(1L) shouldBe (("b.com", "a.com", 3L))
+    byId(2L) shouldBe (("y.org", "x.org", 2L))
+    byId(3L) shouldBe (("never-seen.net", "never-seen.net", 1L))
+  }
+
   test("parseHttpEncoded gates a stream of raw WARC files statelessly, equal to batch") {
     // rendering is a batch aggregate, but PARSE + wire-coding decode
     // is the stateless ingest gate a readStream of arriving crawl
