@@ -3683,6 +3683,35 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // The two graph priors COMPOSED: weighted host rank over the
+    // mod-60 family graph, then rank mass summed per mirror family —
+    // the "which families dominate the crawl" report a mixture
+    // designer reads before setting family quotas. Exact long sums
+    // (fixed-point ranks add commutatively), so the composition
+    // hash-matches an oracle that replays rank and components
+    // independently and joins them.
+    "x_family_rank" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val id = col("doc_id")
+      def host(k: Column): Column =
+        concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host(id % 60),
+        lit("/p/"), id.cast("string"))
+      val links = d.select(pageUrl.as("url"),
+        explode(array(
+          concat(lit("https://"), host((id + 12) % 60), lit("/m")),
+          concat(lit("https://"), host((id + 24) % 60), lit("/m"))))
+          .as("link"))
+      val ranks = LinkGraph.hostRank(LinkGraph.hostEdgesWeighted(links),
+        weightCol = "weight")
+      val comps = LinkGraph.hostComponents(LinkGraph.hostEdges(links))
+      ranks.join(comps.select("host", "component"), "host")
+        .groupBy("component")
+        .agg(sum(col("rank")).as("family_rank"),
+          count(lit(1)).as("n_hosts"))
+        .orderBy("component")
+    }),
+
     // The component prior put to work — family-capped selection: docs
     // join their host's mirror-family label (the host-bounded
     // component table broadcasts, the rankWeightedSelect posture) and
@@ -8080,6 +8109,55 @@ object SparkEntry {
         |SELECT c.host, c.component, sz.comp_size
         |FROM c JOIN sz ON c.component = sz.component
         |ORDER BY c.host""".stripMargin,
+
+    // Both priors replayed independently — the weighted recurrence
+    // (count-weighted mod-60 edges) and the reachability closure —
+    // joined and summed per family.
+    "x_family_rank" ->
+      """WITH RECURSIVE raw(src, dst) AS (
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 12) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 60 AS VARCHAR) || '.example.com',
+        |         'h' || CAST((doc_id + 24) % 60 AS VARCHAR) || '.example.com'
+        |  FROM documents),
+        |edges AS (SELECT src, dst, count(*) AS w FROM raw
+        |          WHERE src <> dst GROUP BY 1, 2),
+        |hosts AS (SELECT DISTINCT host FROM
+        |  (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+        |deg AS (SELECT src, SUM(w) AS totw FROM edges GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM hosts),
+        |e2 AS (SELECT src, dst, w FROM edges
+        |       UNION ALL SELECT host, host, 0 FROM hosts),
+        |pr(iter, host, rank) AS (
+        |  SELECT 0, host, 1000000000000 // n FROM hosts CROSS JOIN nn
+        |  UNION ALL
+        |  SELECT pr.iter + 1, e2.dst,
+        |         ((100 - 85) * 1000000000000 // 100) // max(nn.n)
+        |         + (85 * SUM(CASE WHEN e2.w > 0
+        |                          THEN (pr.rank // d.totw) * e2.w
+        |                          ELSE 0 END)) // 100
+        |  FROM pr JOIN e2 ON pr.host = e2.src
+        |  LEFT JOIN deg d ON d.src = e2.src CROSS JOIN nn
+        |  WHERE pr.iter < 10
+        |  GROUP BY pr.iter, e2.dst),
+        |final AS (SELECT host, rank FROM pr WHERE iter = 10),
+        |dedges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |sym AS (SELECT DISTINCT a, b FROM
+        |  (SELECT src AS a, dst AS b FROM dedges
+        |   UNION ALL SELECT dst, src FROM dedges)),
+        |chosts AS (SELECT DISTINCT a AS host FROM sym),
+        |r(host, lbl) AS (
+        |  SELECT host, host FROM chosts
+        |  UNION
+        |  SELECT s.a, r.lbl FROM r JOIN sym s ON r.host = s.b),
+        |c AS (SELECT host, min(lbl) AS component FROM r GROUP BY host)
+        |SELECT c.component,
+        |  CAST(SUM(f.rank) AS BIGINT) AS family_rank,
+        |  count(*) AS n_hosts
+        |FROM final f JOIN c ON f.host = c.host
+        |GROUP BY c.component ORDER BY c.component""".stripMargin,
 
     // Same reachability closure, then docs join their host's family
     // label and each family keeps its first 5 docs by id.

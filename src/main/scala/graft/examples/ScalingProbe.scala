@@ -59,7 +59,8 @@ object ScalingProbe {
     // round-20: connected components + family-capped select, seeded
     // (TrustRank-shape) rank; the capped anchor corpus and the
     // 9-class wire-coding matrix re-probe under their old names above
-    "x_host_components", "x_mirror_family_select", "x_host_rank_seeded")
+    "x_host_components", "x_mirror_family_select", "x_host_rank_seeded",
+    "x_family_rank")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
