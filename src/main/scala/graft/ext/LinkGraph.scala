@@ -290,6 +290,15 @@ object LinkGraph {
    * associative/commutative, so the fixpoint is bit-reproducible
    * across partitionings and retries (no fixed-point arithmetic even
    * needed — easier than [[hostRank]]).
+   *
+   * Failure contract: hitting `maxIterations` with edges remaining
+   * THROWS (the `require` below) rather than returning a partial
+   * partition — components define downstream quotas and dedup keys,
+   * so a silently-unconverged answer is corruption, not degradation.
+   * Worst case is O(n) rounds only under an adversarial
+   * monotone-hash ordering, which xxhash64 of host names precludes
+   * in practice; the default bound of 50 covers graphs astronomically
+   * past any real host count at the expected O(log n).
    */
   def hostComponents(edges: DataFrame, srcCol: String = "src_host",
       dstCol: String = "dst_host", maxIterations: Int = 50): DataFrame = {
