@@ -154,14 +154,17 @@ object Bench {
       if (contention <= 1.15) Seq.empty
       else {
         val prev = prevMins(detailDir)
+        // worst inflation first: when the cap binds, the 20 re-runs
+        // should be the 20 the adjudicator would ask about first
         val suspects = results.collect {
           case (n, (mn, _)) if mn > 0 &&
-            prev.get(n).exists(p => p > 0 && mn > p * 1.5) => n
-        }
+            prev.get(n).exists(p => p > 0 && mn > p * 1.5) =>
+            n -> (mn / prev(n))
+        }.sortBy(-_._2).map(_._1)
         if (suspects.size > isolatedCap)
           System.err.println(s"[bench] ghost triage: ${suspects.size} " +
             s"suspects exceed the $isolatedCap re-run cap — re-running " +
-            "the first " + isolatedCap + " (alphabetical); the rest stay " +
+            "the " + isolatedCap + " largest inflations; the rest stay " +
             "sweep-only, re-measure via graft.examples.TimeQueries")
         suspects.take(isolatedCap).flatMap { n =>
           scala.util.Try {
