@@ -268,6 +268,29 @@ object Warc {
    * `"\r\nTransfer-Encoding: chunked"`), a fixed Server header,
    * blank line, body.
    */
+  /** Status code out of a response's first line. Real crawls carry
+    * three status-line shapes — `HTTP/1.0`, `HTTP/1.1`, and `HTTP/2`
+    * (h2 has no minor version; some proxies still write `HTTP/2.0`) —
+    * and a parse pinned to 1.1 alone silently drops every 1.0 origin
+    * as "not an HTTP payload" (status null, kept false), which is a
+    * coverage hole, not a safety behaviour. HTTP/0.9 responses have
+    * no status line at all and stay null (conservatively not kept). */
+  private def statusOf(httpHeaders: Column): Column =
+    nullif(regexp_extract(httpHeaders,
+      "^HTTP/(?:1\\.[01]|2(?:\\.0)?) ([0-9]{3})", 1), lit(""))
+      .cast("int")
+
+  /** One response-header value, or null when absent. HTTP field names
+    * are case-INSENSITIVE and the colon may be followed by optional
+    * whitespace (RFC 9112 OWS) — real servers emit `content-type:`
+    * and `Location:<no space>` in volume, and a canonical-case
+    * single-space pin silently nulls them all. Line-anchored
+    * (`(?im)^`), so `X-Content-Type:` can never satisfy a
+    * `Content-Type` lookup. */
+  private def headerOf(httpHeaders: Column, name: String): Column =
+    nullif(regexp_extract(httpHeaders,
+      "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1), lit(""))
+
   def httpPayload(status: Column, contentType: Column, body: Column,
       location: Column = lit(null).cast("string"),
       extraHeaders: Column = lit("")): Column =
@@ -292,11 +315,9 @@ object Warc {
   def parseHttp(parsed: DataFrame): DataFrame = {
     val payload = col("payload")
     val httpHeaders = substring_index(payload, HeaderSep, 1)
-    val status = nullif(
-      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
-      .cast("int")
+    val status = statusOf(httpHeaders)
     val mime = nullif(trim(substring_index(
-      regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1), ";", 1)),
+      coalesce(headerOf(httpHeaders, "Content-Type"), lit("")), ";", 1)),
       lit(""))
     val body = when(status.isNotNull,
       payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
@@ -304,8 +325,7 @@ object Warc {
     parsed
       .withColumn("status_code", status)
       .withColumn("mime", mime)
-      .withColumn("location", nullif(
-        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
+      .withColumn("location", headerOf(httpHeaders, "Location"))
       .withColumn("body", body)
       .withColumn("kept",
         coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
@@ -377,10 +397,8 @@ object Warc {
       defaultCharset: String = "utf-8"): DataFrame = {
     val payload = col("payload")
     val httpHeaders = substring_index(payload, HeaderSep, 1)
-    val status = nullif(
-      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
-      .cast("int")
-    val ctypeRaw = regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1)
+    val status = statusOf(httpHeaders)
+    val ctypeRaw = coalesce(headerOf(httpHeaders, "Content-Type"), lit(""))
     val mime = nullif(trim(substring_index(ctypeRaw, ";", 1)), lit(""))
     val charset = lower(nullif(
       regexp_extract(ctypeRaw, "(?i)charset=\"?([0-9A-Za-z._-]+)", 1),
@@ -393,8 +411,7 @@ object Warc {
       .withColumn("status_code", status)
       .withColumn("mime", mime)
       .withColumn("charset", charset)
-      .withColumn("location", nullif(
-        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
+      .withColumn("location", headerOf(httpHeaders, "Location"))
       .withColumn("body", decodeViewCharset(bodyView, cs))
       .withColumn("kept",
         coalesce(status === 200 && mime.startsWith("text/"), lit(false)))
@@ -439,18 +456,18 @@ object Warc {
       defaultCharset: String = "utf-8"): DataFrame = {
     val payload = col("payload")
     val httpHeaders = substring_index(payload, HeaderSep, 1)
-    val status = nullif(
-      regexp_extract(httpHeaders, "^HTTP/1\\.1 ([0-9]{3})", 1), lit(""))
-      .cast("int")
-    val ctypeRaw = regexp_extract(httpHeaders, "Content-Type: ([^\r\n]*)", 1)
+    val status = statusOf(httpHeaders)
+    val ctypeRaw = coalesce(headerOf(httpHeaders, "Content-Type"), lit(""))
     val mime = nullif(trim(substring_index(ctypeRaw, ";", 1)), lit(""))
     val charset = lower(nullif(
       regexp_extract(ctypeRaw, "(?i)charset=\"?([0-9A-Za-z._-]+)", 1),
       lit("")))
-    val te = lower(nullif(trim(regexp_extract(httpHeaders,
-      "(?i)Transfer-Encoding: ([^\r\n]*)", 1)), lit("")))
-    val ce = lower(nullif(trim(regexp_extract(httpHeaders,
-      "(?i)Content-Encoding: ([^\r\n]*)", 1)), lit("")))
+    val te = lower(nullif(trim(
+      coalesce(headerOf(httpHeaders, "Transfer-Encoding"), lit(""))),
+      lit("")))
+    val ce = lower(nullif(trim(
+      coalesce(headerOf(httpHeaders, "Content-Encoding"), lit(""))),
+      lit("")))
     val bodyView = when(status.isNotNull,
       payload.substr(length(httpHeaders) + lit(HeaderSep.length + 1),
         length(payload)))
@@ -467,8 +484,7 @@ object Warc {
       .withColumn("charset", charset)
       .withColumn("transfer_encoding", te)
       .withColumn("content_encoding", ce)
-      .withColumn("location", nullif(
-        regexp_extract(httpHeaders, "Location: ([^\r\n]*)", 1), lit("")))
+      .withColumn("location", headerOf(httpHeaders, "Location"))
       .withColumn("body_ok", bodyOk)
       // a failed decode carries a null body in the struct already
       .withColumn("body", decodeViewCharset(res("body"), cs))

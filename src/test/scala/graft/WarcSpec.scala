@@ -114,6 +114,81 @@ class WarcSpec extends SparkSpec {
     conv.getAs[Boolean]("kept") shouldBe false
   }
 
+  test("http status line: 1.0 / 1.1 / 2 / 2.0 all parse; 0.9-style and junk stay null") {
+    // real crawls carry all three wire generations; a parse pinned to
+    // 1.1 alone silently drops every HTTP/1.0 origin as "not HTTP"
+    val cases = Seq(
+      (0L, "HTTP/1.0 200 OK", true),
+      (1L, "HTTP/1.1 200 OK", true),
+      (2L, "HTTP/2 200", true),
+      (3L, "HTTP/2.0 200", true), // some proxies still write 2.0
+      (4L, "HTTP/9.9 200 OK", false), // unknown version
+      (5L, "NOT-HTTP 200", false)) // 0.9-style: no status line
+    val framed = cases.map { case (id, line, _) =>
+      (id, line + "\r\nContent-Type: text/plain\r\n\r\nbody " + id)
+    }.toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://v.ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+    val got = Warc.parseHttp(Warc.parseRecords(
+        Warc.renderFiles(framed, warcType = "response")))
+      .orderBy("rec_id").select("rec_id", "status_code", "body", "kept")
+      .collect()
+    for ((r, (id, _, ok)) <- got.zip(cases)) {
+      withClue(s"case $id: ") {
+        if (ok) {
+          r.getInt(1) shouldBe 200
+          r.getString(2) shouldBe s"body $id"
+          r.getBoolean(3) shouldBe true
+        } else {
+          r.isNullAt(1) shouldBe true
+          r.getBoolean(3) shouldBe false
+        }
+      }
+    }
+  }
+
+  test("http headers: any case, optional OWS after the colon; X-prefixed lookalikes never match") {
+    // real servers emit content-type:/CONTENT-TYPE:/no-space-after-
+    // colon in volume; a canonical-case single-space pin nulls them
+    val cases = Seq(
+      (0L, "HTTP/1.1 200 OK\r\ncontent-type:text/plain\r\n\r\nb0",
+        "text/plain", null, true),
+      (1L, "HTTP/1.1 200 OK\r\nCONTENT-TYPE:  TEXT/HTML; x=1\r\n\r\nb1",
+        "TEXT/HTML", null, false), // mime keeps its case; kept wants text/
+      (2L, "HTTP/1.0 301 Moved\r\nContent-Type: text/html\r\nlocation:\thttps://t.example.com/\r\n\r\nb2",
+        "text/html", "https://t.example.com/", false),
+      // a lookalike header must NOT satisfy the real lookups
+      (3L, "HTTP/1.1 200 OK\r\nX-Content-Type: text/evil\r\nX-Location: https://evil.example.com/\r\n\r\nb3",
+        null, null, false))
+    val framed = cases.map { case (id, payload, _, _, _) => (id, payload) }
+      .toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://h.ex.com/"), col("doc_id")))
+      .withColumn("shard", lit(0L))
+    val got = Warc.parseHttp(Warc.parseRecords(
+        Warc.renderFiles(framed, warcType = "response")))
+      .orderBy("rec_id").select("rec_id", "mime", "location", "kept")
+      .collect()
+    for ((r, (id, _, mime, loc, keep)) <- got.zip(cases)) {
+      withClue(s"case $id: ") {
+        Option(r.getString(1)).orNull shouldBe mime
+        Option(r.getString(2)).orNull shouldBe loc
+        r.getBoolean(3) shouldBe keep
+      }
+    }
+    // the coding headers share the helper: lowercase, no space
+    val enc = Seq((9L,
+      "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "transfer-encoding:chunked\r\n\r\n2\r\nok\r\n0\r\n\r\n"))
+      .toDF("doc_id", "text")
+      .withColumn("url", lit("https://h.ex.com/9"))
+      .withColumn("shard", lit(0L))
+    val er = Warc.parseHttpEncoded(Warc.parseRecords(
+        Warc.renderFiles(enc, warcType = "response"))).collect().head
+    er.getAs[String]("transfer_encoding") shouldBe "chunked"
+    er.getAs[Boolean]("body_ok") shouldBe true
+    er.getAs[String]("body") shouldBe "ok"
+  }
+
   test("charset-aware http layer: declared charsets decode, fallback is utf-8") {
     // bodies as BYTES in four encodings, framed through the latin-1
     // byte view (chars ≡ bytes, so character-mode framing is byte
