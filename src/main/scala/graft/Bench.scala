@@ -111,17 +111,40 @@ object Bench {
         " graft.examples.TimeQueries before believing any regression")
     // Ghost AUTO-TRIAGE: a contended sweep manufactures 2-20× phantom
     // per-query regressions (three judge rounds burned time clearing
-    // them by hand). When contention > 1.15, re-run — after the sweep,
-    // min-of-2, one query at a time — every query whose sweep min
-    // exceeds the last committed detail's min by >1.5×, and publish
-    // the re-measured numbers as the `isolated` map: the artifact
-    // then adjudicates its own ghosts. Re-runs are capped (worst-case
-    // wall-clock bound); the previous detail comes from the highest
-    // round-stamped BENCH_detail_r*.json next to the output (the
-    // committed cross-round record), falling back to BENCH_detail.json.
+    // them by hand). Runs on EVERY sweep since r21 — both r20 sweeps
+    // ghosted UNDER the old contention>1.15 trigger (g_anomalies 12×
+    // at 1.105, isolated map empty): bursty load inflates a FEW
+    // queries without moving the whole-sweep ratio, so the contention
+    // stamp stays as ANNOTATION while the suspect scan always runs.
+    // Re-run — after the sweep, min-of-2, one query at a time — every
+    // query whose sweep min exceeds the last committed detail's min by
+    // >1.5×, and publish the re-measured numbers as the `isolated`
+    // map: the artifact then adjudicates its own ghosts. Re-runs are
+    // capped (worst-case wall-clock bound); the previous detail comes
+    // from the highest round-stamped BENCH_detail_r*.json next to the
+    // output EXCLUDING the round being written (a re-run within one
+    // round must not baseline against its own earlier numbers),
+    // falling back to BENCH_detail.json.
     val detailDir = {
       val d = new java.io.File(detailPath).getAbsoluteFile.getParentFile
       if (d == null) new java.io.File(".") else d
+    }
+    // Round number, resolved ONCE for both the triage baseline pick
+    // and the round-stamped copy below: SPARK_GRAFT_ROUND when set;
+    // otherwise 1 + the highest committed BENCH_r*.json.
+    val thisRound: Option[Int] = {
+      val explicit = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      lazy val inferred = {
+        val roundRe = """BENCH_r(\d+)\.json""".r
+        val prior = Option(detailDir.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case roundRe(n) => Some(n.toInt)
+            case _          => None
+          })
+        if (prior.nonEmpty) Some(prior.max + 1) else None
+      }
+      explicit.orElse(inferred)
     }
     def prevMins(dir: java.io.File): Map[String, Double] = {
       val roundRe = """BENCH_detail_r(\d+)\.json""".r
@@ -129,7 +152,7 @@ object Bench {
       val stamped = files.flatMap(f => f.getName match {
         case roundRe(n) => Some(n.toInt -> f)
         case _          => None
-      })
+      }).filter { case (n, _) => !thisRound.contains(n) }
       val chosen =
         if (stamped.nonEmpty) Some(stamped.maxBy(_._1)._2)
         else files.find(_.getName == "BENCH_detail.json")
@@ -150,9 +173,7 @@ object Bench {
       }.getOrElse(Map.empty[String, Double])
     }
     val isolatedCap = 20
-    val isolated: Seq[(String, Double)] =
-      if (contention <= 1.15) Seq.empty
-      else {
+    val isolated: Seq[(String, Double)] = {
         val prev = prevMins(detailDir)
         // worst inflation first: when the cap binds, the 20 re-runs
         // should be the 20 the adjudicator would ask about first
@@ -208,22 +229,8 @@ object Bench {
     // for the round whose bench runs ONCE, but a re-run after the
     // round's BENCH_rN.json lands would mis-stamp N+1, which the env
     // override avoids.
-    locally {
-      val dir = detailDir
-      val explicit = sys.env.get("SPARK_GRAFT_ROUND")
-        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
-      val inferred = {
-        val roundRe = """BENCH_r(\d+)\.json""".r
-        val prior = Option(dir.listFiles()).getOrElse(Array.empty)
-          .flatMap(f => f.getName match {
-            case roundRe(n) => Some(n.toInt)
-            case _          => None
-          })
-        if (prior.nonEmpty) Some(prior.max + 1) else None
-      }
-      explicit.orElse(inferred).foreach { n =>
-        writeDetail(new java.io.File(dir, s"BENCH_detail_r$n.json").getPath)
-      }
+    thisRound.foreach { n =>
+      writeDetail(new java.io.File(detailDir, s"BENCH_detail_r$n.json").getPath)
     }
     println(s"""{"metric":"detail","queries_median":$qsMed,"sf":"$sfDir"}""")
     println(s"""{"metric":"detail","queries":$qs,"sf":"$sfDir"}""")

@@ -24,13 +24,18 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).collect()
+    val runs = scala.util.Try(sys.env("SPARK_GRAFT_TIME_RUNS").trim.toInt)
+      .getOrElse(2).max(1)
     names.foreach { n =>
-      (1 to 2).foreach { i =>
+      val ts = (1 to runs).map { i =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        println(f"TIME $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"TIME $n run$i $t%.2f s")
+        t
       }
+      println(f"TIME_MIN $n ${ts.min}%.3f s")
     }
     spark.stop()
   }

@@ -406,8 +406,15 @@ object Dedup {
    * Shape: candidates from the capped bucketed LSH join; signatures
    * are the shuffle-free kernel projection joined per side; the
    * component-match count is an unrolled codegen sum (no HOFs); exact
-   * Jaccard joins in from [[ngramJaccardPairs]] restricted to the
-   * candidate pairs.
+   * Jaccard is computed ONLY over the candidate pairs — the
+   * [[nearDuplicates]] verify shape (candidate ids equi-join the gram
+   * rows, never the full gram self-join). The previous formulation ran
+   * [[ngramJaccardPairs]] at threshold 0 — EVERY pair sharing any
+   * shingle corpus-wide — and then inner-joined the candidates; since
+   * that was an inner join, restricting the Jaccard computation to the
+   * candidate set first produces the identical rows (a candidate
+   * sharing no gram is absent from either form) for a small fraction
+   * of the work: candidate volume instead of all-co-gram-pair volume.
    */
   def minhashEstimates(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", numHashes: Int = 32, bands: Int = 8,
@@ -422,8 +429,21 @@ object Dedup {
     val nMatch = (0 until numHashes).map(j =>
       when(col(s"__ha$j") === col(s"__hb$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleN,
-      minJaccard = 0.0)
+    // verify-grade Jaccard over candidates only — the nearDuplicates
+    // verify-join shape (candidate ids equi-join the gram rows, sizes
+    // attached by the AQE-broadcastable per-doc count frame)
+    val grams = docs.select(col(idCol),
+        explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
+      .localCheckpoint() // gram rows feed both verify-join sides once
+    val sizes = grams.groupBy(col(idCol)).agg(count("*").as("n"))
+    val ga = grams.select(col(idCol).as("a"), col("g"))
+    val gb = grams.select(col(idCol).as("b"), col("g"))
+    val exact = pairs.join(ga, "a").join(gb, Seq("b", "g"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col(idCol).as("a"), col("n").as("n_a")), "a")
+      .join(sizes.select(col(idCol).as("b"), col("n").as("n_b")), "b")
+      .select(col("a"), col("b"), (col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
     pairs.join(sa, "a").join(sb, "b")
       .withColumn("n_match", nMatch)
       .select(col("a"), col("b"), col("n_match"))
@@ -559,6 +579,13 @@ object Dedup {
     // self-join shuffle carries 8-byte keys instead of word strings, and
     // intersection counts are unchanged (2^-64 collision odds).
     // localCheckpoint: shingling runs once, not once per join side.
+    // (r21 note: carrying the per-doc gram count ON the gram rows —
+    // size of the kernel array — to drop the sizes aggregate and its
+    // two pair-frame joins was tried and measured 15-30% SLOWER at
+    // sf0.1: AQE broadcasts the narrow per-doc sizes frame, making the
+    // dropped joins map-side-free, while the carried count widens
+    // every row of the much larger gram self-join output and its
+    // aggregation buffers. The joins stay.)
     val grams = docs.select(col(idCol),
         explode(graft.plans.NativeFunctions.hashedShingles(col(textCol), shingleN)).as("g"))
       .localCheckpoint()
@@ -1403,13 +1430,19 @@ object Dedup {
     // union below reads a checkpoint instead of evaluating the whole
     // upstream pipeline twice.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
-    // Both edge directions, read twice from the checkpoint (narrow).
-    // No distinct() and no second checkpoint: pair inputs are already
-    // deduplicated by their producers, and even duplicate edges cannot
-    // change a min-aggregation — a distinct here would only add a full
-    // shuffle of the edge set per call.
-    val edges = p.select(col("a").as("x"), col("b").as("y"))
-      .union(p.select(col("b").as("x"), col("a").as("y")))
+    // Both edge directions, symmetrized once and checkpointed
+    // PRE-PARTITIONED and PRE-SORTED on `y` — the key of every round's
+    // neighbor join, so the loop never re-shuffles or re-sorts the
+    // edge set (guide §2.4; the hostRank loop-invariant posture, same
+    // explicit scale-adaptive partition count so AQE cannot coalesce
+    // the recorded partitioning away). No distinct(): pair inputs are
+    // already deduplicated by their producers, and even duplicate
+    // edges cannot change a min-aggregation — a distinct here would
+    // only add a full shuffle of the edge set per call.
+    val edges = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      p.select(col("a").as("x"), col("b").as("y"))
+        .union(p.select(col("b").as("x"), col("a").as("y"))),
+      Seq("y"), LinkGraph.loopPartitions(p, 2L * p.count()))
     // Seed labels with the distance-1 minimum (min of self and direct
     // neighbors) straight from the edge scan — one aggregation replaces
     // the first propagation round. Both edge directions are present, so

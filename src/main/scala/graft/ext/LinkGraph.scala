@@ -47,6 +47,24 @@ object LinkGraph {
     * grows), so `dampingNum * sum` stays far inside a long. */
   val RankScale: Long = 1000000000000L
 
+  /** Scale-adaptive partition count for the iteration frames of the
+    * fixed-point loops: ~1M narrow 8-byte-key rows per partition (tens
+    * of MB — guide §2.2's fewer-larger-partitions posture), clamped to
+    * the session's `spark.sql.shuffle.partitions` so the cluster-tuned
+    * parallelism stays the ceiling. The EXPLICIT count matters: AQE
+    * never coalesces a user-numbered repartition, so a localCheckpoint
+    * taken after it records the exact hash partitioning and every
+    * co-partitioned per-round join plans NO exchange — an un-numbered
+    * `repartition(col)` gets AQE-coalesced and the checkpoint records
+    * the coalesced partitioning, which downstream joins cannot reuse
+    * (measured: the per-round exchanges all came back). Locally
+    * (thousands of rows) this is 1 — every loop stage is one task; at
+    * 100 TB (billions of edges) it rides the configured parallelism. */
+  private[ext] def loopPartitions(df: DataFrame, rows: Long): Int = {
+    val conf = df.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(conf.toLong, rows / 1000000L + 1L)).toInt
+  }
+
   /**
    * Host→host edge set from resolved page links: `(src_host,
    * dst_host)` distinct pairs, self-edges dropped (intra-host links
@@ -149,25 +167,45 @@ object LinkGraph {
         .where(col("__s") =!= col("__d") && col("__w0") > 0)
         .groupBy("__s", "__d").agg(sum(col("__w0")).as("__w")))
       .localCheckpoint()
-    val dict = e0.select(col("__s").as("host"))
-      .union(e0.select(col("__d").as("host")))
-      .distinct()
-      .select(xxhash64(col("host")).as("h"), col("host"))
-      .localCheckpoint()
+    // Loop-invariant frames are checkpointed PRE-PARTITIONED (explicit
+    // scale-adaptive count — see [[loopPartitions]]) and PRE-SORTED on
+    // their per-round join keys (guide §2.4: operations keyed the same
+    // way share one exchange; localCheckpoint preserves partitioning
+    // AND ordering, so the per-round sort-merge join re-sorts neither
+    // side): dict on h and edgesDeg on src_h make each round's
+    // rank×edges join and the dict-realignment join exchange-free.
+    // The one shuffle left per round is the contribution
+    // repartition(p, dst_h) feeding the groupBy, whose output
+    // co-partitions with dict for the next join. K rounds paid ~3
+    // exchanges each before; now K + 3 one-time repartitions total.
+    val p = loopPartitions(edges, e0.count())
+    val dict = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      e0.select(col("__s").as("host"))
+        .union(e0.select(col("__d").as("host")))
+        .distinct()
+        .select(xxhash64(col("host")).as("h"), col("host")),
+      Seq("h"), p)
     val n = dict.count() // hosts, not pages — the bounded vertex set
     if (n == 0L)
       return dict.select(col("host"), lit(0L).as("rank"))
     val eh = e0.select(xxhash64(col("__s")).as("src_h"),
       xxhash64(col("__d")).as("dst_h"), col("__w").as("w"))
     val deg = eh.groupBy("src_h").agg(sum(col("w")).as("totw"))
-    val edgesDeg = eh.join(deg, "src_h").localCheckpoint()
+    val edgesDeg = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      eh.join(deg, "src_h"), Seq("src_h"), p)
     val base = ((dampingDen - dampingNum) * RankScale / dampingDen) / n
     var pr = dict.select(col("h"), lit(RankScale / n).as("rank"))
     var k = 0
     while (k < iterations) {
       val contrib = pr.join(edgesDeg, pr("h") === edgesDeg("src_h"))
         .select(col("dst_h"), expr("(rank div totw) * w").as("c"))
-      val inc = contrib.groupBy("dst_h").agg(sum(col("c")).as("inc"))
+      // explicit repartition to p BEFORE the aggregate: the groupBy
+      // then needs no exchange of its own and its output co-partitions
+      // with dict (a bare groupBy would exchange to the conf default
+      // and the dict join would re-exchange to p — two shuffles of the
+      // same rows)
+      val inc = contrib.repartition(p, col("dst_h"))
+        .groupBy("dst_h").agg(sum(col("c")).as("inc"))
       pr = dict.select(col("h"))
         .join(inc, col("h") === col("dst_h"), "left")
         .select(col("h"),
@@ -175,7 +213,10 @@ object LinkGraph {
             s" div ${dampingDen}L").as("rank"))
       k += 1
       if (k % checkpointEvery == 0 && k < iterations)
-        pr = pr.localCheckpoint() // periodic lineage truncation
+        // periodic lineage truncation, layout-recording so the next
+        // round's rank×edges join stays exchange- and sort-free
+        pr = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointHashed(pr, Seq("h"), p)
     }
     pr.join(dict, "h").select(col("host"), col("rank"))
   }
@@ -215,19 +256,26 @@ object LinkGraph {
       .localCheckpoint()
     val seedSet = seeds.select(col(seedCol).as("host")).distinct()
       .withColumn("__seed", lit(1L))
-    val dict = e0.select(col("__s").as("host"))
-      .union(e0.select(col("__d").as("host")))
-      .distinct()
-      .join(seedSet, Seq("host"), "left")
-      .select(xxhash64(col("host")).as("h"), col("host"),
-        coalesce(col("__seed"), lit(0L)).as("s"))
-      .localCheckpoint()
+    // loop-invariant frames pre-partitioned (explicit scale-adaptive
+    // count) and pre-sorted on their per-round join keys — the
+    // hostRank posture: one shuffle per round, placed so its output
+    // co-partitions with dict
+    val p = loopPartitions(edges, e0.count())
+    val dict = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      e0.select(col("__s").as("host"))
+        .union(e0.select(col("__d").as("host")))
+        .distinct()
+        .join(seedSet, Seq("host"), "left")
+        .select(xxhash64(col("host")).as("h"), col("host"),
+          coalesce(col("__seed"), lit(0L)).as("s")),
+      Seq("h"), p)
     val ns = dict.where(col("s") === 1L).count() // seeds IN the graph
     require(ns > 0L, "no seed host appears in the edge set")
     val eh = e0.select(xxhash64(col("__s")).as("src_h"),
       xxhash64(col("__d")).as("dst_h"))
     val deg = eh.groupBy("src_h").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = eh.join(deg, "src_h").localCheckpoint()
+    val edgesDeg = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      eh.join(deg, "src_h"), Seq("src_h"), p)
     val base = ((dampingDen - dampingNum) * RankScale / dampingDen) / ns
     var pr = dict.select(col("h"),
       (col("s") * lit(RankScale / ns)).as("rank"))
@@ -235,7 +283,8 @@ object LinkGraph {
     while (k < iterations) {
       val contrib = pr.join(edgesDeg, pr("h") === edgesDeg("src_h"))
         .select(col("dst_h"), expr("(rank div outdeg)").as("c"))
-      val inc = contrib.groupBy("dst_h").agg(sum(col("c")).as("inc"))
+      val inc = contrib.repartition(p, col("dst_h"))
+        .groupBy("dst_h").agg(sum(col("c")).as("inc"))
       pr = dict.select(col("h"), col("s"))
         .join(inc, col("h") === col("dst_h"), "left")
         .select(col("h"),
@@ -243,7 +292,10 @@ object LinkGraph {
             s" div ${dampingDen}L").as("rank"))
       k += 1
       if (k % checkpointEvery == 0 && k < iterations)
-        pr = pr.localCheckpoint() // periodic lineage truncation
+        // periodic lineage truncation, layout-recording so the next
+        // round's rank×edges join stays exchange- and sort-free
+        pr = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointHashed(pr, Seq("h"), p)
     }
     pr.join(dict, "h").select(col("host"), col("rank"))
   }
@@ -307,39 +359,70 @@ object LinkGraph {
       .where(col(srcCol) =!= col(dstCol))
       .distinct()
       .localCheckpoint()
-    val dict = e0.select(col("__s").as("host"))
-      .union(e0.select(col("__d").as("host")))
-      .distinct()
-      .select(xxhash64(col("host")).as("h"), col("host"))
-      .localCheckpoint()
+    // dict pre-partitioned on h (hostRank rationale, explicit
+    // scale-adaptive count): the initial comp projection aliases h as
+    // lbl, so round 1's composition join and the final name join are
+    // exchange-free
+    val nDirected = e0.count()
+    val dict = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      e0.select(col("__s").as("host"))
+        .union(e0.select(col("__d").as("host")))
+        .distinct()
+        .select(xxhash64(col("host")).as("h"), col("host")),
+      Seq("h"), loopPartitions(edges, nDirected))
     val eh = e0.select(xxhash64(col("__s")).as("a"), xxhash64(col("__d")).as("b"))
     // undirected: symmetrize once; hash-keyed from here on (and the
-    // relabel step preserves symmetry, so it stays symmetrized)
-    var e = eh.union(eh.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-      .localCheckpoint()
+    // relabel step preserves symmetry, so it stays symmetrized).
+    // Dedup rides the hash(a) layout instead of a hash(a, b) distinct:
+    // hash(a) clusters every (a, b) duplicate into one partition, so
+    // dropDuplicates needs no further exchange and the checkpointed
+    // frame comes out partitioned on `a` — which is exactly the key of
+    // next round's local-min groupBy AND the first relabel join, making
+    // both exchange-free (guide §2.4; same fusion per round below).
+    // Partition counts are explicit and re-derived per round from the
+    // edge count the convergence check already takes — contraction
+    // shrinks the frame geometrically, so later rounds ride fewer,
+    // still-full partitions instead of the initial spread.
+    var (e, remaining) = org.apache.spark.sql.graft.CheckpointBridge
+      .localCheckpointHashedWithCount(
+        eh.union(eh.select(col("b").as("a"), col("a").as("b"))),
+        Seq("a"), loopPartitions(edges, 2L * nDirected),
+        dedupAfter = Seq("a", "b"))
     var comp = dict.select(col("h"), col("h").as("lbl"))
     var k = 0
-    var remaining = e.count()
     while (remaining > 0L && k < maxIterations) {
       // local min per still-live label vertex (symmetric e: one side
-      // suffices); vertices already contracted away keep their label
-      val m = e.groupBy("a").agg(min(col("b")).as("__mb"))
-        .select(col("a").as("__v"), least(col("a"), col("__mb")).as("__m"))
-        .localCheckpoint()
+      // suffices); vertices already contracted away keep their label.
+      // e is hash(a)-partitioned, so the groupBy plans no exchange and
+      // m's bridge checkpoint re-records the hash(__v) layout for its
+      // THREE consumers (composition join + both relabel joins).
+      val m = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+        e.groupBy("a").agg(min(col("b")).as("__mb"))
+          .select(col("a").as("__v"), least(col("a"), col("__mb")).as("__m")),
+        Seq("__v"), loopPartitions(edges, remaining))
+      // comp is a SINGLE-consumer chain (next round's composition join;
+      // the final name join) — no checkpoint per round: each round
+      // nests one narrow join against an already-checkpointed m, and
+      // the whole chain evaluates once at the end (the hostRank
+      // checkpointEvery rationale); periodic truncation below keeps
+      // the plan shallow if contraction ever runs long.
       comp = comp.join(m, comp("lbl") === col("__v"), "left")
         .select(col("h"), coalesce(col("__m"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      e = e
-        .join(m.select(col("__v").as("__va"), col("__m").as("__ma")),
-          col("a") === col("__va"))
-        .join(m.select(col("__v").as("__vb"), col("__m").as("__mb2")),
-          col("b") === col("__vb"))
-        .select(col("__ma").as("a"), col("__mb2").as("b"))
-        .where(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint()
-      remaining = e.count()
+      if ((k + 1) % 8 == 0) comp = comp.localCheckpoint()
+      // the bridge's eager materialization IS the convergence count —
+      // no separate count job per round
+      val (e2, r2) = org.apache.spark.sql.graft.CheckpointBridge
+        .localCheckpointHashedWithCount(
+          e.join(m.select(col("__v").as("__va"), col("__m").as("__ma")),
+              col("a") === col("__va"))
+            .join(m.select(col("__v").as("__vb"), col("__m").as("__mb2")),
+              col("b") === col("__vb"))
+            .select(col("__ma").as("a"), col("__mb2").as("b"))
+            .where(col("a") =!= col("b")),
+          Seq("a"), loopPartitions(edges, remaining),
+          dedupAfter = Seq("a", "b"))
+      e = e2
+      remaining = r2
       k += 1
     }
     require(remaining == 0L,

@@ -288,8 +288,14 @@ object Warc {
     * (`(?im)^`), so `X-Content-Type:` can never satisfy a
     * `Content-Type` lookup. */
   private def headerOf(httpHeaders: Column, name: String): Column =
+    // Pattern.quote: the helper's signature invites arbitrary names, so
+    // regex metacharacters in a future caller's name must match
+    // literally. The lazy capture + trailing-OWS tail implements RFC
+    // 9110 field-value trimming on BOTH ends (a `Location: url \r\n`
+    // must not leak a trailing space into exact-URL joins).
     nullif(regexp_extract(httpHeaders,
-      "(?im)^" + name + ":[ \t]*([^\r\n]*)", 1), lit(""))
+      "(?im)^" + java.util.regex.Pattern.quote(name) +
+        ":[ \t]*([^\r\n]*?)[ \t]*$", 1), lit(""))
 
   def httpPayload(status: Column, contentType: Column, body: Column,
       location: Column = lit(null).cast("string"),

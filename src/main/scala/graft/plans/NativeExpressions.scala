@@ -1298,7 +1298,11 @@ object Native {
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     if (bytes.isEmpty) fail("empty gzip input")
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    // initial-capacity hint clamped against int overflow: bytes.length*3
+    // goes negative past ~715 MB and ByteArrayOutputStream would throw
+    // IllegalArgumentException OUTSIDE the IOException quarantine path
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(bytes.length, Int.MaxValue / 3) * 3))
     val buf = new Array[Byte](65536)
     var off = 0
     while (off < bytes.length) {
@@ -1510,7 +1514,11 @@ object Native {
       val inf = new java.util.zip.Inflater(raw)
       try {
         inf.setInput(bytes)
-        val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+        // initial-capacity hint clamped against int overflow: bytes.length*3
+    // goes negative past ~715 MB and ByteArrayOutputStream would throw
+    // IllegalArgumentException OUTSIDE the IOException quarantine path
+    val out = new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(bytes.length, Int.MaxValue / 3) * 3))
         val buf = new Array[Byte](65536)
         while (!inf.finished()) {
           val n =
