@@ -34,6 +34,27 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism floor for kernel-CPU-bound queries — guide §2.5's
+    * input-skew move ("one huge unsplittable file … repartition
+    * immediately after the read"): the sf fixtures are single-row-group
+    * parquet files, so a heavy per-row kernel chain (WARC render +
+    * inflate + charset decode, PII scans, BPE encodes, window hashing)
+    * otherwise executes as ONE task regardless of session cores
+    * (measured: x_warc_encoding 2.6 s wall ≈ 1.9 s in a single task at
+    * local[32]). Round-robin to the session's default parallelism,
+    * applied ONLY when the planned scan actually under-parallelizes:
+    * the condition reads the planned split count, so at production
+    * scale — where a corpus arrives in thousands of splits — this
+    * wrapper is a no-op, never an added shuffle. Deliberately applied
+    * per query and only where kernel work dominates; cheap projections
+    * would pay the narrow exchange for nothing. */
+  private def parallel(df: DataFrame): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < floor)
+      df.repartition(floor)
+    else df
+  }
+
   /** Warehouse-table name fingerprinting for the build-once serving
     * paths (q_bucketed_join convention): sf dir + every build
     * parameter, so a parameter change builds fresh instead of
@@ -2161,7 +2182,7 @@ object SparkEntry {
     // benchmark; corpus docs sharing any word 3-gram with it are
     // flagged with their overlap count.
     "x_decontaminate" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      val d = parallel(tbl(s, dir, "documents"))
       Corpus.decontaminate(
         d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0))
@@ -2304,7 +2325,7 @@ object SparkEntry {
     // |groups|² array ops); estimator replayed exactly in DuckDB via
     // the shared md5 hash convention.
     "x_bottomk_overlap" -> ((s, dir) =>
-      Dedup.sourceOverlapSketch(tbl(s, dir, "documents"), k = 256,
+      Dedup.sourceOverlapSketch(parallel(tbl(s, dir, "documents")), k = 256,
         seed = Seed).orderBy("a", "b")),
 
     // Cluster-balanced diversity sampling: thin each k-means cell to
@@ -2433,7 +2454,7 @@ object SparkEntry {
     // native pieces kernel (same merge application as the count
     // kernel by construction).
     "x_bpe_encode" -> ((s, dir) =>
-      tbl(s, dir, "documents")
+      parallel(tbl(s, dir, "documents"))
         .select(col("doc_id"), posexplode(regexp_extract_all(col("text"),
           lit(TextStats.BpeishPattern), lit(0))).as(Seq("w_idx", "w")))
         .select(col("doc_id"), col("w_idx"),
@@ -2514,7 +2535,7 @@ object SparkEntry {
     // the quality bucket (good kept whole, fair halved, poor decimated)
     // — rejection sampling with the growth-stable md5 keep-decision.
     "x_weighted_sample" -> ((s, dir) => {
-      val q = TextStats.qualityFacets(tbl(s, dir, "documents"))
+      val q = TextStats.qualityFacets(parallel(tbl(s, dir, "documents")))
       val w = when(col("quality_bucket") === "good", lit(1.0))
         .when(col("quality_bucket") === "fair", lit(0.5))
         .otherwise(lit(0.1))
@@ -3487,7 +3508,10 @@ object SparkEntry {
             lit("text/html; charset=UTF-8"), col("text"),
             location = when(dstId.isNotNull, urlOf(dstId)))),
         textCol = "http", warcType = "response")
-      val parsed = Warc.parseHttp(Warc.parseRecords(files))
+      // parsed feeds BOTH the edge extraction and the gated page side —
+      // checkpoint so the WARC render + parse kernel chain runs once,
+      // not once per consumer (the parse-once-persist posture)
+      val parsed = Warc.parseHttp(Warc.parseRecords(files)).localCheckpoint()
       val edges = parsed
         .where(col("status_code").between(300, 399) &&
           col("location").isNotNull)
@@ -3758,7 +3782,7 @@ object SparkEntry {
     // must equal the base text column verbatim, so the oracle states
     // the expectation WITHOUT mirroring any codec.
     "x_warc_encoding" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      val d = parallel(tbl(s, dir, "documents"))
       val id = col("doc_id")
       val cls = id % 9
       val plainView = decode(encode(col("text"), "UTF-8"), "ISO-8859-1")
@@ -3967,21 +3991,21 @@ object SparkEntry {
     // matches) — the "drop any run >= N tokens" dedup-policy input,
     // still suffix-array-free.
     "x_longest_run" -> ((s, dir) =>
-      Dedup.longestRunPairs(tbl(s, dir, "documents"), windowTokens = 8)
+      Dedup.longestRunPairs(parallel(tbl(s, dir, "documents")), windowTokens = 8)
         .orderBy("a", "b")),
 
     // ... and the policy APPLY: every shared run >= 8 tokens removed
     // from the later document, span-precise (first occurrence keeps
     // its text; positions rebuilt token-by-token).
     "x_verbatim_scrub" -> ((s, dir) =>
-      Dedup.verbatimSpanScrub(tbl(s, dir, "documents"), windowTokens = 8,
+      Dedup.verbatimSpanScrub(parallel(tbl(s, dir, "documents")), windowTokens = 8,
         minRunTokens = 8).orderBy("doc_id")),
 
     // Intra-doc twin: longest run occurring at least TWICE within one
     // document (looping boilerplate, degenerate generation) — the
     // run-length upgrade of the repetition ratios.
     "x_self_repeat" -> ((s, dir) =>
-      Dedup.selfRepeatRuns(tbl(s, dir, "documents"), windowTokens = 3)
+      Dedup.selfRepeatRuns(parallel(tbl(s, dir, "documents")), windowTokens = 3)
         .orderBy("doc_id")),
 
     // Per-doc n-gram novelty: fraction of a doc's distinct 8-token
@@ -4280,7 +4304,7 @@ object SparkEntry {
     // (see ext/Recipe.scala). Every 50th doc plays the held-out
     // benchmark; the rest are the corpus being built.
     "x_recipe_e2e" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      val d = parallel(tbl(s, dir, "documents"))
       graft.ext.Recipe.run(
         d.where(col("doc_id") % 50 =!= 0),
         d.where(col("doc_id") % 50 === 0),
@@ -4795,7 +4819,7 @@ object SparkEntry {
     // paths (see Similarity.cosinePairs scaladoc for the scale
     // contract).
     "x_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(tbl(s, dir, "embeddings"), threshold = 0.35)
+      Similarity.cosinePairs(parallel(tbl(s, dir, "embeddings")), threshold = 0.35)
         .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine_r"))
         .orderBy("a", "b")),
 
@@ -5054,14 +5078,14 @@ object SparkEntry {
     // positives + clean rows), constructed identically in the oracle —
     // the cross-engine check of the detector regex semantics.
     "x_pii_scan" -> ((s, dir) =>
-      PiiScan.scan(piiCorpus(tbl(s, dir, "customer")), "txt")
+      PiiScan.scan(piiCorpus(parallel(tbl(s, dir, "customer"))), "txt")
         .drop("txt").orderBy("c_custkey")),
 
     // Redaction (the scanner's write path): the same planted corpus
     // with every detector match replaced — the text a pipeline would
     // actually publish/train on after the scan.
     "x_pii_redact" -> ((s, dir) =>
-      PiiScan.redact(piiCorpus(tbl(s, dir, "customer")), "txt")
+      PiiScan.redact(piiCorpus(parallel(tbl(s, dir, "customer"))), "txt")
         .select(col("c_custkey"), col("redacted"))
         .orderBy("c_custkey")),
 

@@ -52,10 +52,18 @@ object Recipe {
     val base = docs.select(col(idCol), col(strataCol), col(textCol))
 
     // 1. quality: drop the "poor" bucket (the facet columns exist only
-    // inside the stage — the predicate fuses into the scan projection)
+    // inside the stage — the predicate fuses into the scan projection).
+    // CHECKPOINTED: the survivors feed the near-dup stage THREE times
+    // (exact-digest membership, LSH banding, verification grams) plus
+    // the apply-step anti-join left — without the materialization each
+    // consumer re-runs the full facet kernel chain over the scan
+    // (measured: 4 evaluations of qualityFacets per x_recipe_e2e run).
+    // Same stage-boundary persist posture as the dedup/clean stages
+    // below.
     val quality = TextStats.qualityFacets(base, textCol)
       .where(col("quality_bucket") =!= "poor")
       .select(col(idCol), col(strataCol), col(textCol))
+      .localCheckpoint()
 
     // 2. near-dup apply: EXACT dedup → flag → verify → cluster on the
     // quality survivors (nearDuplicates collapses identical texts

@@ -541,9 +541,16 @@ object Warc {
       .localCheckpoint()
     val srcs = e0.select(xxhash64(col("__su")).as("__s")).distinct()
       .localCheckpoint()
-    var m = e0.select(xxhash64(col("__su")).as("src_h"),
-        xxhash64(col("__du")).as("dst_h"), lit(1L).as("hops"))
-      .localCheckpoint()
+    // the doubling map is re-joined against ITSELF each round — left
+    // leg on dst_h, hop leg on src_h. The checkpoint records the
+    // src_h layout (partitioning-preserving bridge, scale-adaptive
+    // count — the hostRank posture), so the hop/alias leg plans no
+    // exchange per round; only the dst_h leg shuffles.
+    val mParts = graft.ext.LinkGraph.loopPartitions(edges, e0.count())
+    var m = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+      e0.select(xxhash64(col("__su")).as("src_h"),
+        xxhash64(col("__du")).as("dst_h"), lit(1L).as("hops")),
+      Seq("src_h"), mParts)
     def unresolved(df: DataFrame): Long =
       df.join(srcs, df("dst_h") === col("__s"), "left_semi").count()
     var round = 0
@@ -551,11 +558,12 @@ object Warc {
     while (round < maxRounds && open > 0) {
       val hop = m.select(col("src_h").as("__mid"), col("dst_h").as("__nxt"),
         col("hops").as("__h2"))
-      m = m.join(hop, m("dst_h") === col("__mid"), "left")
-        .select(col("src_h"),
-          coalesce(col("__nxt"), col("dst_h")).as("dst_h"),
-          (col("hops") + coalesce(col("__h2"), lit(0L))).as("hops"))
-        .localCheckpoint() // truncate the doubling lineage each round
+      m = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
+        m.join(hop, m("dst_h") === col("__mid"), "left")
+          .select(col("src_h"),
+            coalesce(col("__nxt"), col("dst_h")).as("dst_h"),
+            (col("hops") + coalesce(col("__h2"), lit(0L))).as("hops")),
+        Seq("src_h"), mParts)
       open = unresolved(m)
       round += 1
     }
