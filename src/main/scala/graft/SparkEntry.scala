@@ -3933,7 +3933,7 @@ object SparkEntry {
         countDistinct(col("lang")).as("n_langs"))),
 
     "x_jaccard_pairs" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
+      Dedup.ngramJaccardPairs(parallel(tbl(s, dir, "documents")), minJaccard = 0.05)
         .orderBy("a", "b")),
 
     // Directional containment (Broder): |grams(a)∩grams(b)| / |grams(a)|
@@ -4261,7 +4261,7 @@ object SparkEntry {
     // Cluster resolution over the (oracle-checked) jaccard pair graph:
     // every doc in a pair component mapped to its min-id representative.
     "x_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), minJaccard = 0.05)
+      val pairs = Dedup.ngramJaccardPairs(parallel(tbl(s, dir, "documents")), minJaccard = 0.05)
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
 
