@@ -4806,7 +4806,7 @@ object SparkEntry {
     // filter runs after the bounded pair verify.
     "x_crosslingual_pairs" -> ((s, dir) => {
       val langs = tbl(s, dir, "documents").select(col("doc_id"), col("lang"))
-      Similarity.cosinePairs(tbl(s, dir, "embeddings"), threshold = 0.3)
+      Similarity.cosinePairs(parallel(tbl(s, dir, "embeddings")), threshold = 0.3)
         .join(langs.select(col("doc_id").as("a"), col("lang").as("lang_a")), "a")
         .join(langs.select(col("doc_id").as("b"), col("lang").as("lang_b")), "b")
         .where(col("lang_a") =!= col("lang_b"))

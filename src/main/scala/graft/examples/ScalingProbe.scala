@@ -60,7 +60,13 @@ object ScalingProbe {
     // (TrustRank-shape) rank; the capped anchor corpus and the
     // 9-class wire-coding matrix re-probe under their old names above
     "x_host_components", "x_mirror_family_select", "x_host_rank_seeded",
-    "x_family_rank")
+    "x_family_rank",
+    // round-21 (optimization round): queries whose plans changed —
+    // candidate-restricted minhash calibration, scan-floored kernel
+    // queries, bridge-checkpointed loops re-probe under their old
+    // names above
+    "x_minhash_est", "x_cosine_pairs", "x_weighted_sample",
+    "x_bpe_encode", "x_pii_scan", "x_pii_redact", "x_decontaminate")
   private val Sfs = Seq("sf0.001", "sf0.01", "sf0.1")
 
   def main(args: Array[String]): Unit = {
