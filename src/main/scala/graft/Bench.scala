@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Numeric cpu stamp for the detail artifact (-1 when the env value
+    // is non-numeric, e.g. local[*]): triage baselines must only be
+    // compared within one core count.
+    val cpusStamp = scala.util.Try(cpus.trim.toInt).getOrElse(-1)
     // Warm up codegen/JIT + the parquet reader path so the first measured
     // query doesn't absorb session startup cost.
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
@@ -153,23 +157,33 @@ object Bench {
         case roundRe(n) => Some(n.toInt -> f)
         case _          => None
       }).filter { case (n, _) => !thisRound.contains(n) }
-      val chosen =
-        if (stamped.nonEmpty) Some(stamped.maxBy(_._1)._2)
-        else files.find(_.getName == "BENCH_detail.json")
-      chosen.map { f =>
-        scala.util.Try {
-          val src = scala.io.Source.fromFile(f, "UTF-8")
-          val txt = try src.mkString finally src.close()
-          """"queries_min":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
-            m => m.group(1).split(",").flatMap { kv =>
-              val i = kv.lastIndexOf(':')
-              if (i < 0) None
-              else scala.util.Try(kv.substring(i + 1).trim.toDouble).toOption
-                .map(kv.substring(0, i).trim
-                  .stripPrefix("\"").stripSuffix("\"") -> _)
-            }.toMap
-          }.getOrElse(Map.empty[String, Double])
-        }.getOrElse(Map.empty[String, Double])
+      def read(f: java.io.File): Option[String] = scala.util.Try {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }.toOption
+      // Skip baselines recorded at a DIFFERENT core count: the round-21
+      // driver's post-round 8-core sweep round-stamped itself r22, and
+      // triaging a 32-core sweep against 8-core minima flags everything
+      // (or nothing) wrong. A detail without a cpus stamp (pre-r22
+      // rounds — all 32-core) is accepted as-is.
+      def cpusOk(txt: String): Boolean =
+        """"cpus":(-?\d+)""".r.findFirstMatchIn(txt)
+          .forall(_.group(1) == cpusStamp.toString)
+      val chosenTxt: Option[String] =
+        stamped.sortBy(-_._1).view.flatMap { case (_, f) => read(f) }
+          .find(cpusOk)
+          .orElse(files.find(_.getName == "BENCH_detail.json")
+            .flatMap(read).filter(cpusOk))
+      chosenTxt.flatMap { txt =>
+        """"queries_min":\{([^}]*)\}""".r.findFirstMatchIn(txt).map {
+          m => m.group(1).split(",").flatMap { kv =>
+            val i = kv.lastIndexOf(':')
+            if (i < 0) None
+            else scala.util.Try(kv.substring(i + 1).trim.toDouble).toOption
+              .map(kv.substring(0, i).trim
+                .stripPrefix("\"").stripSuffix("\"") -> _)
+          }.toMap
+        }
       }.getOrElse(Map.empty[String, Double])
     }
     val isolatedCap = 20
@@ -177,9 +191,13 @@ object Bench {
         val prev = prevMins(detailDir)
         // worst inflation first: when the cap binds, the 20 re-runs
         // should be the 20 the adjudicator would ask about first
+        // 1.25× threshold (was 1.5×): the r21 verdict's 11 unattributed
+        // "consistent regressions" sat in the +15-40% band, below the
+        // old trigger — unfalsifiable in-artifact. The 20-re-run cap
+        // (worst inflation first) still bounds wall-clock.
         val suspects = results.collect {
           case (n, (mn, _)) if mn > 0 &&
-            prev.get(n).exists(p => p > 0 && mn > p * 1.5) =>
+            prev.get(n).exists(p => p > 0 && mn > p * 1.25) =>
             n -> (mn / prev(n))
         }.sortBy(-_._2).map(_._1)
         if (suspects.size > isolatedCap)
@@ -205,7 +223,7 @@ object Bench {
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"sf":"$sfDir","sweep":"$sweepId","estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"contention":$contention,"n_queries":${results.size},
+      s"""{"sf":"$sfDir","sweep":"$sweepId","cpus":$cpusStamp,"estimator":"min_of_$runs","total":$total,"median_total":$totalMed,"contention":$contention,"n_queries":${results.size},
          |"queries_min":$qs,
          |"queries_median":$qsMed,
          |"isolated":$isoJson}

@@ -50,6 +50,16 @@ object SparkEntry {
     * would pay the narrow exchange for nothing. */
   private def parallel(df: DataFrame): DataFrame = {
     val floor = df.sparkSession.sparkContext.defaultParallelism
+    // RAW-SCAN-ONLY contract, enforced: reading the planned split count
+    // goes through toRdd, which is free on a scan-only plan (the RDD is
+    // built lazily, no job) but on an exchange-bearing plan under AQE
+    // would MATERIALIZE the shuffle stages at query-construction time.
+    // AQE only wraps plans that carry exchanges/subqueries, so an
+    // AdaptiveSparkPlanExec here means someone passed a derived frame.
+    require(!df.queryExecution.executedPlan
+        .isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+      "parallel() wraps raw scans only; wrapping a derived frame would " +
+        "execute its shuffle stages during query construction")
     if (df.queryExecution.toRdd.getNumPartitions < floor)
       df.repartition(floor)
     else df

@@ -49,8 +49,11 @@ object JobStats {
         graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; give them a beat
-        Thread.sleep(300)
+        // listener events drain asynchronously; wait for the bus to
+        // empty (deterministic attribution — a fixed sleep only bounds
+        // it) with a hard timeout as a hang guard
+        org.apache.spark.graft.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext, 10000)
         println(f"STATS $n run$run wall=$wall%.2f s jobs=${jobs.get}%d " +
           f"stages=${stages.get}%d tasks=${tasks.get}%d " +
           f"taskTime=${taskMs.get / 1000.0}%.1f s")

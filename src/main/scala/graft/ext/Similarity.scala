@@ -253,26 +253,72 @@ object Similarity {
   def trainIvfCentroids(corpus: DataFrame, nCentroids: Int = 16,
       iters: Int = 3, seed: Long = 42L, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Seq[Double]] = {
-    val c = corpus.select(col(idCol), col(vecCol))
+    // Materialize the narrow (id, vec) projection ONCE: the init rank
+    // job and every Lloyd iteration otherwise re-run the full upstream
+    // lineage (parquet scan + any derived embedding) — guide §5 "reuse
+    // before recompute". Partitioning stays as planned (no coalesce):
+    // at corpus scale the per-iteration aggregation rides the scan's
+    // real parallelism.
+    val c = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
     var centroids: Array[Seq[Double]] = c
       .orderBy(graft.functions.Rng.uniform(seed, "ivf/init", col(idCol)), col(idCol))
       .limit(nCentroids)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Any](0).map(x => x.asInstanceOf[Number].doubleValue()))
+    val dims = centroids.headOption.map(_.length).getOrElse(0)
     var it = 0
-    while (it < iters) {
-      val assigned = c.withColumn("cid",
-        element_at(nearestCentroidCol(col(vecCol), centroids, 1), 1))
-      val means = assigned
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg((sum(round(col("x").cast("double") * lit(1e9)).cast("long")).cast("double") /
-          (count(lit(1)).cast("double") * lit(1e9))).as("m"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    while (it < iters && dims > 0) {
+      // ONE job per iteration (was: posexplode → groupBy(cid, pos) →
+      // collect = a dims× Generate feeding an exchange plus two AQE
+      // stage-jobs): the assignment and the 1e-9 grid quantization stay
+      // whole-stage codegen in this projection — the per-row hot path
+      // never leaves generated code — and the per-partition partial
+      // (sums, counts) merge driver-side through RDD.reduce, whose long
+      // additions are order-independent, so the resulting means are
+      // bitwise the old grouped sums. No shuffle, no AQE stages: at
+      // corpus scale each Lloyd pass is exactly one map-side scan of
+      // the checkpointed frame, and the driver holds one
+      // nCentroids×dims partial at a time (not one per partition).
+      val proj = c.select((element_at(
+          nearestCentroidCol(col(vecCol), centroids, 1), 1).as("cid") +:
+        (0 until dims).map(i =>
+          round(element_at(col(vecCol), i + 1).cast("double") * lit(1e9))
+            .cast("long").as(s"__l$i"))): _*)
+      val k = centroids.length
+      val nDims = dims
+      val (sums, counts) = proj.queryExecution.toRdd.mapPartitions { rows =>
+        val s = Array.ofDim[Long](k, nDims)
+        val n = new Array[Long](k)
+        while (rows.hasNext) {
+          val r = rows.next()
+          val cid = r.getInt(0)
+          n(cid) += 1L
+          var i = 0
+          while (i < nDims) {
+            // null grid cell ⇔ null vector element: the old sum()
+            // skipped it while count(lit(1)) still counted the row
+            if (!r.isNullAt(i + 1)) s(cid)(i) += r.getLong(i + 1)
+            i += 1
+          }
         }
-      centroids = centroids.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
+        Iterator.single((s, n))
+      }.reduce { case ((s1, n1), (s2, n2)) =>
+        var ci = 0
+        while (ci < k) {
+          n1(ci) += n2(ci)
+          var i = 0
+          while (i < nDims) { s1(ci)(i) += s2(ci)(i); i += 1 }
+          ci += 1
+        }
+        (s1, n1)
+      }
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        // empty cells carry the previous centroid forward; same op
+        // order as the old SQL mean expression:
+        // sum.cast(double) / (count.cast(double) * 1e9)
+        if (counts(i) == 0L) old
+        else (0 until nDims).map(j => sums(i)(j).toDouble / (counts(i).toDouble * 1e9))
+      }
       it += 1
     }
     centroids
@@ -339,34 +385,66 @@ object Similarity {
       (0 until m).map(s => initRows.map(_.slice(s * sub, (s + 1) * sub))).toArray
     var it = 0
     while (it < iters) {
-      // stacked (subspace, cid, pos, x) rows via ONE posexplode — the
-      // subspace and in-subspace position derive from the global pos,
-      // the cid from the kernel's codes array (normalize = false: the
-      // frame already holds vn; re-normalizing an L2-unit vector is
-      // NOT a bit-level no-op). Means are grid-exact integer-nano
-      // sums, order-independent, identical to trainIvfCentroids';
-      // empty cells carry the previous centroid forward.
-      val means = base
-        .select(graft.plans.NativeFunctions
-            .pqCodes(col("__vn"), books.map(_.toSeq).toSeq, normalize = false)
-            .as("__codes"),
-          posexplode(col("__vn")).as(Seq("pos", "x")))
-        .select((col("pos") / lit(sub)).cast("int").as("s"),
-          element_at(col("__codes"),
-            ((col("pos") / lit(sub)).cast("int") + 1)).as("cid"),
-          (col("pos") % lit(sub)).as("p"), col("x"))
-        .groupBy("s", "cid", "p")
-        .agg((sum(round(col("x").cast("double") * lit(1e9)).cast("long"))
-          .cast("double") /
-          (count(lit(1)).cast("double") * lit(1e9))).as("mn"))
-        .collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (key, rows) =>
-          key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      // ONE job per iteration (was: a dims× posexplode → groupBy(s,
+      // cid, p) → collect = Generate + exchange + two AQE stage-jobs
+      // per Lloyd pass): the pqCodes assignment kernel (normalize =
+      // false — the frame already holds vn; re-normalizing an L2-unit
+      // vector is NOT a bit-level no-op) and the 1e-9 grid
+      // quantization stay whole-stage codegen in this projection; the
+      // per-partition partial (sums, counts) merge driver-side through
+      // RDD.reduce, whose long additions are order-independent, so the
+      // per-(s, cid, p) means are bitwise the old grouped sums. Empty
+      // cells carry the previous centroid forward.
+      val proj = base.select((graft.plans.NativeFunctions
+          .pqCodes(col("__vn"), books.map(_.toSeq).toSeq, normalize = false)
+          .as("__codes") +:
+        (0 until dims).map(i =>
+          round(element_at(col("__vn"), i + 1).cast("double") * lit(1e9))
+            .cast("long").as(s"__l$i"))): _*)
+      val mS = m
+      val kS = k
+      val subS = sub
+      val (sums, counts) = proj.queryExecution.toRdd.mapPartitions { rows =>
+        val s = Array.ofDim[Long](mS, kS, subS)
+        val n = Array.ofDim[Long](mS, kS)
+        while (rows.hasNext) {
+          val r = rows.next()
+          val codes = r.getArray(0)
+          var si = 0
+          while (si < mS) {
+            val cid = codes.getInt(si)
+            n(si)(cid) += 1L
+            var p = 0
+            while (p < subS) {
+              val colIdx = 1 + si * subS + p
+              if (!r.isNullAt(colIdx)) s(si)(cid)(p) += r.getLong(colIdx)
+              p += 1
+            }
+            si += 1
+          }
         }
+        Iterator.single((s, n))
+      }.reduce { case ((s1, n1), (s2, n2)) =>
+        var si = 0
+        while (si < mS) {
+          var ci = 0
+          while (ci < kS) {
+            n1(si)(ci) += n2(si)(ci)
+            var p = 0
+            while (p < subS) { s1(si)(ci)(p) += s2(si)(ci)(p); p += 1 }
+            ci += 1
+          }
+          si += 1
+        }
+        (s1, n1)
+      }
       books = books.zipWithIndex.map { case (book, s) =>
         book.zipWithIndex.map { case (old, j) =>
-          means.getOrElse((s, j), old)
+          // same op order as the old SQL mean expression:
+          // sum.cast(double) / (count.cast(double) * 1e9)
+          if (counts(s)(j) == 0L) old
+          else (0 until sub).map(p =>
+            sums(s)(j)(p).toDouble / (counts(s)(j).toDouble * 1e9))
         }
       }
       it += 1

@@ -290,12 +290,18 @@ object Warc {
   private def headerOf(httpHeaders: Column, name: String): Column =
     // Pattern.quote: the helper's signature invites arbitrary names, so
     // regex metacharacters in a future caller's name must match
-    // literally. The lazy capture + trailing-OWS tail implements RFC
-    // 9110 field-value trimming on BOTH ends (a `Location: url \r\n`
-    // must not leak a trailing space into exact-URL joins).
-    nullif(regexp_extract(httpHeaders,
+    // literally. RFC 9110 field-value trimming on BOTH ends (a
+    // `Location: url \r\n` must not leak a trailing space into
+    // exact-URL joins): leading OWS is consumed by the greedy `[ \t]*`
+    // before the capture; trailing OWS is removed by rtrim on the
+    // extracted value. A lazy capture anchored at line end
+    // (`([^\r\n]*?)[ \t]*$`) computes the same value but re-tests the
+    // tail at every character of every header value — a backtracking
+    // cost multiplier in the per-row hot path of the whole WARC/HTTP
+    // family (x_warc_charset +40-63% when it shipped that way).
+    nullif(rtrim(regexp_extract(httpHeaders,
       "(?im)^" + java.util.regex.Pattern.quote(name) +
-        ":[ \t]*([^\r\n]*?)[ \t]*$", 1), lit(""))
+        ":[ \t]*([^\r\n]*)", 1), " \t"), lit(""))
 
   def httpPayload(status: Column, contentType: Column, body: Column,
       location: Column = lit(null).cast("string"),

@@ -1292,17 +1292,22 @@ object Native {
    * ([[graft.ext.Warc.inflateGzipFiles]]) and the per-row
    * `gunzip_try` expression.
    */
+  /** Output buffer for the inflate paths with its initial-capacity
+    * hint (3× the compressed length) clamped against int overflow:
+    * `len * 3` goes negative past ~715 MB and ByteArrayOutputStream
+    * would throw IllegalArgumentException OUTSIDE the IOException
+    * quarantine path the callers rely on. */
+  private def cappedOutputBuffer(len: Int): java.io.ByteArrayOutputStream =
+    new java.io.ByteArrayOutputStream(
+      math.max(64, math.min(len, Int.MaxValue / 3) * 3))
+
   def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
     def fail(msg: String): Nothing = throw new java.io.IOException(msg)
     def le32(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     if (bytes.isEmpty) fail("empty gzip input")
-    // initial-capacity hint clamped against int overflow: bytes.length*3
-    // goes negative past ~715 MB and ByteArrayOutputStream would throw
-    // IllegalArgumentException OUTSIDE the IOException quarantine path
-    val out = new java.io.ByteArrayOutputStream(
-      math.max(64, math.min(bytes.length, Int.MaxValue / 3) * 3))
+    val out = cappedOutputBuffer(bytes.length)
     val buf = new Array[Byte](65536)
     var off = 0
     while (off < bytes.length) {
@@ -1514,11 +1519,7 @@ object Native {
       val inf = new java.util.zip.Inflater(raw)
       try {
         inf.setInput(bytes)
-        // initial-capacity hint clamped against int overflow: bytes.length*3
-    // goes negative past ~715 MB and ByteArrayOutputStream would throw
-    // IllegalArgumentException OUTSIDE the IOException quarantine path
-    val out = new java.io.ByteArrayOutputStream(
-      math.max(64, math.min(bytes.length, Int.MaxValue / 3) * 3))
+        val out = cappedOutputBuffer(bytes.length)
         val buf = new Array[Byte](65536)
         while (!inf.finished()) {
           val n =

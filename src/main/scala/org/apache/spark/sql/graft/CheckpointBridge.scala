@@ -38,25 +38,22 @@ import org.apache.spark.sql.functions.col
  */
 object CheckpointBridge {
 
-  /** [[localCheckpointHashed]] exposing the row count the eager
-    * materialization already takes — iterative callers whose
-    * convergence check is a count of the same frame save one job per
-    * round by reading it here instead of re-running `df.count()`. */
-  def localCheckpointHashedWithCount(df: DataFrame, keys: Seq[String],
+  /** [[localCheckpointHashedWithCount]] discarding the count — the
+    * common non-iterative entry point. */
+  def localCheckpointHashed(df: DataFrame, keys: Seq[String],
       numParts: Int, sort: Boolean = true,
-      dedupAfter: Seq[String] = Nil): (DataFrame, Long) = {
-    val out = localCheckpointHashed(df, keys, numParts, sort, dedupAfter)
-    (out, lastCount)
-  }
-
-  /** Row count of the most recent [[localCheckpointHashed]]'s eager
-    * materialization (driver-single-threaded construction, like every
-    * builder in this engine). */
-  private var lastCount: Long = -1L
+      dedupAfter: Seq[String] = Nil): DataFrame =
+    localCheckpointHashedWithCount(df, keys, numParts, sort, dedupAfter)._1
 
   /** Eagerly local-checkpoint `df` laid out as `numParts` hash
     * partitions of `keys` (sorted within partitions by `keys` when
-    * `sort`), recording that layout for downstream planning.
+    * `sort`), recording that layout for downstream planning, and
+    * return the row count the eager materialization already takes —
+    * iterative callers whose convergence check is a count of the same
+    * frame save one job per round by reading it here instead of
+    * re-running `df.count()`. (This counting form is the primitive —
+    * no shared mutable state, so concurrent query construction from
+    * several driver threads cannot cross-attribute counts.)
     *
     * `dedupAfter` (when non-empty) applies `dropDuplicates(dedupAfter)`
     * AFTER the layout: `keys` must be a subset of `dedupAfter`, so the
@@ -65,9 +62,9 @@ object CheckpointBridge {
     * "distinct rides the loop layout" shape (one exchange where
     * distinct-then-repartition would pay two). The aggregate does not
     * preserve sort order, so `sort` is ignored with a dedup. */
-  def localCheckpointHashed(df: DataFrame, keys: Seq[String],
+  def localCheckpointHashedWithCount(df: DataFrame, keys: Seq[String],
       numParts: Int, sort: Boolean = true,
-      dedupAfter: Seq[String] = Nil): DataFrame = {
+      dedupAfter: Seq[String] = Nil): (DataFrame, Long) = {
     require(keys.nonEmpty, "at least one partitioning key required")
     require(numParts > 0, "numParts must be positive")
     require(dedupAfter.isEmpty || keys.forall(dedupAfter.contains),
@@ -88,15 +85,18 @@ object CheckpointBridge {
     // AQE's empty-relation propagation can hand back a ZERO-partition
     // RDD (e.g. a fixed-point loop's final empty edge set); a global
     // aggregate over 0 partitions yields 0 rows, so Dataset.count()
-    // on the checkpointed frame would throw. Normalize to one empty
-    // partition — same contents, sane downstream plans.
+    // on the checkpointed frame would throw. Normalize to numParts
+    // EMPTY partitions — not one — so the partition count matches the
+    // declared HashPartitioning(keys, numParts): a downstream
+    // co-partitioned join that trusts the declaration and skips its
+    // exchange zips partition-by-partition, and unequal counts fail.
     val rdd =
       if (executed.getNumPartitions == 0)
         spark.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], 1)
+          Seq.empty[org.apache.spark.sql.catalyst.InternalRow], numParts)
       else executed.map(_.copy())
     rdd.localCheckpoint()
-    lastCount = rdd.count()
+    val count = rdd.count()
     val output = ds.queryExecution.analyzed.output
     val byName = output.map(a => a.name -> a).toMap
     val keyAttrs = keys.map(k => byName.getOrElse(k,
@@ -111,8 +111,8 @@ object CheckpointBridge {
       .find(_.id == rdd.id)
       .map(i => org.apache.spark.sql.catalyst.plans.logical.Statistics(
         sizeInBytes = BigInt(i.memSize + i.diskSize).max(1)))
-    Dataset.ofRows(spark,
+    (Dataset.ofRows(spark,
       LogicalRDD(output, rdd, partitioning, ordering, isStreaming = false)(
-        spark, stats, None))
+        spark, stats, None)), count)
   }
 }
