@@ -1430,6 +1430,7 @@ object Dedup {
     // union below reads a checkpoint instead of evaluating the whole
     // upstream pipeline twice.
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
+    val parts = LinkGraph.loopPartitions(p, 2L * p.count())
     // Both edge directions, symmetrized once and checkpointed
     // PRE-PARTITIONED and PRE-SORTED on `y` — the key of every round's
     // neighbor join, so the loop never re-shuffles or re-sorts the
@@ -1442,43 +1443,69 @@ object Dedup {
     val edges = org.apache.spark.sql.graft.CheckpointBridge.localCheckpointHashed(
       p.select(col("a").as("x"), col("b").as("y"))
         .union(p.select(col("b").as("x"), col("a").as("y"))),
-      Seq("y"), LinkGraph.loopPartitions(p, 2L * p.count()))
+      Seq("y"), parts)
+    // Convergence check without an extra join: per-id labels only ever
+    // decrease, so the total label sum strictly decreases every round
+    // until the fixpoint — equal sums ⇔ converged. (An edge-alignment
+    // check — "every edge joins equal reps" — was tried and measured
+    // SLOWER: two extra edge-sized joins per round outweigh the one
+    // no-change round the sum test needs to observe.) For long ids —
+    // every engine caller — the sum FOLDS INTO the per-round label
+    // checkpoint's materialization job (exact BigInt fold, bitwise the
+    // decimal aggregate it replaces), so no separate aggregation job
+    // runs; other id types keep the decimal aggregate.
+    val longIds = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    def labelSum(df: DataFrame): BigInt =
+      BigInt(df.agg(sum(col("rep").cast("decimal(38,0)"))).head()
+        .getDecimal(0).toBigInteger)
+    // Labels ride the bridge too, keyed on `id` with the SAME partition
+    // count as the edges: every round's neighbor join then plans
+    // NEITHER an exchange NOR a sort on either side (edges declared
+    // hash(y)/sorted, labels hash(id→y via alias)/sorted). The merge
+    // hints pin the scale-correct strategy — at corpus scale the label
+    // frame is as big as the pair graph's node set, so broadcasting it
+    // (what AQE picks from bench-sized stats) is wrong at 100 TB and
+    // locally costs one broadcast-materialization job per round.
+    def checkpointLabels(df: DataFrame): (DataFrame, BigInt) =
+      if (longIds) {
+        val (out, _, s) = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointHashedWithLongSum(df, Seq("id"), parts, "rep")
+        (out, s)
+      } else {
+        val out = org.apache.spark.sql.graft.CheckpointBridge
+          .localCheckpointHashed(df, Seq("id"), parts)
+        (out, labelSum(out))
+      }
     // Seed labels with the distance-1 minimum (min of self and direct
     // neighbors) straight from the edge scan — one aggregation replaces
     // the first propagation round. Both edge directions are present, so
     // every node appears as `x`.
-    var labels = edges.groupBy(col("x")).agg(min(col("y")).as("mn"))
-      .select(col("x").as("id"), least(col("x"), col("mn")).as("rep"))
-      .localCheckpoint()
-    // Convergence check without an extra join: per-id labels only ever
-    // decrease, so the total label sum strictly decreases every round
-    // until the fixpoint — equal sums ⇔ converged. One cheap scalar agg
-    // over the checkpointed frame per round. (An edge-alignment check
-    // — "every edge joins equal reps" — was tried and measured SLOWER:
-    // it costs two extra edge-sized joins per round, which outweighs
-    // the one no-change round the sum test needs to observe.)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var (labels, prevSum) = checkpointLabels(
+      edges.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x").as("id"), least(col("x"), col("mn")).as("rep")))
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "y"), "y")
+        .join(labels.withColumnRenamed("id", "y").hint("merge"), "y")
         .select(col("x").as("id"), col("rep"))
       val merged = labels.select("id", "rep").union(viaNeighbor)
         .groupBy("id").agg(min("rep").as("rep"))
       // pointer doubling: follow the representative's representative.
       // Every rep IS a node id, so the self-join resolves one extra hop
       // per round — chains collapse exponentially instead of linearly.
+      // (The two merged legs share one exchange via ReusedExchange; the
+      // right leg's alias keeps hash(id→rep), so only the left leg
+      // re-partitions.)
       val next = merged
-        .join(merged.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .join(merged.select(col("id").as("rep"), col("rep").as("rep2"))
+          .hint("merge"), Seq("rep"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("rep2"), col("rep"))).as("rep"))
-        .localCheckpoint() // truncate the growing lineage each round
-      val nextSum = labelSum(next)
+      val (nextLabels, nextSum) = checkpointLabels(next)
       converged = nextSum == prevSum
       prevSum = nextSum
-      labels = next
+      labels = nextLabels
       round += 1
     }
     if (!converged)
